@@ -1,0 +1,159 @@
+"""RuleSpec: a detection rule as data, plus the alert projection builder.
+
+A rule is metadata + a predicate (IR, see ``dagger_spark.expr``).  The alert
+shape replicates the reference's sink DDL superset (SURVEY.md §1.1-4, §2.8.5):
+Flink builds the nested ROWs positionally (windows-process-access.sql:80-89)
+and the sink DDL supplies field names; Spark structs are named, so we impose
+the DDL names here once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..expr import Pred, parse_predicate, to_column
+
+
+@dataclass(frozen=True)
+class RuleSpec:
+    """One detection rule (reference: one INSERT/UNION branch in rules/sigma/*.sql)."""
+
+    name: str
+    predicate_sql: str                      # restricted-SQL predicate text (data, not code)
+    severity: int = 5
+    author: str = ""
+    description: str = ""
+    references: tuple = ()
+    tactic: tuple = ()
+    technique: tuple = ()
+    subtechnique: tuple = ()
+    category: str = "sysmon"
+    module: Optional[str] = None            # 'process_access' for the pa job, else None
+    version: str = "1.0"
+    source: str = "sysmon"
+    enabled: bool = True
+    case_insensitive: bool = False          # reference matches case-sensitively (§2.8.10)
+    # M4 timeframe extension (Sigma `timeframe`; reference skips these rules,
+    # sigma-transf/main.py:194-195 — we implement them):
+    timeframe_seconds: Optional[int] = None
+    timeframe_min_count: Optional[int] = None
+    timeframe_group_by: tuple = ("host",)
+
+    @property
+    def predicate(self) -> Pred:
+        return parse_predicate(self.predicate_sql)
+
+    def condition(self) -> Column:
+        return to_column(self.predicate, case_insensitive=self.case_insensitive)
+
+    def with_enabled(self, enabled: bool) -> "RuleSpec":
+        return replace(self, enabled=enabled)
+
+
+def _arr(values: Sequence[str]) -> Column:
+    if not values:
+        return F.array().cast(T.ArrayType(T.StringType()))
+    return F.array(*[F.lit(v) for v in values])
+
+
+def threat_struct(rule: RuleSpec) -> Column:
+    return F.struct(
+        _arr(rule.tactic).alias("tactic"),
+        _arr(rule.technique).alias("technique"),
+        _arr(rule.subtechnique).alias("subtechnique"),
+    )
+
+
+def rule_struct(rule: RuleSpec) -> Column:
+    return F.struct(
+        F.lit(rule.name).alias("name"),
+        F.lit(rule.author).alias("author"),
+        F.lit(rule.category).alias("category"),
+        F.lit(rule.severity).cast("int").alias("severity"),
+        F.lit(rule.description).alias("description"),
+        _arr(rule.references).alias("reference"),
+        F.lit(rule.version).alias("version"),
+        F.lit(rule.source).alias("source"),
+    )
+
+
+def alert_projection(rule: RuleSpec, ts_col: str = "timestamp") -> list:
+    """Columns for one stateless alert row (count=1, start=end=time=timestamp —
+    windows-process-access.sql:80)."""
+    ts = F.col(ts_col)
+    return [
+        F.col("computer_name"),
+        F.col("host"),
+        F.struct(
+            F.lit("signal").alias("kind"),
+            F.lit(rule.module).cast("string").alias("module"),
+            F.array(F.col("uuid")).alias("origin_ids"),
+            F.lit(1).cast("long").alias("count"),
+            ts.alias("start"),
+            ts.alias("end"),
+            ts.alias("time"),
+        ).alias("event"),
+        threat_struct(rule).alias("threat"),
+        rule_struct(rule).alias("rule"),
+    ]
+
+
+def rules_metadata_df(spark: SparkSession, rules: Sequence[RuleSpec]) -> DataFrame:
+    """Rule metadata as a small dimension DataFrame keyed by rule_id (the
+    index into ``rules``).  Broadcast-joined by the single-pass engine so the
+    per-event hot path only materializes matching rule ids."""
+    schema = T.StructType(
+        [
+            T.StructField("rule_id", T.IntegerType(), False),
+            T.StructField("module", T.StringType(), True),
+            T.StructField(
+                "threat",
+                T.StructType(
+                    [
+                        T.StructField("tactic", T.ArrayType(T.StringType())),
+                        T.StructField("technique", T.ArrayType(T.StringType())),
+                        T.StructField("subtechnique", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "rule",
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType(), False),
+                        T.StructField("author", T.StringType()),
+                        T.StructField("category", T.StringType()),
+                        T.StructField("severity", T.IntegerType()),
+                        T.StructField("description", T.StringType()),
+                        T.StructField("reference", T.ArrayType(T.StringType())),
+                        T.StructField("version", T.StringType()),
+                        T.StructField("source", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows = [
+        (
+            i,
+            r.module,
+            (list(r.tactic), list(r.technique), list(r.subtechnique)),
+            (
+                r.name,
+                r.author,
+                r.category,
+                r.severity,
+                r.description,
+                list(r.references),
+                r.version,
+                r.source,
+            ),
+        )
+        for i, r in enumerate(rules)
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,57 @@
+"""Batch file sources for the driver's testdata tables and sysmon fixtures.
+
+Scale notes: these are plain ``spark.read.parquet`` scans so Catalyst predicate
+pushdown / column pruning / partition pruning apply untouched.  The one
+wrinkle is ``events.ts``: the driver writes parquet TIMESTAMP(NANOS), which
+Spark refuses outright (PARQUET_TYPE_ILLEGAL).  With
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the column
+arrives as a BIGINT of epoch-nanos; we convert to a microsecond TIMESTAMP
+here.  DuckDB (the oracle) truncates ns->us identically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import SYSMON_EVENT_SCHEMA
+
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=ALL_TABLES, register_views: bool = True) -> dict:
+    out = {}
+    for n in names:
+        out[n] = load_table(spark, sf_dir, n)
+        if register_views:
+            out[n].createOrReplaceTempView(n)
+    return out
+
+
+def parse_json_events(raw: DataFrame, value_col: str = "value", ts_col: str = "timestamp") -> DataFrame:
+    """JSON payload (+ transport timestamp) -> typed sysmon event rows.
+
+    Replicates the reference source semantics (windows-process-access.sql:32-34):
+    declared schema (undeclared JSON fields dropped), PERMISSIVE parse with
+    ``ignore-parse-errors`` parity — unparseable payloads yield a null struct
+    and are dropped.  Works identically on batch and streaming DataFrames;
+    the Kafka wrapper feeds it ``value``/``timestamp`` straight from the
+    Kafka source's built-in columns.
+    """
+    payload_schema = T.StructType([f for f in SYSMON_EVENT_SCHEMA.fields if f.name != "timestamp"])
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), payload_schema).alias("e"),
+        F.col(ts_col).alias("timestamp"),
+    )
+    return parsed.filter(F.col("e").isNotNull()).select("e.*", "timestamp")

@@ -1,0 +1,382 @@
+"""Sigma YAML -> RuleSpec compiler.
+
+A from-scratch port of the *semantics* of the reference's offline compiler
+(/root/reference/sigma-transf/main.py) emitting our predicate grammar (parsed
+by ``dagger_spark.expr.parse_predicate``) instead of Flink SQL text.
+
+Default behavior FIXES the reference's known bugs (SURVEY.md §2.8); passing
+``bug_compat=True`` reproduces them bit-for-bit so compiled output can be
+diffed against the checked-in reference rules:
+
+  reference behavior (main.py)                 | fixed behavior (default)
+  ---------------------------------------------+--------------------------------
+  `*` kept literally in `=` / `IN` values      | glob `*`/`?` -> LIKE wildcards
+  (main.py:122-126 — rules can never match)    |
+  `contains` list strips only LEADING `*`      | strip handled by glob translation
+  (main.py:41 vs 38)                           |
+  `base64offset|contains` silently ignored     | real 3-offset base64 encoding
+  (main.py:35)                                 |
+  lists under non-contains modifiers           | same (correct in reference)
+  timeframe rules skipped (main.py:194-195)    | compiled to windowed count rules
+  matching case-sensitive                      | case-insensitive (Sigma spec),
+                                               | per-rule override
+  empty tag arrays -> ARRAY[''] (arr2str)      | empty arrays stay empty
+  technique parent ids emitted bare (`t1055`)  | normalized to `attack.t1055`,
+  and duplicated (main.py:29)                  | deduplicated
+
+Condition grammar support: bare selection names, ``1 of X*``, ``1 of them``,
+``all of X*`` / ``all of them`` (absent from the reference — added),
+``and`` / ``or`` / ``not`` with parentheses, and trailing
+``| count() [by F] <op> N`` aggregations (compiled to timeframe rules).
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import re
+from typing import Optional
+
+import yaml
+
+from ..expr import parse_predicate
+from ..rules.spec import RuleSpec
+
+_TACTICS = (
+    "attack.reconnaissance", "attack.resource_development", "attack.initial_access",
+    "attack.execution", "attack.persistence", "attack.privilege_escalation",
+    "attack.defense_evasion", "attack.credential_access", "attack.discovery",
+    "attack.lateral_movement", "attack.collection", "attack.command_and_control",
+    "attack.exfiltration", "attack.impact",
+)
+
+_SEVERITY = {"critical": 9, "high": 7, "medium": 5, "low": 3}
+
+#: logsource.category -> sysmon event_id gate (main.py:89-95; the network gate
+#: appears hand-written in windows-process-creation.sql:115)
+CATEGORY_EVENT_ID = {
+    "process_access": 10,
+    "process_creation": 1,
+    "network_connection": 3,
+}
+
+_TIMEFRAME_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+class SigmaCompileError(Exception):
+    pass
+
+
+def _split_tags(tags, bug_compat: bool):
+    tactic, technique, subtechnique = [], [], []
+    for tag in tags or []:
+        if tag in _TACTICS:
+            tactic.append(tag)
+        elif re.match(r"^attack\.t[0-9]+$", tag):
+            technique.append(tag)
+        elif re.match(r"^attack\.t[0-9]+\.[0-9]+$", tag):
+            parent = tag.split(".")[1]  # 'tNNNN'
+            technique.append(parent if bug_compat else f"attack.{parent}")
+            subtechnique.append(tag)
+    if not bug_compat:
+        technique = list(dict.fromkeys(technique))
+    out = [tuple(x) for x in (tactic, technique, subtechnique)]
+    if bug_compat:
+        # arr2str([]) yields "''" -> a single empty-string element
+        out = [x if x else ("",) for x in out]
+    return out
+
+
+def _q(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _field(key: str) -> str:
+    return f"`event_data`.`{key}`"
+
+
+def _glob_to_like(value: str) -> tuple:
+    """Sigma plain-match value -> (op-kind, text).  ``*``/``?`` are wildcards;
+    returns ('eq', v) when no wildcard present, else ('like', pattern)."""
+    if "*" not in value and "?" not in value:
+        return "eq", value
+    pattern = value.replace("%", "%").replace("_", "_")
+    # Sigma wildcards map onto LIKE wildcards; literal % and _ in values are
+    # rare in detections, but escape them through the generic-like path by
+    # leaving them — our LIKE evaluates via regex with % -> .* and _ -> .
+    pattern = pattern.replace("*", "%").replace("?", "_")
+    return "like", pattern
+
+
+def _scalar_term(key: str, value, bug_compat: bool) -> str:
+    if value is None:
+        return f"{_field(key)} IS NULL"
+    if isinstance(value, bool):
+        v = "true" if value else "false"  # sysmon JSON carries strings
+        return f"{_field(key)} = {_q(v)}"
+    if isinstance(value, (int, float)):
+        if bug_compat:
+            raise SigmaCompileError("sigma value type not support")  # main.py:131
+        return f"{_field(key)} = {_q(value)}"
+    if not isinstance(value, str):
+        raise SigmaCompileError(f"unsupported sigma value: {value!r}")
+    if bug_compat:
+        return f"{_field(key)} = {_q(value)}"  # '*' stays literal (bug §2.8.1)
+    kind, text = _glob_to_like(value)
+    if kind == "eq":
+        return f"{_field(key)} = {_q(text)}"
+    return f"{_field(key)} LIKE {_q(text)}"
+
+
+def _list_term(key: str, values, bug_compat: bool) -> str:
+    if bug_compat:
+        items = ", ".join(_q(v) for v in values)  # main.py:124-126, '*' literal
+        return f"{_field(key)} IN ({items})"
+    parts = [_scalar_term(key, v, False) for v in values]
+    if len(parts) == 1:
+        return parts[0]
+    return "(" + " OR ".join(parts) + ")"
+
+
+def _b64offset_variants(value: str) -> list:
+    """The three base64 alignments of a plaintext needle (Sigma
+    ``base64offset`` modifier; public algorithm from the Sigma spec).  The
+    reference strips this modifier silently (main.py:35)."""
+    start = (0, 2, 3)
+    end = (None, -3, -2)
+    out = []
+    raw = value.encode("utf-8")
+    for i in range(3):
+        enc = base64.b64encode(b"\x00" * i + raw).decode("ascii")
+        out.append(enc[start[i] : end[i] or len(enc)])
+    return out
+
+
+def _modifier_term(key: str, modifier: str, value, bug_compat: bool) -> str:
+    had_b64 = modifier.startswith("base64offset|")
+    modifier = modifier.replace("base64offset|", "")
+
+    def values_list(v):
+        return v if isinstance(v, list) else [v]
+
+    if had_b64 and not bug_compat:
+        if modifier != "contains":
+            raise SigmaCompileError("base64offset requires |contains")
+        variants = []
+        for v in values_list(value):
+            variants.extend(_b64offset_variants(str(v)))
+        parts = [f"{_field(key)} LIKE {_q('%' + x + '%')}" for x in variants]
+        return "(" + " OR ".join(parts) + ")"
+
+    if modifier == "contains":
+        if bug_compat:
+            if isinstance(value, str):
+                parts = [f"{_field(key)} LIKE {_q('%' + value.strip('*') + '%')}"]
+            elif isinstance(value, list):
+                # reference list-branch uses lstrip only (main.py:41 — bug §2.8.4)
+                parts = [f"{_field(key)} LIKE {_q('%' + str(v).lstrip('*') + '%')}" for v in value]
+            else:
+                raise SigmaCompileError("sigma value type not support")
+        else:
+            parts = [f"{_field(key)} LIKE {_q('%' + str(v).strip('*') + '%')}" for v in values_list(value)]
+        return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
+    if modifier == "endswith":
+        parts = [f"{_field(key)} LIKE {_q('%' + str(v).lstrip('*'))}" for v in values_list(value)]
+        return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
+    if modifier == "startswith":
+        parts = [f"{_field(key)} LIKE {_q(str(v).rstrip('*') + '%')}" for v in values_list(value)]
+        return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
+    if modifier == "re":
+        parts = [f"{_field(key)} SIMILAR TO {_q(str(v))}" for v in values_list(value)]
+        return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
+    if modifier == "contains|all":
+        if not isinstance(value, list):
+            raise SigmaCompileError("contains|all requires a list")
+        strip = (lambda s: s) if bug_compat else (lambda s: s.strip("*"))
+        return " AND ".join(
+            f"{_field(key)} LIKE {_q('%' + strip(str(v)) + '%')}" for v in value
+        )
+    raise SigmaCompileError(f"sigma condition not found: {modifier!r}")
+
+
+def _selection_sql(selection, bug_compat: bool) -> str:
+    """One named selection -> AND-joined predicate fragment (main.py:106-135)."""
+    terms = []
+    if isinstance(selection, list):
+        items = []
+        for entry in selection:
+            if isinstance(entry, dict):
+                items.extend(entry.items())
+            # bare strings in selection lists are skipped by the reference too
+    elif isinstance(selection, dict):
+        items = list(selection.items())
+    else:
+        raise SigmaCompileError(f"unsupported selection shape: {selection!r}")
+    for field_spec, value in items:
+        if "|" not in field_spec:
+            if isinstance(value, list):
+                terms.append(_list_term(field_spec, value, bug_compat))
+            else:
+                terms.append(_scalar_term(field_spec, value, bug_compat))
+        else:
+            key, modifier = field_spec.split("|", 1)
+            terms.append(_modifier_term(key, modifier, value, bug_compat))
+    if not terms:
+        raise SigmaCompileError("empty selection")
+    return "(" + ") AND (".join(terms) + ")"
+
+
+_AGG_RE = re.compile(
+    r"^\s*count\(\s*\)\s*(?:by\s+(?P<by>\w+)\s*)?(?P<op>[><]=?|=)\s*(?P<n>\d+)\s*$",
+    re.I,
+)
+
+
+def _parse_timeframe(tf) -> int:
+    m = re.match(r"^(\d+)([smhd])$", str(tf).strip())
+    if not m:
+        raise SigmaCompileError(f"bad timeframe: {tf!r}")
+    return int(m.group(1)) * _TIMEFRAME_UNITS[m.group(2)]
+
+
+def _condition_sql(condition: str, sel_sql: dict, bug_compat: bool) -> str:
+    """Apply the Sigma condition grammar over compiled selection fragments.
+
+    Names resolve case-insensitively (the reference uppercases everything,
+    main.py:96).  Supports bare names, ``1 of X*``/``1 of them``,
+    ``all of X*``/``all of them``, and/or/not with parens.
+    """
+    lookup = {k.upper(): v for k, v in sel_sql.items()}
+
+    def of_expr(quant: str, pattern: str) -> str:
+        if pattern.upper() == "THEM":
+            matches = list(lookup.values())
+        elif pattern.endswith("*"):
+            prefix = pattern[:-1].upper()
+            matches = [v for k, v in lookup.items() if k.startswith(prefix)]
+        else:
+            matches = [lookup[pattern.upper()]] if pattern.upper() in lookup else []
+        if not matches:
+            raise SigmaCompileError(f"'of' pattern matched no selections: {pattern!r}")
+        joiner = " OR " if quant == "1" else " AND "
+        return "(" + joiner.join(f"({m})" for m in matches) + ")"
+
+    # normalize "1 of X" / "all of X" into single tokens first
+    text = condition
+    out_tokens = []
+    tokens = re.findall(r"\(|\)|[^\s()]+", text)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        tl = t.lower()
+        if tl in ("1", "all") and i + 2 < len(tokens) and tokens[i + 1].lower() == "of":
+            out_tokens.append(of_expr("1" if tl == "1" else "all", tokens[i + 2]))
+            i += 3
+            continue
+        if tl in ("and", "or", "not"):
+            out_tokens.append(tl.upper())
+        elif t in ("(", ")"):
+            out_tokens.append(t)
+        else:
+            if t.upper() not in lookup:
+                raise SigmaCompileError(f"unknown selection in condition: {t!r}")
+            out_tokens.append(f"({lookup[t.upper()]})")
+        i += 1
+    return " ".join(out_tokens)
+
+
+def compile_sigma(
+    rule: dict,
+    bug_compat: bool = False,
+    case_insensitive: Optional[bool] = None,
+) -> Optional[RuleSpec]:
+    """Compile one parsed Sigma rule dict into a RuleSpec.
+
+    Returns None for timeframe rules when ``bug_compat`` (the reference skips
+    them, main.py:194-195); otherwise timeframe rules compile into windowed
+    count rules (RuleSpec.timeframe_*).  ``case_insensitive`` defaults to the
+    Sigma spec (True) in fixed mode and False in bug-compat mode.
+    """
+    if case_insensitive is None:
+        case_insensitive = not bug_compat
+
+    if not isinstance(rule, dict) or "detection" not in rule or "title" not in rule:
+        raise SigmaCompileError(f"not a sigma rule (need title+detection): {rule!r}")
+    detection = dict(rule["detection"])
+    condition = detection.pop("condition")
+    timeframe = detection.pop("timeframe", None)
+
+    if timeframe is not None and bug_compat:
+        return None
+
+    agg = None
+    if "|" in condition:
+        cond_part, agg_part = condition.split("|", 1)
+        m = _AGG_RE.match(agg_part)
+        if not m:
+            raise SigmaCompileError(f"unsupported aggregation: {agg_part!r}")
+        if m.group("op") not in (">", ">="):
+            raise SigmaCompileError("only count() > / >= thresholds supported")
+        agg = dict(
+            by=m.group("by"),
+            min_count=int(m.group("n")) + (1 if m.group("op") == ">" else 0),
+        )
+        condition = cond_part.strip()
+
+    sel_sql = {
+        name: _selection_sql(sel, bug_compat) for name, sel in detection.items()
+    }
+    body = _condition_sql(condition, sel_sql, bug_compat)
+
+    category = (rule.get("logsource") or {}).get("category", "")
+    event_id = CATEGORY_EVENT_ID.get(category)
+    predicate_sql = f"event_id = {event_id} AND ({body})" if event_id else body
+    # validate through the shared parser — compile errors surface here
+    parse_predicate(predicate_sql)
+
+    tactic, technique, subtechnique = _split_tags(rule.get("tags"), bug_compat)
+    level = rule.get("level", "medium")
+    severity = _SEVERITY.get(level)
+    if severity is None:
+        raise SigmaCompileError(f"unknown level: {level!r}")
+
+    tf_seconds = _parse_timeframe(timeframe) if timeframe is not None else None
+    group_by = ("host",)
+    if agg and agg["by"]:
+        group_by = ("host", f"event_data.{agg['by']}")
+    min_count = agg["min_count"] if agg else (2 if tf_seconds else None)
+
+    return RuleSpec(
+        name=rule["title"],
+        author=rule.get("author", ""),
+        severity=severity,
+        description=rule.get("description", ""),
+        references=tuple(rule.get("references", ())),
+        tactic=tactic,
+        technique=technique,
+        subtechnique=subtechnique,
+        category="sysmon",
+        module="process_access" if category == "process_access" else None,
+        predicate_sql=predicate_sql,
+        case_insensitive=case_insensitive,
+        timeframe_seconds=tf_seconds,
+        timeframe_min_count=min_count if tf_seconds else None,
+        timeframe_group_by=group_by,
+    )
+
+
+def compile_sigma_file(path: str, **kw) -> Optional[RuleSpec]:
+    with open(path) as f:
+        return compile_sigma(yaml.safe_load(f.read()), **kw)
+
+
+def compile_sigma_dir(path: str, **kw) -> list:
+    """Walk a rules directory (main.py:220-224) and compile every YAML file."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for fn in sorted(files):
+            if fn.endswith((".yml", ".yaml")):
+                spec = compile_sigma_file(os.path.join(root, fn), **kw)
+                if spec is not None:
+                    out.append(spec)
+    return out

@@ -1,0 +1,74 @@
+"""The streaming alert job: ONE unioned query over one source scan.
+
+The reference bundles 17 INSERTs in a Flink STATEMENT SET so they share a
+single Kafka scan (windows-process-access.sql:72,601), and its second job
+expresses the same idea as a UNION ALL view (windows-process-creation.sql:
+95-135).  Spark has no statement set; N independent ``writeStream``s would
+each open their own Kafka consumer.  The equivalent design — standardized
+here — is a single streaming query: stateless alerts via the single-pass
+engine (one scan, rule fan-out inside the row pipeline) unioned with the
+windowed timeframe alerts, one checkpoint, one offset log.
+
+Batch/stream symmetry: everything upstream of the sink is ordinary DataFrame
+code shared with the batch path, so `batch == stream` is testable directly
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..rules.engine import apply_rules_single_pass
+from ..rules.spec import RuleSpec
+from ..rules.timeframe import apply_timeframe_rules
+from ..schemas import SYSMON_EVENT_SCHEMA
+
+
+def file_stream_events(
+    spark: SparkSession,
+    path: str,
+    watermark: Optional[str] = "5 seconds",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Parquet-directory replay source (the test stand-in for Kafka)."""
+    reader = spark.readStream.schema(SYSMON_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(path)
+    if watermark:
+        events = events.withWatermark("timestamp", watermark)
+    return events
+
+
+def build_alert_stream(
+    events: DataFrame,
+    rules: Sequence[RuleSpec],
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Stateless + timeframe alerts as one unioned DataFrame (append-mode safe)."""
+    stateless = [r for r in rules if r.enabled and not r.timeframe_seconds]
+    timeframe = [r for r in rules if r.enabled and r.timeframe_seconds]
+    parts = []
+    if stateless:
+        parts.append(apply_rules_single_pass(events, stateless, ts_col))
+    if timeframe:
+        parts.append(apply_timeframe_rules(events, timeframe, ts_col))
+    if not parts:
+        raise ValueError("no enabled rules")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def run_to_memory(alerts: DataFrame, name: str, checkpoint: str):
+    """Start the unioned query into an in-memory table (tests/demos)."""
+    return (
+        alerts.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,210 @@
+"""Sigma compiler tests — one per compiler branch (FIXTURES.md §3)."""
+
+import base64
+
+import pytest
+
+from dagger_spark.expr import Leaf, parse_predicate, to_sql
+from dagger_spark.rules.builtin import REFERENCE_RULES
+from dagger_spark.sigma import SigmaCompileError, compile_sigma
+
+
+def mk(detection, category="process_creation", level="medium", tags=None, extra=None):
+    rule = {
+        "title": "T", "author": "a", "description": "d", "level": level,
+        "logsource": {"category": category},
+        "detection": detection,
+    }
+    if tags:
+        rule["tags"] = tags
+    if extra:
+        rule.update(extra)
+    return rule
+
+
+def pred_of(spec):
+    return spec.predicate
+
+
+def test_contains_scalar():
+    spec = compile_sigma(mk({"sel": {"CommandLine|contains": "x"}, "condition": "sel"}))
+    assert "LIKE '%x%'" in spec.predicate_sql
+    assert spec.predicate_sql.startswith("event_id = 1 AND")
+
+
+def test_contains_strip_bug_compat():
+    det = {"sel": {"CommandLine|contains": ["*a*", "*b*"]}, "condition": "sel"}
+    bug = compile_sigma(mk(det), bug_compat=True)
+    fixed = compile_sigma(mk(det))
+    # reference list-branch lstrips only: trailing '*' survives (main.py:41)
+    assert "'%a*%'" in bug.predicate_sql
+    assert "'%a%'" in fixed.predicate_sql
+
+
+def test_endswith_startswith():
+    spec = compile_sigma(mk({
+        "sel": {"Image|endswith": "\\cmdkey.exe", "ParentImage|startswith": "C:\\W"},
+        "condition": "sel"}))
+    assert "LIKE '%\\cmdkey.exe'" in spec.predicate_sql
+    assert "LIKE 'C:\\W%'" in spec.predicate_sql
+
+
+def test_re_modifier_full_match_anchored():
+    spec = compile_sigma(mk({"sel": {"CommandLine|re": "{[a-f]{4}}"}, "condition": "sel"}))
+    p = spec.predicate
+    # event_id gate AND regex leaf
+    leaf = p.children[1]
+    assert leaf.op == "regex"
+    assert leaf.value.startswith("^(?:") and leaf.value.endswith(")$")
+
+
+def test_contains_all():
+    spec = compile_sigma(mk({"sel": {"CommandLine|contains|all": ["a", "b"]}, "condition": "sel"}))
+    assert spec.predicate_sql.count("LIKE") == 2
+    assert " AND " in spec.predicate_sql
+
+
+def test_scalar_eq_and_null():
+    spec = compile_sigma(mk({"sel": [{"A": "v"}, {"B": None}], "condition": "sel"}))
+    assert "= 'v'" in spec.predicate_sql
+    assert "IS NULL" in spec.predicate_sql
+
+
+def test_list_in_bug_vs_or_fixed():
+    det = {"sel": {"Image": ["*\\cmd.exe", "*\\sh.exe"]}, "condition": "sel"}
+    bug = compile_sigma(mk(det), bug_compat=True)
+    fixed = compile_sigma(mk(det))
+    assert "IN ('*\\cmd.exe', '*\\sh.exe')" in bug.predicate_sql
+    assert "LIKE '%\\cmd.exe'" in fixed.predicate_sql
+    assert " OR " in fixed.predicate_sql
+
+
+def test_glob_in_equality_fixed():
+    det = {"sel": {"ParentImage": "*\\wsmprovhost.exe"}, "condition": "sel"}
+    bug = compile_sigma(mk(det), bug_compat=True)
+    fixed = compile_sigma(mk(det))
+    assert "= '*\\wsmprovhost.exe'" in bug.predicate_sql
+    assert "LIKE '%\\wsmprovhost.exe'" in fixed.predicate_sql
+
+
+def test_base64offset():
+    det = {"sel": {"CommandLine|base64offset|contains": "http"}, "condition": "sel"}
+    fixed = compile_sigma(mk(det))
+    # three alignment variants ORed
+    assert fixed.predicate_sql.count("LIKE") == 3
+    v0 = base64.b64encode(b"http").decode()
+    assert v0 in fixed.predicate_sql
+    # reference silently strips base64offset (main.py:35)
+    bug = compile_sigma(mk(det), bug_compat=True)
+    assert bug.predicate_sql.count("LIKE") == 1
+    assert "'%http%'" in bug.predicate_sql
+
+
+def test_condition_one_of_prefix():
+    det = {
+        "sel_a": {"A": "1"}, "sel_b": {"B": "2"}, "other": {"C": "3"},
+        "condition": "1 of sel_*",
+    }
+    spec = compile_sigma(mk(det))
+    assert "'1'" in spec.predicate_sql and "'2'" in spec.predicate_sql
+    assert "'3'" not in spec.predicate_sql
+
+
+def test_condition_all_of_them_and_not():
+    det = {
+        "sel": {"A": "1"}, "flt": {"B": "2"},
+        "condition": "all of them",
+    }
+    spec = compile_sigma(mk(det))
+    assert " AND " in spec.predicate_sql
+    det2 = {"sel": {"A": "1"}, "flt": {"B": "2"}, "condition": "sel and not flt"}
+    spec2 = compile_sigma(mk(det2))
+    assert "NOT" in spec2.predicate_sql
+
+
+def test_condition_unknown_selection_raises():
+    with pytest.raises(SigmaCompileError):
+        compile_sigma(mk({"sel": {"A": "1"}, "condition": "nosuch"}))
+
+
+def test_category_gates():
+    for cat, eid in [("process_access", 10), ("process_creation", 1), ("network_connection", 3)]:
+        spec = compile_sigma(mk({"sel": {"A": "1"}, "condition": "sel"}, category=cat))
+        assert spec.predicate_sql.startswith(f"event_id = {eid} AND")
+    spec = compile_sigma(mk({"sel": {"A": "1"}, "condition": "sel"}, category="registry_set"))
+    assert not spec.predicate_sql.startswith("event_id")
+
+
+def test_severity_map_and_unknown_level():
+    assert compile_sigma(mk({"s": {"A": "1"}, "condition": "s"}, level="critical")).severity == 9
+    assert compile_sigma(mk({"s": {"A": "1"}, "condition": "s"}, level="low")).severity == 3
+    with pytest.raises(SigmaCompileError):
+        compile_sigma(mk({"s": {"A": "1"}, "condition": "s"}, level="wat"))
+
+
+def test_tag_split_fixed_vs_bug():
+    tags = ["attack.execution", "attack.t1055", "attack.t1003.001"]
+    fixed = compile_sigma(mk({"s": {"A": "1"}, "condition": "s"}, tags=tags))
+    assert fixed.tactic == ("attack.execution",)
+    assert fixed.technique == ("attack.t1055", "attack.t1003")
+    assert fixed.subtechnique == ("attack.t1003.001",)
+    bug = compile_sigma(mk({"s": {"A": "1"}, "condition": "s"}, tags=tags), bug_compat=True)
+    assert bug.technique == ("attack.t1055", "t1003")
+    # empty arrays become ('',) in bug-compat (arr2str quirk)
+    bug2 = compile_sigma(mk({"s": {"A": "1"}, "condition": "s"}), bug_compat=True)
+    assert bug2.tactic == ("",)
+
+
+def test_timeframe_skipped_in_bug_compat_compiled_in_fixed():
+    det = {"sel": {"A": "1"}, "timeframe": "60s", "condition": "sel | count() > 5"}
+    assert compile_sigma(mk(det), bug_compat=True) is None
+    spec = compile_sigma(mk(det))
+    assert spec.timeframe_seconds == 60
+    assert spec.timeframe_min_count == 6  # strict '>' 5
+    assert spec.timeframe_group_by == ("host",)
+
+
+def test_timeframe_count_by_field():
+    det = {"sel": {"A": "1"}, "timeframe": "10m",
+           "condition": "sel | count() by TargetImage >= 3"}
+    spec = compile_sigma(mk(det))
+    assert spec.timeframe_seconds == 600
+    assert spec.timeframe_min_count == 3
+    assert spec.timeframe_group_by == ("host", "event_data.TargetImage")
+
+
+def test_case_insensitive_defaults():
+    det = {"sel": {"A": "v"}, "condition": "sel"}
+    assert compile_sigma(mk(det)).case_insensitive is True
+    assert compile_sigma(mk(det), bug_compat=True).case_insensitive is False
+
+
+def test_bug_compat_reproduces_reference_rule():
+    """Compiling the Sigma source of 'Cmdkey Cached Credentials Recon' in
+    bug-compat mode must yield the same predicate IR as the checked-in
+    reference rule (windows-process-creation.sql:120)."""
+    yaml_rule = mk(
+        {
+            "selection_1": {"CommandLine|contains": " /list"},
+            "selection_2": {"Image|endswith": "\\cmdkey.exe"},
+            "condition": "selection_1 and selection_2",
+        },
+        category="process_creation", level="medium",
+    )
+    spec = compile_sigma(yaml_rule, bug_compat=True)
+    ref = next(r for r in REFERENCE_RULES if r.name == "Cmdkey Cached Credentials Recon")
+    assert spec.predicate == ref.predicate
+
+
+def test_compiled_rule_matches_oracle_case_insensitive(sysmon_df, duck):
+    """End-to-end: compiled (fixed, case-insensitive) rule agrees with DuckDB."""
+    spec = compile_sigma(mk(
+        {"sel": {"Image|endswith": "\\CMDKEY.EXE", "CommandLine|contains": " /LIST"},
+         "condition": "sel"},
+    ))
+    assert spec.case_insensitive
+    got = {r.uuid for r in sysmon_df.filter(spec.condition()).select("uuid").collect()}
+    sql = to_sql(spec.predicate, "duckdb", case_insensitive=True)
+    want = {r[0] for r in duck.execute(f"SELECT uuid FROM sysmon WHERE {sql}").fetchall()}
+    assert got == want
+    assert len(got) >= 1  # the fixture's cmdkey template matches case-insensitively

@@ -1,0 +1,126 @@
+"""Structured Streaming parity tests: file-source replay of the sysmon
+fixtures through the SAME rule pipeline as batch (SURVEY.md §5.4).
+
+Kafka itself isn't available in this container; the file stream exercises the
+identical transformation DAG (source -> watermark -> single-pass rules union
+timeframe agg -> sink).
+"""
+
+import shutil
+import time
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagger_spark.rules.builtin import active_rules
+from dagger_spark.rules.engine import apply_rules_single_pass
+from dagger_spark.schemas import SYSMON_EVENT_SCHEMA
+from dagger_spark.sigma import compile_sigma
+from dagger_spark.streaming import build_alert_stream, file_stream_events, run_to_memory
+
+
+def _await(query):
+    query.processAllAvailable()
+
+
+def test_stateless_stream_equals_batch(spark, sysmon_path, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(sysmon_path, src / "part-000.parquet")
+
+    events = file_stream_events(spark, str(src))
+    alerts = build_alert_stream(events, active_rules())
+    q = run_to_memory(alerts, "stream_alerts", str(tmp_path / "ckpt"))
+    try:
+        _await(q)
+        stream_rows = {
+            (r["rule"]["name"], r["event"]["origin_ids"][0])
+            for r in spark.sql("SELECT * FROM stream_alerts").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = apply_rules_single_pass(spark.read.parquet(sysmon_path), active_rules())
+    batch_rows = {(r["rule"]["name"], r["event"]["origin_ids"][0]) for r in batch.collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def _tf_rule():
+    return compile_sigma({
+        "title": "Burst", "author": "t", "description": "d", "level": "high",
+        "logsource": {"category": "process_access"},
+        "detection": {
+            "sel": {"TargetImage|endswith": "\\lsass.exe"},
+            "timeframe": "60s",
+            "condition": "sel | count() >= 3",
+        },
+    })
+
+
+def _ev_rows(spec_rows):
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i, (host, off) in enumerate(spec_rows):
+        ed = {f.name: None for f in SYSMON_EVENT_SCHEMA["event_data"].dataType.fields}
+        ed["TargetImage"] = "C:\\Windows\\System32\\lsass.exe"
+        rows.append(("CN", 10, host, ed, f"s-{i:03d}", base + timedelta(seconds=off)))
+    return rows
+
+
+def test_windowed_rule_streaming_with_late_data(spark, tmp_path):
+    """Append-mode windowed agg: a window emits once the watermark passes its
+    end; an event later than the 5 s watermark is dropped from the count."""
+    src = tmp_path / "tf_src"
+    src.mkdir()
+    rule = _tf_rule()
+
+    # batch 1: 3 hits for hostA inside [0,60) + a row at t=200 to push the
+    # watermark past 60+5 so the window can emit
+    b1 = _ev_rows([("hostA", 1), ("hostA", 10), ("hostA", 30), ("push", 200)])
+    spark.createDataFrame(b1, SYSMON_EVENT_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+
+    events = file_stream_events(spark, str(src) + "/*", watermark="5 seconds")
+    alerts = build_alert_stream(events, [rule])
+    q = run_to_memory(alerts, "tf_alerts", str(tmp_path / "tf_ckpt"))
+    try:
+        _await(q)
+        # batch 2: a LATE hostA row inside [0,60) (watermark already at ~195)
+        # must NOT change the emitted count; plus more rows to advance time
+        b2 = _ev_rows([("hostA", 45), ("push", 400)])
+        spark.createDataFrame(b2, SYSMON_EVENT_SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+        _await(q)
+        rows = spark.sql("SELECT * FROM tf_alerts").collect()
+    finally:
+        q.stop()
+
+    burst = [r for r in rows if r["host"] == "hostA"]
+    assert len(burst) == 1
+    assert burst[0]["event"]["count"] == 3  # late arrival dropped by watermark
+    assert sorted(burst[0]["event"]["origin_ids"]) == ["s-000", "s-001", "s-002"]
+
+
+def test_combined_stateless_and_windowed_stream(spark, tmp_path):
+    """One unioned query carrying both stateless and windowed alerts."""
+    src = tmp_path / "mix_src"
+    src.mkdir()
+    rule_tf = _tf_rule()
+    stateless = [r for r in active_rules() if r.name == "Direct Syscall of NtOpenProcess"]
+
+    rows = _ev_rows([("hostA", 1), ("hostA", 2), ("hostA", 3), ("push", 500)])
+    # make the first row also match the stateless rule (CallTrace startswith UNKNOWN)
+    ed = dict(rows[0][3]); ed["CallTrace"] = "UNKNOWN(1234)"
+    rows[0] = rows[0][:3] + (ed,) + rows[0][4:]
+    spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+
+    events = file_stream_events(spark, str(src) + "/*", watermark="5 seconds")
+    alerts = build_alert_stream(events, stateless + [rule_tf])
+    q = run_to_memory(alerts, "mix_alerts", str(tmp_path / "mix_ckpt"))
+    try:
+        _await(q)
+        names = [r["rule"]["name"] for r in spark.sql("SELECT * FROM mix_alerts").collect()]
+    finally:
+        q.stop()
+    assert "Direct Syscall of NtOpenProcess" in names
+    assert "Burst" in names

@@ -1,0 +1,111 @@
+"""Windowed timeframe rules: batch semantics + DuckDB differential oracle."""
+
+from datetime import datetime, timedelta, timezone
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dagger_spark.rules.timeframe import apply_timeframe_rule, apply_timeframe_rules
+from dagger_spark.schemas import SYSMON_EVENT_SCHEMA
+from dagger_spark.sigma import compile_sigma
+
+BASE = datetime(2024, 1, 1, tzinfo=timezone.utc)
+NAIVE = datetime(2024, 1, 1)  # Spark collects session-UTC naive datetimes
+
+
+def tf_rule(seconds=60, min_count=3, by=None):
+    det = {"sel": {"TargetImage|endswith": "\\lsass.exe"},
+           "timeframe": f"{seconds}s",
+           "condition": f"sel | count(){' by ' + by if by else ''} >= {min_count}"}
+    return compile_sigma({
+        "title": "Burst LSASS Access", "author": "t", "description": "d",
+        "level": "high", "logsource": {"category": "process_access"},
+        "detection": det,
+    })
+
+
+@pytest.fixture(scope="module")
+def burst_df(spark, tmp_path_factory):
+    """Deterministic bursts: hostA has 4 hits in window [0,60), hostB has 2
+    (below threshold), hostA has 2 more in window [60,120)."""
+    rows = []
+
+    def ev(i, host, offset_s, target="C:\\Windows\\System32\\lsass.exe", eid=10):
+        ed = {f.name: None for f in SYSMON_EVENT_SCHEMA["event_data"].dataType.fields}
+        ed["TargetImage"] = target
+        return ("CN", eid, host, ed, f"u-{i:03d}", BASE + timedelta(seconds=offset_s))
+
+    i = 0
+    for off in (1, 5, 20, 59):
+        rows.append(ev(i, "hostA", off)); i += 1
+    for off in (10, 30):
+        rows.append(ev(i, "hostB", off)); i += 1
+    for off in (61, 90):
+        rows.append(ev(i, "hostA", off)); i += 1
+    # noise: wrong target / wrong event id inside the hot window
+    rows.append(ev(i, "hostA", 2, target="C:\\x\\notepad.exe")); i += 1
+    rows.append(ev(i, "hostA", 3, eid=1)); i += 1
+    df = spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA)
+    p = str(tmp_path_factory.mktemp("tf") / "burst.parquet")
+    df.write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_threshold_and_window_boundaries(burst_df):
+    rule = tf_rule(60, 3)
+    out = apply_timeframe_rule(burst_df, rule).collect()
+    assert len(out) == 1  # only hostA window [0,60) reaches 3
+    a = out[0]
+    assert a["host"] == "hostA"
+    assert a["event"]["count"] == 4
+    assert a["event"]["start"] == NAIVE + timedelta(seconds=1)
+    assert a["event"]["end"] == NAIVE + timedelta(seconds=59)
+    assert a["event"]["time"] == a["event"]["end"]
+    assert sorted(a["event"]["origin_ids"]) == ["u-000", "u-001", "u-002", "u-003"]
+    assert a["rule"]["name"] == "Burst LSASS Access"
+    assert a["rule"]["severity"] == 7
+
+
+def test_lower_threshold_emits_more_windows(burst_df):
+    rule = tf_rule(60, 2)
+    out = apply_timeframe_rule(burst_df, rule).collect()
+    got = {(r["host"], r["event"]["count"]) for r in out}
+    assert got == {("hostA", 4), ("hostB", 2), ("hostA", 2)}
+
+
+def test_duckdb_oracle_window_counts(burst_df, tmp_path):
+    """Spark window(ts, 60s) == DuckDB epoch-floor bucketing, count + min/max."""
+    p = str(tmp_path / "burst_oracle.parquet")
+    burst_df.write.mode("overwrite").parquet(p)
+    rule = tf_rule(60, 2)
+    out = apply_timeframe_rule(burst_df, rule).select(
+        "host",
+        F.col("event.count").alias("cnt"),
+        F.col("event.start").alias("s"),
+        F.col("event.end").alias("e"),
+    ).collect()
+    got = {(r.host, r.cnt, r.s.replace(tzinfo=timezone.utc), r.e.replace(tzinfo=timezone.utc)) for r in out}
+    con = duckdb.connect()
+    want = {
+        (h, c, s.replace(tzinfo=timezone.utc), e.replace(tzinfo=timezone.utc))
+        for h, c, s, e in con.execute(f"""
+        SELECT host, count(*) cnt, min("timestamp") s, max("timestamp") e
+        FROM read_parquet('{p}/*.parquet')
+        WHERE event_id = 10 AND ends_with(lower("event_data"."TargetImage"), lower('\\lsass.exe'))
+        GROUP BY host, to_timestamp(floor(epoch("timestamp")/60)*60)
+        HAVING count(*) >= 2
+        """).fetchall()
+    }
+    assert got == want
+
+
+def test_group_by_extra_field(burst_df):
+    rule = tf_rule(60, 3, by="TargetImage")
+    out = apply_timeframe_rule(burst_df, rule).collect()
+    assert len(out) == 1 and out[0]["event"]["count"] == 4
+
+
+def test_apply_timeframe_rules_requires_tf(burst_df):
+    with pytest.raises(ValueError):
+        apply_timeframe_rules(burst_df, [])

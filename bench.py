@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "suite_wall_sec", "value": <total>, "unit": "sec",
+   "queries": {"q1_pricing_summary": <sec>, ...}, "sf": <sf>}
+
+Included workloads: the TPC-H-ish analytics suite, the streaming-shaped
+events queries, the LLM-pipeline operators (dedup/minhash/simhash/ANN), and
+the reference workload itself — all 25 active detection rules evaluated
+single-pass over 256k synthesized sysmon events (reported as seconds like
+the rest; the events/s figure is value-derivable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "top_customers_per_nation",
+    "orders_rollup",
+    "correlated_subquery",
+    "events_hourly",
+    "events_sessionization",
+    "events_rules_engine",
+    "events_json_stats",
+    "exact_dedup_docs",
+    "minhash_pairs_docs",
+    "jaccard_pairs_docs",
+    "simhash_docs",
+    "ann_brute_force",
+    "ann_lsh",
+]
+
+SYSMON_BENCH_ROWS = 256_000
+
+
+def _sysmon_bench_path() -> str:
+    """Synthesize (once) a large sysmon parquet by tiling the deterministic
+    fixture table; cached under /tmp keyed by row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/dagger_bench_sysmon_{SYSMON_BENCH_ROWS}.parquet"
+    if not os.path.exists(path):
+        from dagger_spark.fixtures import sysmon_arrow_table
+
+        base = sysmon_arrow_table(2000, seed=42)
+        reps = SYSMON_BENCH_ROWS // base.num_rows
+        pq.write_table(pa.concat_tables([base] * reps), path)
+    return path
+
+
+def main() -> None:
+    from dagger_spark.catalog import QUERIES
+    from dagger_spark.rules.builtin import active_rules
+    from dagger_spark.rules.engine import apply_rules_single_pass
+    from dagger_spark.session import get_spark
+
+    spark = get_spark("dagger_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    timings: dict = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        rows = q.fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del rows
+
+    # reference workload: 25 rules x 256k events, single-pass engine
+    sysmon = spark.read.parquet(_sysmon_bench_path())
+    rules = active_rules()
+    t0 = time.perf_counter()
+    n_alerts = apply_rules_single_pass(sysmon, rules).count()
+    dt = time.perf_counter() - t0
+    timings["sysmon_rules_256k"] = round(dt, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = None
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+    print(json.dumps({
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "detail": {
+            "sysmon_rules_events_per_sec": round(SYSMON_BENCH_ROWS / dt),
+            "sysmon_alerts": n_alerts,
+            "cpus": CPUS,
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,743 @@
+"""The driver-facing query catalog: every operator exposed as a named query
+over the testdata tables, each (where SQL-expressible) paired with an ANSI
+SQL twin that DuckDB replays for the differential-correctness gate.
+
+Conventions that make hash-comparison robust across engines:
+  * every computed column is aliased IDENTICALLY in Spark and oracle SQL;
+  * output timestamps are date_trunc'd ('second'/'hour') — the raw events.ts
+    is nanosecond in DuckDB but microsecond in Spark;
+  * exact-decimal aggregates round to 2, derived ratios/averages to 6;
+  * embeddings are cast to double before any dot product so both engines
+    accumulate identically;
+  * top-k orderings always carry a unique tiebreak column.
+
+Queries marked ``oracle=None`` are the genuinely non-SQL-expressible ops
+(sysmon rule engine over generated fixtures, multimodal Pandas-UDF
+plumbing); the driver records a rows-only check for those (see
+__spark_entry__.py docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ops.dedup import (
+    exact_dedup, minhash_candidate_pairs, ngram_jaccard_pairs, simhash,
+)
+from .ops.similarity import brute_force_topk, lsh_topk, _plane_coeffs
+from .ops.text import (
+    bpe_ish_token_count, doc_fingerprint, language_id, quality_score,
+    text_stats, token_count, LANG_STOPWORDS,
+)
+from .sources.files import load_table, load_tables
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    description: str = ""
+
+
+QUERIES: dict = {}
+
+
+def register(name: str, oracle: Optional[str], description: str = ""):
+    def deco(fn):
+        QUERIES[name] = CatalogQuery(fn, oracle, description)
+        return fn
+    return deco
+
+
+def _shared_sql(name: str, sql: str, description: str = "", oracle_sql: Optional[str] = None):
+    """Register a query whose Spark plan and DuckDB oracle share one ANSI SQL
+    text (dialect-portable by construction)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir)
+        return spark.sql(sql)
+
+    QUERIES[name] = CatalogQuery(fn, oracle_sql or sql, description)
+    return fn
+
+
+# ===========================================================================
+# TPC-H-flavored batch analytics (joins, aggs, windows, sets, subqueries)
+# ===========================================================================
+
+_shared_sql(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(avg(l_quantity), 6)                                    AS avg_qty,
+           round(avg(l_extendedprice), 6)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 pricing summary: wide grouped aggregation with arithmetic",
+)
+
+_shared_sql(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           date_trunc('day', o_orderdate)                     AS orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1999-06-01 00:00:00'
+    GROUP BY l_orderkey, date_trunc('day', o_orderdate), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3: 3-way join + grouped agg + deterministic top-10",
+)
+
+_shared_sql(
+    "q5_region_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM region, nation, customer, orders, lineitem, supplier
+    WHERE r_regionkey = n_regionkey
+      AND n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 shape: 6-way star join (broadcastable dims) + grouped agg",
+)
+
+_shared_sql(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "TPC-H Q6: pure scan-filter-agg; predicate pushdown showcase",
+)
+
+_shared_sql(
+    "top_customers_per_nation",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal, rn
+    FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    WHERE rn <= 3
+    """,
+    "ranking window function: top-3 per group",
+)
+
+_shared_sql(
+    "orders_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "grouping sets / rollup aggregation",
+)
+
+_shared_sql(
+    "semi_join_high_value",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    "left-semi join via EXISTS",
+)
+
+_shared_sql(
+    "anti_join_no_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "left-anti join via NOT EXISTS",
+)
+
+_shared_sql(
+    "set_intersect",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    "INTERSECT set operation",
+)
+
+_shared_sql(
+    "set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "EXCEPT set operation",
+)
+
+_shared_sql(
+    "distinct_agg",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "multi distinct aggregation (expand + two-phase agg)",
+)
+
+_shared_sql(
+    "correlated_subquery",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+    "correlated scalar subquery (decorrelated by Catalyst)",
+)
+
+_shared_sql(
+    "scalar_funcs_showcase",
+    """
+    SELECT year(l_shipdate) AS ship_year,
+           count(*) AS n_items,
+           round(sum(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice * l_discount ELSE 0 END), 4) AS promo_value,
+           count(DISTINCT upper(l_returnflag) || '-' || l_linestatus) AS flag_combos,
+           min(length(l_returnflag || l_linestatus)) AS min_len
+    FROM lineitem
+    GROUP BY year(l_shipdate)
+    """,
+    "scalar function library: date/string/case-when inside aggregation",
+)
+
+# ===========================================================================
+# events: streaming-shaped analytics in batch (windowed counts, sessions,
+# rules, JSON extraction)
+# ===========================================================================
+
+_shared_sql(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "tumbling-window aggregation (batch twin of the streaming hourly rollup)",
+)
+
+_shared_sql(
+    "events_sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts, value,
+             cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           date_trunc('second', min(ts)) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    "sessionization (30-min gap) via lag + running sum — gaps-and-islands",
+)
+
+# JSON extraction differs by dialect: get_json_object (Spark) vs
+# json_extract_string (DuckDB); same aliases, same math.
+_SPARK_JSON_STATS = """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(cast(get_json_object(props, '$.k') AS INT)), 6) AS avg_k,
+           max(cast(get_json_object(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+"""
+_DUCK_JSON_STATS = """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(json_extract_string(props, '$.k')::INT), 6) AS avg_k,
+           max(json_extract_string(props, '$.k')::INT) AS max_k
+    FROM events
+    GROUP BY event_type
+"""
+_shared_sql("events_json_stats", _SPARK_JSON_STATS, "JSON field extraction + stats",
+            oracle_sql=_DUCK_JSON_STATS)
+
+
+@register(
+    "events_rules_engine",
+    """
+    SELECT 'high_value_error' AS rule_name, 7 AS severity, event_id, user_id,
+           date_trunc('second', ts) AS ts_sec
+    FROM events WHERE event_type = 'error' AND value > 150
+    UNION ALL
+    SELECT 'signup_k_gt_90', 5, event_id, user_id, date_trunc('second', ts)
+    FROM events WHERE event_type = 'signup'
+      AND json_extract_string(props, '$.k')::INT > 90
+    UNION ALL
+    SELECT 'purchase_low_value', 3, event_id, user_id, date_trunc('second', ts)
+    FROM events WHERE event_type = 'purchase' AND value < 10
+    UNION ALL
+    SELECT 'auth_like_pattern', 4, event_id, user_id, date_trunc('second', ts)
+    FROM events WHERE regexp_matches(event_type, '^(error|signup)$')
+      AND contains(props, '"k": 1')
+    """,
+    "the SIEM rule-engine shape on the generic events table: multi-predicate "
+    "filter + enrich + UNION ALL fan-in (operators F1-F11/P1-P5/U1 of SURVEY §2)",
+)
+def events_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ts_sec = F.date_trunc("second", F.col("ts")).alias("ts_sec")
+    k = F.get_json_object("props", "$.k").cast("int")
+
+    def rule(name, severity, cond):
+        return (
+            events.filter(cond)
+            .select(
+                F.lit(name).alias("rule_name"),
+                F.lit(severity).cast("int").alias("severity"),
+                "event_id", "user_id", ts_sec,
+            )
+        )
+
+    branches = [
+        rule("high_value_error", 7, (F.col("event_type") == "error") & (F.col("value") > 150)),
+        rule("signup_k_gt_90", 5, (F.col("event_type") == "signup") & (k > 90)),
+        rule("purchase_low_value", 3, (F.col("event_type") == "purchase") & (F.col("value") < 10)),
+        rule("auth_like_pattern", 4,
+             F.col("event_type").rlike("^(error|signup)$") & F.col("props").contains('"k": 1')),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+# ===========================================================================
+# documents: dedup + text analysis
+# ===========================================================================
+
+_DUCK_TOKS = "CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim(text), '\\s+') END"
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+    "exact deduplication: hash-groupBy, deterministic survivor",
+)
+def exact_dedup_docs(spark, sf_dir):
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_DUCK_MINHASH_CTE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+      FROM toks
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               j -> list_min(list_transform(s, x -> md5(j::VARCHAR || ':' || x)))) AS g
+      FROM sh
+    ), buckets AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(g, b * 4 + 1, b * 4 + 4), '|')) AS bucket
+      FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    )
+"""
+
+@register(
+    "minhash_pairs_docs",
+    _DUCK_MINHASH_CTE + """
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM buckets l JOIN buckets r
+      ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    """,
+    "MinHash+LSH near-dup candidates: shingle -> minhash -> band -> bucket-join",
+)
+def minhash_pairs_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, shingle_k=3, num_hashes=16, bands=4)
+
+
+_DUCK_SH2 = f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS s
+      FROM toks
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               j -> list_min(list_transform(s, x -> md5(j::VARCHAR || ':' || x)))) AS g
+      FROM sh
+    ), buckets AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(g, b * 2 + 1, b * 2 + 2), '|')) AS bucket
+      FROM sig, (SELECT unnest(range(0, 8)) AS b)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+"""
+
+@register(
+    "jaccard_pairs_docs",
+    _DUCK_SH2 + """
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM cand c
+    JOIN sh a ON c.id_a = a.doc_id
+    JOIN sh b ON c.id_b = b.doc_id
+    WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.2
+    """,
+    "n-gram Jaccard near-dup: LSH candidates + exact verify >= 0.2",
+)
+def jaccard_pairs_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.2, num_hashes=16, bands=8)
+
+
+@register(
+    "simhash_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           list_aggregate(list_transform(range(1, 33), p ->
+             CASE WHEN list_sum(list_transform(t, w ->
+                    CASE WHEN substr(md5(w), p, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+                  THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+    FROM toks
+    """,
+    "SimHash document signatures (32-bit, md5-nibble votes)",
+)
+def simhash_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), 32).alias("sig"))
+
+
+@register(
+    "fingerprint_docs",
+    """
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                                   i -> md5(substr(text, i, 8)))) AS fp
+    FROM documents
+    """,
+    "rolling-hash document fingerprint: min md5 over char 8-grams",
+)
+def fingerprint_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text"), 8).alias("fp"))
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+@register(
+    "text_stats_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(t) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS n_punct,
+             len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS n_stop
+      FROM toks
+    ), ratios AS (
+      SELECT doc_id, n_chars, n_tokens,
+             CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END AS alpha_r,
+             CASE WHEN n_chars > 0 THEN n_digit::DOUBLE / n_chars ELSE 0 END AS digit_r,
+             CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END AS punct_r,
+             CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END AS stop_r
+      FROM raw
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(alpha_r, 6) AS alpha_ratio,
+           round(digit_r, 6) AS digit_ratio,
+           round(punct_r, 6) AS punct_ratio,
+           round(stop_r, 6) AS stopword_ratio,
+           round(greatest(0.0, least(1.0,
+             (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.25 ELSE 0.0 END)
+             + alpha_r * 0.35
+             + least(stop_r * 2.0, 1.0) * 0.25
+             + 0.15
+             - (digit_r + punct_r) * 0.5)), 6) AS quality
+    FROM ratios
+    """,
+    "text quality scoring: char/word stats + composite quality in [0,1]",
+)
+def text_stats_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s = text_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_chars"].alias("n_chars"),
+        s["n_tokens"].alias("n_tokens"),
+        F.round(s["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(s["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(s["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(s["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+def _lang_score_sql(code: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[code])
+    return f"len(list_filter(lt, x -> x IN ({words})))"
+
+
+@register(
+    "language_id_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS lt
+      FROM documents
+    ), scores AS (
+      SELECT doc_id,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scores
+    """,
+    "stopword-vote language identification heuristic",
+)
+def language_id_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "token_counts_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           len(t)::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+    FROM toks
+    """,
+    "token counting: whitespace + BPE-ish regex chunking",
+)
+def token_counts_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+# ===========================================================================
+# embeddings: similarity search
+# ===========================================================================
+
+_ANN_ORACLE = """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (
+      SELECT qid AS query_id, nid AS neighbor_id,
+             CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+                  THEN round(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+                  ELSE 0.0 END AS score
+      FROM q, c WHERE nid <> qid
+    ), r AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+"""
+
+@register(
+    "ann_brute_force",
+    _ANN_ORACLE,
+    "exact cosine top-5 per query vector (broadcast queries, scan corpus)",
+)
+def ann_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def _planes_sql(num_planes: int = 4, dim: int = 64) -> str:
+    cases = []
+    for p in range(num_planes):
+        coeffs = ", ".join(repr(c) for c in _plane_coeffs(p, dim))
+        cases.append(
+            f"(CASE WHEN list_dot_product(v, [{coeffs}]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(cases)
+
+
+_ANN_LSH_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, v, {_planes_sql(4, 64)} AS bucket FROM e
+    ), q AS (SELECT vec_id AS qid, v AS qv, bucket FROM bucketed WHERE vec_id < 8),
+    s AS (
+      SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+             CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)) > 0
+                  THEN round(list_dot_product(q.qv, c.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6)
+                  ELSE 0.0 END AS score
+      FROM q JOIN bucketed c ON q.bucket = c.bucket AND c.vec_id <> q.qid
+    ), r AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+"""
+
+@register(
+    "ann_lsh",
+    _ANN_LSH_ORACLE,
+    "LSH-bucketed approximate top-5: sign-random-projection buckets, "
+    "bucket-local candidate join (the 100 TB path)",
+)
+def ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(emb, queries, k=5, num_planes=4, dim=64)
+
+
+# ===========================================================================
+# rows-only entries (non-SQL-expressible: fixture-driven rule engine,
+# multimodal Pandas-UDF plumbing) — driver records a weaker rows-only check
+# ===========================================================================
+
+
+@register(
+    "sysmon_rules_alerts",
+    None,
+    "the 25 reference detection rules over generated sysmon fixtures "
+    "(single-pass engine); fixture table is not part of the driver's views, "
+    "so no SQL oracle — covered by the per-rule DuckDB oracle in tests/",
+)
+def sysmon_rules_alerts(spark, sf_dir):
+    from .fixtures import generate_sysmon_rows
+    from .rules.builtin import active_rules
+    from .rules.engine import apply_rules_single_pass
+    from .schemas import SYSMON_EVENT_SCHEMA
+
+    rows = generate_sysmon_rows(2000, seed=42)
+    events = spark.createDataFrame(
+        [
+            (
+                r["computer_name"], r["event_id"], r["host"],
+                tuple(r["event_data"].values()) if r["event_data"] else None,
+                r["uuid"], r["timestamp"],
+            )
+            for r in rows
+        ],
+        SYSMON_EVENT_SCHEMA,
+    )
+    alerts = apply_rules_single_pass(events, active_rules())
+    return alerts.select(
+        F.col("rule.name").alias("rule_name"),
+        F.col("event.origin_ids")[0].alias("uuid"),
+        F.col("rule.severity").alias("severity"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    None,
+    "multimodal binary columns: fake image blobs -> mapInPandas header "
+    "parse (decode stub) -> metadata filter; Pandas-UDF plumbing is real",
+)
+def multimodal_meta(spark, sf_dir):
+    from .ops.multimodal import extract_image_meta, fake_media_df
+
+    media = fake_media_df(spark, 64)
+    meta = extract_image_meta(media)
+    return meta.filter(F.col("valid")).select("media_id", "width", "height", "channels")
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry() target: the engine's identity query — multi-rule detection
+    fan-in over the events table."""
+    return events_rules_engine(spark, sf_dir)

@@ -1,0 +1,25 @@
+"""LLM-data-pipeline operators beyond the reference surface (BASELINE.json
+north star): dedup, similarity search, text analysis, multimodal columns.
+
+Every operator here is pure ``pyspark.sql.functions`` (JVM-side, codegen)
+except the multimodal decode stubs, which are Arrow-batched ``mapInPandas``
+by necessity.  Each operator has a DuckDB-expressible formulation used by the
+driver's differential oracle (__spark_entry__.py) and by tests.
+"""
+
+from .text import (
+    doc_fingerprint, language_id, quality_score, text_stats, token_count, tokens,
+)
+from .dedup import (
+    exact_dedup, minhash_signature, minhash_bands, minhash_candidate_pairs,
+    ngram_jaccard_pairs, simhash, word_shingles,
+)
+from .similarity import brute_force_topk, cosine_sim, lsh_bucket, lsh_topk
+
+__all__ = [
+    "doc_fingerprint", "language_id", "quality_score", "text_stats",
+    "token_count", "tokens",
+    "exact_dedup", "minhash_signature", "minhash_bands",
+    "minhash_candidate_pairs", "ngram_jaccard_pairs", "simhash", "word_shingles",
+    "brute_force_topk", "cosine_sim", "lsh_bucket", "lsh_topk",
+]

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as the north star requires:
+
+  * ``brute_force_topk`` — exact cosine top-k.  The query set is broadcast
+    (it is small by construction); the corpus is scanned once, partition-
+    parallel, and per-query top-k is a window over (query, score).  At 100 TB
+    the scan dominates and parallelizes linearly; no shuffle of the corpus.
+
+  * ``lsh_topk`` — sign-random-projection LSH: bucket every vector by the
+    sign pattern of a set of deterministic pseudo-random hyperplanes (md5-
+    derived coefficients), then search only matching buckets.  Trades recall
+    for a bucket-local join; the scale path when the corpus no longer fits a
+    full scan per query batch.
+
+Dot products use ``zip_with``/``aggregate`` built-ins — JVM-side, no UDFs —
+and every step is DuckDB-replayable (list_cosine_similarity for the oracle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of `corpus` rows per `queries` row (self-matches
+    excluded).  `queries` is broadcast; output: (query_id, neighbor_id, score
+    rounded to 6), `rank` 1..k."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_coeffs(plane: int, dim: int) -> list:
+    """Deterministic pseudo-random hyperplane coefficients in [-1, 1], derived
+    from md5(plane:dim_index) — reproducible in any engine/language."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}:{d}".encode()).hexdigest()
+        v = int(h[:8], 16) / 0xFFFFFFFF  # [0,1]
+        out.append(2.0 * v - 1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list) -> Column:
+    """Sign pattern of `vec` against each hyperplane -> '01..' bucket key."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(c) for c in coeffs]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for coeffs in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    With p planes the corpus splits into 2^p buckets; the candidate join is
+    keyed on the bucket string, so each query touches ~1/2^p of the data.
+    Same output shape as brute_force_topk (rank within found candidates).
+    """
+    planes = [_plane_coeffs(p, dim) for p in range(num_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

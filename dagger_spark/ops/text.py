@@ -1,0 +1,111 @@
+"""Text analysis operators: tokenization, quality scoring, language id,
+document fingerprinting.  All pure built-in column expressions — no UDFs —
+so they run inside whole-stage codegen and push down cleanly at 100 TB.
+
+Each has an exact ANSI-SQL twin runnable in DuckDB (see __spark_entry__.py);
+determinism is part of the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword banks for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "von"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "para"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"),
+}
+
+_EN_STOP = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty string -> empty array)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: count word pieces of <=4 chars via a
+    regex (letters chunked in 4s, digits/punct single) — a deterministic
+    BPE-like proxy that both engines can compute with regexp matching."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")),
+        F.lit(0),
+    ).cast("long")
+
+
+def text_stats(text: Column) -> dict:
+    """Character/word statistics used by the quality score.  Returned as a
+    dict of named Columns so callers select exactly what they need (column
+    pruning stays effective)."""
+    n_chars = F.length(text).cast("long")
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("long")
+    n_alpha = F.coalesce(F.regexp_count(text, F.lit(r"[A-Za-z]")), F.lit(0)).cast("long")
+    n_digit = F.coalesce(F.regexp_count(text, F.lit(r"[0-9]")), F.lit(0)).cast("long")
+    n_punct = F.coalesce(F.regexp_count(text, F.lit(r"[^\sA-Za-z0-9]")), F.lit(0)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP))).cast("long")
+    avg_word_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    return dict(
+        n_chars=n_chars,
+        n_tokens=n_tokens,
+        alpha_ratio=F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0),
+        digit_ratio=F.when(n_chars > 0, n_digit / n_chars).otherwise(0.0),
+        punct_ratio=F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0),
+        stopword_ratio=F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0),
+        avg_word_len=avg_word_len,
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + alpha ratio + stopword
+    presence - digit/punct noise.  Deterministic and SQL-twinable."""
+    s = text_stats(text)
+    length_ok = F.when((s["n_tokens"] >= 5) & (s["n_tokens"] <= 5000), F.lit(0.25)).otherwise(F.lit(0.0))
+    alpha = s["alpha_ratio"] * 0.35
+    stop = F.least(s["stopword_ratio"] * 2.0, F.lit(1.0)) * 0.25
+    noise = (s["digit_ratio"] + s["punct_ratio"]) * 0.5
+    raw = length_ok + alpha + stop + F.lit(0.15) - noise
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-vote language guess over LANG_STOPWORDS; ties break by
+    language-code order (deterministic); no votes -> 'und'."""
+    toks = tokens(F.lower(text))
+
+    def stopword_hits(words):
+        # single-arg lambda factory: pyspark higher-order fns treat a second
+        # lambda parameter as the array index
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = [(code, stopword_hits(words)) for code, words in sorted(LANG_STOPWORDS.items())]
+    best = None
+    best_score = None
+    for code, score in scores:
+        if best is None:
+            best, best_score = F.lit(code), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(code)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column, k: int = 8) -> Column:
+    """Rolling-fingerprint (winnowing-lite): the minimum md5 over all char
+    k-grams — a deterministic near-dup-stable document signature."""
+    n = F.length(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.md5(text.substr(i, F.lit(k))),
+    )
+    return F.array_min(grams)

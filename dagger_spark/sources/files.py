@@ -24,6 +24,13 @@ ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # defensively enable the nanos workaround — the driver may hand us a
+        # session built without it (it is a runtime-settable SQL conf)
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))

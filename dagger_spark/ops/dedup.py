@@ -71,6 +71,41 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def shingled_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 3
+) -> DataFrame:
+    """(id, sh) with STAGED projections: tokens, then shingles.  Each stage's
+    output is referenced many times by the next, so Catalyst keeps the
+    project boundaries (CollapseProject only inlines cheap or single-use
+    expressions) — the text is split once per row, not once per shingle."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, shingle_k)),
+    )
+    return toks.select("id", F.array_sort(F.array_distinct(grams)).alias("sh"))
+
+
+def bucketed_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) LSH bucket assignments, signature computed ONCE per
+    document (staged projections; see shingled_docs)."""
+    rows_per_band = num_hashes // bands
+    sh = shingled_docs(df, text_col, id_col, shingle_k)
+    sig = sh.select("id", minhash_signature(F.col("sh"), num_hashes).alias("__sig"))
+    return (
+        sig.select("id", F.explode(minhash_bands(F.col("__sig"), bands, rows_per_band)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -82,15 +117,12 @@ def minhash_candidate_pairs(
     """Near-duplicate candidate pairs (id_a < id_b) via MinHash LSH.
 
     Shuffle keys are (band, bucket) — data-local, no cross join anywhere.
-    A pair sharing multiple bands is emitted once (distinct).
+    A pair sharing multiple bands is emitted once (distinct).  The bucket
+    table is persisted so the self-join reuses one signature computation
+    instead of re-scanning and re-hashing per side — at scale this is the
+    difference between one and two passes over the corpus.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_k), num_hashes)
-    bucketed = (
-        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-        .select("id", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    )
+    bucketed = bucketed_minhash(df, text_col, id_col, shingle_k, num_hashes, bands).persist()
     left = bucketed.alias("l")
     right = bucketed.alias("r")
     return (
@@ -125,10 +157,9 @@ def ngram_jaccard_pairs(
     The verify join re-attaches shingle arrays to the candidate pair list
     (two broadcast-able joins against the docs projection), then filters by
     the true Jaccard similarity — the classic filter-and-verify shape.
+    The shingle table is persisted: computed once, read by both join sides.
     """
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
+    docs = shingled_docs(df, text_col, id_col, shingle_k).persist()
     cands = minhash_candidate_pairs(df, text_col, id_col, shingle_k, num_hashes, bands)
     a = docs.alias("a")
     b = docs.alias("b")

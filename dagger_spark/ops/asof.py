@@ -1,0 +1,113 @@
+"""As-of join and interval (range) join — operators Spark lacks as built-ins
+(SURVEY.md §2.7), composed from existing DataFrame ops as the prompt's
+option (a): no UDFs, no mapPartitions.
+
+**As-of join** (latest right row with ``r.ts <= l.ts`` per key), union-tag
+formulation: tag both inputs, union, sort within key by (ts, tag) and carry
+the last-seen right payload forward with ``last(ignorenulls)`` over a
+running window, keep left rows.  ONE shuffle (by key) + a partition-local
+sort — the sort-merge shape, linear at any scale; no per-row probing, no
+range explosion.  Right rows at ts == left ts sort first (tag order), so
+ties match, same as DuckDB's ``ASOF JOIN ... ON r.ts <= l.ts`` oracle.
+
+**Interval join** (all pairs with ``|l.ts - r.ts| <= bound`` per key),
+time-bucket formulation: quantize time into buckets of the bound's width,
+explode each left row into its bucket and the two neighbors, equi-join on
+(key, bucket), then apply the exact range predicate.  Turns an unbounded
+non-equi join into an equi-join whose per-bucket fan-out is bounded by data
+density — the standard way to keep stream-stream/interval joins shuffle-
+local at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of join: every left row + the most recent right row with
+    ``right_ts <= left_ts`` for the same key (nulls when none).
+
+    Output: all left columns + ``right_cols`` (null when unmatched).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r)
+    for c in right_cols:
+        u = u.withColumn(f"__last_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w))
+    return (
+        u.filter(F.col("__is_left") == 1)
+        .select(*lcols, *[F.col(f"__last_{c}").alias(c) for c in right_cols])
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    bound_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """All (left, right) pairs with same key and ``|l.ts - r.ts| <= bound``.
+
+    Implemented as a time-bucketed equi-join: left explodes into 3 bucket
+    keys (its own + neighbors), right maps to 1; the equi-join on
+    (key, bucket) bounds candidates, the exact predicate filters after.
+    Left column names keep their `l_`/caller names; right columns are
+    suffixed `_r` when they collide.
+    """
+    if how != "inner":
+        raise ValueError("interval_join supports inner only")
+    b = F.lit(int(bound_seconds))
+    l_bucket = (F.unix_timestamp(F.col(left_ts)) / b).cast("long")
+    r_bucket = (F.unix_timestamp(F.col(right_ts)) / b).cast("long")
+
+    collisions = set(left.columns) & set(right.columns)
+    r_renamed = right
+    for c in collisions:
+        r_renamed = r_renamed.withColumnRenamed(c, f"{c}_r")
+    rkey = f"{key}_r" if key in collisions else key
+    rts = f"{right_ts}_r" if right_ts in collisions else right_ts
+
+    l = left.withColumn("__cand", F.explode(F.array(l_bucket - 1, l_bucket, l_bucket + 1)))
+    r = r_renamed.withColumn("__b", (F.unix_timestamp(F.col(rts)) / b).cast("long"))
+    joined = l.join(
+        r,
+        (F.col(key) == F.col(rkey)) & (F.col("__cand") == F.col("__b")),
+    )
+    in_range = (
+        F.abs(F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(rts)))
+        <= bound_seconds
+    )
+    return joined.filter(in_range).drop("__cand", "__b")

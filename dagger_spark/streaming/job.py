@@ -63,6 +63,31 @@ def build_alert_stream(
     return out
 
 
+def dedup_events(events: DataFrame, id_col: str = "uuid") -> DataFrame:
+    """Exact event deduplication by id.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state is bounded by the
+    watermark delay (an id seen again after the watermark passes is treated
+    as new; that is the documented trade for bounded state at 100 TB/day).
+    Batch: plain ``dropDuplicates``.
+    """
+    if events.isStreaming:
+        return events.dropDuplicatesWithinWatermark([id_col])
+    return events.dropDuplicates([id_col])
+
+
+def run_foreach_batch(alerts: DataFrame, batch_fn, checkpoint: str):
+    """Start the unioned query with a foreachBatch sink — the per-micro-batch
+    escape hatch (multi-sink fanout, idempotent upserts) the reference's
+    statement set cannot express."""
+    return (
+        alerts.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_to_memory(alerts: DataFrame, name: str, checkpoint: str):
     """Start the unioned query into an in-memory table (tests/demos)."""
     return (

@@ -124,3 +124,58 @@ def test_combined_stateless_and_windowed_stream(spark, tmp_path):
         q.stop()
     assert "Direct Syscall of NtOpenProcess" in names
     assert "Burst" in names
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate uuids inside the watermark are dropped on the stream path."""
+    from dagger_spark.streaming.job import dedup_events
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    rows = _ev_rows([("hostA", 1), ("hostA", 2), ("push", 400)])
+    dup = rows[0]
+    rows.append(dup)  # same uuid s-000 twice
+    spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+
+    events = file_stream_events(spark, str(src) + "/*", watermark="5 seconds")
+    deduped = dedup_events(events)
+    q = (
+        deduped.writeStream.format("memory").queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        _await(q)
+        uuids = [r["uuid"] for r in spark.sql("SELECT uuid FROM dd_out").collect()]
+    finally:
+        q.stop()
+    assert sorted(uuids) == ["s-000", "s-001", "s-002"]
+
+    # batch path: same operator, same answer
+    batch = dedup_events(spark.read.parquet(str(src / "b1")))
+    assert batch.count() == 3
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    from dagger_spark.streaming.job import run_foreach_batch
+
+    src = tmp_path / "fb_src"
+    src.mkdir()
+    rows = _ev_rows([("hostA", 1)])
+    ed = dict(rows[0][3]); ed["CallTrace"] = "UNKNOWN(1)"
+    rows[0] = rows[0][:3] + (ed,) + rows[0][4:]
+    spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+
+    events = file_stream_events(spark, str(src) + "/*", watermark="5 seconds")
+    stateless = [r for r in active_rules() if r.name == "Direct Syscall of NtOpenProcess"]
+    alerts = build_alert_stream(events, stateless)
+
+    seen = []
+    q = run_foreach_batch(
+        alerts, lambda df, epoch: seen.append((epoch, df.count())), str(tmp_path / "fb_ckpt")
+    )
+    try:
+        _await(q)
+    finally:
+        q.stop()
+    assert sum(n for _, n in seen) == 1

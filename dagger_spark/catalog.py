@@ -472,8 +472,9 @@ def jaccard_pairs_docs(spark, sf_dir):
     "SimHash document signatures (32-bit, md5-nibble votes)",
 )
 def simhash_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(F.col("text"), 32).alias("sig"))
+    from .ops.dedup import simhash_df
+
+    return simhash_df(load_table(spark, sf_dir, "documents"), "text", "doc_id", 32)
 
 
 @register(
@@ -525,7 +526,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
              + alpha_r * 0.35
              + least(stop_r * 2.0, 1.0) * 0.25
              + 0.15
-             - (digit_r + punct_r) * 0.5)), 6) AS quality
+             - (digit_r + punct_r) * 0.5)) + 1e-9, 6) AS quality
     FROM ratios
     """,
     "text quality scoring: char/word stats + composite quality in [0,1]",
@@ -541,7 +542,10 @@ def text_stats_docs(spark, sf_dir):
         F.round(s["digit_ratio"], 6).alias("digit_ratio"),
         F.round(s["punct_ratio"], 6).alias("punct_ratio"),
         F.round(s["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        # +1e-9 boundary nudge: the multi-term quality expression can differ
+        # between engines by ~1 ulp (FMA/op order); dyadic n_chars values park
+        # exact results ON the .xxxxxx5 boundary, so displace it first
+        F.round(quality_score(F.col("text")) + F.lit(1e-9), 6).alias("quality"),
     )
 
 

@@ -175,27 +175,46 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text: Column, bits: int = 32) -> Column:
-    """SimHash over whitespace tokens: per bit position p (one md5 hex nibble),
-    sum +1/-1 votes of each token's nibble high-bit; bit=1 iff sum>0.
-    Returned as a `bits`-char '0'/'1' string (engine-portable)."""
-    toks = tokens(text)
+def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
+    """SimHash bit string from a precomputed array of md5-hex token hashes:
+    per bit position p (one hex nibble), sum +1/-1 votes of the nibble's
+    high bit ('8'..'f' sort >= '8' in ASCII — engine-portable string
+    compare); bit=1 iff sum>0."""
     bit_chars = F.transform(
         F.sequence(F.lit(1), F.lit(bits)),
-        # hex nibble high bit: chars '8'..'f' sort >= '8' in ASCII, so a plain
-        # string compare is engine-portable (no conv() needed)
         lambda p: F.when(
             F.aggregate(
-                toks,
+                hashes,
                 F.lit(0),
-                lambda acc, t: acc
-                + F.when(F.md5(t).substr(p, F.lit(1)) >= "8", F.lit(1)).otherwise(F.lit(-1)),
+                lambda acc, h: acc
+                + F.when(h.substr(p, F.lit(1)) >= "8", F.lit(1)).otherwise(F.lit(-1)),
             )
             > 0,
             F.lit("1"),
         ).otherwise(F.lit("0")),
     )
     return F.concat_ws("", bit_chars)
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens (single-Column form).  Prefer
+    ``simhash_df`` in pipelines: it stages the per-token md5 so each token is
+    hashed once instead of once per bit position."""
+    return simhash_from_hashes(F.transform(tokens(text), F.md5), bits)
+
+
+def simhash_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """(id, sig): staged SimHash — tokenize, md5 each token ONCE, then fold
+    the 32 bit positions over the precomputed hashes.  The hash array is
+    referenced `bits` times, so Catalyst keeps the projection boundary and
+    the md5 work is 1/bits of the naive inline form."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(F.col(text_col)), F.md5).alias("__hashes"),
+    )
+    return hashed.select("doc_id", simhash_from_hashes(F.col("__hashes"), bits).alias("sig"))
 
 
 def hamming_distance(sig_a: Column, sig_b: Column, bits: int = 32) -> Column:

@@ -30,6 +30,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_volume",
     "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q19_disjunctive_revenue",
+    "revenue_moving_avg",
     "top_customers_per_nation",
     "orders_rollup",
     "correlated_subquery",
@@ -43,6 +48,8 @@ HEADLINE = [
     "simhash_docs",
     "ann_brute_force",
     "ann_lsh",
+    "ann_ivf",
+    "embedding_neardup",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 from .ops.dedup import (
     exact_dedup, minhash_candidate_pairs, ngram_jaccard_pairs, simhash,
 )
-from .ops.similarity import brute_force_topk, lsh_topk, _plane_coeffs
+from .ops.similarity import (
+    brute_force_topk, cosine_neardup_pairs, ivf_topk, lsh_topk, _plane_coeffs,
+)
 from .ops.text import (
     bpe_ish_token_count, doc_fingerprint, language_id, quality_score,
     text_stats, token_count, LANG_STOPWORDS,
@@ -241,6 +243,174 @@ _shared_sql(
     """,
     "scalar function library: date/string/case-when inside aggregation",
 )
+
+_shared_sql(
+    "q7_nation_trade",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             cast(extract(year FROM l_shipdate) AS bigint) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey
+        AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7: 6-way join, self-joined dimension, disjunctive nation pairing, "
+    "year rollup",
+)
+
+_shared_sql(
+    "q9_profit_by_nation",
+    """
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             cast(extract(year FROM o_orderdate) AS bigint) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity * 0.08 AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey
+        AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey
+        AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    "TPC-H Q9 (retailprice cost proxy): 5-way join + LIKE filter + "
+    "nation/year profit rollup",
+)
+
+_shared_sql(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           round(c_acctbal, 2) AS acctbal,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10: returned-item revenue, 4-way join + date range + top-20",
+)
+
+_shared_sql(
+    "q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "TPC-H Q14: conditional-aggregate ratio over a month of shipments",
+)
+
+_shared_sql(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+    "TPC-H Q19: OR-of-AND predicate pushed into a join (CNF conversion "
+    "exercises Catalyst's join-condition pushdown)",
+)
+
+_shared_sql(
+    "revenue_moving_avg",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', l_shipdate) AS ship_day,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem
+      GROUP BY date_trunc('day', l_shipdate)
+    )
+    SELECT ship_day, revenue,
+           round(avg(revenue) OVER (ORDER BY ship_day
+                                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS ma7
+    FROM daily
+    """,
+    "window frames: 7-day moving average over daily revenue (ROWS BETWEEN)",
+)
+
+_shared_sql(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+    "GROUPING SETS: priority x status, priority subtotal, grand total",
+)
+
+_shared_sql(
+    "percentile_prices",
+    """
+    SELECT l_returnflag,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "ordered-set aggregates: exact linear-interpolated quartiles per flag "
+    "(dyadic fractions so both engines interpolate identically)",
+)
+
+
+@register(
+    "pivot_returnflag_qty",
+    """
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    "DataFrame-API pivot (returnflag -> columns); oracle is the CASE-WHEN "
+    "expansion Catalyst lowers pivot to",
+)
+def pivot_returnflag_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
 
 # ===========================================================================
 # events: streaming-shaped analytics in batch (windowed counts, sessions,
@@ -686,6 +856,87 @@ def ann_lsh(spark, sf_dir):
     )
     queries = emb.filter(F.col("vec_id") < 8)
     return lsh_topk(emb, queries, k=5, num_planes=4, dim=64)
+
+
+_NEARDUP_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {_planes_sql(4, 64)} AS bucket FROM e
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)) > 0
+                  THEN round(list_dot_product(a.v, c.v)
+                       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+                  ELSE 0.0 END AS score
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, score FROM pairs WHERE score >= 0.35
+"""
+
+@register(
+    "embedding_neardup",
+    _NEARDUP_ORACLE,
+    "embedding-cosine near-duplicate pairs, LSH-bucket-restricted self-join "
+    "(n^2 -> sum of per-bucket squares at scale)",
+)
+def embedding_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return cosine_neardup_pairs(emb, threshold=0.35, num_planes=4, dim=64)
+
+
+_ANN_IVF_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+    ), assign AS (
+      SELECT e.vec_id, e.v, cents.cid,
+             round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)) > 0
+                        THEN list_dot_product(e.v, cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))
+                        ELSE 0.0 END, 9) AS s
+      FROM e, cents
+    ), ranked AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rnk
+      FROM assign
+    ), corpus_cell AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cid AS cell FROM ranked WHERE rnk = 1
+    ), query_cells AS (
+      SELECT vec_id AS query_id, v AS qv, cid AS cell
+      FROM ranked WHERE vec_id < 8 AND rnk <= 2
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+                  THEN round(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+                  ELSE 0.0 END AS score
+      FROM query_cells q JOIN corpus_cell c USING (cell)
+      WHERE neighbor_id <> query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+"""
+
+@register(
+    "ann_ivf",
+    _ANN_IVF_ORACLE,
+    "IVF-flat approximate top-5: 16-cell coarse quantizer shipped as "
+    "literals (map-side assignment, no shuffle), nprobe=2 cell-local search",
+)
+def ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=2)
 
 
 # ===========================================================================

@@ -96,6 +96,114 @@ def lsh_bucket(vec: Column, planes: list) -> Column:
     return F.concat(*bits)
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold),
+    candidates restricted to one sign-random-projection LSH bucket.
+
+    The self-join is keyed on the bucket string, so the pair space shrinks
+    from n^2 to sum of per-bucket squares — the standard near-dup shape at
+    100 TB (near-identical vectors agree on every plane sign, so recall loss
+    only hits borderline pairs).  Deterministic planes → the oracle replays
+    the identical bucketing.
+    """
+    planes = [_plane_coeffs(p, dim) for p in range(num_planes)]
+    sides = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = sides.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = sides.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer of `n_centroids` cells,
+    map-side cell assignment, and per-query search limited to the `nprobe`
+    nearest cells.
+
+    The coarse quantizer is deliberately tiny (centroids = the corpus rows
+    with id < n_centroids — deterministic, oracle-replayable); it is collected
+    to the driver at PLAN time and shipped to every task as literals, so cell
+    assignment is a pure map — no shuffle, no window — and the only join is
+    candidate-vs-query keyed on cell id.  At 100 TB this is the inverted-file
+    layout: partition/cluster the corpus by `cell` once, and each query batch
+    touches only nprobe/n_centroids of the data.
+
+    Tie-break on equal assignment scores: larger cell id wins (array_max over
+    struct(score, cid) — mirrored in the oracle's ORDER BY score DESC, cid
+    DESC).  Scores are rounded to 9 before argmax so both engines compare the
+    same doubles.
+    """
+    cents = [
+        (r["cid"], list(r["v"]))
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    ]
+    if not cents:
+        raise ValueError("no centroid rows (corpus ids all >= n_centroids)")
+
+    def cell_of(vec: Column, top: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(cosine_sim(vec, F.array(*[F.lit(x) for x in cv])), 9).alias("s"),
+                    F.lit(cid).alias("c"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        ranked = F.reverse(F.array_sort(scored))  # desc by (s, c)
+        return F.slice(ranked, 1, top)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        cell_of(F.col(vec_col), 1)[0]["c"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(F.transform(cell_of(F.col(vec_col), nprobe), lambda e: e["c"])).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

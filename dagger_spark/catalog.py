@@ -1069,6 +1069,55 @@ def multimodal_meta(spark, sf_dir):
     return meta.filter(F.col("valid")).select("media_id", "width", "height", "channels")
 
 
+@register(
+    "multimodal_features",
+    None,
+    "multimodal feature extraction: byte-histogram embedding per blob via "
+    "mapInPandas (the stage a real pipeline backs with CLIP/audio models)",
+)
+def multimodal_features(spark, sf_dir):
+    from .ops.multimodal import extract_features, fake_media_df
+
+    feats = extract_features(fake_media_df(spark, 64), bins=16)
+    return feats.filter(F.col("valid")).select(
+        "media_id", F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").alias("dim"),
+    )
+
+
+@register(
+    "skew_resistant_agg",
+    """
+    SELECT event_type,
+           round(sum(value), 4) AS total_value,
+           count(*) AS n_events,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    "salted two-phase aggregation (ops/skew.py): results are salt-invariant, "
+    "so the oracle is the plain GROUP BY it must equal",
+)
+def skew_resistant_agg(spark, sf_dir):
+    from .ops.skew import two_phase_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = two_phase_agg(
+        ev, ["event_type"],
+        {"total_value": ("value", "sum"), "n_events": ("value", "count"),
+         "min_value": ("value", "min"), "max_value": ("value", "max")},
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.round("total_value", 4).alias("total_value"),
+        F.col("n_events"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() target: the engine's identity query — multi-rule detection
     fan-in over the events table."""

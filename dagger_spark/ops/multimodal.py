@@ -104,6 +104,68 @@ def decode_image(media: DataFrame, strict: bool = False) -> DataFrame:
     return extract_image_meta(media)
 
 
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Byte-histogram feature vector per blob via mapInPandas — REAL feature
+    extraction (no codec needed): the normalized histogram of payload bytes
+    is the classic cheap content signature.  A production pipeline swaps the
+    histogram for a CLIP/audio embedding inside the same batch loop; the
+    Spark contract (Arrow batches in, array<double> out, invalid rows kept
+    with valid=false) is unchanged."""
+
+    def feat_batches(batches):
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None or len(blob) <= 20 or bytes(blob[:8]) != MAGIC:
+                    out.append((mid, None, False))
+                    continue
+                body = bytes(blob[20:])
+                hist = [0] * bins
+                for byte in body:
+                    hist[byte * bins // 256] += 1
+                n = float(len(body))
+                out.append((mid, [h / n for h in hist], True))
+            yield pd.DataFrame(out, columns=["media_id", "features", "valid"])
+
+    return media.mapInPandas(feat_batches, FEATURE_SCHEMA)
+
+
+def resize_image(media: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
+    """Resize stage — stubbed like ``decode_image`` (needs Pillow/libvips).
+
+    strict=True raises where the codec would plug in; strict=False passes
+    blobs through with the TARGET dimensions stamped into new header bytes,
+    keeping the pipeline shape (binary in -> binary out, same partitioning)
+    runnable and testable."""
+    if strict:
+        raise NotImplementedError(
+            "pixel resize requires an image codec (Pillow/libvips); wire it "
+            "into the mapInPandas stage below"
+        )
+
+    def resize_batches(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = [
+                None
+                if blob is None or bytes(blob[:8]) != MAGIC
+                else bytes(blob[:8]) + struct.pack("<III", width, height, 3) + bytes(blob[20:])
+                for blob in out["content"]
+            ]
+            yield out
+
+    return media.mapInPandas(resize_batches, media.schema)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling PLUMBING: expands each blob into frame-index rows
     (decode stubbed).  Demonstrates the explode-then-process shape that keeps

@@ -46,6 +46,32 @@ def load_tables(spark: SparkSession, sf_dir: str, names=ALL_TABLES, register_vie
     return out
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols,
+    n_buckets: int = 32,
+    sort_cols=None,
+    path: str = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    Two tables bucketed the same way join with ZERO exchange — the shuffle
+    is paid once at write time instead of per query, which is the 100 TB
+    answer for fact-to-fact joins re-run daily (e.g. lineitem⋈orders on
+    orderkey).  tests/test_skew.py asserts the exchange-free plan.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 def parse_json_events(raw: DataFrame, value_col: str = "value", ts_col: str = "timestamp") -> DataFrame:
     """JSON payload (+ transport timestamp) -> typed sysmon event rows.
 

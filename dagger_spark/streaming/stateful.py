@@ -1,0 +1,88 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's runtime has no custom state at all (stateless filters; even
+its designed-but-skipped timeframe rules are windowed aggs — see
+rules/timeframe.py).  This module adds the genuinely-custom-state shape the
+north star asks for: arbitrary per-key state evolved across micro-batches,
+with watermark-driven timeout eviction — the Spark-idiomatic replacement for
+a hand-rolled Flink KeyedProcessFunction.
+
+``running_totals`` is deliberately minimal-but-real: per-key cumulative
+event count + value sum, emitted once per micro-batch per updated key
+("update" output mode).  State is two doubles per key; eviction on
+processing-time timeout keeps it bounded when keys churn (at 100 TB the
+key-space is the thing that kills you, not the row count).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+    ]
+)
+
+
+def running_totals(
+    events: DataFrame,
+    key_col: str = "host",
+    value_col: str = "event_id",
+    idle_timeout_ms: int = 0,
+) -> DataFrame:
+    """Cumulative (count, sum) per key across micro-batches.
+
+    Batch DataFrames get the equivalent groupBy (same output schema), so the
+    batch==stream test discipline holds for the stateful path too.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+
+        return events.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col).cast("double")).alias("total_value"),
+        )
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].astype("float64").sum())
+        state.update((n, total))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total_value": [total]})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, RUNNING_TOTALS_SCHEMA, _STATE_SCHEMA, "update", timeout
+        )
+    )

@@ -1,0 +1,89 @@
+"""Skew mitigation + bucketing: salted results must equal unsalted ones, and
+same-bucketed joins must plan without a shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagger_spark.ops.skew import salted_join, two_phase_agg
+from dagger_spark.sources.files import load_table, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 10k rows, 90% behind one hot key
+    return spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold"), (F.col("id") % 97).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 1000).alias("v"),
+    )
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    rows = [("hot", "H")] + [(f"cold{i}", f"C{i}") for i in range(97)]
+    return spark.createDataFrame(rows, "k string, label string")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(skewed, dim):
+    plain = skewed.join(dim, "k").select("k", "v", "label")
+    salted = salted_join(skewed, dim, ["k"], n_salts=8).select("k", "v", "label")
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+def test_salted_left_join_keeps_unmatched(spark, dim):
+    left = spark.createDataFrame([("hot", 1), ("missing", 2)], "k string, v int")
+    out = salted_join(left, dim, ["k"], n_salts=4, how="left")
+    rows = {r["k"]: r["label"] for r in out.collect()}
+    assert rows == {"hot": "H", "missing": None}
+
+
+def test_two_phase_agg_equals_plain_agg(skewed):
+    plain = skewed.groupBy("k").agg(
+        F.sum("v").alias("sv"), F.count("*").alias("n"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"),
+    )
+    two = two_phase_agg(
+        skewed, ["k"],
+        {"sv": ("v", "sum"), "n": ("v", "count"), "mn": ("v", "min"), "mx": ("v", "max")},
+        n_salts=8,
+    ).select("k", "sv", "n", "mn", "mx")
+    assert _sorted_rows(two) == _sorted_rows(plain.select("k", "sv", "n", "mn", "mx"))
+
+
+def test_bucketed_join_plans_without_exchange(spark, sf_dir, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    warehouse = str(tmp_path / "wh")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "b_orders", "o_orderkey", 8, path=f"{warehouse}/o")
+    write_bucketed(lineitem, "b_lineitem", "l_orderkey", 8, path=f"{warehouse}/l")
+
+    # at test scale Catalyst would just broadcast the small side; force the
+    # sort-merge path that the bucketing exists for (at sf100 both sides are
+    # far beyond any broadcast threshold)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+        assert "SortMergeJoin" in plan
+
+        # and it returns the same rows as the unbucketed join
+        n_plain = lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert joined.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -179,9 +179,13 @@ _shared_sql(
     """
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
-    "left-anti join via NOT EXISTS",
+    "left-anti join via correlated NOT EXISTS (customers with no urgent "
+    "orders; every customer has SOME order in this data, so the naive "
+    "no-orders variant would be vacuously empty)",
 )
 
 _shared_sql(
@@ -388,6 +392,97 @@ _shared_sql(
     "ordered-set aggregates: exact linear-interpolated quartiles per flag "
     "(dyadic fractions so both engines interpolate identically)",
 )
+
+
+_shared_sql(
+    "q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           date_trunc('day', o_orderdate) AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    "TPC-H Q18: IN-subquery with HAVING over an aggregate (plans as a "
+    "semi-join after decorrelation), top-20",
+)
+
+_shared_sql(
+    "q22_idle_customers",
+    """
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT substring(c_name, 10, 1) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+    ) custsale
+    GROUP BY cntrycode
+    """,
+    "TPC-H Q22: scalar-aggregate subquery + NOT EXISTS anti-join",
+)
+
+_shared_sql(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < -900.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 (lineitem as partsupp proxy): NOT IN subquery (null-aware "
+    "anti-join) + count distinct per group",
+)
+
+_shared_sql(
+    "events_multires_rollup",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+             count(*) AS n, round(sum(value), 4) AS v
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type
+    )
+    SELECT date_trunc('day', bucket_hour) AS bucket_day, event_type,
+           cast(sum(n) AS bigint) AS n_events,
+           round(sum(v), 4) AS total_value,
+           count(*) AS hours_active
+    FROM hourly
+    GROUP BY date_trunc('day', bucket_hour), event_type
+    """,
+    "hypertable-style multi-resolution rollup: hourly continuous aggregate "
+    "re-aggregated to daily (the downsample-cascade shape)",
+)
+
+
+@register(
+    "events_approx_distinct",
+    None,
+    "HLL sketch: approx_count_distinct users per event_type (approx values "
+    "are engine-specific, so rows-only check; the exact twin is distinct_agg)",
+)
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
 
 
 @register(

@@ -644,6 +644,17 @@ def exact_dedup_docs(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _duck_minhash_mins(num_hashes: int = 16) -> str:
+    """The 16 affine-hash min expressions over a precomputed hash list `hs`
+    — same (a, b) family as ops.dedup.minhash_params."""
+    from .ops.dedup import minhash_params
+
+    return ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * (h % 2147483648) + {b}) % 2147483647))"
+        for a, b in minhash_params(num_hashes)
+    )
+
+
 _DUCK_MINHASH_CTE = f"""
     WITH toks AS (
       SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
@@ -653,11 +664,12 @@ _DUCK_MINHASH_CTE = f"""
                range(1, greatest(len(t) - 2, 1) + 1),
                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
       FROM toks
-    ), sig AS (
+    ), hsh AS (
       SELECT doc_id,
-             list_transform(range(0, 16),
-               j -> list_min(list_transform(s, x -> md5(j::VARCHAR || ':' || x)))) AS g
+             list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
       FROM sh
+    ), sig AS (
+      SELECT doc_id, [{_duck_minhash_mins(16)}] AS g FROM hsh
     ), buckets AS (
       SELECT doc_id, b,
              md5(array_to_string(list_slice(g, b * 4 + 1, b * 4 + 4), '|')) AS bucket
@@ -688,11 +700,12 @@ _DUCK_SH2 = f"""
                range(1, greatest(len(t) - 1, 1) + 1),
                i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS s
       FROM toks
-    ), sig AS (
+    ), hsh AS (
       SELECT doc_id,
-             list_transform(range(0, 16),
-               j -> list_min(list_transform(s, x -> md5(j::VARCHAR || ':' || x)))) AS g
+             list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
       FROM sh
+    ), sig AS (
+      SELECT doc_id, [{_duck_minhash_mins(16)}] AS g FROM hsh
     ), buckets AS (
       SELECT doc_id, b,
              md5(array_to_string(list_slice(g, b * 2 + 1, b * 2 + 2), '|')) AS bucket
@@ -726,13 +739,18 @@ def jaccard_pairs_docs(spark, sf_dir):
 @register(
     "simhash_docs",
     f"""
-    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    hsh AS (
+      SELECT doc_id,
+             list_transform(t, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS ht
+      FROM toks
+    )
     SELECT doc_id,
-           list_aggregate(list_transform(range(1, 33), p ->
-             CASE WHEN list_sum(list_transform(t, w ->
-                    CASE WHEN substr(md5(w), p, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+           list_aggregate(list_transform(range(0, 32), p ->
+             CASE WHEN list_sum(list_transform(ht, h ->
+                    CASE WHEN (h >> p) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                   THEN '1' ELSE '0' END), 'string_agg', '') AS sig
-    FROM toks
+    FROM hsh
     """,
     "SimHash document signatures (32-bit, md5-nibble votes)",
 )

@@ -14,6 +14,8 @@ No UDFs — everything is higher-order built-ins (`transform`, `aggregate`,
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,27 +48,69 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for hash j, min over shingles of md5(j:shingle).
+_MOD31 = 2147483648  # 2^31
+_PRIME31 = 2147483647  # Mersenne prime 2^31-1
 
-    md5-of-seeded-string stands in for the usual universal hash family —
-    deterministic, uniform enough, and replayable in any engine with md5.
-    """
+
+def minhash_params(num_hashes: int = 16) -> list:
+    """Deterministic (a, b) affine-hash coefficients, a in [1, 2^31-1],
+    b in [0, 2^31) — md5-derived so any engine can regenerate them."""
+    out = []
+    for j in range(num_hashes):
+        hj = hashlib.md5(f"mh:{j}".encode()).hexdigest()
+        a = int(hj[:8], 16) % (_PRIME31 - 1) + 1
+        b = int(hj[8:16], 16) % _MOD31
+        out.append((a, b))
+    return out
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One 60-bit integer hash per shingle: first 15 hex chars of md5 →
+    bigint.  This is the ONLY string hashing in the minhash pipeline; the
+    16 hash functions are integer affine transforms of it."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)))
-        ),
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
 
 
+def minhash_signature_from_hashes(hs: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature over precomputed shingle hashes: sig[j] =
+    min over shingles of (a_j * (h mod 2^31) + b_j) mod (2^31-1).
+
+    Integer universal-hash family instead of md5-per-(j, shingle): the md5
+    work drops by num_hashes×, and the min-fold is int64 arithmetic inside
+    codegen.  Exactly replayable in DuckDB ('0x'||hex cast + same moduli).
+    """
+    def affine(a: int, b: int):
+        return lambda h: (F.lit(a) * (h % _MOD31) + F.lit(b)) % _PRIME31
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hs, affine(a, b)))
+            for a, b in minhash_params(num_hashes)
+        ]
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature straight from shingle strings (single-Column form).
+    Prefer staging ``shingle_hashes`` in a projection first (as
+    ``bucketed_minhash`` does) so each shingle is md5'd once, not once per
+    hash function."""
+    return minhash_signature_from_hashes(shingle_hashes(shingles), num_hashes)
+
+
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """Band the signature for LSH: array of (band_id, bucket_hash) structs."""
+    """Band the signature for LSH: array of (band_id, bucket_hash) structs.
+    Signature values are bigints; they are rendered as decimal strings for
+    the band hash (DuckDB's array_to_string renders identically)."""
+    sig_str = F.transform(sig, lambda v: v.cast("string"))
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.md5(F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))).alias("bucket"),
+            F.md5(F.concat_ws("|", F.slice(sig_str, b * rows_per_band + 1, rows_per_band))).alias("bucket"),
         ),
     )
 
@@ -99,7 +143,13 @@ def bucketed_minhash(
     document (staged projections; see shingled_docs)."""
     rows_per_band = num_hashes // bands
     sh = shingled_docs(df, text_col, id_col, shingle_k)
-    sig = sh.select("id", minhash_signature(F.col("sh"), num_hashes).alias("__sig"))
+    # staged: md5 each shingle ONCE, then 16 integer affine mins over the
+    # hash array (the projection boundary stops Catalyst inlining the md5
+    # into every one of the 16 folds)
+    hashed = sh.select("id", shingle_hashes(F.col("sh")).alias("__hs"))
+    sig = hashed.select(
+        "id", minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig")
+    )
     return (
         sig.select("id", F.explode(minhash_bands(F.col("__sig"), bands, rows_per_band)).alias("bb"))
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -176,43 +226,39 @@ def ngram_jaccard_pairs(
 
 
 def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
-    """SimHash bit string from a precomputed array of md5-hex token hashes:
-    per bit position p (one hex nibble), sum +1/-1 votes of the nibble's
-    high bit ('8'..'f' sort >= '8' in ASCII — engine-portable string
-    compare); bit=1 iff sum>0."""
-    bit_chars = F.transform(
-        F.sequence(F.lit(1), F.lit(bits)),
-        lambda p: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.substr(p, F.lit(1)) >= "8", F.lit(1)).otherwise(F.lit(-1)),
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
-    )
-    return F.concat_ws("", bit_chars)
+    """SimHash bit string from a precomputed array of 60-bit integer token
+    hashes (see ``shingle_hashes``): per bit position p, sum +1/-1 votes of
+    bit p of each token's hash ((h >> p) & 1 — exact int64 ops in both
+    engines); output bit=1 iff the vote sum > 0."""
+    def vote(p: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_chars = [
+        F.when(F.aggregate(hashes, F.lit(0), vote(p)) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(bits)
+    ]
+    return F.concat(*bit_chars)
 
 
 def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash over whitespace tokens (single-Column form).  Prefer
-    ``simhash_df`` in pipelines: it stages the per-token md5 so each token is
-    hashed once instead of once per bit position."""
-    return simhash_from_hashes(F.transform(tokens(text), F.md5), bits)
+    ``simhash_df`` in pipelines: it stages the per-token hash so each token
+    is md5'd once instead of once per bit position."""
+    return simhash_from_hashes(shingle_hashes(tokens(text)), bits)
 
 
 def simhash_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
-    """(id, sig): staged SimHash — tokenize, md5 each token ONCE, then fold
-    the 32 bit positions over the precomputed hashes.  The hash array is
-    referenced `bits` times, so Catalyst keeps the projection boundary and
-    the md5 work is 1/bits of the naive inline form."""
+    """(id, sig): staged SimHash — tokenize, hash each token to a 60-bit int
+    ONCE, then fold the 32 bit positions over the precomputed hash array.
+    The array is referenced `bits` times, so Catalyst keeps the projection
+    boundary and the md5 work is 1/bits of the naive inline form."""
     hashed = df.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(tokens(F.col(text_col)), F.md5).alias("__hashes"),
+        shingle_hashes(tokens(F.col(text_col))).alias("__hashes"),
     )
     return hashed.select("doc_id", simhash_from_hashes(F.col("__hashes"), bits).alias("sig"))
 

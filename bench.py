@@ -35,11 +35,15 @@ HEADLINE = [
     "q10_returned_items",
     "q19_disjunctive_revenue",
     "revenue_moving_avg",
+    "q18_large_orders",
     "top_customers_per_nation",
     "orders_rollup",
     "correlated_subquery",
     "events_hourly",
     "events_sessionization",
+    "events_session_window",
+    "events_multires_rollup",
+    "skew_resistant_agg",
     "events_rules_engine",
     "events_json_stats",
     "exact_dedup_docs",

@@ -554,6 +554,54 @@ _shared_sql(
     "sessionization (30-min gap) via lag + running sum — gaps-and-islands",
 )
 
+
+@register(
+    "events_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts, value,
+             -- Spark's session_window merges while gap < 30min STRICTLY:
+             -- an event exactly 30min later starts a new session, so the
+             -- island break here is >= (not >)
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           date_trunc('second', min(ts)) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    "built-in session_window aggregation (30-min gap); oracle is the "
+    "gaps-and-islands expansion with Spark's strict-gap merge semantics",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("session_window.start")).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
 # JSON extraction differs by dialect: get_json_object (Spark) vs
 # json_extract_string (DuckDB); same aliases, same math.
 _SPARK_JSON_STATS = """

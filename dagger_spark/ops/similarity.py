@@ -159,6 +159,8 @@ def ivf_topk(
     DESC).  Scores are rounded to 9 before argmax so both engines compare the
     same doubles.
     """
+    import math
+
     cents = [
         (r["cid"], list(r["v"]))
         for r in corpus.filter(F.col(id_col) < n_centroids)
@@ -167,12 +169,23 @@ def ivf_topk(
     ]
     if not cents:
         raise ValueError("no centroid rows (corpus ids all >= n_centroids)")
+    # centroid norms are plan-time constants: each per-row cosine is then one
+    # dot product + one multiply, and the row's own norm is staged ONCE per
+    # row instead of being re-folded inside all n_centroids cosines
+    cnorms = {cid: math.sqrt(sum(x * x for x in cv)) for cid, cv in cents}
 
-    def cell_of(vec: Column, top: int) -> Column:
+    def cell_of(vec: Column, vnorm: Column, top: int) -> Column:
         scored = F.array(
             *[
                 F.struct(
-                    F.round(cosine_sim(vec, F.array(*[F.lit(x) for x in cv])), 9).alias("s"),
+                    F.round(
+                        F.when(
+                            vnorm * F.lit(cnorms[cid]) > 0,
+                            dot(vec, F.array(*[F.lit(x) for x in cv]))
+                            / (vnorm * F.lit(cnorms[cid])),
+                        ).otherwise(F.lit(0.0)),
+                        9,
+                    ).alias("s"),
                     F.lit(cid).alias("c"),
                 )
                 for cid, cv in cents
@@ -181,15 +194,27 @@ def ivf_topk(
         ranked = F.reverse(F.array_sort(scored))  # desc by (s, c)
         return F.slice(ranked, 1, top)
 
-    c = corpus.select(
+    c_staged = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        cell_of(F.col(vec_col), 1)[0]["c"].alias("cell"),
+        norm(F.col(vec_col)).alias("__n"),
     )
-    q = queries.select(
+    c = c_staged.select(
+        "neighbor_id",
+        "cvec",
+        cell_of(F.col("cvec"), F.col("__n"), 1)[0]["c"].alias("cell"),
+    )
+    q_staged = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.explode(F.transform(cell_of(F.col(vec_col), nprobe), lambda e: e["c"])).alias("cell"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    q = q_staged.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.transform(cell_of(F.col("qvec"), F.col("__n"), nprobe), lambda e: e["c"])
+        ).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")

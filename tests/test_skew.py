@@ -87,3 +87,21 @@ def test_bucketed_join_plans_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date/type-partitioned layout: a filter on the partition column must
+    prune at planning time (PartitionFilters), reading only matching dirs —
+    at 100 TB this is the difference between scanning a day and a year."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev_parted")
+    ev.write.partitionBy("event_type").parquet(path)
+
+    parted = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = parted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must appear in PartitionFilters, not as a
+    # post-scan data filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf
+    assert parted.count() == ev.filter(F.col("event_type") == "purchase").count()

@@ -131,21 +131,14 @@ def shingled_docs(
     return toks.select("id", F.array_sort(F.array_distinct(grams)).alias("sh"))
 
 
-def bucketed_minhash(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_k: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
+def bucketed_minhash_from_shingles(
+    sh: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """(id, band, bucket) LSH bucket assignments, signature computed ONCE per
-    document (staged projections; see shingled_docs)."""
+    """(id, band, bucket) from a pre-shingled (id, sh) relation.  Staged: md5
+    each shingle ONCE, then the 16 integer affine mins over the hash array
+    (the projection boundary stops Catalyst inlining the md5 into every one
+    of the 16 folds)."""
     rows_per_band = num_hashes // bands
-    sh = shingled_docs(df, text_col, id_col, shingle_k)
-    # staged: md5 each shingle ONCE, then 16 integer affine mins over the
-    # hash array (the projection boundary stops Catalyst inlining the md5
-    # into every one of the 16 folds)
     hashed = sh.select("id", shingle_hashes(F.col("sh")).alias("__hs"))
     sig = hashed.select(
         "id", minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig")
@@ -154,6 +147,19 @@ def bucketed_minhash(
         sig.select("id", F.explode(minhash_bands(F.col("__sig"), bands, rows_per_band)).alias("bb"))
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
+
+
+def bucketed_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) LSH bucket assignments straight from text."""
+    sh = shingled_docs(df, text_col, id_col, shingle_k)
+    return bucketed_minhash_from_shingles(sh, num_hashes, bands)
 
 
 def minhash_candidate_pairs(
@@ -207,10 +213,23 @@ def ngram_jaccard_pairs(
     The verify join re-attaches shingle arrays to the candidate pair list
     (two broadcast-able joins against the docs projection), then filters by
     the true Jaccard similarity — the classic filter-and-verify shape.
-    The shingle table is persisted: computed once, read by both join sides.
+    ONE persisted shingle table feeds candidate generation AND both verify
+    sides, so the text is tokenized/shingled exactly once.
     """
     docs = shingled_docs(df, text_col, id_col, shingle_k).persist()
-    cands = minhash_candidate_pairs(df, text_col, id_col, shingle_k, num_hashes, bands)
+    bucketed = bucketed_minhash_from_shingles(docs, num_hashes, bands).persist()
+    left = bucketed.alias("l")
+    right = bucketed.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
     a = docs.alias("a")
     b = docs.alias("b")
     return (

@@ -395,6 +395,120 @@ _shared_sql(
 
 
 _shared_sql(
+    "q2_min_cost_supplier",
+    """
+    SELECT p_partkey, p_name, s_name,
+           round(s_acctbal, 2) AS acctbal,
+           n_name
+    FROM part, supplier, lineitem, nation
+    WHERE p_partkey = l_partkey
+      AND s_suppkey = l_suppkey
+      AND s_nationkey = n_nationkey
+      AND p_size = 25
+      AND s_acctbal = (
+        SELECT max(s2.s_acctbal)
+        FROM supplier s2, lineitem l2
+        WHERE l2.l_partkey = p_partkey AND l2.l_suppkey = s2.s_suppkey)
+    GROUP BY p_partkey, p_name, s_name, s_acctbal, n_name
+    ORDER BY acctbal DESC, p_partkey
+    LIMIT 25
+    """,
+    "TPC-H Q2 shape: correlated scalar aggregate subquery over a join "
+    "(best-supplier-per-part), decorrelated by Catalyst into an agg+rejoin",
+)
+
+_shared_sql(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE: all four grouping combinations of status x priority in one pass",
+)
+
+_shared_sql(
+    "window_funcs_showcase",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, o_orderpriority AS prio,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00'
+      GROUP BY date_trunc('day', o_orderdate), o_orderpriority
+    )
+    SELECT d, prio, rev,
+           cast(rank()       OVER w AS bigint) AS rnk,
+           cast(dense_rank() OVER w AS bigint) AS drnk,
+           cast(ntile(4)     OVER w AS bigint) AS quartile,
+           round(rev - lag(rev, 1, 0.0)  OVER (PARTITION BY prio ORDER BY d), 2) AS delta_prev,
+           round(lead(rev, 1, 0.0) OVER (PARTITION BY prio ORDER BY d), 2) AS next_rev,
+           round(first_value(rev) OVER (PARTITION BY prio ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_rev
+    FROM daily
+    WINDOW w AS (PARTITION BY prio ORDER BY rev DESC, d)
+    """,
+    "window-function family: rank/dense_rank/ntile/lag/lead/first_value "
+    "with named WINDOW clause and frames",
+)
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "salted join (ops/skew.py): hot-key fan-out across 8 salted reducers; "
+    "salt-invariant, so the oracle is the plain equi-join it must equal",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), "c_name", "c_mktsegment"
+    )
+    out = salted_join(
+        ev.withColumnRenamed("user_id", "c_custkey"), cust, ["c_custkey"], n_salts=8
+    )
+    return out.select(
+        "event_id",
+        F.col("c_custkey").alias("user_id"),
+        "event_type",
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+@register(
+    "distinct_twophase",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    "skew-resistant exact distinct: dedupe on (key, value) first, then "
+    "count per key — two small shuffles instead of one hot-key shuffle",
+)
+def distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # phase 1: (event_type, user_id) distinct — the hot key's rows spread
+    # over the full (key, value) space; phase 2: count per key
+    return (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_shared_sql(
     "q18_large_orders",
     """
     SELECT c_name, c_custkey, o_orderkey,

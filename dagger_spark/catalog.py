@@ -33,7 +33,7 @@ from .ops.similarity import (
 )
 from .ops.text import (
     bpe_ish_token_count, doc_fingerprint, language_id, quality_score,
-    text_stats, token_count, LANG_STOPWORDS,
+    text_stats, token_count, tokens, LANG_STOPWORDS,
 )
 from .sources.files import load_table, load_tables
 
@@ -1047,6 +1047,38 @@ def token_counts_docs(spark, sf_dir):
         "doc_id",
         token_count(F.col("text")).alias("ws_tokens"),
         bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "array_funcs_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           cast(len(t) AS bigint) AS n_tokens,
+           cast(len(list_filter(t, w -> length(w) > 4)) AS bigint) AS n_long,
+           round(coalesce(list_sum(list_transform(t, w -> length(w))), 0)::DOUBLE
+                 / greatest(len(t), 1), 6) AS avg_len,
+           len(list_filter(t, w -> w = 'the')) > 0 AS has_the
+    FROM toks
+    """,
+    "higher-order array functions: filter/transform/aggregate/exists over "
+    "token arrays, all JVM-side lambdas (no Python)",
+)
+def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    return staged.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.filter("t", lambda w: F.length(w) > 4)).cast("long").alias("n_long"),
+        F.round(
+            F.aggregate("t", F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+            .cast("double")
+            / F.greatest(F.size("t"), F.lit(1)),
+            6,
+        ).alias("avg_len"),
+        F.exists("t", lambda w: w == "the").alias("has_the"),
     )
 
 

@@ -1,0 +1,81 @@
+"""Plan-quality regression tests: the physical properties the 100 TB design
+depends on must survive refactors — pushdown reaching parquet, pruned read
+schemas, shuffle-free stateless rule evaluation, broadcast dimensions."""
+
+import contextlib
+import io
+
+import pytest
+
+from dagger_spark.catalog import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _plan(QUERIES["q6_forecast_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_discount" in pushed and "l_quantity" in pushed, pushed
+    # projection pruning: only the three involved columns reach the scan
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_returnflag" not in schema
+    assert "l_extendedprice" in schema
+
+
+def test_stateless_rules_plan_has_no_shuffle(spark, sysmon_df):
+    from dagger_spark.rules.builtin import active_rules
+    from dagger_spark.rules.engine import apply_rules_single_pass
+
+    plan = _plan(apply_rules_single_pass(sysmon_df, active_rules()))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    # the only join is the broadcast against rule metadata
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rules_scan_prunes_event_data_fields(spark, sysmon_df):
+    from dagger_spark.rules.builtin import active_rules
+    from dagger_spark.rules.engine import apply_rules_single_pass
+
+    alerts = apply_rules_single_pass(sysmon_df, active_rules())
+    fmt = _formatted(alerts)
+    schema_line = next(l for l in fmt.splitlines() if "ReadSchema" in l)
+    # predicates touch a subset of the 40+ event_data members; a field no
+    # rule references must not be read
+    assert "TargetImage" in schema_line
+    assert "Company" not in schema_line
+    assert "LogonId" not in schema_line
+
+
+def test_dim_joins_broadcast_small_side(spark, sf_dir):
+    plan = _plan(QUERIES["q5_region_volume"].fn(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 3  # region/nation/customer/supplier
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [
+        ("q1_pricing_summary", 1),
+        ("exact_dedup_docs", 1),
+        # events_hourly carries count(DISTINCT user_id): Spark expands the
+        # exact distinct into a two-level aggregate — 2 shuffles is the
+        # semantic minimum, not a regression
+        ("events_hourly", 2),
+    ],
+)
+def test_minimal_shuffle_aggregations(spark, sf_dir, name, max_shuffles):
+    plan = _plan(QUERIES[name].fn(spark, sf_dir))
+    n = plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+    assert n <= max_shuffles, f"{name} plans {n} shuffles:\n{plan[:1500]}"
+    assert "partial_" in plan  # map-side partial aggregation present

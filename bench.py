@@ -76,6 +76,28 @@ def _sysmon_bench_path() -> str:
     return path
 
 
+def _sysmon_stream_dir() -> str:
+    """Directory of 8 parquet files (320k rows each) for micro-batch replay —
+    the file stream triggers one micro-batch per file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = f"/tmp/dagger_bench_sysmon_stream_{SYSMON_BENCH_ROWS}"
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        from dagger_spark.fixtures import sysmon_arrow_table
+
+        os.makedirs(d, exist_ok=True)
+        base = sysmon_arrow_table(2000, seed=42)
+        per_file = SYSMON_BENCH_ROWS // 8
+        tiled = pa.concat_tables([base] * (per_file // base.num_rows))
+        for i in range(8):
+            pq.write_table(tiled, os.path.join(d, f"part-{i:03d}.parquet"),
+                           row_group_size=8192)
+        open(done, "w").close()
+    return d
+
+
 def main() -> None:
     from dagger_spark.catalog import QUERIES
     from dagger_spark.rules.builtin import active_rules
@@ -101,6 +123,32 @@ def main() -> None:
     dt = time.perf_counter() - t0
     timings["sysmon_rules_2_56m"] = round(dt, 3)
 
+    # same workload as a Structured Streaming micro-batch replay (8 files ->
+    # 8 micro-batches through the identical single-pass pipeline)
+    import tempfile
+
+    from dagger_spark.streaming import build_alert_stream, file_stream_events
+
+    stream_alerts = {"n": 0}
+
+    def _count_batch(bdf, _bid):
+        stream_alerts["n"] += bdf.count()
+
+    events = file_stream_events(spark, _sysmon_stream_dir(), watermark=None,
+                                max_files_per_trigger=1)
+    t0 = time.perf_counter()
+    q = (
+        build_alert_stream(events, rules)
+        .writeStream.foreachBatch(_count_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dagger_bench_ckpt_"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    dt_stream = time.perf_counter() - t0
+    timings["sysmon_rules_stream_2_56m"] = round(dt_stream, 3)
+
     total = round(sum(timings.values()), 3)
     sf = None
     base = os.path.basename(SF_DIR.rstrip("/"))
@@ -117,7 +165,9 @@ def main() -> None:
         "sf": sf,
         "detail": {
             "sysmon_rules_events_per_sec": round(SYSMON_BENCH_ROWS / dt),
+            "sysmon_rules_stream_events_per_sec": round(SYSMON_BENCH_ROWS / dt_stream),
             "sysmon_alerts": n_alerts,
+            "sysmon_stream_alerts": stream_alerts["n"],
             "cpus": CPUS,
         },
     }))

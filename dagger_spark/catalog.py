@@ -509,6 +509,41 @@ def distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _shared_sql(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15: CTE revenue view reused twice (join + scalar max subquery)",
+)
+
+_shared_sql(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#5'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    "TPC-H Q17: correlated scalar-average subquery (decorrelates to an "
+    "agg + rejoin on partkey)",
+)
+
+_shared_sql(
     "q18_large_orders",
     """
     SELECT c_name, c_custkey, o_orderkey,

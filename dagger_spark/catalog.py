@@ -957,6 +957,44 @@ def simhash_docs(spark, sf_dir):
     return simhash_df(load_table(spark, sf_dir, "documents"), "text", "doc_id", 32)
 
 
+_SIMHASH_SIG_CTE = f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    hsh AS (
+      SELECT doc_id,
+             list_transform(t, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS ht
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(range(0, 32), p ->
+               CASE WHEN list_sum(list_transform(ht, h ->
+                      CASE WHEN (h >> p) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+      FROM hsh
+    )
+"""
+
+@register(
+    "simhash_neardup",
+    _SIMHASH_SIG_CTE + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(len(list_filter(range(1, 33),
+                p -> substr(a.sig, p, 1) <> substr(b.sig, p, 1))) AS bigint)
+             AS hamming
+    FROM sigs a JOIN sigs b
+      ON substr(a.sig, 1, 8) = substr(b.sig, 1, 8) AND a.doc_id < b.doc_id
+    WHERE len(list_filter(range(1, 33),
+              p -> substr(a.sig, p, 1) <> substr(b.sig, p, 1))) <= 4
+    """,
+    "SimHash near-dup pairs: 8-bit prefix blocking + Hamming<=4 verify",
+)
+def simhash_neardup(spark, sf_dir):
+    from .ops.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_neardup_pairs(docs, bits=32, prefix_bits=8, max_hamming=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 @register(
     "fingerprint_docs",
     """

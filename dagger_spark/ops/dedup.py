@@ -282,6 +282,46 @@ def simhash_df(
     return hashed.select("doc_id", simhash_from_hashes(F.col("__hashes"), bits).alias("sig"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    prefix_bits: int = 8,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: same ``prefix_bits`` signature prefix →
+    candidate, verified by full Hamming distance <= ``max_hamming``.
+
+    The prefix is the standard multi-probe shortcut: near-identical docs
+    agree on (almost) every bit, so block-on-prefix keeps the self-join
+    bucket-local instead of n².  (A production variant unions several
+    rotated prefixes to cover near-misses in the first block; one block
+    keeps the oracle simple and the shape identical.)
+    """
+    sigs = simhash_df(df, text_col, id_col, bits).persist()
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.substring("sig", 1, prefix_bits).alias("pfx"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.substring("sig", 1, prefix_bits).alias("pfx"),
+    )
+    return (
+        a.join(b, "pfx")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("sig_a"), F.col("sig_b"), bits).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def hamming_distance(sig_a: Column, sig_b: Column, bits: int = 32) -> Column:
     """Hamming distance between two '0'/'1' signature strings."""
     return F.size(

@@ -509,6 +509,37 @@ def distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _shared_sql(
+    "q4_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4: EXISTS semi-join + grouped count",
+)
+
+_shared_sql(
+    "q20_part_suppliers",
+    """
+    SELECT s_name, n_name
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 100)
+      AND s_nationkey = n_nationkey
+    ORDER BY s_name
+    """,
+    "TPC-H Q20 shape: nested IN subqueries with HAVING (two semi-join "
+    "levels after decorrelation)",
+)
+
+_shared_sql(
     "q15_top_supplier",
     """
     WITH revenue AS (
@@ -886,6 +917,37 @@ _DUCK_MINHASH_CTE = f"""
 def minhash_pairs_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(docs, shingle_k=3, num_hashes=16, bands=4)
+
+
+@register(
+    "dedup_clusters_docs",
+    _DUCK_MINHASH_CTE.replace("WITH toks", "WITH RECURSIVE toks") + """
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION ALL SELECT id_b, id_a FROM cand
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT d.doc_id,
+           cast(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS bigint) AS cluster
+    FROM documents d
+    LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+      ON d.doc_id = m.a
+    """,
+    "near-dup cluster assignment: LSH pair graph -> connected components "
+    "(iterative min-label propagation; oracle = recursive-CTE closure)",
+)
+def dedup_clusters_docs(spark, sf_dir):
+    from .ops.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, shingle_k=3, num_hashes=16, bands=4)
 
 
 _DUCK_SH2 = f"""

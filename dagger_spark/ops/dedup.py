@@ -193,6 +193,76 @@ def minhash_candidate_pairs(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Each round every vertex takes the minimum label among itself and its
+    neighbors; convergence (no label changed) is checked per round and the
+    loop exits early — label counts are actions, but each round's work is
+    fully distributed (join + groupBy-min), nothing is collected.  Rounds
+    needed = graph diameter; near-dup graphs are dense clumps with tiny
+    diameters, so this converges in a few rounds.  (At extreme diameters the
+    alternating large-star/small-star formulation halves rounds to
+    O(log n); same join/agg primitives, not needed for this workload.)
+
+    Returns (id, cluster) where cluster = min vertex id in the component.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .persist()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
+    ).persist()
+    for _ in range(max_iters):
+        neigh = sym.join(labels, sym.b == labels.id).select(
+            F.col("a").alias("id"), F.col("cluster")
+        )
+        new_labels = (
+            labels.union(neigh).groupBy("id").agg(F.min("cluster").alias("cluster"))
+        ).persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster", "old"), "id")
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: MinHash-LSH candidate pairs form a
+    graph; connected components give each doc a cluster id (= the minimum
+    doc id in its component; isolated docs are their own cluster).  The
+    keep-one-per-cluster training-data dedup policy is then
+    ``filter(doc_id == cluster)``."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, shingle_k, num_hashes, bands)
+    verts = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(
+        verts, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return comp.select(F.col("id").alias(id_col), F.col("cluster"))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")

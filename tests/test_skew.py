@@ -105,3 +105,17 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" in pf
     assert parted.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """A 4-chain, a 2-clique and an isolated vertex: labels must converge to
+    the component minimum even across multi-hop chains."""
+    from dagger_spark.ops.dedup import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    # chain 0-1-2-3, pair 4-5, isolated 6
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    got = {r["id"]: r["cluster"] for r in connected_components(verts, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}

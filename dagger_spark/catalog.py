@@ -1058,6 +1058,35 @@ def simhash_neardup(spark, sf_dir):
 
 
 @register(
+    "docs_hash_sample",
+    """
+    SELECT source, count(*) AS n_sampled,
+           cast(sum(n_chars) AS bigint) AS chars_sampled
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10
+    GROUP BY source
+    """,
+    "deterministic 10% hash sampling (md5(doc_id) mod 100): reproducible "
+    "across engines/runs/partitionings, unlike rand()-based sampling; the "
+    "standard way to carve stable training-data subsets",
+)
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.filter(bucket < 10)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+    )
+
+
+@register(
     "fingerprint_docs",
     """
     SELECT doc_id,

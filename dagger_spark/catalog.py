@@ -888,9 +888,9 @@ _DUCK_MINHASH_CTE = f"""
       SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
     ), sh AS (
       SELECT doc_id,
-             list_sort(list_distinct(list_transform(
+             list_distinct(list_transform(
                range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
       FROM toks
     ), hsh AS (
       SELECT doc_id,
@@ -955,9 +955,9 @@ _DUCK_SH2 = f"""
       SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
     ), sh AS (
       SELECT doc_id,
-             list_sort(list_distinct(list_transform(
+             list_distinct(list_transform(
                range(1, greatest(len(t) - 1, 1) + 1),
-               i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS s
+               i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS s
       FROM toks
     ), hsh AS (
       SELECT doc_id,

@@ -128,7 +128,10 @@ def shingled_docs(
         F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, shingle_k)),
     )
-    return toks.select("id", F.array_sort(F.array_distinct(grams)).alias("sh"))
+    # distinct but NOT sorted: everything downstream (minhash min-fold,
+    # jaccard intersect/union sizes) is order-independent, so the per-doc
+    # O(S log S) string sort would be pure waste
+    return toks.select("id", F.array_distinct(grams).alias("sh"))
 
 
 def bucketed_minhash_from_shingles(

@@ -540,6 +540,23 @@ _shared_sql(
 )
 
 _shared_sql(
+    "q11_important_nations",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS nation_value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING sum(l_extendedprice * (1 - l_discount)) >
+           (SELECT 0.05 * sum(l_extendedprice * (1 - l_discount)) FROM lineitem)
+    ORDER BY nation_value DESC, n_name
+    """,
+    "TPC-H Q11 shape: HAVING against an uncorrelated scalar-aggregate "
+    "subquery (global-total fraction threshold)",
+)
+
+_shared_sql(
     "q15_top_supplier",
     """
     WITH revenue AS (

@@ -683,6 +683,45 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_stats_pandas",
+    """
+    SELECT l_returnflag,
+           cast(count(*) AS bigint) AS n,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "custom grouped-map UDAF via applyInPandas (Arrow batch per group, "
+    "numpy quartiles); linear interpolation matches percentile_cont, so "
+    "the oracle is exact — the shape a custom Python aggregation takes "
+    "when built-ins genuinely can't express it",
+)
+def grouped_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+
+    def stats(pdf):
+        import numpy as np
+        import pandas as pd
+
+        p25, p50, p75 = np.percentile(
+            pdf["l_extendedprice"].to_numpy(), [25, 50, 75]
+        )  # linear interpolation == percentile_cont
+        return pd.DataFrame(
+            [[pdf["l_returnflag"].iloc[0], len(pdf),
+              round(p25, 6), round(p50, 6), round(p75, 6)]],
+            columns=["l_returnflag", "n", "p25", "p50", "p75"],
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        stats, "l_returnflag string, n bigint, p25 double, p50 double, p75 double"
+    )
+
+
+@register(
     "pivot_returnflag_qty",
     """
     SELECT l_linestatus,

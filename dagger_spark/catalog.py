@@ -523,6 +523,97 @@ _shared_sql(
 )
 
 _shared_sql(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN n_name = 'NATION_6' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT cast(extract(year FROM o_orderdate) AS bigint) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS n_name
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "TPC-H Q8: national market share — 8-relation join (nation twice, "
+    "customer-side region gate vs supplier-side share nation) + "
+    "conditional-sum ratio per year",
+)
+
+_shared_sql(
+    "q12_late_shipments",
+    """
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL '60' DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    "TPC-H Q12 shape (no l_shipmode in this schema: 'late' = shipped >60 "
+    "days after order): join + FILTER'd conditional counts by priority class",
+)
+
+_shared_sql(
+    "q13_order_distribution",
+    """
+    SELECT c_count, cast(count(*) AS bigint) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "TPC-H Q13: customer order-count distribution — outer join with an "
+    "ON-clause filter (kept pre-join, not a WHERE), double aggregation",
+)
+
+_shared_sql(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, cast(count(*) AS bigint) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL '365' DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL '365' DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    "TPC-H Q21 shape ('late' = shipped >1y after order; no receipt/commit "
+    "dates in this schema): the hardest decorrelation pattern — EXISTS + "
+    "NOT EXISTS self-joins on lineitem with a non-equality correlated "
+    "predicate through two join levels",
+)
+
+_shared_sql(
     "q20_part_suppliers",
     """
     SELECT s_name, n_name

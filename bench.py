@@ -32,8 +32,12 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q7_nation_trade",
     "q9_profit_by_nation",
+    "q8_market_share",
     "q10_returned_items",
+    "q12_late_shipments",
+    "q13_order_distribution",
     "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
     "revenue_moving_avg",
     "q18_large_orders",
     "top_customers_per_nation",

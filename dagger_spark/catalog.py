@@ -1127,15 +1127,18 @@ _DUCK_SH2 = f"""
     "jaccard_pairs_docs",
     _DUCK_SH2 + """
     SELECT c.id_a, c.id_b,
-           round(len(list_intersect(a.s, b.s))::DOUBLE
-                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+           round(len(list_intersect(a.hs, b.hs))::DOUBLE
+                 / (len(a.hs) + len(b.hs)
+                    - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
     FROM cand c
-    JOIN sh a ON c.id_a = a.doc_id
-    JOIN sh b ON c.id_b = b.doc_id
-    WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-                / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.2
+    JOIN hsh a ON c.id_a = a.doc_id
+    JOIN hsh b ON c.id_b = b.doc_id
+    WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE
+                / (len(a.hs) + len(b.hs)
+                   - len(list_intersect(a.hs, b.hs))), 6) >= 0.2
     """,
-    "n-gram Jaccard near-dup: LSH candidates + exact verify >= 0.2",
+    "n-gram Jaccard near-dup: LSH candidates + exact verify >= 0.2 "
+    "(verify on 60-bit hashed shingles; union size by arithmetic)",
 )
 def jaccard_pairs_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

@@ -11,15 +11,15 @@ from .text import (
     doc_fingerprint, language_id, quality_score, text_stats, token_count, tokens,
 )
 from .dedup import (
-    exact_dedup, minhash_signature, minhash_bands, minhash_candidate_pairs,
-    ngram_jaccard_pairs, simhash, word_shingles,
+    exact_dedup, hashed_docs, minhash_signature, minhash_bands,
+    minhash_candidate_pairs, ngram_jaccard_pairs, simhash, word_shingles,
 )
 from .similarity import brute_force_topk, cosine_sim, lsh_bucket, lsh_topk
 
 __all__ = [
     "doc_fingerprint", "language_id", "quality_score", "text_stats",
     "token_count", "tokens",
-    "exact_dedup", "minhash_signature", "minhash_bands",
+    "exact_dedup", "hashed_docs", "minhash_signature", "minhash_bands",
     "minhash_candidate_pairs", "ngram_jaccard_pairs", "simhash", "word_shingles",
     "brute_force_topk", "cosine_sim", "lsh_bucket", "lsh_topk",
 ]

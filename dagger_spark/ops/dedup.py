@@ -134,22 +134,39 @@ def shingled_docs(
     return toks.select("id", F.array_distinct(grams).alias("sh"))
 
 
-def bucketed_minhash_from_shingles(
-    sh: DataFrame, num_hashes: int = 16, bands: int = 4
+def hashed_docs(sh: DataFrame) -> DataFrame:
+    """(id, hs, nsh) from a pre-shingled (id, sh) relation: each shingle
+    md5'd ONCE into a 60-bit bigint.  This single hashed table feeds both
+    LSH bucketing (minhash = integer affine mins over hs) and Jaccard
+    verification (intersect on hs) — one md5 pass over the corpus total."""
+    return sh.select(
+        "id",
+        shingle_hashes(F.col("sh")).alias("hs"),
+        F.size(F.col("sh")).alias("nsh"),
+    )
+
+
+def bucketed_minhash_from_hashes(
+    hashed: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """(id, band, bucket) from a pre-shingled (id, sh) relation.  Staged: md5
-    each shingle ONCE, then the 16 integer affine mins over the hash array
-    (the projection boundary stops Catalyst inlining the md5 into every one
-    of the 16 folds)."""
+    """(id, band, bucket) from a pre-hashed (id, hs) relation (see
+    ``hashed_docs``).  The staged projection boundary stops Catalyst inlining
+    the hash array into every one of the ``num_hashes`` min-folds."""
     rows_per_band = num_hashes // bands
-    hashed = sh.select("id", shingle_hashes(F.col("sh")).alias("__hs"))
     sig = hashed.select(
-        "id", minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig")
+        "id", minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("__sig")
     )
     return (
         sig.select("id", F.explode(minhash_bands(F.col("__sig"), bands, rows_per_band)).alias("bb"))
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
+
+
+def bucketed_minhash_from_shingles(
+    sh: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, bucket) from a pre-shingled (id, sh) relation."""
+    return bucketed_minhash_from_hashes(hashed_docs(sh), num_hashes, bands)
 
 
 def bucketed_minhash(
@@ -283,14 +300,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard near-dup: LSH candidates -> exact Jaccard verify.
 
-    The verify join re-attaches shingle arrays to the candidate pair list
-    (two broadcast-able joins against the docs projection), then filters by
-    the true Jaccard similarity — the classic filter-and-verify shape.
-    ONE persisted shingle table feeds candidate generation AND both verify
-    sides, so the text is tokenized/shingled exactly once.
+    The verify join re-attaches the HASHED shingle arrays (60-bit bigints,
+    see ``hashed_docs``) to the candidate pair list — two broadcast-able
+    joins — then filters by true Jaccard.  Verification runs entirely on
+    integer arrays: |A∩B| = size(array_intersect(hs_a, hs_b)) and
+    |A∪B| = nsh_a + nsh_b − |A∩B| (no union array is ever materialized;
+    string compares never happen in the per-pair loop).  ONE persisted
+    hashed table feeds candidate generation AND both verify sides, so the
+    corpus is tokenized/shingled/md5'd exactly once.  Within-doc 60-bit
+    hash collisions (P ≈ S²/2⁶¹ per doc) are the usual MinHash trade and
+    replay identically in the DuckDB oracle, which hashes the same way.
     """
-    docs = shingled_docs(df, text_col, id_col, shingle_k).persist()
-    bucketed = bucketed_minhash_from_shingles(docs, num_hashes, bands).persist()
+    hdocs = hashed_docs(shingled_docs(df, text_col, id_col, shingle_k)).persist()
+    bucketed = bucketed_minhash_from_hashes(hdocs, num_hashes, bands).persist()
     left = bucketed.alias("l")
     right = bucketed.alias("r")
     cands = (
@@ -303,16 +325,15 @@ def ngram_jaccard_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
+    a = hdocs.alias("a")
+    b = hdocs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs"))).cast("double")
+    union = (F.col("a.nsh") + F.col("b.nsh")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         cands.join(a, cands.id_a == F.col("a.id"))
         .join(b, cands.id_b == F.col("b.id"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
-        )
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

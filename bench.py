@@ -62,6 +62,20 @@ HEADLINE = [
 
 SYSMON_BENCH_ROWS = 2_560_000
 
+# Scan-split tuning for LOCAL bench scale: the sf0.1 parquet files are all
+# under 11 MB, so Spark's default 128 MB maxPartitionBytes reads every table
+# as ONE partition and the whole suite runs single-core scans.  1 MB splits
+# engage all cores (lineitem -> ~11 tasks, sysmon 24 MB -> ~24).  At the
+# 100 TB design point files are row-group-sized properly and the 128 MB
+# default is correct — this knob compensates for miniature test files, it is
+# not the production setting.
+SPLIT_CONF = {
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)
+    ),
+    "spark.sql.files.openCostInBytes": str(64 * 1024),
+}
+
 
 def _sysmon_bench_path() -> str:
     """Synthesize (once) a large sysmon parquet by tiling the deterministic
@@ -80,22 +94,29 @@ def _sysmon_bench_path() -> str:
     return path
 
 
+STREAM_FILES = 256
+STREAM_FILES_PER_TRIGGER = 32  # -> 8 micro-batches of 32 parallel file-tasks
+
+
 def _sysmon_stream_dir() -> str:
-    """Directory of 8 parquet files (320k rows each) for micro-batch replay —
-    the file stream triggers one micro-batch per file."""
+    """Directory of 256 parquet files (10k rows each) for micro-batch replay.
+    32 files per trigger -> 8 micro-batches, each reading 32 files in
+    parallel — the file-source stand-in for a 32-partition Kafka topic (one
+    task per partition per batch).  A single big file per trigger would run
+    each micro-batch on ONE core (file-stream sources don't split files)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    d = f"/tmp/dagger_bench_sysmon_stream_{SYSMON_BENCH_ROWS}"
+    d = f"/tmp/dagger_bench_sysmon_stream_{SYSMON_BENCH_ROWS}_{STREAM_FILES}f"
     done = os.path.join(d, "_DONE")
     if not os.path.exists(done):
         from dagger_spark.fixtures import sysmon_arrow_table
 
         os.makedirs(d, exist_ok=True)
         base = sysmon_arrow_table(2000, seed=42)
-        per_file = SYSMON_BENCH_ROWS // 8
+        per_file = SYSMON_BENCH_ROWS // STREAM_FILES
         tiled = pa.concat_tables([base] * (per_file // base.num_rows))
-        for i in range(8):
+        for i in range(STREAM_FILES):
             pq.write_table(tiled, os.path.join(d, f"part-{i:03d}.parquet"),
                            row_group_size=8192)
         open(done, "w").close()
@@ -108,7 +129,12 @@ def main() -> None:
     from dagger_spark.rules.engine import apply_rules_single_pass
     from dagger_spark.session import get_spark
 
-    spark = get_spark("dagger_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark = get_spark(
+        "dagger_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf=SPLIT_CONF,
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
     timings: dict = {}
@@ -127,8 +153,9 @@ def main() -> None:
     dt = time.perf_counter() - t0
     timings["sysmon_rules_2_56m"] = round(dt, 3)
 
-    # same workload as a Structured Streaming micro-batch replay (8 files ->
-    # 8 micro-batches through the identical single-pass pipeline)
+    # same workload as a Structured Streaming micro-batch replay (256 files,
+    # 32 per trigger -> 8 micro-batches through the identical single-pass
+    # pipeline, 32-way parallel within each batch)
     import tempfile
 
     from dagger_spark.streaming import build_alert_stream, file_stream_events
@@ -139,7 +166,7 @@ def main() -> None:
         stream_alerts["n"] += bdf.count()
 
     events = file_stream_events(spark, _sysmon_stream_dir(), watermark=None,
-                                max_files_per_trigger=1)
+                                max_files_per_trigger=STREAM_FILES_PER_TRIGGER)
     t0 = time.perf_counter()
     q = (
         build_alert_stream(events, rules)

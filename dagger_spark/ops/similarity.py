@@ -39,6 +39,17 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the two norms STAGED in upstream projections.  In a
+    pairwise join each side's norm is a per-row property; folding it inside
+    the pair loop (plain ``cosine_sim``) recomputes it |pairs|/|rows| times
+    — staging turns two O(dim) folds per pair into one multiply.  The
+    arithmetic (fold order, na*nb then divide) is unchanged, so results are
+    bit-identical to ``cosine_sim`` and oracle-stable."""
+    d = na * nb
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,15 +61,26 @@ def brute_force_topk(
     excluded).  `queries` is broadcast; output: (query_id, neighbor_id, score
     rounded to 6), `rank` 1..k."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+            F.round(
+                cosine_from_norms(
+                    F.col("qvec"), F.col("cvec"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -117,17 +139,21 @@ def cosine_neardup_pairs(
     sides = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    a = sides.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = sides.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    a = sides.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket")
+    b = sides.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket")
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("score"),
+            F.round(
+                cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -207,6 +233,7 @@ def ivf_topk(
     c = c_staged.select(
         "neighbor_id",
         "cvec",
+        F.col("__n").alias("__cn"),
         cell_of(F.col("cvec"), F.col("__n"), 1)[0]["c"].alias("cell"),
     )
     q_staged = queries.select(
@@ -217,6 +244,7 @@ def ivf_topk(
     q = q_staged.select(
         "query_id",
         "qvec",
+        F.col("__n").alias("__qn"),
         F.explode(
             F.transform(cell_of(F.col("qvec"), F.col("__n"), nprobe), lambda e: e["c"])
         ).alias("cell"),
@@ -227,7 +255,12 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+            F.round(
+                cosine_from_norms(
+                    F.col("qvec"), F.col("cvec"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -253,11 +286,13 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
@@ -266,7 +301,12 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+            F.round(
+                cosine_from_norms(
+                    F.col("qvec"), F.col("cvec"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

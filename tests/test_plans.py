@@ -79,3 +79,25 @@ def test_minimal_shuffle_aggregations(spark, sf_dir, name, max_shuffles):
     n = plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
     assert n <= max_shuffles, f"{name} plans {n} shuffles:\n{plan[:1500]}"
     assert "partial_" in plan  # map-side partial aggregation present
+
+
+def test_jaccard_verify_runs_on_hashed_arrays(spark, sf_dir):
+    """The Jaccard verify loop must stay on 60-bit integer arrays with the
+    union size computed arithmetically: no union array materialized, no
+    md5/string work inside the per-pair expressions (all string hashing is
+    staged once per doc, upstream of the candidate join)."""
+    df = QUERIES["jaccard_pairs_docs"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_union" not in plan, "union array re-materialized in verify"
+    post_join = plan.split("Join", 1)[0]  # ops above the verify join
+    assert "md5" not in post_join, "string hashing leaked into the pair loop"
+
+
+def test_pairwise_cosine_norms_are_staged(spark, sf_dir):
+    """Pairwise similarity joins must stage each side's norm in a per-row
+    projection: above the join there is exactly one aggregate fold per score
+    (the dot product), not three (dot + two norm re-folds per pair)."""
+    df = QUERIES["embedding_neardup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    above_join = plan.split("Join", 1)[0]
+    assert above_join.count("aggregate(") == 1, above_join[:800]

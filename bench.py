@@ -54,6 +54,7 @@ HEADLINE = [
     "minhash_pairs_docs",
     "jaccard_pairs_docs",
     "simhash_docs",
+    "simhash_neardup",
     "ann_brute_force",
     "ann_lsh",
     "ann_ivf",

@@ -853,6 +853,45 @@ _shared_sql(
     "tumbling-window aggregation (batch twin of the streaming hourly rollup)",
 )
 
+@register(
+    "events_burst_detection",
+    """
+    SELECT date_trunc('hour', ts) AS w_start,
+           user_id,
+           cast(count(*) AS bigint) AS n_events,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    "timeframe/count rule shape (SURVEY §2.5-T3, the reference's "
+    "designed-but-skipped Sigma timeframe gap): tumbling event-time window "
+    "+ keyed count with HAVING threshold + min/max bounds — the batch twin "
+    "of rules/timeframe.py's streaming windowed aggregation",
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("__w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .select(
+            F.col("__w.start").alias("w_start"),
+            "user_id",
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
 _shared_sql(
     "events_sessionization",
     """

@@ -33,7 +33,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer DIV, not `/`: epoch-nanos ~1.7e18 exceeds double's 53-bit
+        # mantissa, so float division can bump the microsecond by one —
+        # DuckDB (the oracle) truncates exactly
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

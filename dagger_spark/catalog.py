@@ -1247,6 +1247,83 @@ def simhash_neardup(spark, sf_dir):
 
 
 @register(
+    "docs_stratified_sample",
+    """
+    SELECT lang, doc_id, rk
+    FROM (
+      SELECT lang, doc_id,
+             cast(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS bigint) AS rk
+      FROM documents
+    )
+    WHERE rk <= 20
+    """,
+    "deterministic stratified sampling: fixed-size per-class subset (20 per "
+    "language), ranked by md5(doc_id) so the draw is pseudo-random yet "
+    "reproducible across engines/runs/partitionings — the class-balancing "
+    "primitive for training-data mixes.  One shuffle keyed by the stratum; "
+    "at 100 TB the rank is per-partition-truncatable (each partition only "
+    "needs its top-20 candidates before the merge)",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "docs_pack_bins",
+    """
+    SELECT source, doc_id, n_tok,
+           cast(coalesce(sum(n_tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // 4096 AS bigint) AS bin
+    FROM (
+      SELECT source, doc_id,
+             cast(len({toks}) AS bigint) AS n_tok
+      FROM documents
+    )
+    """.format(toks=_DUCK_TOKS),
+    "sequence packing for training: documents stream into 4096-token bins "
+    "per source shard — bin = (running token count before this doc) div "
+    "budget, the deterministic distributed approximation of greedy packing "
+    "(a doc can straddle its bin boundary; the streaming writer splits it). "
+    "One window shuffle keyed by shard, order by doc_id",
+)
+def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return sized.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        (cum_before / 4096).cast("long").alias("bin"),
+    )
+
+
+@register(
     "docs_hash_sample",
     """
     SELECT source, count(*) AS n_sampled,

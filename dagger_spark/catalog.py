@@ -1224,6 +1224,55 @@ _SIMHASH_SIG_CTE = f"""
     )
 """
 
+_SIMHASH_INT_CTE = f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    hsh AS (
+      SELECT doc_id,
+             list_transform(t, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS ht
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 32), p ->
+               CASE WHEN list_sum(list_transform(ht, h ->
+                      CASE WHEN (h >> p) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS isig
+      FROM hsh
+    )
+"""
+
+_MULTIPROBE_BRANCH = """
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.isig AS sa, b.isig AS sb
+      FROM sigs a JOIN sigs b
+        ON ((a.isig >> {shift}) & 255) = ((b.isig >> {shift}) & 255)
+       AND a.doc_id < b.doc_id
+"""
+
+@register(
+    "simhash_multiprobe",
+    _SIMHASH_INT_CTE + """
+    , cand AS (
+    """ + "\n      UNION\n".join(
+        _MULTIPROBE_BRANCH.format(shift=r * 8) for r in range(4)
+    ) + """
+    )
+    SELECT id_a, id_b,
+           cast(bit_count(xor(sa, sb)) AS bigint) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 4
+    """,
+    "multi-probe SimHash near-dup: candidates from 4 disjoint 8-bit "
+    "signature fields (pigeonhole guarantees recall of every pair at "
+    "Hamming<=3, vs prefix-only blocking which can miss them), unioned and "
+    "verified by bit_count(xor)",
+)
+def simhash_multiprobe(spark, sf_dir):
+    from .ops.dedup import simhash_multiprobe_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_multiprobe_pairs(docs, bits=32, probes=4, probe_bits=8, max_hamming=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 @register(
     "simhash_neardup",
     _SIMHASH_SIG_CTE + """

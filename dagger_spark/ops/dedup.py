@@ -475,6 +475,61 @@ def simhash_neardup_pairs(
     )
 
 
+def simhash_multiprobe_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    probes: int = 4,
+    probe_bits: int = 8,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Multi-probe SimHash near-dup pairs: candidates from ``probes``
+    DISJOINT ``probe_bits``-wide signature fields, unioned, then verified by
+    full Hamming distance.
+
+    Single-prefix blocking misses any pair whose differing bits fall inside
+    the one block (recall ≈ P(all diffs outside prefix)); with 4 disjoint
+    8-bit probes over a 32-bit signature, a pair at Hamming distance d ≤ 3
+    is GUARANTEED captured (pigeonhole: d < probes forces some untouched
+    field), and d=4 is missed only when each probe field eats exactly one
+    differing bit.  Cost: ``probes`` bucket-local self-joins over the same
+    persisted signature table — still nothing n², and each join's block key
+    is a bit-masked integer.  Probe r blocks on ``(sig >> r*probe_bits) &
+    (2^probe_bits - 1)``; the verify is ``bit_count(sig_a XOR sig_b)``.
+    """
+    sigs = simhash_int_df(df, text_col, id_col, bits).persist()
+    mask = (1 << probe_bits) - 1
+    parts = []
+    for r in range(probes):
+        shift = r * probe_bits
+        key = F.shiftright(F.col("sig_int"), shift).bitwiseAND(F.lit(mask))
+        a = sigs.select(
+            F.col("doc_id").alias("id_a"), F.col("sig_int").alias("sig_a"),
+            key.alias("pfx"),
+        )
+        b = sigs.select(
+            F.col("doc_id").alias("id_b"), F.col("sig_int").alias("sig_b"),
+            key.alias("pfx"),
+        )
+        parts.append(
+            a.join(b, "pfx").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    return (
+        cands.distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def hamming_distance(sig_a: Column, sig_b: Column, bits: int = 32) -> Column:
     """Hamming distance between two '0'/'1' signature strings."""
     return F.size(

@@ -38,14 +38,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles (space-joined), sorted for determinism."""
+    """Distinct word k-gram shingles (space-joined), sorted for determinism.
+    A doc with no tokens has NO shingles (empty array, not ['']): an empty
+    document carries no content signal, so it must never form near-dup
+    candidates — this also matches the SQL-oracle semantics, where
+    array_to_string over an empty slice yields NULL and drops out."""
     toks = tokens(text)
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
-    return F.array_sort(F.array_distinct(grams))
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.array_sort(F.array_distinct(grams))
+    )
 
 
 _MOD31 = 2147483648  # 2^31
@@ -130,8 +136,13 @@ def shingled_docs(
     )
     # distinct but NOT sorted: everything downstream (minhash min-fold,
     # jaccard intersect/union sizes) is order-independent, so the per-doc
-    # O(S log S) string sort would be pure waste
-    return toks.select("id", F.array_distinct(grams).alias("sh"))
+    # O(S log S) string sort would be pure waste.  Token-less docs get an
+    # EMPTY shingle set (see word_shingles) — they carry no content signal
+    # and must not alias each other through a '' shingle
+    sh = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+    return toks.select("id", sh.alias("sh"))
 
 
 def hashed_docs(sh: DataFrame) -> DataFrame:
@@ -151,9 +162,12 @@ def bucketed_minhash_from_hashes(
 ) -> DataFrame:
     """(id, band, bucket) from a pre-hashed (id, hs) relation (see
     ``hashed_docs``).  The staged projection boundary stops Catalyst inlining
-    the hash array into every one of the ``num_hashes`` min-folds."""
+    the hash array into every one of the ``num_hashes`` min-folds.  Docs
+    with no shingles are excluded: an empty min-fold has no signature, so
+    they generate no buckets and never become near-dup candidates (the SQL
+    oracle's NULL-signature rows drop out of its bucket join the same way)."""
     rows_per_band = num_hashes // bands
-    sig = hashed.select(
+    sig = hashed.filter(F.size(F.col("hs")) > 0).select(
         "id", minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("__sig")
     )
     return (

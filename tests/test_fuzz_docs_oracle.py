@@ -1,0 +1,116 @@
+"""Fuzzed-corpus differential testing for the document-family operators.
+
+The driver's gate runs each catalog query against its DuckDB oracle on the
+FIXED testdata; this suite re-runs the doc-family pairs on randomized
+corpora salted with the edge cases that break tokenizers and hash pipelines
+— empty text, whitespace-only, single tokens, unicode, exact duplicates,
+near-duplicates, long repeats — so cross-engine parity is a property, not a
+coincidence of one dataset.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.check_catalog import normalize  # noqa: E402
+
+from dagger_spark.catalog import QUERIES  # noqa: E402
+
+DOC_QUERIES = [
+    "exact_dedup_docs",
+    "minhash_pairs_docs",
+    "jaccard_pairs_docs",
+    "simhash_docs",
+    "simhash_neardup",
+    "simhash_multiprobe",
+    "language_id_docs",
+    "token_counts_docs",
+    "fingerprint_docs",
+    "docs_stratified_sample",
+    "docs_pack_bins",
+]
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog and a cat sat on mat with "
+    "der die und das el la de que le les data spark duck engine stream"
+).split()
+
+_EDGE_TEXTS = [
+    "",
+    "   ",
+    "one",
+    "tab\tsep\ttokens",
+    "line\nbreaks\nhere",
+    "ünïcödé tökens ünïcödé tökens",
+    "punct!!! ??? ... ;;; :::",
+    "12345 67890 12345",
+    ("repeat " * 40).strip(),
+]
+
+
+def _random_corpus(seed: int, n: int = 60) -> pd.DataFrame:
+    rng = random.Random(seed)
+    texts = list(_EDGE_TEXTS)
+    while len(texts) < n - 6:
+        k = rng.randint(1, 30)
+        texts.append(" ".join(rng.choice(_WORDS) for _ in range(k)))
+    # exact duplicates and near-duplicates (one-token edits) of random docs
+    for _ in range(3):
+        texts.append(rng.choice(texts[9:]) if len(texts) > 9 else "dup")
+    for _ in range(3):
+        base = rng.choice([t for t in texts if t.strip()])
+        toks = base.split()
+        toks[rng.randrange(len(toks))] = rng.choice(_WORDS)
+        texts.append(" ".join(toks))
+    rng.shuffle(texts)
+    return pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": [rng.choice(["en", "de", "es", "xx"]) for _ in texts],
+            "source": [rng.choice(["web", "book", "code"]) for _ in texts],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+
+
+@pytest.fixture(scope="module", params=[7, 1234])
+def fuzz_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"fuzzdocs{request.param}")
+    pdf = _random_corpus(request.param)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_doc_query_matches_oracle_on_fuzzed_corpus(spark, fuzz_dir, name):
+    q = QUERIES[name]
+    sdf = q.fn(spark, fuzz_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{fuzz_dir}/documents.parquet')"
+    )
+    ddf = con.execute(q.oracle).fetchdf()
+    a, b = normalize(sdf), normalize(ddf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{name}: {len(a)} spark vs {len(b)} duckdb rows"
+    if not a.equals(b):
+        neq = (a != b).any(axis=1)
+        raise AssertionError(
+            f"{name}: {int(neq.sum())}/{len(a)} rows differ\n"
+            + str(pd.concat([a[neq].head(3), b[neq].head(3)], keys=["spark", "duck"]))
+        )

@@ -930,10 +930,11 @@ _shared_sql(
       FROM events
     ), flagged AS (
       SELECT user_id, event_id, ts, value,
-             -- Spark's session_window merges while gap < 30min STRICTLY:
-             -- an event exactly 30min later starts a new session, so the
-             -- island break here is >= (not >)
-             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+             -- Spark's session_window is INCLUSIVE at the gap boundary: an
+             -- event exactly 30min after the previous one still merges
+             -- (verified empirically: 1800s gap -> one session, 1801s ->
+             -- two), so the island break here is > (not >=)
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM ordered
     ), sess AS (

@@ -33,9 +33,12 @@ DOC_QUERIES = [
     "simhash_docs",
     "simhash_neardup",
     "simhash_multiprobe",
+    "dedup_clusters_docs",
     "language_id_docs",
     "token_counts_docs",
+    "text_stats_docs",
     "fingerprint_docs",
+    "docs_hash_sample",
     "docs_stratified_sample",
     "docs_pack_bins",
 ]

@@ -1712,6 +1712,53 @@ _ANN_IVF_ORACLE = """
     SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
 """
 
+_KMEANS_STEP_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+    ), assign AS (
+      SELECT e.vec_id, e.v, cents.cid,
+             round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)) > 0
+                        THEN list_dot_product(e.v, cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))
+                        ELSE 0.0 END, 9) AS s
+      FROM e, cents
+    ), ranked AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rnk
+      FROM assign
+    ), member AS (
+      SELECT vec_id, v, cid AS cell FROM ranked WHERE rnk = 1
+    ), counts AS (
+      SELECT cell, cast(count(*) AS bigint) AS n_members FROM member GROUP BY cell
+    ), dims AS (
+      SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM member
+    ), means AS (
+      SELECT cell, cast(dim AS bigint) AS dim, round(avg(x), 6) AS mean_x
+      FROM dims GROUP BY cell, dim
+    )
+    SELECT m.cell, m.dim, m.mean_x, c.n_members
+    FROM means m JOIN counts c USING (cell)
+"""
+
+@register(
+    "kmeans_step_embeddings",
+    _KMEANS_STEP_ORACLE,
+    "one distributed k-means (Lloyd) iteration: map-side nearest-centroid "
+    "assignment (the IVF quantizer's training step) + dim-wise centroid "
+    "recompute via posexplode + grouped avg — one shuffle keyed by "
+    "(cell, dim), long-form output so the oracle compares scalars",
+)
+def kmeans_step_embeddings(spark, sf_dir):
+    from .ops.similarity import kmeans_step
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return kmeans_step(emb, n_centroids=16)
+
+
 @register(
     "ann_ivf",
     _ANN_IVF_ORACLE,

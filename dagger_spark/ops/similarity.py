@@ -159,6 +159,102 @@ def cosine_neardup_pairs(
     )
 
 
+def _centroid_literals(corpus, n_centroids, id_col, vec_col):
+    """Deterministic coarse quantizer: corpus rows with id < n_centroids,
+    collected at plan time, shipped as three array literals (matrix, ids,
+    norms) — see ``ivf_topk`` for why literals-not-scalars matters."""
+    import math
+
+    cents = sorted(
+        (r["cid"], list(r["v"]))
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if not cents:
+        raise ValueError("no centroid rows (corpus ids all >= n_centroids)")
+    cmat = F.lit([cv for _, cv in cents])
+    cid_arr = F.lit([int(cid) for cid, _ in cents])
+    cn_arr = F.lit([math.sqrt(sum(x * x for x in cv)) for _, cv in cents])
+
+    def cell_of(vec: Column, vnorm: Column, top: int) -> Column:
+        def one(i: Column) -> Column:
+            cn = F.element_at(cn_arr, i)
+            return F.struct(
+                F.round(
+                    F.when(
+                        vnorm * cn > 0,
+                        dot(vec, F.element_at(cmat, i)) / (vnorm * cn),
+                    ).otherwise(F.lit(0.0)),
+                    9,
+                ).alias("s"),
+                F.element_at(cid_arr, i).alias("c"),
+            )
+
+        scored = F.transform(F.sequence(F.lit(1), F.lit(len(cents))), one)
+        ranked = F.reverse(F.array_sort(scored))  # desc by (s, c)
+        return F.slice(ranked, 1, top)
+
+    return cell_of
+
+
+def assign_cells(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, norm, cell): nearest-centroid assignment as a pure map —
+    no shuffle; the quantizer rides along as plan-time literals.  The
+    assignment step shared by IVF search and the k-means trainer."""
+    cell_of = _centroid_literals(corpus, n_centroids, id_col, vec_col)
+    staged = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vnorm"),
+    )
+    return staged.select(
+        "vec_id",
+        "vec",
+        "vnorm",
+        cell_of(F.col("vec"), F.col("vnorm"), 1)[0]["c"].alias("cell"),
+    )
+
+
+def kmeans_step(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration, long-form output: (cell, dim, mean_x, n_members).
+
+    Assign = map-side nearest-centroid (cosine, deterministic ties by larger
+    cell id); update = dim-wise mean via ``posexplode`` + grouped avg —
+    the columnar formulation of centroid recomputation: ONE shuffle keyed by
+    (cell, dim), map-side partial sums absorb the fan-out, and no executor
+    ever holds more than a (cell, dim) accumulator.  Long form (one row per
+    centroid dimension, 1-based ``dim``) keeps the cross-engine compare on
+    scalars.  Iterating this to convergence IS distributed k-means; each
+    round is this same plan re-run with the previous round's centroids.
+    """
+    member = assign_cells(corpus, n_centroids, id_col, vec_col)
+    counts = member.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    dims = member.select(
+        "cell", F.posexplode(F.col("vec").cast("array<double>")).alias("pos", "x")
+    )
+    means = dims.groupBy("cell", "pos").agg(F.round(F.avg("x"), 6).alias("mean_x"))
+    return (
+        means.join(F.broadcast(counts), "cell")
+        .select(
+            "cell",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            "mean_x",
+            "n_members",
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -190,41 +286,7 @@ def ivf_topk(
     DESC, cid DESC).  Scores are rounded to 9 before argmax so both engines
     compare the same doubles.
     """
-    import math
-
-    cents = sorted(
-        (r["cid"], list(r["v"]))
-        for r in corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
-    if not cents:
-        raise ValueError("no centroid rows (corpus ids all >= n_centroids)")
-    # centroid matrix/ids/norms as plan-time array literals: each per-row
-    # cosine is one dot product + one multiply, and the row's own norm is
-    # staged ONCE per row instead of being re-folded inside every cosine
-    cmat = F.lit([cv for _, cv in cents])
-    cid_arr = F.lit([int(cid) for cid, _ in cents])
-    cn_arr = F.lit([math.sqrt(sum(x * x for x in cv)) for _, cv in cents])
-
-    def cell_of(vec: Column, vnorm: Column, top: int) -> Column:
-        def one(i: Column) -> Column:
-            cn = F.element_at(cn_arr, i)
-            return F.struct(
-                F.round(
-                    F.when(
-                        vnorm * cn > 0,
-                        dot(vec, F.element_at(cmat, i)) / (vnorm * cn),
-                    ).otherwise(F.lit(0.0)),
-                    9,
-                ).alias("s"),
-                F.element_at(cid_arr, i).alias("c"),
-            )
-
-        scored = F.transform(F.sequence(F.lit(1), F.lit(len(cents))), one)
-        ranked = F.reverse(F.array_sort(scored))  # desc by (s, c)
-        return F.slice(ranked, 1, top)
-
+    cell_of = _centroid_literals(corpus, n_centroids, id_col, vec_col)
     c_staged = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),

@@ -25,7 +25,13 @@ from tools.check_catalog import normalize  # noqa: E402
 
 from dagger_spark.catalog import QUERIES  # noqa: E402
 
-EMB_QUERIES = ["ann_brute_force", "ann_lsh", "ann_ivf", "embedding_neardup"]
+EMB_QUERIES = [
+    "ann_brute_force",
+    "ann_lsh",
+    "ann_ivf",
+    "embedding_neardup",
+    "kmeans_step_embeddings",
+]
 
 DIM = 64
 

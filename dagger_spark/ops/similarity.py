@@ -159,20 +159,15 @@ def cosine_neardup_pairs(
     )
 
 
-def _centroid_literals(corpus, n_centroids, id_col, vec_col):
-    """Deterministic coarse quantizer: corpus rows with id < n_centroids,
-    collected at plan time, shipped as three array literals (matrix, ids,
-    norms) — see ``ivf_topk`` for why literals-not-scalars matters."""
+def _cell_of_from_centroids(cents: list):
+    """Cell-assignment expression factory from explicit [(cid, vector), ...]
+    centroids, shipped as three array literals (matrix, ids, norms) — see
+    ``ivf_topk`` for why literals-not-scalars matters."""
     import math
 
-    cents = sorted(
-        (r["cid"], list(r["v"]))
-        for r in corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
     if not cents:
-        raise ValueError("no centroid rows (corpus ids all >= n_centroids)")
+        raise ValueError("no centroids")
+    cents = sorted((int(cid), list(cv)) for cid, cv in cents)
     cmat = F.lit([cv for _, cv in cents])
     cid_arr = F.lit([int(cid) for cid, _ in cents])
     cn_arr = F.lit([math.sqrt(sum(x * x for x in cv)) for _, cv in cents])
@@ -198,16 +193,36 @@ def _centroid_literals(corpus, n_centroids, id_col, vec_col):
     return cell_of
 
 
+def _centroid_literals(corpus, n_centroids, id_col, vec_col):
+    """Deterministic coarse quantizer init: corpus rows with id <
+    n_centroids, collected at plan time."""
+    cents = [
+        (r["cid"], list(r["v"]))
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    ]
+    if not cents:
+        raise ValueError("no centroid rows (corpus ids all >= n_centroids)")
+    return _cell_of_from_centroids(cents)
+
+
 def assign_cells(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """(id, vec, norm, cell): nearest-centroid assignment as a pure map —
     no shuffle; the quantizer rides along as plan-time literals.  The
-    assignment step shared by IVF search and the k-means trainer."""
-    cell_of = _centroid_literals(corpus, n_centroids, id_col, vec_col)
+    assignment step shared by IVF search and the k-means trainer.  Pass
+    explicit ``centroids`` [(cid, vector), ...] to override the id-based
+    deterministic init (the trainer's later rounds do)."""
+    if centroids is not None:
+        cell_of = _cell_of_from_centroids(centroids)
+    else:
+        cell_of = _centroid_literals(corpus, n_centroids, id_col, vec_col)
     staged = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
@@ -219,6 +234,61 @@ def assign_cells(
         "vnorm",
         cell_of(F.col("vec"), F.col("vnorm"), 1)[0]["c"].alias("cell"),
     )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 16,
+    max_iters: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed k-means to convergence: iterate ``assign_cells`` (map-side,
+    no shuffle) + dim-wise mean recompute (one (cell, dim)-keyed shuffle per
+    round).  Only the k×dim centroid matrix ever reaches the driver — the
+    corpus stays distributed; per-round driver traffic is O(k·dim) doubles.
+    Deterministic: init = rows with id < k, cosine ties break to the larger
+    cell id, empty cells keep their previous centroid.  Returns
+    (centroids [(cid, vector), ...], iterations_run, last_max_shift).
+    """
+    cents = sorted(
+        (int(r["cid"]), list(r["v"]))
+        for r in corpus.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if not cents:
+        raise ValueError("no init rows (corpus ids all >= k)")
+    shift = float("inf")
+    iters = 0
+    for iters in range(1, max_iters + 1):
+        member = assign_cells(corpus, id_col=id_col, vec_col=vec_col, centroids=cents)
+        means = (
+            member.select(
+                "cell", F.posexplode(F.col("vec").cast("array<double>")).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        new_cents = []
+        shift = 0.0
+        for cid, old in cents:
+            dims = by_cell.get(cid)
+            if dims is None:  # empty cell: keep previous centroid
+                new_cents.append((cid, old))
+                continue
+            vec = [dims[p] for p in range(len(old))]
+            shift = max(shift, max(abs(a - b) for a, b in zip(vec, old)))
+            new_cents.append((cid, vec))
+        cents = new_cents
+        if shift <= tol:
+            break
+    return cents, iters, shift
 
 
 def kmeans_step(

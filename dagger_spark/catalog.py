@@ -1511,6 +1511,68 @@ def language_id_docs(spark, sf_dir):
 
 
 @register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), terms AS (
+      SELECT doc_id, lower(unnest(t)) AS term FROM toks
+    ), tf AS (
+      SELECT doc_id, term, cast(count(*) AS bigint) AS tf
+      FROM terms GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term,
+             ln((SELECT count(*) FROM documents)::DOUBLE
+                / count(DISTINCT doc_id)) AS idf
+      FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * idf.idf, 6) AS score
+      FROM tf JOIN idf USING (term)
+    ), ranked AS (
+      SELECT doc_id, term, tf, score,
+             cast(row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term
+             ) AS bigint) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, score, rk FROM ranked WHERE rk <= 3
+    """,
+    "TF-IDF top-3 terms per document: explode -> (doc, term) counts -> "
+    "document frequency join -> ln(N/df) weighting -> per-doc top-k window. "
+    "Two keyed shuffles (term stats, per-doc rank); the tiny corpus-size "
+    "aggregate broadcasts.  The classic keyword-extraction / relevance "
+    "primitive over a training corpus",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .ops.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("raw_term")
+    ).select("doc_id", F.lower(F.col("raw_term")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", F.log(F.col("n_docs") / F.col("df")).alias("idf"))
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", "tf", F.round(F.col("tf") * F.col("idf"), 6).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "score", "rk")
+    )
+
+
+@register(
     "token_counts_docs",
     f"""
     WITH toks AS (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents)

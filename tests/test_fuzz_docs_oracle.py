@@ -41,6 +41,7 @@ DOC_QUERIES = [
     "docs_hash_sample",
     "docs_stratified_sample",
     "docs_pack_bins",
+    "tfidf_top_terms",
 ]
 
 _WORDS = (

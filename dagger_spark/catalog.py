@@ -892,6 +892,52 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_rolling_7d",
+    """
+    SELECT user_id, event_id,
+           date_trunc('second', ts) AS ts_sec,
+           -- floor(epoch) to whole seconds: Spark's unix_timestamp
+           -- truncates, DuckDB's epoch() keeps the µs fraction — frame
+           -- membership at the exact 7-day boundary must agree
+           round(sum(value) OVER (
+             PARTITION BY user_id
+             ORDER BY cast(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ), 2) AS spend_7d,
+           cast(count(*) OVER (
+             PARTITION BY user_id
+             ORDER BY cast(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS bigint) AS n_7d
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    "rolling 7-day per-user aggregates via a RANGE window frame over epoch "
+    "seconds (time-valued, not row-counted: simultaneous rows share one "
+    "frame) — one shuffle keyed by user; the per-entity trailing-window "
+    "feature shape",
+)
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+        F.round(F.sum("value").over(w), 2).alias("spend_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+    )
+
+
 _shared_sql(
     "events_sessionization",
     """

@@ -40,6 +40,7 @@ EVENT_QUERIES = [
     "asof_join_error_purchase",
     "interval_join_events",
     "skew_resistant_agg",
+    "events_rolling_7d",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

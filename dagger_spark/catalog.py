@@ -1619,6 +1619,68 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_manifest",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(t) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+      FROM toks
+    ), j AS (
+      SELECT d.doc_id, d.lang, d.source,
+             cast(r.n_tokens AS bigint) AS n_tokens,
+             CASE WHEN r.n_chars > 0
+                  THEN r.n_alpha::DOUBLE / r.n_chars ELSE 0.0 END AS ar,
+             e.label,
+             sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[])) AS nv
+      FROM documents d
+      JOIN raw r USING (doc_id)
+      JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           round(ar, 6) AS alpha_ratio,
+           round(nv, 6) AS vec_norm,
+           label
+    FROM j
+    WHERE n_tokens >= 3 AND ar >= 0.5
+    """,
+    "training-sample manifest assembly: quality-gated join of the text side "
+    "(token/alpha stats) with the vector side (embedding norm, label) — the "
+    "select-and-stitch step before writing training shards.  At scale both "
+    "sides are fact tables: equi-join on the shared id, no broadcast "
+    "assumption; gates are single-division ratios so the filter boundary is "
+    "engine-exact",
+)
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.similarity import norm as vec_norm
+    from .ops.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = text_stats(F.col("text"))
+    gated = docs.select(
+        "doc_id", "lang", "source",
+        s["n_tokens"].alias("n_tokens"),
+        s["alpha_ratio"].alias("ar"),
+    ).filter((F.col("n_tokens") >= 3) & (F.col("ar") >= 0.5))
+    vecs = emb.select(
+        F.col("vec_id"),
+        vec_norm(F.col("embedding").cast("array<double>")).alias("nv"),
+        "label",
+    )
+    return gated.join(vecs, gated.doc_id == vecs.vec_id).select(
+        "doc_id", "lang", "source", "n_tokens",
+        F.round(F.col("ar"), 6).alias("alpha_ratio"),
+        F.round(F.col("nv"), 6).alias("vec_norm"),
+        "label",
+    )
+
+
+@register(
     "token_counts_docs",
     f"""
     WITH toks AS (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents)

@@ -42,6 +42,7 @@ DOC_QUERIES = [
     "docs_stratified_sample",
     "docs_pack_bins",
     "tfidf_top_terms",
+    "training_manifest",
 ]
 
 _WORDS = (
@@ -96,6 +97,32 @@ def fuzz_dir(request, tmp_path_factory):
         pa.Table.from_pandas(pdf, preserve_index=False),
         os.path.join(str(d), "documents.parquet"),
     )
+    # a matching embeddings table (vec_id aligned to doc_id) for the
+    # manifest-assembly join; includes a zero vector
+    rng = random.Random(request.param + 1)
+    emb = pd.DataFrame(
+        {
+            "vec_id": pdf["doc_id"],
+            "embedding": [
+                [0.0] * 8
+                if i == 0
+                else [round(rng.uniform(-1, 1), 6) for _ in range(8)]
+                for i in range(len(pdf))
+            ],
+            "label": [rng.randint(0, 3) for _ in range(len(pdf))],
+        }
+    )
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(emb, schema=schema, preserve_index=False),
+        os.path.join(str(d), "embeddings.parquet"),
+    )
     return str(d)
 
 
@@ -104,10 +131,11 @@ def test_doc_query_matches_oracle_on_fuzzed_corpus(spark, fuzz_dir, name):
     q = QUERIES[name]
     sdf = q.fn(spark, fuzz_dir).toPandas()
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM read_parquet("
-        f"'{fuzz_dir}/documents.parquet')"
-    )
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{fuzz_dir}/{t}.parquet')"
+        )
     ddf = con.execute(q.oracle).fetchdf()
     a, b = normalize(sdf), normalize(ddf)
     assert list(a.columns) == list(b.columns)

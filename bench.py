@@ -50,6 +50,8 @@ HEADLINE = [
     "skew_resistant_agg",
     "events_rules_engine",
     "events_json_stats",
+    "tfidf_top_terms",
+    "kmeans_step_embeddings",
     "exact_dedup_docs",
     "minhash_pairs_docs",
     "jaccard_pairs_docs",

@@ -2109,7 +2109,10 @@ def skew_resistant_agg(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = two_phase_agg(
         ev, ["event_type"],
-        {"total_value": ("value", "sum"), "n_events": ("value", "count"),
+        # n_events counts ROWS ("*"), not non-null values — count(value)
+        # silently diverges from the count(*) oracle once NULLs appear
+        # (caught by the fuzzed NULL-value events)
+        {"total_value": ("value", "sum"), "n_events": ("*", "count"),
          "min_value": ("value", "min"), "max_value": ("value", "max")},
         n_salts=8,
     )

@@ -87,6 +87,15 @@ def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
     b = t0 + timedelta(hours=80)
     for i in range(5):
         add(b + timedelta(minutes=i * 7), 50, "error", 5.0, 91)
+    # NULL handling parity: NULL values (aggregates must skip identically)
+    # and NULL user_ids (grouping/windows treat NULL as one key in both
+    # engines; equi-joins drop it in both)
+    c = t0 + timedelta(hours=90)
+    add(c, 60, "purchase", None, 2)
+    add(c + timedelta(seconds=30), 60, "purchase", None, 3)
+    add(c + timedelta(minutes=1), 60, "purchase", 12.5, 4)
+    add(c + timedelta(minutes=2), None, "error", 44.0, 91)
+    add(c + timedelta(minutes=3), None, "click", None, 1)
 
     df = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]

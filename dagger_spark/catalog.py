@@ -1090,7 +1090,8 @@ def events_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents: dedup + text analysis
 # ===========================================================================
 
-_DUCK_TOKS = "CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim(text), '\\s+') END"
+_DUCK_TOKS = ("CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[] "
+              "ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END")
 
 
 @register(
@@ -1452,8 +1453,9 @@ def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprint_docs",
     """
     SELECT doc_id,
-           list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-                                   i -> md5(substr(text, i, 8)))) AS fp
+           list_min(list_transform(
+             range(1, greatest(length(coalesce(text, '')) - 7, 1) + 1),
+             i -> md5(substr(coalesce(text, ''), i, 8)))) AS fp
     FROM documents
     """,
     "rolling-hash document fingerprint: min md5 over char 8-grams",
@@ -1472,11 +1474,11 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
       SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents
     ), raw AS (
       SELECT doc_id,
-             length(text) AS n_chars,
+             length(coalesce(text, '')) AS n_chars,
              len(t) AS n_tokens,
-             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
-             len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS n_punct,
+             len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]')) AS n_alpha,
+             len(regexp_extract_all(coalesce(text, ''), '[0-9]')) AS n_digit,
+             len(regexp_extract_all(coalesce(text, ''), '[^\\sA-Za-z0-9]')) AS n_punct,
              len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS n_stop
       FROM toks
     ), ratios AS (
@@ -1530,8 +1532,8 @@ def _lang_score_sql(code: str) -> str:
     f"""
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS lt
+             CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') END AS lt
       FROM documents
     ), scores AS (
       SELECT doc_id,
@@ -1625,9 +1627,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents
     ), raw AS (
       SELECT doc_id,
-             length(text) AS n_chars,
+             length(coalesce(text, '')) AS n_chars,
              len(t) AS n_tokens,
-             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+             len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]')) AS n_alpha
       FROM toks
     ), j AS (
       SELECT d.doc_id, d.lang, d.source,
@@ -1686,7 +1688,7 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents)
     SELECT doc_id,
            len(t)::BIGINT AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+           len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
     FROM toks
     """,
     "token counting: whitespace + BPE-ish regex chunking",

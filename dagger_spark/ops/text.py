@@ -23,8 +23,11 @@ _EN_STOP = LANG_STOPWORDS["en"]
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization of trimmed text (empty string -> empty array)."""
-    t = F.trim(text)
+    """Whitespace tokenization of trimmed text.  NULL and empty text both
+    yield an EMPTY array (not NULL): a document with no content has zero
+    tokens, and every downstream stat/hash pipeline then treats NULL and ''
+    identically — in both engines (oracles coalesce the same way)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
@@ -46,6 +49,7 @@ def text_stats(text: Column) -> dict:
     """Character/word statistics used by the quality score.  Returned as a
     dict of named Columns so callers select exactly what they need (column
     pruning stays effective)."""
+    text = F.coalesce(text, F.lit(""))  # NULL text ≡ empty (see tokens())
     n_chars = F.length(text).cast("long")
     toks = tokens(text)
     n_tokens = F.size(toks).cast("long")
@@ -102,7 +106,9 @@ def language_id(text: Column) -> Column:
 
 def doc_fingerprint(text: Column, k: int = 8) -> Column:
     """Rolling-fingerprint (winnowing-lite): the minimum md5 over all char
-    k-grams — a deterministic near-dup-stable document signature."""
+    k-grams — a deterministic near-dup-stable document signature.  NULL
+    text fingerprints like empty text (md5 of the empty gram)."""
+    text = F.coalesce(text, F.lit(""))
     n = F.length(text)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),

@@ -78,23 +78,38 @@ def _random_corpus(seed: int, n: int = 60) -> pd.DataFrame:
         toks[rng.randrange(len(toks))] = rng.choice(_WORDS)
         texts.append(" ".join(toks))
     rng.shuffle(texts)
-    return pd.DataFrame(
+    texts.append(None)  # NULL text — tokenizers/hash pipelines must agree
+    df = pd.DataFrame(
         {
             "doc_id": range(len(texts)),
             "text": texts,
             "lang": [rng.choice(["en", "de", "es", "xx"]) for _ in texts],
             "source": [rng.choice(["web", "book", "code"]) for _ in texts],
-            "n_chars": [len(t) for t in texts],
+            "n_chars": [len(t) if t is not None else None for t in texts],
         }
     )
+    # NULL stratum keys: grouping/windows treat NULL as one key in both
+    # engines — sampling/packing must agree on it
+    df.loc[df.index[-1], "lang"] = None
+    df.loc[df.index[-1], "source"] = None
+    return df
 
 
 @pytest.fixture(scope="module", params=[7, 1234])
 def fuzz_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzzdocs{request.param}")
     pdf = _random_corpus(request.param)
+    doc_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),  # pandas None-coercion would write DOUBLE
+        ]
+    )
     pq.write_table(
-        pa.Table.from_pandas(pdf, preserve_index=False),
+        pa.Table.from_pandas(pdf, schema=doc_schema, preserve_index=False),
         os.path.join(str(d), "documents.parquet"),
     )
     # a matching embeddings table (vec_id aligned to doc_id) for the

@@ -1641,7 +1641,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    e.embedding::DOUBLE[])) AS nv
       FROM documents d
       JOIN raw r USING (doc_id)
-      JOIN embeddings e ON d.doc_id = e.vec_id
+      JOIN embeddings e ON d.doc_id = e.vec_id AND e.embedding IS NOT NULL
     )
     SELECT doc_id, lang, source, n_tokens,
            round(ar, 6) AS alpha_ratio,
@@ -1669,7 +1669,7 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["n_tokens"].alias("n_tokens"),
         s["alpha_ratio"].alias("ar"),
     ).filter((F.col("n_tokens") >= 3) & (F.col("ar") >= 0.5))
-    vecs = emb.select(
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
         F.col("vec_id"),
         vec_norm(F.col("embedding").cast("array<double>")).alias("nv"),
         "label",
@@ -1740,8 +1740,9 @@ def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_ORACLE = """
     WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 8),
-    c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+               FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
+    c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE embedding IS NOT NULL),
     s AS (
       SELECT qid AS query_id, nid AS neighbor_id,
              CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
@@ -1784,6 +1785,7 @@ def _planes_sql(num_planes: int = 4, dim: int = 64) -> str:
 _ANN_LSH_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     ), bucketed AS (
       SELECT vec_id, v, {_planes_sql(4, 64)} AS bucket FROM e
     ), q AS (SELECT vec_id AS qid, v AS qv, bucket FROM bucketed WHERE vec_id < 8),
@@ -1820,6 +1822,7 @@ def ann_lsh(spark, sf_dir):
 _NEARDUP_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     ), b AS (
       SELECT vec_id, v, {_planes_sql(4, 64)} AS bucket FROM e
     ), pairs AS (
@@ -1849,6 +1852,7 @@ def embedding_neardup(spark, sf_dir):
 _ANN_IVF_ORACLE = """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     ), cents AS (
       SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
     ), assign AS (
@@ -1887,6 +1891,7 @@ _ANN_IVF_ORACLE = """
 _KMEANS_STEP_ORACLE = """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     ), cents AS (
       SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
     ), assign AS (

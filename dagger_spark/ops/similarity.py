@@ -1,5 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
+Rows with NULL embeddings are excluded by every operator here: a vector-less
+row can neither be searched nor clustered, and the DuckDB oracle errors on
+NULL lists outright — exclusion is the engine-agnostic semantics.
+
 Two paths, as the north star requires:
 
   * ``brute_force_topk`` — exact cosine top-k.  The query set is broadcast
@@ -60,12 +64,12 @@ def brute_force_topk(
     """Exact cosine top-k of `corpus` rows per `queries` row (self-matches
     excluded).  `queries` is broadcast; output: (query_id, neighbor_id, score
     rounded to 6), `rank` 1..k."""
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("__cn"),
@@ -136,7 +140,7 @@ def cosine_neardup_pairs(
     the identical bucketing.
     """
     planes = [_plane_coeffs(p, dim) for p in range(num_planes)]
-    sides = df.select(
+    sides = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
@@ -198,7 +202,7 @@ def _centroid_literals(corpus, n_centroids, id_col, vec_col):
     n_centroids, collected at plan time."""
     cents = [
         (r["cid"], list(r["v"]))
-        for r in corpus.filter(F.col(id_col) < n_centroids)
+        for r in corpus.filter((F.col(id_col) < n_centroids) & F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     ]
@@ -223,7 +227,7 @@ def assign_cells(
         cell_of = _cell_of_from_centroids(centroids)
     else:
         cell_of = _centroid_literals(corpus, n_centroids, id_col, vec_col)
-    staged = corpus.select(
+    staged = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("vnorm"),
@@ -254,7 +258,7 @@ def kmeans_train(
     """
     cents = sorted(
         (int(r["cid"]), list(r["v"]))
-        for r in corpus.filter(F.col(id_col) < k)
+        for r in corpus.filter((F.col(id_col) < k) & F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     )
@@ -357,7 +361,7 @@ def ivf_topk(
     compare the same doubles.
     """
     cell_of = _centroid_literals(corpus, n_centroids, id_col, vec_col)
-    c_staged = corpus.select(
+    c_staged = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("__n"),
@@ -368,7 +372,7 @@ def ivf_topk(
         F.col("__n").alias("__cn"),
         cell_of(F.col("cvec"), F.col("__n"), 1)[0]["c"].alias("cell"),
     )
-    q_staged = queries.select(
+    q_staged = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("__n"),
@@ -415,13 +419,13 @@ def lsh_topk(
     Same output shape as brute_force_topk (rank within found candidates).
     """
     planes = [_plane_coeffs(p, dim) for p in range(num_planes)]
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("__cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("__qn"),

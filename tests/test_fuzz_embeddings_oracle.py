@@ -54,6 +54,7 @@ def _random_embeddings(seed: int, n: int = 80) -> pd.DataFrame:
     vecs.append([1.0] + [0.0] * (DIM - 1))         # axis vector
     vecs.append([0.0, 1.0] + [0.0] * (DIM - 2))    # orthogonal axis vector
     rng.shuffle(vecs)
+    vecs.append(None)                              # NULL vector row
     return pd.DataFrame(
         {
             "vec_id": range(len(vecs)),

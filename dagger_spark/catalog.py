@@ -1558,6 +1558,51 @@ def language_id_docs(spark, sf_dir):
     return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
 
 
+def _lang_ngram_score_sql(code: str) -> str:
+    from .ops.text import LANG_TRIGRAMS
+
+    grams = ", ".join(f"'{g}'" for g in LANG_TRIGRAMS[code])
+    return f"len(list_intersect(tg, [{grams}]))"
+
+
+@register(
+    "language_id_ngram_docs",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(t) - 2, 1) + 1),
+               i -> substr(t, i, 3))) AS tg
+      FROM (SELECT doc_id, lower(trim(coalesce(text, ''))) AS t
+            FROM documents)
+    ), scores AS (
+      SELECT doc_id,
+             {_lang_ngram_score_sql('de')} AS s_de,
+             {_lang_ngram_score_sql('en')} AS s_en,
+             {_lang_ngram_score_sql('es')} AS s_es,
+             {_lang_ngram_score_sql('fr')} AS s_fr
+      FROM g
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scores
+    """,
+    "character-trigram language identification (Cavnar–Trenkle-style "
+    "profile intersection reduced to fixed tiny profiles): the n-gram "
+    "companion to the stopword-vote heuristic — catches inflected text "
+    "where exact stopword tokens don't appear",
+)
+def language_id_ngram_docs(spark, sf_dir):
+    from .ops.text import language_id_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id_ngram(F.col("text")).alias("lang_pred"))
+
+
 @register(
     "tfidf_top_terms",
     f"""

@@ -104,6 +104,52 @@ def language_id(text: Column) -> Column:
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
 
+#: characteristic character trigrams per language for the n-gram heuristic
+LANG_TRIGRAMS = {
+    "en": ("the", "and", "ing", "ion", "ent", "he ", " th", "ed "),
+    "de": ("der", "die", "und", "sch", "ein", "ich", "cht", "en "),
+    "es": ("que", "los", "ara", "con", "ión", "de ", " la", "os "),
+    "fr": ("les", "ent", "que", "une", "des", "ait", " le", "es "),
+}
+
+
+def char_trigrams(text: Column) -> Column:
+    """Distinct character 3-grams of lowercased trimmed text (NULL ≡ empty).
+    Trailing short grams (len<3 near the end) are kept — both engines'
+    substr truncates identically, so parity holds without special-casing."""
+    t = F.lower(F.trim(F.coalesce(text, F.lit(""))))
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: t.substr(i, F.lit(3)),
+    )
+    return F.array_distinct(grams)
+
+
+def language_id_ngram(text: Column) -> Column:
+    """N-gram language guess: score = |doc trigrams ∩ language profile|,
+    argmax with ties broken by language-code order; no hits -> 'und'.
+    The profile-set intersection is the classic Cavnar–Trenkle-style n-gram
+    heuristic reduced to a fixed tiny profile so it stays a pure column
+    expression (codegen, no UDF) with an exact SQL twin."""
+    tg = char_trigrams(text)
+
+    scores = [
+        (code, F.size(F.array_intersect(tg, F.lit(list(grams)))))
+        for code, grams in sorted(LANG_TRIGRAMS.items())
+    ]
+    best = None
+    best_score = None
+    for code, score in scores:
+        if best is None:
+            best, best_score = F.lit(code), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(code)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
 def doc_fingerprint(text: Column, k: int = 8) -> Column:
     """Rolling-fingerprint (winnowing-lite): the minimum md5 over all char
     k-grams — a deterministic near-dup-stable document signature.  NULL

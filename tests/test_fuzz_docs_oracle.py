@@ -35,6 +35,7 @@ DOC_QUERIES = [
     "simhash_multiprobe",
     "dedup_clusters_docs",
     "language_id_docs",
+    "language_id_ngram_docs",
     "token_counts_docs",
     "text_stats_docs",
     "fingerprint_docs",

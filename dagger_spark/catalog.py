@@ -939,6 +939,44 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _shared_sql(
+    "events_median_sketch",
+    """
+    WITH h AS (
+      SELECT event_type,
+             cast(floor(value / 10.0) AS bigint) AS bin,
+             cast(count(*) AS bigint) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, floor(value / 10.0)
+    ), t AS (
+      SELECT event_type, cast(sum(c) AS bigint) AS n FROM h GROUP BY event_type
+    ), cum AS (
+      SELECT h.event_type, h.bin, h.c, t.n,
+             cast(sum(h.c) OVER (
+               PARTITION BY h.event_type ORDER BY h.bin
+             ) AS bigint) AS cc
+      FROM h JOIN t ON h.event_type = t.event_type
+    )
+    SELECT event_type,
+           cast(min(n) AS bigint) AS n,
+           cast(min(CASE WHEN cc * 2 >= n THEN bin END) AS bigint)
+             AS median_bin,
+           -- cast before the 10.0 multiply: Spark types the literal as
+           -- DECIMAL (bigint*decimal stays decimal), DuckDB as DOUBLE
+           round(cast(min(CASE WHEN cc * 2 >= n THEN bin END) AS double)
+                 * 10.0, 1) AS median_lo
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "histogram median sketch: fixed-width bins (one groupBy = the mergeable "
+    "sketch) + cumulative reconstruction picking the bin where the running "
+    "count crosses n/2 — the deterministic, oracle-matchable shape of "
+    "approximate quantiles (percentile_approx's KLL can't cross-engine "
+    "hash-match; a histogram can).  At 100 TB the sketch is the only "
+    "full-data pass; reconstruction runs on |types|x|bins| rows",
+)
+
+_shared_sql(
     "events_sessionization",
     """
     WITH ordered AS (

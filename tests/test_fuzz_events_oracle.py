@@ -41,6 +41,7 @@ EVENT_QUERIES = [
     "interval_join_events",
     "skew_resistant_agg",
     "events_rolling_7d",
+    "events_median_sketch",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -153,6 +153,10 @@ def main() -> None:
         rows = q.fn(spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         del rows
+        # the LSH/dedup pipelines persist intermediates for within-query
+        # reuse; their blocks are dead once the query is collected — drop
+        # them so storage memory doesn't accumulate across the suite
+        spark.catalog.clearCache()
 
     # reference workload: 25 rules x 2.56M events, single-pass engine
     sysmon = spark.read.parquet(_sysmon_bench_path())

@@ -499,12 +499,14 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # phase 1: (event_type, user_id) distinct — the hot key's rows spread
-    # over the full (key, value) space; phase 2: count per key
+    # over the full (key, value) space; phase 2: count per key.
+    # count(user_id), NOT count(*): COUNT(DISTINCT x) excludes NULLs, so the
+    # re-count must skip the NULL-user distinct row too
     return (
         ev.select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
-        .agg(F.count("*").alias("n_users"))
+        .agg(F.count("user_id").alias("n_users"))
     )
 
 

@@ -42,31 +42,42 @@ def asof_join(
     Output: all left columns + ``right_cols`` (null when unmatched).
     """
     lcols = left.columns
+    # the right payload travels as ONE struct, not per-column: a matched
+    # right row whose individual field is NULL must surface that NULL, not
+    # fall through to an older row's value (per-column last(ignorenulls)
+    # would stitch the output from different right rows).  The struct is
+    # non-NULL for every right row, so last(ignorenulls) picks the latest
+    # right ROW atomically; unmatched lefts get a NULL struct -> NULL fields.
+    rstruct_type = (
+        "struct<" + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols
+        ) + ">"
+    )
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(rstruct_type).alias("__r"),
     )
     r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     w = (
         Window.partitionBy("__k")
         .orderBy(F.col("__ts"), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = l.unionByName(r)
-    for c in right_cols:
-        u = u.withColumn(f"__last_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w))
+    u = l.unionByName(r).withColumn(
+        "__last", F.last(F.col("__r"), ignorenulls=True).over(w)
+    )
     return (
         u.filter(F.col("__is_left") == 1)
-        .select(*lcols, *[F.col(f"__last_{c}").alias(c) for c in right_cols])
+        .select(*lcols, *[F.col(f"__last.{c}").alias(c) for c in right_cols])
     )
 
 

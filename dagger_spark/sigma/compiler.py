@@ -100,11 +100,11 @@ def _glob_to_like(value: str) -> tuple:
     returns ('eq', v) when no wildcard present, else ('like', pattern)."""
     if "*" not in value and "?" not in value:
         return "eq", value
-    pattern = value.replace("%", "%").replace("_", "_")
-    # Sigma wildcards map onto LIKE wildcards; literal % and _ in values are
-    # rare in detections, but escape them through the generic-like path by
-    # leaving them — our LIKE evaluates via regex with % -> .* and _ -> .
-    pattern = pattern.replace("*", "%").replace("?", "_")
+    # KNOWN LIMITATION: a literal % or _ inside a wildcard-bearing Sigma
+    # value is passed through and acts as a LIKE wildcard too (no escape
+    # syntax in this renderer).  No rule in the reference corpus carries
+    # one; revisit if a real ruleset does.
+    pattern = value.replace("*", "%").replace("?", "_")
     return "like", pattern
 
 
@@ -199,19 +199,9 @@ def _modifier_term(key: str, modifier: str, value, bug_compat: bool) -> str:
     raise SigmaCompileError(f"sigma condition not found: {modifier!r}")
 
 
-def _selection_sql(selection, bug_compat: bool) -> str:
-    """One named selection -> AND-joined predicate fragment (main.py:106-135)."""
+def _map_sql(items, bug_compat: bool) -> str:
+    """Field->value map entries -> AND-joined predicate fragment."""
     terms = []
-    if isinstance(selection, list):
-        items = []
-        for entry in selection:
-            if isinstance(entry, dict):
-                items.extend(entry.items())
-            # bare strings in selection lists are skipped by the reference too
-    elif isinstance(selection, dict):
-        items = list(selection.items())
-    else:
-        raise SigmaCompileError(f"unsupported selection shape: {selection!r}")
     for field_spec, value in items:
         if "|" not in field_spec:
             if isinstance(value, list):
@@ -224,6 +214,34 @@ def _selection_sql(selection, bug_compat: bool) -> str:
     if not terms:
         raise SigmaCompileError("empty selection")
     return "(" + ") AND (".join(terms) + ")"
+
+
+def _selection_sql(selection, bug_compat: bool) -> str:
+    """One named selection -> predicate fragment (main.py:106-135).
+
+    Sigma semantics: a map selection ANDs its fields; a LIST selection ORs
+    its entries (each entry itself a map of AND'd fields).  The reference
+    compiler flattens list entries into one AND (main.py:117-121 never
+    branches on the list case) — that makes multi-entry list selections
+    unsatisfiable, so it is reproduced only under bug_compat.
+    """
+    if isinstance(selection, dict):
+        return _map_sql(list(selection.items()), bug_compat)
+    if isinstance(selection, list):
+        dict_entries = [e for e in selection if isinstance(e, dict)]
+        # bare strings in selection lists are skipped by the reference too
+        if not dict_entries:
+            raise SigmaCompileError("empty selection")
+        if bug_compat:
+            items = []
+            for entry in dict_entries:
+                items.extend(entry.items())
+            return _map_sql(items, bug_compat)
+        branches = [_map_sql(list(e.items()), bug_compat) for e in dict_entries]
+        if len(branches) == 1:
+            return branches[0]
+        return "(" + " OR ".join(branches) + ")"
+    raise SigmaCompileError(f"unsupported selection shape: {selection!r}")
 
 
 _AGG_RE = re.compile(
@@ -341,6 +359,14 @@ def compile_sigma(
         raise SigmaCompileError(f"unknown level: {level!r}")
 
     tf_seconds = _parse_timeframe(timeframe) if timeframe is not None else None
+    if agg and tf_seconds is None:
+        # a count() threshold with no timeframe would otherwise compile to a
+        # stateless rule that fires on EVERY matching event — silently
+        # dropping the threshold.  Refuse loudly instead.
+        raise SigmaCompileError(
+            "count() aggregation requires a detection.timeframe "
+            f"(rule {rule.get('title')!r} has none)"
+        )
     group_by = ("host",)
     if agg and agg["by"]:
         group_by = ("host", f"event_data.{agg['by']}")

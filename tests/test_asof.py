@@ -76,3 +76,22 @@ def test_interval_join_no_duplicate_pairs(spark):
     out = interval_join(df, df, "user_id", "ts", "ts", 300)
     matched = [r for r in out.collect() if r.event_id == 1 and r.event_id_r == 2]
     assert len(matched) == 1
+
+
+def test_asof_null_right_payload_not_stitched(spark):
+    """A matched right row with a NULL field must surface that NULL — not
+    fall back to an older right row's value for that one column (the
+    per-column carry-forward bug: output stitched from two right rows)."""
+    left = spark.createDataFrame(
+        [(1, ts(12), "x")], "k int, lts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 10, 1), (1, ts(11), None, 3)],
+        "k int, rts timestamp, a int, b int",
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["a", "b", "rts"])
+    row = out.collect()[0]
+    # the ts(11) row is the match: a must be NULL (its own value), b=3
+    assert row.rts == ts(11)
+    assert row.a is None
+    assert row.b == 3

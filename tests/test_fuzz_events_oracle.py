@@ -42,6 +42,7 @@ EVENT_QUERIES = [
     "skew_resistant_agg",
     "events_rolling_7d",
     "events_median_sketch",
+    "distinct_twophase",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -208,3 +208,31 @@ def test_compiled_rule_matches_oracle_case_insensitive(sysmon_df, duck):
     want = {r[0] for r in duck.execute(f"SELECT uuid FROM sysmon WHERE {sql}").fetchall()}
     assert got == want
     assert len(got) >= 1  # the fixture's cmdkey template matches case-insensitively
+
+
+def test_list_of_maps_selection_is_or_fixed_and_for_bug_compat():
+    """Sigma spec: a list selection ORs its map entries (each map ANDs its
+    fields).  The reference flattens the list into one AND — unsatisfiable
+    for multi-entry lists — so that shape is bug_compat-only."""
+    det = {
+        "sel": [
+            {"Image|endswith": "\\cmd.exe"},
+            {"Image|endswith": "\\powershell.exe"},
+        ],
+        "condition": "sel",
+    }
+    fixed = compile_sigma(mk(det))
+    assert " OR " in fixed.predicate_sql
+    bug = compile_sigma(mk(det), bug_compat=True)
+    assert " OR " not in bug.predicate_sql  # reference's AND-flatten
+
+
+def test_count_without_timeframe_is_rejected():
+    """count() with no detection.timeframe must fail loudly — compiling it
+    stateless would silently alert on every matching event."""
+    det = {
+        "sel": {"Image|endswith": "\\cmd.exe"},
+        "condition": "sel | count() > 5",
+    }
+    with pytest.raises(SigmaCompileError, match="timeframe"):
+        compile_sigma(mk(det))

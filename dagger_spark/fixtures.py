@@ -290,7 +290,11 @@ def generate_sysmon_rows(n_rows: int = 2000, seed: int = 42) -> list:
             if rng.random() < 0.6:
                 partial[f] = rng.choice(pool)
         rows.append(finish(partial, i)); i += 1
-    return rows
+    # honor n_rows exactly: below the ~217 template+mutation rows the loop
+    # above never truncates (callers sizing micro-fixtures would silently
+    # get more rows than asked; note all-25-rules-fire needs the full
+    # template set, so tiny fixtures trade that property knowingly)
+    return rows[:n_rows]
 
 
 def sysmon_arrow_table(n_rows: int = 2000, seed: int = 42) -> pa.Table:

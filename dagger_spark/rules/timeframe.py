@@ -12,9 +12,16 @@ state is evicted by watermark (SURVEY.md §2.5-T3/T4, §7-M4).
 
 Scale: the shuffle is keyed by (window, host[, extra]) — naturally
 high-cardinality and time-local, so partial (map-side) aggregation absorbs
-bursts and AQE handles skewed hosts.  State per key is O(1) counters plus the
-collected uuid list; ``collect_list`` is bounded by ``max_origin_ids`` to cap
-state for pathological keys.
+bursts and AQE handles skewed hosts.  State per key is O(1) counters plus
+the collected uuid list.  CAVEAT: ``max_origin_ids`` caps the EMITTED list
+(slice at output), not the aggregation buffer — ``collect_list`` itself
+accumulates every uuid for the window before the slice runs, so a
+pathological key (one host emitting millions of matches inside one window)
+still buffers them all.  If that profile is real in a deployment, route the
+timeframe rules through an ``applyInPandasWithState`` variant (see
+streaming/stateful.py) whose per-key state drops uuids past the cap as they
+arrive; for the reference-shaped workload (count thresholds of 2-100 per
+minutes-wide windows) the output-side cap is the right cost/fidelity trade.
 """
 
 from __future__ import annotations

@@ -85,9 +85,25 @@ def parse_json_events(raw: DataFrame, value_col: str = "value", ts_col: str = "t
     the Kafka wrapper feeds it ``value``/``timestamp`` straight from the
     Kafka source's built-in columns.
     """
-    payload_schema = T.StructType([f for f in SYSMON_EVENT_SCHEMA.fields if f.name != "timestamp"])
+    payload_schema = T.StructType(
+        [f for f in SYSMON_EVENT_SCHEMA.fields if f.name != "timestamp"]
+        # PERMISSIVE from_json returns an all-null STRUCT (not a null) for
+        # malformed input, so isNotNull alone keeps corrupt payloads; the
+        # corrupt-record column is the reliable malformed-vs-empty signal
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
     parsed = raw.select(
-        F.from_json(F.col(value_col).cast("string"), payload_schema).alias("e"),
+        F.from_json(
+            F.col(value_col).cast("string"),
+            payload_schema,
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("e"),
         F.col(ts_col).alias("timestamp"),
     )
-    return parsed.filter(F.col("e").isNotNull()).select("e.*", "timestamp")
+    return (
+        parsed.filter(
+            F.col("e").isNotNull() & F.col("e._corrupt_record").isNull()
+        )
+        .select("e.*", "timestamp")
+        .drop("_corrupt_record")
+    )

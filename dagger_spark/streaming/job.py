@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..rules.engine import apply_rules_single_pass
 from ..rules.spec import RuleSpec
@@ -71,9 +72,17 @@ def dedup_events(events: DataFrame, id_col: str = "uuid") -> DataFrame:
     as new; that is the documented trade for bounded state at 100 TB/day).
     Batch: plain ``dropDuplicates``.
     """
-    if events.isStreaming:
-        return events.dropDuplicatesWithinWatermark([id_col])
-    return events.dropDuplicates([id_col])
+    # NULL ids are NOT duplicates of each other, but dropDuplicates treats
+    # NULL == NULL and would silently keep one row of many — split them out
+    # and pass them through untouched
+    with_id = events.filter(F.col(id_col).isNotNull())
+    without_id = events.filter(F.col(id_col).isNull())
+    deduped = (
+        with_id.dropDuplicatesWithinWatermark([id_col])
+        if events.isStreaming
+        else with_id.dropDuplicates([id_col])
+    )
+    return deduped.unionByName(without_id)
 
 
 def run_foreach_batch(alerts: DataFrame, batch_fn, checkpoint: str):

@@ -51,12 +51,17 @@ def running_totals(
     Batch DataFrames get the equivalent groupBy (same output schema), so the
     batch==stream test discipline holds for the stateful path too.
     """
-    if not events.isStreaming:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if not events.isStreaming:
+        # coalesce to 0.0: the streaming path's state starts at 0.0 and
+        # pandas sum skips NaN, so an all-null group totals 0.0 there —
+        # batch must agree (batch==stream discipline)
         return events.groupBy(F.col(key_col).cast("string").alias("key")).agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col(value_col).cast("double")).alias("total_value"),
+            F.coalesce(
+                F.sum(F.col(value_col).cast("double")), F.lit(0.0)
+            ).alias("total_value"),
         )
 
     def update(
@@ -80,7 +85,12 @@ def running_totals(
         else GroupStateTimeout.NoTimeout
     )
     return (
-        events.select(key_col, value_col)
+        # cast the key to string BEFORE grouping so the emitted 'key' field
+        # matches RUNNING_TOTALS_SCHEMA's StringType for any key_col type
+        # (the batch path casts identically)
+        events.select(
+            F.col(key_col).cast("string").alias(key_col), value_col
+        )
         .groupBy(key_col)
         .applyInPandasWithState(
             update, RUNNING_TOTALS_SCHEMA, _STATE_SCHEMA, "update", timeout

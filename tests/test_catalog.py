@@ -20,20 +20,9 @@ def duck_sf(sf_dir):
     return con
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    out = df.copy()
-    for c in out.columns:
-        col = out[c]
-        if pd.api.types.is_datetime64_any_dtype(col):
-            out[c] = pd.to_datetime(col).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
-        elif pd.api.types.is_float_dtype(col):
-            out[c] = col.map(lambda x: "nan" if pd.isna(x) else "%.6f" % x)
-        elif pd.api.types.is_integer_dtype(col):
-            out[c] = col.astype("int64").astype(str)
-        else:
-            out[c] = col.astype(str)
-    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+# ONE canonicalization shared with the dev harness: a fix to the rules
+# (datetime format, float width, nullable ints) must reach both
+from tools.check_catalog import normalize as _normalize  # noqa: E402
 
 
 @pytest.mark.parametrize("name", [n for n, q in QUERIES.items() if q.oracle])

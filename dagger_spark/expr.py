@@ -242,8 +242,12 @@ def to_column(pred: Pred, case_insensitive: bool = False) -> Column:
         if op == "ge":
             return col >= F.lit(v)
         if op == "in":
-            vals = [x.lower() for x in v] if ci and all(isinstance(x, str) for x in v) else list(v)
-            if ci and vals and isinstance(vals[0], str):
+            # one flag drives BOTH sides (mirrors to_sql's lower_all): a
+            # mixed-type list must not lower the column while leaving the
+            # values un-lowered, which would silently never match.
+            lower_all = ci and bool(v) and all(isinstance(x, str) for x in v)
+            vals = [x.lower() for x in v] if lower_all else list(v)
+            if lower_all:
                 col = F.lower(_col(p.field))
             return col.isin(vals)
         if op == "is_null":

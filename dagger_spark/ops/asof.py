@@ -42,6 +42,12 @@ def asof_join(
     Output: all left columns + ``right_cols`` (null when unmatched).
     """
     lcols = left.columns
+    # NULL never matches NULL under the DuckDB `ASOF JOIN ... ON l.k = r.k`
+    # oracle semantics, but Window.partitionBy co-groups NULL keys — so a
+    # NULL-key right row could leak into NULL-key left rows.  Drop NULL-key
+    # (and NULL-ts: `r.ts <= l.ts` is never satisfied by NULL) right rows up
+    # front; NULL-key left rows still pass through with a NULL payload.
+    right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
     # the right payload travels as ONE struct, not per-column: a matched
     # right row whose individual field is NULL must surface that NULL, not
     # fall through to an older row's value (per-column last(ignorenulls)

@@ -54,7 +54,15 @@ def salted_join(
     The right side is replicated n_salts times, so use this when right is
     small-but-not-broadcastable or moderately sized; for genuinely tiny
     right sides just ``F.broadcast`` it instead.
+
+    Only ``inner`` and ``left`` are salt-invariant: under ``right``/``full``
+    an unmatched right row would surface once per replica (n_salts copies).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "right/full would emit each unmatched right row n_salts times"
+        )
     on = list(on)
     lsalted = with_salt(left, n_salts, seed)
     rsalted = replicate_salts(right, n_salts)

@@ -46,6 +46,25 @@ def test_asof_ties_prefer_right_at_same_ts(spark):
     assert out[0].rv == 1
 
 
+def test_asof_null_keys_never_match(spark):
+    """DuckDB `ASOF JOIN ... ON l.k = r.k` semantics: NULL = NULL is not a
+    match.  A NULL-key left row passes through with NULL payload even when a
+    NULL-key right row exists; NULL right timestamps never satisfy
+    `r.ts <= l.ts`."""
+    left = spark.createDataFrame(
+        [(None, ts(10), "nullk"), (1, ts(10), "one")],
+        "k int, lts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(None, ts(9), 99), (1, ts(9), 7), (1, None, 42)],
+        "k int, rts timestamp, rv int",
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["rv"])
+    rows = {r.lv: r.rv for r in out.collect()}
+    assert rows == {"nullk": None, "one": 7}
+    assert out.count() == 2
+
+
 def test_interval_join_pairs(spark):
     df = spark.createDataFrame(
         [

@@ -96,6 +96,7 @@ def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
     add(c, 60, "purchase", None, 2)
     add(c + timedelta(seconds=30), 60, "purchase", None, 3)
     add(c + timedelta(minutes=1), 60, "purchase", 12.5, 4)
+    add(c + timedelta(minutes=1, seconds=30), None, "purchase", 99.0, 2)
     add(c + timedelta(minutes=2), None, "error", 44.0, 91)
     add(c + timedelta(minutes=3), None, "click", None, 1)
 

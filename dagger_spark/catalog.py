@@ -1157,14 +1157,20 @@ def _duck_minhash_mins(num_hashes: int = 16) -> str:
     )
 
 
-_DUCK_MINHASH_CTE = f"""
+def _duck_lsh_cte(shingle_k: int, bands: int, rows_per_band: int) -> str:
+    """Tokens → k-shingles → 60-bit hashes → 16 minhash mins → (band,
+    bucket) assignments, replayed in DuckDB (same md5 + affine family as
+    ops.dedup; banding is a parameter because the dedup family shares ONE
+    signature stage and each operator slices its own band layout)."""
+    r = rows_per_band
+    return f"""
     WITH toks AS (
       SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+               range(1, greatest(len(t) - {shingle_k - 1}, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + {shingle_k - 1}), ' '))) AS s
       FROM toks
     ), hsh AS (
       SELECT doc_id,
@@ -1174,10 +1180,39 @@ _DUCK_MINHASH_CTE = f"""
       SELECT doc_id, [{_duck_minhash_mins(16)}] AS g FROM hsh
     ), buckets AS (
       SELECT doc_id, b,
-             md5(array_to_string(list_slice(g, b * 4 + 1, b * 4 + 4), '|')) AS bucket
-      FROM sig, (SELECT unnest(range(0, 4)) AS b)
+             md5(array_to_string(list_slice(g, b * {r} + 1, b * {r} + {r}), '|')) AS bucket
+      FROM sig, (SELECT unnest(range(0, {bands})) AS b)
     )
 """
+
+
+_DUCK_MINHASH_CTE = _duck_lsh_cte(3, 4, 4)
+
+# one persisted (id, hs, nsh, sig) stage shared by the whole minhash dedup
+# family (candidates / Jaccard verify / clustering): the corpus is
+# tokenized, shingled (k=3), md5'd, and min-folded ONCE per (session,
+# sf_dir); each operator derives its own band layout from the cached
+# signatures.  Single-slot memo: switching sf_dir unpersists the old stage
+# so test sessions touching many corpora don't accumulate storage.
+_DEDUP_STAGE: dict = {}
+
+
+def _dedup_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import hashed_docs, minhash_signatures, shingled_docs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if _DEDUP_STAGE.get("key") != key:
+        old = _DEDUP_STAGE.pop("df", None)
+        if old is not None:
+            old.unpersist()
+        docs = load_table(spark, sf_dir, "documents")
+        _DEDUP_STAGE["key"] = key
+        _DEDUP_STAGE["df"] = minhash_signatures(
+            hashed_docs(shingled_docs(docs, "text", "doc_id", 3)), 16
+        )
+    df = _DEDUP_STAGE["df"]
+    df.persist()  # no-op when cached; re-arms after a clearCache
+    return df
 
 @register(
     "minhash_pairs_docs",
@@ -1190,7 +1225,9 @@ _DUCK_MINHASH_CTE = f"""
 )
 def minhash_pairs_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(docs, shingle_k=3, num_hashes=16, bands=4)
+    return minhash_candidate_pairs(
+        docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
+    )
 
 
 @register(
@@ -1221,38 +1258,19 @@ def dedup_clusters_docs(spark, sf_dir):
     from .ops.dedup import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_clusters(docs, shingle_k=3, num_hashes=16, bands=4)
+    return dedup_clusters(
+        docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
+    )
 
 
-_DUCK_SH2 = f"""
-    WITH toks AS (
-      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(t) - 1, 1) + 1),
-               i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS s
-      FROM toks
-    ), hsh AS (
-      SELECT doc_id,
-             list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
-      FROM sh
-    ), sig AS (
-      SELECT doc_id, [{_duck_minhash_mins(16)}] AS g FROM hsh
-    ), buckets AS (
-      SELECT doc_id, b,
-             md5(array_to_string(list_slice(g, b * 2 + 1, b * 2 + 2), '|')) AS bucket
-      FROM sig, (SELECT unnest(range(0, 8)) AS b)
-    ), cand AS (
+@register(
+    "jaccard_pairs_docs",
+    _duck_lsh_cte(3, 8, 2) + """
+    , cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM buckets l JOIN buckets r
         ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
     )
-"""
-
-@register(
-    "jaccard_pairs_docs",
-    _DUCK_SH2 + """
     SELECT c.id_a, c.id_b,
            round(len(list_intersect(a.hs, b.hs))::DOUBLE
                  / (len(a.hs) + len(b.hs)
@@ -1264,12 +1282,16 @@ _DUCK_SH2 = f"""
                 / (len(a.hs) + len(b.hs)
                    - len(list_intersect(a.hs, b.hs))), 6) >= 0.2
     """,
-    "n-gram Jaccard near-dup: LSH candidates + exact verify >= 0.2 "
+    "n-gram Jaccard near-dup: high-recall LSH candidates (8 bands x 2 rows "
+    "over the SHARED trigram signature stage) + exact verify >= 0.2 "
     "(verify on 60-bit hashed shingles; union size by arithmetic)",
 )
 def jaccard_pairs_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.2, num_hashes=16, bands=8)
+    return ngram_jaccard_pairs(
+        docs, threshold=0.2, num_hashes=16, bands=8,
+        sigs=_dedup_stage(spark, sf_dir),
+    )
 
 
 @register(

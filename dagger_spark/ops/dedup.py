@@ -157,22 +157,64 @@ def hashed_docs(sh: DataFrame) -> DataFrame:
     )
 
 
+def minhash_signatures(hashed: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(id, hs, nsh, sig) — the hashed table plus its MinHash signature
+    array.  This is THE shareable stage of the whole near-dup family: all
+    the md5 + min-fold work lives here, while banding choices (4×4 for
+    candidate generation, 8×2 for high-recall Jaccard verify, …) are cheap
+    slices of the same 16-value signature.  Persist ONE of these and every
+    dedup operator (candidates, Jaccard verify, clustering) reads from it —
+    one tokenize/md5 pass over the corpus total.  Docs with no shingles get
+    a NULL sig (no content signal → never a candidate)."""
+    return hashed.withColumn(
+        "sig",
+        F.when(
+            F.size(F.col("hs")) > 0,
+            minhash_signature_from_hashes(F.col("hs"), num_hashes),
+        ),
+    )
+
+
+def lsh_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) from a (id, sig) relation (``minhash_signatures``).
+    NULL-signature rows (shingle-less docs) generate no buckets — the SQL
+    oracle's NULL-signature rows drop out of its bucket join the same way."""
+    return (
+        sigs.filter(F.col("sig").isNotNull())
+        .select(
+            "id",
+            F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
+        )
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def candidate_pairs_from_buckets(bucketed: DataFrame) -> DataFrame:
+    """(id_a < id_b) distinct pairs sharing any (band, bucket).  The shuffle
+    key is (band, bucket) — data-local, no cross join; a pair sharing
+    multiple bands is emitted once."""
+    left = bucketed.alias("l")
+    right = bucketed.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def bucketed_minhash_from_hashes(
     hashed: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
     """(id, band, bucket) from a pre-hashed (id, hs) relation (see
     ``hashed_docs``).  The staged projection boundary stops Catalyst inlining
-    the hash array into every one of the ``num_hashes`` min-folds.  Docs
-    with no shingles are excluded: an empty min-fold has no signature, so
-    they generate no buckets and never become near-dup candidates (the SQL
-    oracle's NULL-signature rows drop out of its bucket join the same way)."""
-    rows_per_band = num_hashes // bands
-    sig = hashed.filter(F.size(F.col("hs")) > 0).select(
-        "id", minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("__sig")
-    )
-    return (
-        sig.select("id", F.explode(minhash_bands(F.col("__sig"), bands, rows_per_band)).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    the hash array into every one of the ``num_hashes`` min-folds."""
+    return lsh_buckets(
+        minhash_signatures(hashed, num_hashes), bands, num_hashes // bands
     )
 
 
@@ -203,6 +245,7 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    sigs: DataFrame = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via MinHash LSH.
 
@@ -211,20 +254,17 @@ def minhash_candidate_pairs(
     table is persisted so the self-join reuses one signature computation
     instead of re-scanning and re-hashing per side — at scale this is the
     difference between one and two passes over the corpus.
+
+    Pass a pre-staged ``sigs`` relation (``minhash_signatures``, ideally
+    persisted) to share the tokenize/md5/min-fold work with other dedup
+    operators; ``shingle_k`` is then ignored (baked into the stage).
     """
-    bucketed = bucketed_minhash(df, text_col, id_col, shingle_k, num_hashes, bands).persist()
-    left = bucketed.alias("l")
-    right = bucketed.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    if sigs is None:
+        sigs = minhash_signatures(
+            hashed_docs(shingled_docs(df, text_col, id_col, shingle_k)), num_hashes
+        ).persist()
+    bucketed = lsh_buckets(sigs, bands, num_hashes // bands)
+    return candidate_pairs_from_buckets(bucketed)
 
 
 def connected_components(
@@ -283,13 +323,16 @@ def dedup_clusters(
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    sigs: DataFrame = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTER assignment: MinHash-LSH candidate pairs form a
     graph; connected components give each doc a cluster id (= the minimum
     doc id in its component; isolated docs are their own cluster).  The
     keep-one-per-cluster training-data dedup policy is then
     ``filter(doc_id == cluster)``."""
-    pairs = minhash_candidate_pairs(df, text_col, id_col, shingle_k, num_hashes, bands)
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, shingle_k, num_hashes, bands, sigs=sigs
+    )
     verts = df.select(F.col(id_col).alias("id"))
     comp = connected_components(
         verts, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -311,6 +354,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     num_hashes: int = 16,
     bands: int = 8,
+    sigs: DataFrame = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup: LSH candidates -> exact Jaccard verify.
 
@@ -320,25 +364,25 @@ def ngram_jaccard_pairs(
     integer arrays: |A∩B| = size(array_intersect(hs_a, hs_b)) and
     |A∪B| = nsh_a + nsh_b − |A∩B| (no union array is ever materialized;
     string compares never happen in the per-pair loop).  ONE persisted
-    hashed table feeds candidate generation AND both verify sides, so the
+    signature table feeds candidate generation AND both verify sides, so the
     corpus is tokenized/shingled/md5'd exactly once.  Within-doc 60-bit
     hash collisions (P ≈ S²/2⁶¹ per doc) are the usual MinHash trade and
     replay identically in the DuckDB oracle, which hashes the same way.
+
+    Pass a pre-staged ``sigs`` relation (``minhash_signatures``, ideally
+    persisted) to share the stage with the rest of the dedup family;
+    ``shingle_k`` is then ignored (baked into the stage).  Banding stays an
+    operator-local choice: 8 bands × 2 rows keeps candidate recall high at
+    low thresholds, independent of what candidate generation uses.
     """
-    hdocs = hashed_docs(shingled_docs(df, text_col, id_col, shingle_k)).persist()
-    bucketed = bucketed_minhash_from_hashes(hdocs, num_hashes, bands).persist()
-    left = bucketed.alias("l")
-    right = bucketed.alias("r")
-    cands = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+    if sigs is None:
+        sigs = minhash_signatures(
+            hashed_docs(shingled_docs(df, text_col, id_col, shingle_k)), num_hashes
+        ).persist()
+    cands = candidate_pairs_from_buckets(
+        lsh_buckets(sigs, bands, num_hashes // bands)
     )
+    hdocs = sigs
     a = hdocs.alias("a")
     b = hdocs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs"))).cast("double")

@@ -274,45 +274,90 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 20,
+    stats: dict = None,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds on ANY topology, unlike min-label
+    propagation whose round count equals the graph diameter (a 10k-doc
+    chain of near-dups would need 10k propagation rounds but ~5 star
+    rounds).  Each round is two join+aggregate passes, fully distributed;
+    the only driver-side values are the per-round convergence fingerprint
+    (count + hash-sum), never the labels.
 
-    Each round every vertex takes the minimum label among itself and its
-    neighbors; convergence (no label changed) is checked per round and the
-    loop exits early — label counts are actions, but each round's work is
-    fully distributed (join + groupBy-min), nothing is collected.  Rounds
-    needed = graph diameter; near-dup graphs are dense clumps with tiny
-    diameters, so this converges in a few rounds.  (At extreme diameters the
-    alternating large-star/small-star formulation halves rounds to
-    O(log n); same join/agg primitives, not needed for this workload.)
+      large-star(u): m = min(N(u) ∪ {u}); for v ∈ N(u), v > u: edge (v, m)
+      small-star(u): over the (big → small) edges, m = min smaller
+        neighbor; every smaller neighbor and u itself point at m.
+
+    The edge set shrinks toward a star forest whose centers are component
+    minima; convergence = the edge set reaches a fixed point.
 
     Returns (id, cluster) where cluster = min vertex id in the component.
+    ``stats`` (optional dict) receives {"rounds": n} for observability.
     """
-    sym = (
+    def _truncate(df: DataFrame) -> DataFrame:
+        # Iterative lineage MUST be cut each round: every round's plan embeds
+        # the previous round's ~8 times (sym/large/small each reference their
+        # input more than once), so without truncation the logical plan grows
+        # 8^rounds and analysis itself OOMs the driver.  Reliable checkpoint
+        # when the session has a checkpoint dir (the cluster setting),
+        # executor-local checkpoint otherwise (self-contained local runs).
+        sc = df.sparkSession.sparkContext
+        has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+        return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
+
+    e = _truncate(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .persist()
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
-    ).persist()
+    # hash-sum widened to decimal: int64 sum of xxhash64 would overflow
+    # (and ANSI mode makes that a runtime error, not a wrap)
+    fingerprint = (
+        F.count(F.lit(1)),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+    )
+    prev_fp = e.select(*fingerprint).collect()[0]
+    rounds = 0
     for _ in range(max_iters):
-        neigh = sym.join(labels, sym.b == labels.id).select(
-            F.col("a").alias("id"), F.col("cluster")
-        )
-        new_labels = (
-            labels.union(neigh).groupBy("id").agg(F.min("cluster").alias("cluster"))
-        ).persist()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster", "old"), "id")
-            .filter(F.col("cluster") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        if prev_fp[0] == 0:
             break
-    sym.unpersist()
+        rounds += 1
+        # large star over the symmetric neighborhood
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("__mb")).select(
+            "a", F.least(F.col("__mb"), F.col("a")).alias("m")
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small star: edges are now (big -> small); every smaller neighbor
+        # of a — and a itself — points at a's minimum smaller neighbor
+        m2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = _truncate(
+            large.join(m2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(m2.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        fp = small.select(*fingerprint).collect()[0]
+        e.unpersist()
+        e = small
+        if tuple(fp) == tuple(prev_fp):
+            break
+        prev_fp = fp
+    if stats is not None:
+        stats["rounds"] = rounds
+    labels = vertices.select(F.col(id_col).alias("id")).join(
+        e.select(F.col("a").alias("id"), F.col("b").alias("__root")), "id", "left"
+    ).select(
+        "id", F.coalesce(F.col("__root"), F.col("id")).alias("cluster")
+    )
     return labels
 
 

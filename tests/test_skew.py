@@ -128,3 +128,31 @@ def test_connected_components_chain_and_isolated(spark):
     )
     got = {r["id"]: r["cluster"] for r in connected_components(verts, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_chain_logarithmic_rounds(spark):
+    """Pathological topology for label propagation: a 10k-vertex PATH.
+    Min-label propagation needs diameter (~10k) rounds; the large-star/
+    small-star formulation must converge in O(log n) — well under 15."""
+    from dagger_spark.ops.dedup import connected_components
+
+    n = 10_000
+    verts = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stats = {}
+    labels = connected_components(verts, edges, max_iters=30, stats=stats)
+    distinct_clusters = labels.select("cluster").distinct().collect()
+    assert [r["cluster"] for r in distinct_clusters] == [0]
+    assert labels.count() == n
+    assert stats["rounds"] <= 15, stats
+
+
+def test_connected_components_empty_edges(spark):
+    from dagger_spark.ops.dedup import connected_components
+
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {r["id"]: r["cluster"] for r in connected_components(verts, edges).collect()}
+    assert got == {1: 1, 2: 2}

@@ -1,12 +1,16 @@
 """Multimodal columns: opaque binary payloads + typed metadata, processed by
 Arrow-batched Pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is stubbed: blobs
-carry a tiny deterministic fake header (magic, width, height, channels) that
-``extract_image_meta`` parses for real — the Spark-side plumbing (schema,
-batch iteration, partition behavior, UDF signatures) is genuine and tested.
-``decode_image(strict=True)`` raises NotImplementedError exactly where a real
-codec (Pillow/ffmpeg) would plug in.
+Codec policy: Pillow is probed at import and used automatically when present
+(``DEFAULT_PROBE``/``DEFAULT_RESIZE``); environments without codecs — like
+this container — fall back to the deterministic fake-header path: blobs
+carry a tiny header (magic, width, height, channels) that
+``extract_image_meta`` parses for real, so the Spark-side plumbing (schema,
+batch iteration, partition behavior, UDF signatures) is genuine and tested
+either way.  A custom codec can also be injected per call (it is captured by
+value into the UDF closure, so it reaches the Python workers without being
+installed there).  ``strict=True`` raises NotImplementedError ONLY when no
+codec is available — exactly where Pillow/libvips would plug in.
 
 Scale notes: blobs ride as parquet binary; metadata predicates (width>=..,
 media_type=..) are ordinary columns so pruning/pushdown skip undecodable
@@ -16,8 +20,9 @@ memory is one batch per core, not one partition.
 
 from __future__ import annotations
 
+import io
 import struct
-from typing import Iterator
+from typing import Callable, Iterator, Optional, Tuple
 
 import pandas as pd
 
@@ -26,6 +31,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MAGIC = b"FAKEIMG1"
+
+# ---- codec autodetection ---------------------------------------------------
+# probe codec: bytes -> (width, height, channels); raises on undecodable
+# resize codec: (bytes, width, height) -> re-encoded bytes; raises likewise
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image as _PILImage
+
+    def _pil_probe(blob: bytes) -> Tuple[int, int, int]:
+        img = _PILImage.open(io.BytesIO(blob))
+        return img.width, img.height, len(img.getbands())
+
+    def _pil_resize(blob: bytes, width: int, height: int) -> bytes:
+        img = _PILImage.open(io.BytesIO(blob))
+        fmt = img.format or "PNG"
+        buf = io.BytesIO()
+        img.resize((width, height)).save(buf, format=fmt)
+        return buf.getvalue()
+
+    DEFAULT_PROBE: Optional[Callable] = _pil_probe
+    DEFAULT_RESIZE: Optional[Callable] = _pil_resize
+except ImportError:
+    DEFAULT_PROBE = None
+    DEFAULT_RESIZE = None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -66,13 +94,14 @@ def fake_media_df(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def extract_image_meta(media: DataFrame) -> DataFrame:
-    """Parse the (fake) image header per blob via mapInPandas.
-
-    Real shape of a production decode stage: Arrow batches in, schema'd
-    batches out, malformed blobs flagged instead of failing the task
-    (ignore-parse-errors discipline, same as the JSON source).
+def extract_image_meta(media: DataFrame, codec: Optional[Callable] = None) -> DataFrame:
+    """Parse image dimensions per blob via mapInPandas: the deterministic
+    fake header is recognized first (fixtures), then ``codec`` (default:
+    Pillow when installed) probes real formats; undecodable blobs are
+    flagged instead of failing the task (ignore-parse-errors discipline,
+    same as the JSON source).
     """
+    codec = codec if codec is not None else DEFAULT_PROBE
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,6 +110,12 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
                 if blob is not None and bytes(blob[:8]) == MAGIC and len(blob) >= 20:
                     w, h, c = struct.unpack("<III", bytes(blob[8:20]))
                     out.append((mid, w, h, c, True))
+                elif codec is not None and blob is not None:
+                    try:
+                        w, h, c = codec(bytes(blob))
+                        out.append((mid, w, h, c, True))
+                    except Exception:
+                        out.append((mid, None, None, None, False))
                 else:
                     out.append((mid, None, None, None, False))
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "channels", "valid"])
@@ -88,20 +123,24 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(parse_batches, IMAGE_META_SCHEMA)
 
 
-def decode_image(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Pixel decode — the step a real deployment backs with Pillow/libvips.
+def decode_image(
+    media: DataFrame, strict: bool = False, codec: Optional[Callable] = None
+) -> DataFrame:
+    """Pixel decode — backed by ``codec`` (default: Pillow when installed).
 
-    strict=True raises NotImplementedError (no codec in this environment);
-    strict=False degrades to header metadata extraction so pipelines remain
-    runnable end-to-end.
+    strict=True raises NotImplementedError ONLY when no codec is available
+    (neither Pillow nor an injected one); strict=False additionally degrades
+    to header metadata extraction in codec-less environments so pipelines
+    remain runnable end-to-end.
     """
-    if strict:
+    codec = codec if codec is not None else DEFAULT_PROBE
+    if strict and codec is None:
         raise NotImplementedError(
-            "pixel decode requires an image codec (Pillow/libvips); "
-            "not available in this environment — wire it into "
-            "extract_image_meta's mapInPandas stage"
+            "pixel decode requires an image codec (Pillow/libvips); none is "
+            "installed and none was injected — pass codec= or pip install "
+            "Pillow where workers can import it"
         )
-    return extract_image_meta(media)
+    return extract_image_meta(media, codec=codec)
 
 
 FEATURE_SCHEMA = T.StructType(
@@ -139,28 +178,48 @@ def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
     return media.mapInPandas(feat_batches, FEATURE_SCHEMA)
 
 
-def resize_image(media: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
-    """Resize stage — stubbed like ``decode_image`` (needs Pillow/libvips).
-
-    strict=True raises where the codec would plug in; strict=False passes
-    blobs through with the TARGET dimensions stamped into new header bytes,
-    keeping the pipeline shape (binary in -> binary out, same partitioning)
-    runnable and testable."""
-    if strict:
+def resize_image(
+    media: DataFrame,
+    width: int,
+    height: int,
+    strict: bool = False,
+    codec: Optional[Callable] = None,
+) -> DataFrame:
+    """Resize stage — real-format blobs go through ``codec`` (default:
+    Pillow when installed, signature ``(blob, w, h) -> bytes``); fake-header
+    fixture blobs get the TARGET dimensions stamped into their header (they
+    have no real pixels).  strict=True raises NotImplementedError ONLY when
+    no codec is available; strict=False keeps the pipeline shape (binary in
+    -> binary out, same partitioning) runnable in codec-less environments
+    by degrading real-format blobs to None (undecodable)."""
+    codec = codec if codec is not None else DEFAULT_RESIZE
+    if strict and codec is None:
         raise NotImplementedError(
-            "pixel resize requires an image codec (Pillow/libvips); wire it "
-            "into the mapInPandas stage below"
+            "pixel resize requires an image codec (Pillow/libvips); none is "
+            "installed and none was injected — pass codec= or pip install "
+            "Pillow where workers can import it"
         )
+
+    def resize_one(blob):
+        if blob is None:
+            return None
+        if bytes(blob[:8]) == MAGIC:
+            return (
+                bytes(blob[:8])
+                + struct.pack("<III", width, height, 3)
+                + bytes(blob[20:])
+            )
+        if codec is not None:
+            try:
+                return codec(bytes(blob), width, height)
+            except Exception:
+                return None
+        return None
 
     def resize_batches(batches):
         for pdf in batches:
             out = pdf.copy()
-            out["content"] = [
-                None
-                if blob is None or bytes(blob[:8]) != MAGIC
-                else bytes(blob[:8]) + struct.pack("<III", width, height, 3) + bytes(blob[20:])
-                for blob in out["content"]
-            ]
+            out["content"] = [resize_one(blob) for blob in out["content"]]
             yield out
 
     return media.mapInPandas(resize_batches, media.schema)

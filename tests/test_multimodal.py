@@ -1,11 +1,37 @@
 """Multimodal plumbing: mapInPandas stages over opaque binary blobs."""
 
+import struct
+
 import pytest
 
 from dagger_spark.ops.multimodal import (
     decode_image, extract_features, extract_image_meta, fake_media_df,
-    frame_sample_plan, pack_fake_image, resize_image, MAGIC,
+    frame_sample_plan, pack_fake_image, resize_image, DEFAULT_PROBE,
+    MAGIC, MEDIA_SCHEMA,
 )
+
+# deterministic stand-in codecs for a "real" format (magic PNGX + LE dims):
+# built as CLOSURES (factory) so cloudpickle ships them to Python workers by
+# value — a test module isn't importable there, but an installed Pillow
+# would be, which is exactly the difference between injected and default
+# codecs
+def _make_codecs():
+    def probe(blob):
+        if bytes(blob[:4]) != b"PNGX":
+            raise ValueError("bad magic")
+        w, h = struct.unpack("<II", bytes(blob[4:12]))
+        return w, h, 3
+
+    def resize(blob, w, h):
+        if bytes(blob[:4]) != b"PNGX":
+            raise ValueError("bad magic")
+        return b"PNGX" + struct.pack("<II", w, h)
+
+    return probe, resize
+
+
+def _pngx(w, h):
+    return bytearray(b"PNGX" + struct.pack("<II", w, h))
 
 
 @pytest.fixture(scope="module")
@@ -34,9 +60,43 @@ def test_malformed_blob_flagged_not_fatal(spark):
     assert got == {0: True, 1: False, 2: False}
 
 
-def test_decode_image_strict_raises(media):
+@pytest.mark.skipif(DEFAULT_PROBE is not None,
+                    reason="codec installed: strict no longer raises")
+def test_decode_image_strict_raises_without_codec(media):
     with pytest.raises(NotImplementedError):
         decode_image(media, strict=True)
+
+
+def test_injected_codec_decodes_real_format(spark):
+    """With a codec available, strict mode runs and real-format blobs decode
+    through it; fake-header blobs still parse; junk is flagged."""
+    rows = [
+        (0, "image/test", _pngx(320, 200), ("s", 12)),
+        (1, "image/fake", bytearray(pack_fake_image(1, 10, 20)), ("s", 84)),
+        (2, "image/test", bytearray(b"junk"), ("s", 4)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    probe, _ = _make_codecs()
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["valid"])
+        for r in decode_image(df, strict=True, codec=probe).collect()
+    }
+    assert got == {0: (320, 200, True), 1: (10, 20, True), 2: (None, None, False)}
+
+
+def test_injected_codec_resizes_real_format(spark):
+    rows = [
+        (0, "image/test", _pngx(320, 200), ("s", 12)),
+        (1, "image/fake", bytearray(pack_fake_image(1, 10, 20)), ("s", 84)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    probe, resize = _make_codecs()
+    resized = resize_image(df, 64, 48, strict=True, codec=resize)
+    meta = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in extract_image_meta(resized, codec=probe).collect()
+    }
+    assert meta == {0: (64, 48), 1: (64, 48)}
 
 
 def test_extract_features_histogram(media):
@@ -56,7 +116,9 @@ def test_resize_stamps_target_dims(media):
     assert all(r["width"] == 224 and r["height"] == 224 for r in meta.values())
 
 
-def test_resize_strict_raises(media):
+@pytest.mark.skipif(DEFAULT_PROBE is not None,
+                    reason="codec installed: strict no longer raises")
+def test_resize_strict_raises_without_codec(media):
     with pytest.raises(NotImplementedError):
         resize_image(media, 224, 224, strict=True)
 

@@ -152,12 +152,109 @@ def _b64offset_variants(value: str) -> list:
     return out
 
 
+# Sigma `windash` variant set (the pySigma set: hyphen, slash, en dash,
+# em dash, horizontal bar) — command-line flags written with any of them
+# must match any other
+_WINDASH_CHARS = ("-", "/", "–", "—", "―")
+
+
+def _windash_variations(value: str, cap: int = 256) -> list:
+    """All dash-variant permutations of ``value``: every character that IS a
+    dash variant expands over the full variant set (cartesian across
+    occurrences, like pySigma).  Refuses loudly past ``cap`` permutations —
+    no silent truncation."""
+    import itertools
+
+    slots = [
+        _WINDASH_CHARS if ch in _WINDASH_CHARS else (ch,) for ch in value
+    ]
+    n = 1
+    for s in slots:
+        n *= len(s)
+        if n > cap:
+            raise SigmaCompileError(
+                f"windash: {value!r} expands to >{cap} permutations"
+            )
+    return ["".join(p) for p in itertools.product(*slots)]
+
+
+def _cidr_patterns(cidr: str) -> list:
+    """IPv4 CIDR -> LIKE/equality patterns over the dotted-quad TEXT form
+    (the field carries an IP string).  Byte-aligned prefixes give one
+    ``a.b.%`` pattern; a partial octet expands into its 2^(8-r) values.
+    IPv6 is rejected loudly (compressed text forms make textual prefix
+    matching unsound), as is malformed input — never silently stripped
+    (the reference's modifier bug, main.py:35)."""
+    import ipaddress
+
+    try:
+        net = ipaddress.ip_network(cidr, strict=False)
+    except ValueError as exc:
+        raise SigmaCompileError(f"cidr: invalid network {cidr!r}: {exc}") from exc
+    if net.version != 4:
+        raise SigmaCompileError(
+            f"cidr: IPv6 not supported for text matching ({cidr!r}); "
+            "normalize addresses upstream and use explicit patterns"
+        )
+    octets = str(net.network_address).split(".")
+    full, rem = divmod(net.prefixlen, 8)
+    if rem == 0:
+        if full == 4:
+            return [str(net.network_address)]
+        if full == 0:
+            return ["%"]
+        return [".".join(octets[:full]) + ".%"]
+    base = int(octets[full])
+    pats = []
+    for v in range(base, base + (1 << (8 - rem))):
+        prefix = octets[:full] + [str(v)]
+        pats.append(".".join(prefix) if full == 3 else ".".join(prefix) + ".%")
+    return pats
+
+
 def _modifier_term(key: str, modifier: str, value, bug_compat: bool) -> str:
     had_b64 = modifier.startswith("base64offset|")
     modifier = modifier.replace("base64offset|", "")
 
     def values_list(v):
         return v if isinstance(v, list) else [v]
+
+    if modifier == "windash" or modifier.startswith("windash|"):
+        if bug_compat:
+            # the reference strips modifiers it doesn't know SILENTLY
+            # (main.py:35) — that turns a windash rule into a wrong plain
+            # match; refusing loudly is the only safe reproduction
+            raise SigmaCompileError("windash not supported in bug-compat mode")
+        rest = modifier[len("windash"):].lstrip("|")
+        per_value = [
+            (v, _windash_variations(str(v))) for v in values_list(value)
+        ]
+        if rest == "contains|all":
+            if not isinstance(value, list):
+                raise SigmaCompileError("contains|all requires a list")
+            # each listed flag must appear, in ANY dash form
+            return " AND ".join(
+                "(" + " OR ".join(
+                    f"{_field(key)} LIKE {_q('%' + x.strip('*') + '%')}"
+                    for x in variants
+                ) + ")"
+                for _v, variants in per_value
+            )
+        expanded = [x for _v, variants in per_value for x in variants]
+        if not rest:
+            parts = [_scalar_term(key, x, False) for x in expanded]
+            return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
+        return _modifier_term(key, rest, expanded, False)
+
+    if modifier == "cidr":
+        if bug_compat:
+            raise SigmaCompileError("cidr not supported in bug-compat mode")
+        pats = [p for v in values_list(value) for p in _cidr_patterns(str(v))]
+        parts = [
+            f"{_field(key)} LIKE {_q(p)}" if "%" in p else f"{_field(key)} = {_q(p)}"
+            for p in pats
+        ]
+        return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
 
     if had_b64 and not bug_compat:
         if modifier != "contains":

@@ -100,6 +100,78 @@ def test_base64offset():
     assert "'%http%'" in bug.predicate_sql
 
 
+def test_windash_contains_expands_dash_variants():
+    det = {"sel": {"CommandLine|windash|contains": "-p"}, "condition": "sel"}
+    spec = compile_sigma(mk(det))
+    # 5 dash variants, each a LIKE branch
+    assert spec.predicate_sql.count("LIKE") == 5
+    for ch in ("-p", "/p", "–p", "—p", "―p"):
+        assert f"'%{ch}%'" in spec.predicate_sql
+    # parses through the shared predicate parser
+    parse_predicate(spec.predicate_sql)
+
+
+def test_windash_bare_and_startswith():
+    bare = compile_sigma(mk({"sel": {"A|windash": "-x"}, "condition": "sel"}))
+    assert bare.predicate_sql.count("=") >= 5  # 5 equality variants (+gate)
+    sw = compile_sigma(mk({"sel": {"A|windash|startswith": "/y"}, "condition": "sel"}))
+    assert sw.predicate_sql.count("LIKE") == 5
+    assert "'-y%'" in sw.predicate_sql and "'/y%'" in sw.predicate_sql
+
+
+def test_windash_contains_all_is_and_of_variant_ors():
+    det = {"sel": {"CommandLine|windash|contains|all": ["-a", "-b"]}, "condition": "sel"}
+    spec = compile_sigma(mk(det))
+    # 2 flags x 5 variants, AND between flags
+    assert spec.predicate_sql.count("LIKE") == 10
+    assert "'%/a%'" in spec.predicate_sql and "'%/b%'" in spec.predicate_sql
+    parse_predicate(spec.predicate_sql)
+
+
+def test_windash_permutation_cap_raises():
+    with pytest.raises(SigmaCompileError, match="windash"):
+        compile_sigma(mk({"sel": {"A|windash|contains": "-" * 10}, "condition": "sel"}))
+
+
+def test_windash_rejected_loudly_in_bug_compat():
+    det = {"sel": {"A|windash|contains": "-p"}, "condition": "sel"}
+    with pytest.raises(SigmaCompileError, match="windash"):
+        compile_sigma(mk(det), bug_compat=True)
+
+
+def test_cidr_byte_aligned_and_partial_octet():
+    spec = compile_sigma(mk({"sel": {"DestinationIp|cidr": "10.1.0.0/16"}, "condition": "sel"}))
+    assert "LIKE '10.1.%'" in spec.predicate_sql
+    # /20 -> 16 third-octet expansions
+    spec20 = compile_sigma(mk({"sel": {"DestinationIp|cidr": "192.168.16.0/20"}, "condition": "sel"}))
+    assert spec20.predicate_sql.count("LIKE") == 16
+    assert "'192.168.16.%'" in spec20.predicate_sql
+    assert "'192.168.31.%'" in spec20.predicate_sql
+    assert "'192.168.32.%'" not in spec20.predicate_sql
+    # /32 -> exact equality
+    spec32 = compile_sigma(mk({"sel": {"DestinationIp|cidr": "10.0.0.7/32"}, "condition": "sel"}))
+    assert "= '10.0.0.7'" in spec32.predicate_sql
+    parse_predicate(spec20.predicate_sql)
+
+
+def test_cidr_host_bits_normalized_and_list_ored():
+    spec = compile_sigma(mk(
+        {"sel": {"Ip|cidr": ["10.1.2.3/16", "172.16.0.0/12"]}, "condition": "sel"}
+    ))
+    assert "'10.1.%'" in spec.predicate_sql       # host bits masked off
+    assert spec.predicate_sql.count("LIKE") == 1 + 16  # /16 + 16 x /12 second-octet
+
+
+def test_cidr_rejects_ipv6_and_garbage():
+    with pytest.raises(SigmaCompileError, match="IPv6"):
+        compile_sigma(mk({"sel": {"Ip|cidr": "2001:db8::/32"}, "condition": "sel"}))
+    with pytest.raises(SigmaCompileError, match="invalid"):
+        compile_sigma(mk({"sel": {"Ip|cidr": "300.1.2.3/8"}, "condition": "sel"}))
+    with pytest.raises(SigmaCompileError, match="cidr"):
+        compile_sigma(mk({"sel": {"Ip|cidr": "10.0.0.0/8"}, "condition": "sel"}),
+                      bug_compat=True)
+
+
 def test_condition_one_of_prefix():
     det = {
         "sel_a": {"A": "1"}, "sel_b": {"B": "2"}, "other": {"C": "3"},

@@ -763,15 +763,33 @@ _shared_sql(
 
 @register(
     "events_approx_distinct",
-    None,
-    "HLL sketch: approx_count_distinct users per event_type (approx values "
-    "are engine-specific, so rows-only check; the exact twin is distinct_agg)",
+    """
+    SELECT event_type,
+           cast(count(DISTINCT user_id) AS bigint) AS exact_users,
+           cast(count(*) AS bigint) AS n_events,
+           TRUE AS approx_within_band
+    FROM events GROUP BY event_type
+    """,
+    "HLL sketch with a BOUNDED oracle: the raw approx_count_distinct value "
+    "is engine-specific, so the emitted columns are the exact distinct "
+    "count plus a flag asserting |approx - exact| <= 5% of exact (5x the "
+    "rsd=0.01 the sketch is configured for — far outside plausible HLL "
+    "error, so a broken sketch flips the flag and fails the hash compare "
+    "while a healthy one matches the oracle's literal TRUE)",
 )
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", 0.01)
+    exact = F.count_distinct(F.col("user_id"))
+    within = F.when(
+        exact == 0, approx == 0
+    ).otherwise(
+        F.abs(approx.cast("double") - exact.cast("double")) <= 0.05 * exact.cast("double")
+    )
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        exact.cast("long").alias("exact_users"),
         F.count("*").alias("n_events"),
+        within.alias("approx_within_band"),
     )
 
 

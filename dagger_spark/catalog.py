@@ -31,6 +31,10 @@ from .ops.dedup import (
 from .ops.similarity import (
     brute_force_topk, cosine_neardup_pairs, ivf_topk, lsh_topk, _plane_coeffs,
 )
+from .ops.quality import (
+    GOPHER_STOPWORDS, PII_PATTERNS, gopher_pass, gopher_stats, pii_counts,
+    redact_pii, repetition_stats, word_ngrams,
+)
 from .ops.text import (
     bpe_ish_token_count, doc_fingerprint, language_id, quality_score,
     text_stats, token_count, tokens, LANG_STOPWORDS,
@@ -2254,6 +2258,291 @@ def skew_resistant_agg(spark, sf_dir):
         F.col("n_events"),
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
+    )
+
+
+# ===========================================================================
+# Training-data hygiene (ops/quality.py): Gopher gates, repetition, PII,
+# chunking, benchmark decontamination
+# ===========================================================================
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+@register(
+    "gopher_quality_docs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS txt, {_DUCK_TOKS} AS t,
+             list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS ls
+      FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS sum_len,
+             len(regexp_extract_all(txt, '#'))
+               + len(regexp_extract_all(txt, '\\.\\.\\.'))
+               + len(regexp_extract_all(txt, '…')) AS n_symbols,
+             len(ls) AS n_lines,
+             len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*')
+                                      OR starts_with(x, '•'))) AS n_bullet,
+             len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS n_ellipsis,
+             len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+             len(list_filter(t, x -> lower(x) IN ({_GOPHER_STOP_SQL}))) AS n_stop_hits
+      FROM base
+    ), ratios AS (
+      SELECT doc_id, n_words, n_lines, n_stop_hits,
+             CASE WHEN n_words > 0 THEN sum_len::DOUBLE / n_words ELSE 0 END AS mean_len,
+             CASE WHEN n_words > 0 THEN n_symbols::DOUBLE / n_words ELSE 0 END AS symbol_r,
+             CASE WHEN n_lines > 0 THEN n_bullet::DOUBLE / n_lines ELSE 0 END AS bullet_r,
+             CASE WHEN n_lines > 0 THEN n_ellipsis::DOUBLE / n_lines ELSE 0 END AS ellipsis_r,
+             CASE WHEN n_words > 0 THEN n_alpha_words::DOUBLE / n_words ELSE 0 END AS alpha_r
+      FROM raw
+    )
+    SELECT doc_id, n_words, n_lines, n_stop_hits,
+           round(mean_len + 1e-9, 6) AS mean_word_len,
+           round(symbol_r + 1e-9, 6) AS symbol_word_ratio,
+           round(bullet_r + 1e-9, 6) AS bullet_line_ratio,
+           round(ellipsis_r + 1e-9, 6) AS ellipsis_line_ratio,
+           round(alpha_r + 1e-9, 6) AS alpha_word_ratio,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_len BETWEEN 3.0 AND 10.0
+            AND symbol_r <= 0.1 AND bullet_r <= 0.9 AND ellipsis_r <= 0.3
+            AND alpha_r >= 0.8 AND n_stop_hits >= 2) AS passes
+    FROM ratios
+    """,
+    "Gopher appendix-A quality gates (Rae et al. 2021): word/line stats, "
+    "symbol/bullet/ellipsis ratios, stopword presence, composite pass flag",
+)
+def gopher_quality_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s = gopher_stats(F.col("text"))
+    # flags evaluate the UNROUNDED ratios (same expression both engines);
+    # rounded copies are for the hash compare only (+1e-9 parks dyadic
+    # boundary values off the .xxxxxx5 tie, same convention as text_stats)
+    return docs.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        s["n_lines"].alias("n_lines"),
+        s["n_stop_hits"].alias("n_stop_hits"),
+        F.round(s["mean_word_len"] + F.lit(1e-9), 6).alias("mean_word_len"),
+        F.round(s["symbol_word_ratio"] + F.lit(1e-9), 6).alias("symbol_word_ratio"),
+        F.round(s["bullet_line_ratio"] + F.lit(1e-9), 6).alias("bullet_line_ratio"),
+        F.round(s["ellipsis_line_ratio"] + F.lit(1e-9), 6).alias("ellipsis_line_ratio"),
+        F.round(s["alpha_word_ratio"] + F.lit(1e-9), 6).alias("alpha_word_ratio"),
+        gopher_pass(s).alias("passes"),
+    )
+
+
+@register(
+    "repetition_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, len(t) AS n_words,
+             CASE WHEN len(t) >= 2
+                  THEN [array_to_string(list_slice(t, i, i + 1), ' ')
+                        FOR i IN range(1, len(t))]
+                  ELSE []::VARCHAR[] END AS g2,
+             CASE WHEN len(t) >= 3
+                  THEN [array_to_string(list_slice(t, i, i + 2), ' ')
+                        FOR i IN range(1, len(t) - 1)]
+                  ELSE []::VARCHAR[] END AS g3
+      FROM toks
+    )
+    SELECT doc_id, n_words,
+           round(CASE WHEN len(g2) > 0
+                      THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+                      ELSE 0 END + 1e-9, 6) AS dup_frac_2gram,
+           round(CASE WHEN len(g3) > 0
+                      THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+                      ELSE 0 END + 1e-9, 6) AS dup_frac_3gram
+    FROM grams
+    """,
+    "C4/Gopher intra-doc repetition: fraction of duplicate 2-/3-gram "
+    "occurrences; linear in doc length (no pairwise work)",
+)
+def repetition_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    r = repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_words"),
+        F.round(r["dup_frac_2gram"] + F.lit(1e-9), 6).alias("dup_frac_2gram"),
+        F.round(r["dup_frac_3gram"] + F.lit(1e-9), 6).alias("dup_frac_3gram"),
+    )
+
+
+def _pii_aug_spark():
+    """Deterministic PII augmentation: the synthetic corpus carries no PII,
+    so the catalog query plants doc_id-derived emails/IPs/phones on a subset
+    — the cross-engine hash then pins Java-regex vs RE2 parity on real
+    matches, not on a table of zeros.  The SQL twin mirrors this exactly."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when((d % 3) == 0,
+               F.concat(F.lit(" reach user"), d.cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when((d % 5) == 0,
+               F.concat(F.lit(" from host 10."), (d % 200).cast("string"),
+                        F.lit(".0.7 logged"))).otherwise(F.lit("")),
+        F.when((d % 7) == 0,
+               F.concat(F.lit(" call +1415555"),
+                        ((d % 9000) + 1000).cast("string"))).otherwise(F.lit("")),
+    )
+
+
+_PII_AUG_SQL = (
+    "coalesce(text, '')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from host 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.7 logged' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call +1415555' || CAST(doc_id % 9000 + 1000 AS VARCHAR)"
+    " ELSE '' END"
+)
+
+_PII_PAT = dict(PII_PATTERNS)
+
+@register(
+    "pii_scan_docs",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS txt FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(txt, '{_PII_PAT["email"]}')) AS n_email,
+           len(regexp_extract_all(txt, '{_PII_PAT["ipv4"]}')) AS n_ipv4,
+           len(regexp_extract_all(txt, '{_PII_PAT["phone"]}')) AS n_phone,
+           (len(regexp_extract_all(txt, '{_PII_PAT["email"]}'))
+            + len(regexp_extract_all(txt, '{_PII_PAT["ipv4"]}'))
+            + len(regexp_extract_all(txt, '{_PII_PAT["phone"]}'))) > 0 AS has_pii,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+               '{_PII_PAT["email"]}', '<EMAIL>', 'g'),
+               '{_PII_PAT["ipv4"]}', '<IPV4>', 'g'),
+               '{_PII_PAT["phone"]}', '<PHONE>', 'g')) AS redacted_hash
+    FROM aug
+    """,
+    "PII scan + redaction over doc_id-salted text: per-kind match counts "
+    "and the md5 of the globally-redacted text (regex parity across engines)",
+)
+def pii_scan_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _pii_aug_spark()
+    c = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        c["email"].alias("n_email"),
+        c["ipv4"].alias("n_ipv4"),
+        c["phone"].alias("n_phone"),
+        ((c["email"] + c["ipv4"] + c["phone"]) > 0).alias("has_pii"),
+        F.md5(redact_pii(aug)).alias("redacted_hash"),
+    )
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 16, 12
+
+@register(
+    "chunk_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t), 1) + 1, {_CHUNK_STRIDE})) AS s
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, ((s - 1) // {_CHUNK_STRIDE}) + 1 AS chunk_idx,
+             s AS chunk_start, list_slice(t, s, s + {_CHUNK_SIZE} - 1) AS c
+      FROM starts
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           len(c) AS n_chunk_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_hash
+    FROM chunks
+    WHERE len(c) > 0
+    """,
+    f"RAG-style token-window chunking: size {_CHUNK_SIZE}, stride "
+    f"{_CHUNK_STRIDE} (overlapping); explode-only, no shuffle",
+)
+def chunk_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)),
+                        F.lit(_CHUNK_STRIDE))
+    ex = df.select("doc_id", "t", F.posexplode(starts).alias("pos", "s"))
+    chunk = F.slice(F.col("t"), F.col("s"), _CHUNK_SIZE)
+    return (
+        ex.select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("chunk_idx"),
+            F.col("s").cast("long").alias("chunk_start"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+        .filter(F.col("n_chunk_tokens") > 0)
+    )
+
+
+_DECON_K, _DECON_MOD = 5, 17
+
+@register(
+    "decontam_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {_DECON_K}
+                  THEN list_distinct([md5(array_to_string(
+                           list_slice(t, i, i + {_DECON_K} - 1), ' '))
+                       FOR i IN range(1, len(t) - {_DECON_K} + 2)])
+                  ELSE []::VARCHAR[] END AS gs
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ), bench AS (
+      SELECT DISTINCT g FROM ex WHERE doc_id % {_DECON_MOD} = 0
+    ), train AS (
+      SELECT doc_id, g FROM ex WHERE doc_id % {_DECON_MOD} <> 0
+    ), hits AS (
+      SELECT train.doc_id, count(*) AS n_overlap
+      FROM train JOIN bench USING (g) GROUP BY train.doc_id
+    ), sizes AS (
+      SELECT doc_id, len(gs) AS n_grams FROM grams
+    )
+    SELECT hits.doc_id, n_overlap, n_grams,
+           round(n_overlap::DOUBLE / n_grams + 1e-9, 6) AS contamination
+    FROM hits JOIN sizes ON hits.doc_id = sizes.doc_id
+    """,
+    f"benchmark decontamination: {_DECON_K}-gram shingle overlap of the "
+    f"corpus against a broadcast eval set (doc_id % {_DECON_MOD} = 0); "
+    "the contaminated docs and their overlap counts",
+)
+def decontam_docs(spark, sf_dir):
+    """Eval-set n-gram decontamination (the GPT-3/Gopher procedure): shingle
+    both sides, hash, and report corpus docs sharing any shingle with the
+    benchmark.  Scale shape: the benchmark shingle set is tiny relative to
+    the corpus, so it is BROADCAST — the corpus side never shuffles; the
+    only shuffle is the per-doc overlap count (one hash aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(word_ngrams(toks, _DECON_K), lambda g: F.md5(g)))
+    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    bench = ex.filter((F.col("doc_id") % _DECON_MOD) == 0).select("g").distinct()
+    train = ex.filter((F.col("doc_id") % _DECON_MOD) != 0)
+    # both sides are per-doc-distinct, so plain count == distinct count
+    hits = (train.join(F.broadcast(bench), "g")
+                 .groupBy("doc_id").agg(F.count("g").alias("n_overlap")))
+    sizes = docs.select("doc_id", F.size(grams).alias("n_grams"))
+    return hits.join(sizes, "doc_id").select(
+        "doc_id", "n_overlap",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round(F.col("n_overlap") / F.col("n_grams") + F.lit(1e-9), 6)
+         .alias("contamination"),
     )
 
 

@@ -1,0 +1,174 @@
+"""Training-data hygiene operators: Gopher-style quality gates, intra-doc
+repetition, PII scan/redaction, token-window chunking, and benchmark
+decontamination shingles.
+
+Like ops/text.py these are pure built-in column expressions — no UDFs — so
+they run inside whole-stage codegen, prune columns, and scale linearly with
+corpus size.  Everything here has an exact ANSI-SQL twin runnable in DuckDB
+(see catalog.py); determinism is part of the contract.
+
+The reference (D0d3cah3dr0n/Dagger) has no data-quality surface at all —
+its operator set is predicate filtering over events (rules/sigma/*.sql);
+this module is part of the LLM-pipeline extension mandated by the build
+brief, with semantics drawn from the published Gopher (Rae et al. 2021,
+appendix A) and C4 (Raffel et al. 2020, §2.2) filtering rules.
+
+Scale notes (100 TB design point):
+  * every stat is a per-row expression: no shuffle, no state, map-side only;
+  * chunking explodes rows by ~n_tokens/stride — output partitioning stays
+    inherited from the scan, so downstream writers should repartition by a
+    hash of (doc_id, chunk_idx) if chunk skew matters;
+  * decontamination joins the corpus against the *benchmark* shingle set,
+    which is tiny by construction (eval sets are MBs, corpora are TBs) —
+    broadcast it; the corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: Gopher appendix-A "must contain >=2 of" stopword set (Rae et al. 2021).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: Gopher bounds: (min_words, max_words, min_mean_len, max_mean_len,
+#: max_symbol_ratio, max_bullet_ratio, max_ellipsis_ratio, min_alpha_ratio)
+GOPHER_BOUNDS = dict(
+    min_words=50, max_words=100_000,
+    min_mean_word_len=3.0, max_mean_word_len=10.0,
+    max_symbol_word_ratio=0.1,
+    max_bullet_line_ratio=0.9,
+    max_ellipsis_line_ratio=0.3,
+    min_alpha_word_ratio=0.8,
+    min_stopword_hits=2,
+)
+
+
+def _nonempty_lines(text: Column) -> Column:
+    """Trimmed, non-empty lines of the document (newline-split)."""
+    raw = F.split(F.coalesce(text, F.lit("")), "\n")
+    return F.filter(F.transform(raw, lambda l: F.trim(l)), lambda l: l != "")
+
+
+def gopher_stats(text: Column) -> dict:
+    """The Gopher quality-rule inputs as named Columns.  NULL text ≡ empty
+    (zero words, zero lines) so downstream flags are deterministic."""
+    txt = F.coalesce(text, F.lit(""))
+    toks = tokens(text)
+    n_words = F.size(toks).cast("long")
+
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+
+    # "symbols" per Gopher: hash marks and ellipses (both ASCII and …)
+    n_symbols = (
+        F.coalesce(F.regexp_count(txt, F.lit("#")), F.lit(0))
+        + F.coalesce(F.regexp_count(txt, F.lit(r"\.\.\.")), F.lit(0))
+        + F.coalesce(F.regexp_count(txt, F.lit("…")), F.lit(0))
+    ).cast("long")
+    symbol_word_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+
+    lines = _nonempty_lines(text)
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: l.endswith("...") | l.endswith("…")))
+    bullet_line_ratio = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
+    ellipsis_line_ratio = F.when(n_lines > 0, n_ellipsis / n_lines).otherwise(F.lit(0.0))
+
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_word_ratio = F.when(n_words > 0, n_alpha_words / n_words).otherwise(F.lit(0.0))
+
+    n_stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*GOPHER_STOPWORDS))).cast("long")
+
+    return dict(
+        n_words=n_words,
+        mean_word_len=mean_word_len,
+        symbol_word_ratio=symbol_word_ratio,
+        n_lines=n_lines,
+        bullet_line_ratio=bullet_line_ratio,
+        ellipsis_line_ratio=ellipsis_line_ratio,
+        alpha_word_ratio=alpha_word_ratio,
+        n_stop_hits=n_stop_hits,
+    )
+
+
+def gopher_pass(stats: dict, b: dict = GOPHER_BOUNDS) -> Column:
+    """Conjunction of the Gopher appendix-A gates over gopher_stats()."""
+    return (
+        (stats["n_words"] >= b["min_words"])
+        & (stats["n_words"] <= b["max_words"])
+        & (stats["mean_word_len"] >= b["min_mean_word_len"])
+        & (stats["mean_word_len"] <= b["max_mean_word_len"])
+        & (stats["symbol_word_ratio"] <= b["max_symbol_word_ratio"])
+        & (stats["bullet_line_ratio"] <= b["max_bullet_line_ratio"])
+        & (stats["ellipsis_line_ratio"] <= b["max_ellipsis_line_ratio"])
+        & (stats["alpha_word_ratio"] >= b["min_alpha_word_ratio"])
+        & (stats["n_stop_hits"] >= b["min_stopword_hits"])
+    )
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array; fewer than n tokens ->
+    empty array (never NULL), so counts/set ops behave on short docs."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(text: Column, ns: tuple = (2, 3)) -> dict:
+    """C4/Gopher-style intra-document repetition: for each n in ns, the
+    fraction of n-gram *occurrences* that are repeats of an earlier
+    occurrence — 1 - distinct/total, 0.0 for docs too short to have any.
+    Linear in doc length (no pairwise work), so safe on 100k-token docs."""
+    toks = tokens(text)
+    out = {}
+    for n in ns:
+        grams = word_ngrams(toks, n)
+        total = F.size(grams).cast("long")
+        distinct = F.size(F.array_distinct(grams)).cast("long")
+        out[f"dup_frac_{n}gram"] = (
+            F.when(total > 0, (total - distinct) / total).otherwise(F.lit(0.0))
+        )
+    return out
+
+
+#: PII patterns chosen to behave identically under Java regex (Spark) and
+#: RE2 (DuckDB): no backrefs, no lookaround, non-capturing groups only.
+#: Redaction order is load-bearing: emails first (their local part may
+#: contain '+digits' that the phone pattern would otherwise eat).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"),
+    ("phone", r"\+[0-9]{7,12}"),
+)
+
+
+def pii_counts(text: Column) -> dict:
+    """Per-kind PII match counts (NULL text ≡ empty ≡ zero matches)."""
+    txt = F.coalesce(text, F.lit(""))
+    return {
+        name: F.coalesce(F.regexp_count(txt, F.lit(pat)), F.lit(0)).cast("long")
+        for name, pat in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a <KIND> tag, in PII_PATTERNS order.
+    Spark's regexp_replace is global; the DuckDB twin needs the 'g' flag."""
+    out = F.coalesce(text, F.lit(""))
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out

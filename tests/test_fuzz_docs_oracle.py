@@ -44,6 +44,11 @@ DOC_QUERIES = [
     "docs_pack_bins",
     "tfidf_top_terms",
     "training_manifest",
+    "gopher_quality_docs",
+    "repetition_docs",
+    "pii_scan_docs",
+    "chunk_docs",
+    "decontam_docs",
 ]
 
 _WORDS = (
@@ -61,6 +66,11 @@ _EDGE_TEXTS = [
     "punct!!! ??? ... ;;; :::",
     "12345 67890 12345",
     ("repeat " * 40).strip(),
+    # gopher line-stat branches: bullets, ellipsis line-ends, blank lines
+    "- item one\n* item two\n• item three\nplain line",
+    "trailing dots...\nand more…\n\n   \nfinal line",
+    # organic PII for the scan/redact parity (on top of the doc_id salting)
+    "mail bob.smith+x@ex-ample.org ip 192.168.0.1 call +12345678901 end",
 ]
 
 

@@ -61,6 +61,11 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "embedding_neardup",
+    "gopher_quality_docs",
+    "repetition_docs",
+    "pii_scan_docs",
+    "chunk_docs",
+    "decontam_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

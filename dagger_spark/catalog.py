@@ -798,6 +798,48 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hll_rollup",
+    """
+    SELECT event_type,
+           cast(count(DISTINCT user_id) AS bigint) AS exact_users,
+           cast(count(*) AS bigint) AS n_events,
+           TRUE AS rollup_within_band
+    FROM events GROUP BY event_type
+    """,
+    "mergeable-sketch rollup: per-day HLL partials (hll_sketch_agg) "
+    "union-merged per event_type (hll_union_agg) — the two-level shape "
+    "that lets a 100 TB hypertable answer distinct-count rollups from "
+    "stored partials instead of rescanning raw data; BOUNDED oracle like "
+    "events_approx_distinct (exact counts + a within-8%-band flag; "
+    "lgConfigK=12 gives ~1.6% rsd, so a broken merge flips the flag)",
+)
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # level 1: per-(type, day) sketch partials — in production these are
+    # what you PERSIST; level 2 never touches raw rows again
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sk"),
+        F.count("*").alias("n"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n").alias("n_events"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("exact_users"))
+    a, e = F.col("approx_users").cast("double"), F.col("exact_users").cast("double")
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.when(F.col("exact_users") == 0, F.col("approx_users") == 0)
+         .otherwise(F.abs(a - e) <= 0.08 * e).alias("rollup_within_band"),
+    )
+
+
+@register(
     "grouped_stats_pandas",
     """
     SELECT l_returnflag,

@@ -138,18 +138,60 @@ def _list_term(key: str, values, bug_compat: bool) -> str:
     return "(" + " OR ".join(parts) + ")"
 
 
-def _b64offset_variants(value: str) -> list:
+def _b64offset_variants(value: str, codec: str = "utf-8") -> list:
     """The three base64 alignments of a plaintext needle (Sigma
     ``base64offset`` modifier; public algorithm from the Sigma spec).  The
-    reference strips this modifier silently (main.py:35)."""
-    start = (0, 2, 3)
-    end = (None, -3, -2)
+    reference strips this modifier silently (main.py:35).
+
+    Trim rule: the leading 0/2/3 chars absorb the i prepended shift bytes;
+    the TRAILING trim depends on ``(len(raw) + i) % 3`` — the final 1-2
+    content chars of an incomplete triple mix with whatever byte follows in
+    a real stream (here: padding), so they can never be matched literally.
+    Indexing the end trim by i alone (the previous behavior) leaves
+    ``w==`` in the alignment-0 variant of ``http://`` — a pattern that
+    never occurs mid-stream, i.e. a silently dead detection."""
+    starts = (0, 2, 3)
+    ends = {0: None, 1: -3, 2: -2}
     out = []
-    raw = value.encode("utf-8")
+    raw = value.encode(codec)
     for i in range(3):
         enc = base64.b64encode(b"\x00" * i + raw).decode("ascii")
-        out.append(enc[start[i] : end[i] or len(enc)])
+        out.append(enc[starts[i] : ends[(len(raw) + i) % 3]])
     return out
+
+
+#: Sigma value-encoding modifiers (must be followed by base64/base64offset).
+#: ``wide`` is the pySigma alias for utf16le; ``utf16`` includes the BOM.
+_ENC_CODECS = {
+    "wide": "utf-16le",
+    "utf16le": "utf-16le",
+    "utf16be": "utf-16be",
+    "utf16": "utf-16",
+}
+
+
+def _encoded_term(key: str, chain: list, value, codec: str) -> str:
+    """``base64``/``base64offset`` terms over a needle pre-encoded with
+    ``codec`` (utf-8 when no utf16/wide prefix was given)."""
+    kind, rest = chain[0], "|".join(chain[1:])
+    vals = value if isinstance(value, list) else [value]
+    if kind == "base64offset":
+        if rest != "contains":
+            raise SigmaCompileError("base64offset requires |contains")
+        variants = [x for v in vals for x in _b64offset_variants(str(v), codec)]
+        parts = [f"{_field(key)} LIKE {_q('%' + x + '%')}" for x in variants]
+        return "(" + " OR ".join(parts) + ")"
+    # plain base64: one whole-value encoding, padding included — exact
+    # match semantics (pySigma behavior); alignment-robust substring
+    # matching is what base64offset is for
+    enc_vals = [base64.b64encode(str(v).encode(codec)).decode("ascii")
+                for v in vals]
+    if not rest:
+        parts = [f"{_field(key)} = {_q(x)}" for x in enc_vals]
+        return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
+    if rest in ("contains", "startswith", "endswith"):
+        return _modifier_term(key, rest, enc_vals, False)
+    raise SigmaCompileError(f"base64 cannot chain with {rest!r}")
 
 
 # Sigma `windash` variant set (the pySigma set: hyphen, slash, en dash,
@@ -213,6 +255,22 @@ def _cidr_patterns(cidr: str) -> list:
 
 
 def _modifier_term(key: str, modifier: str, value, bug_compat: bool) -> str:
+    chain = modifier.split("|")
+    if chain[0] in _ENC_CODECS:
+        if bug_compat:
+            # the reference silently strips unknown modifiers (main.py:35);
+            # a wide rule quietly matching narrow text is a wrong detection
+            raise SigmaCompileError(
+                f"{chain[0]} not supported in bug-compat mode")
+        if len(chain) < 2 or chain[1] not in ("base64", "base64offset"):
+            raise SigmaCompileError(
+                f"{chain[0]} must be followed by base64 or base64offset")
+        return _encoded_term(key, chain[1:], value, _ENC_CODECS[chain[0]])
+    if chain[0] == "base64":
+        if bug_compat:
+            raise SigmaCompileError("base64 not supported in bug-compat mode")
+        return _encoded_term(key, chain, value, "utf-8")
+
     had_b64 = modifier.startswith("base64offset|")
     modifier = modifier.replace("base64offset|", "")
 
@@ -257,13 +315,9 @@ def _modifier_term(key: str, modifier: str, value, bug_compat: bool) -> str:
         return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
 
     if had_b64 and not bug_compat:
-        if modifier != "contains":
-            raise SigmaCompileError("base64offset requires |contains")
-        variants = []
-        for v in values_list(value):
-            variants.extend(_b64offset_variants(str(v)))
-        parts = [f"{_field(key)} LIKE {_q('%' + x + '%')}" for x in variants]
-        return "(" + " OR ".join(parts) + ")"
+        return _encoded_term(
+            key, ["base64offset"] + ([modifier] if modifier else []),
+            value, "utf-8")
 
     if modifier == "contains":
         if bug_compat:

@@ -90,14 +90,86 @@ def test_glob_in_equality_fixed():
 def test_base64offset():
     det = {"sel": {"CommandLine|base64offset|contains": "http"}, "condition": "sel"}
     fixed = compile_sigma(mk(det))
-    # three alignment variants ORed
+    # three alignment variants ORed; alignment-0 is END-TRIMMED: "http" is
+    # 4 bytes (≢0 mod 3), so the raw b64 'aHR0cA==' tail mixes with padding
+    # and the matchable prefix is 'aHR0c'
     assert fixed.predicate_sql.count("LIKE") == 3
-    v0 = base64.b64encode(b"http").decode()
-    assert v0 in fixed.predicate_sql
+    assert "'%aHR0c%'" in fixed.predicate_sql
+    assert base64.b64encode(b"http").decode() not in fixed.predicate_sql
     # reference silently strips base64offset (main.py:35)
     bug = compile_sigma(mk(det), bug_compat=True)
     assert bug.predicate_sql.count("LIKE") == 1
     assert "'%http%'" in bug.predicate_sql
+
+
+def test_base64offset_variants_match_sigma_spec():
+    from dagger_spark.sigma.compiler import _b64offset_variants
+
+    # the canonical triple from the Sigma spec docs for 'http://'
+    assert _b64offset_variants("http://") == [
+        "aHR0cDovL", "h0dHA6Ly", "odHRwOi8v"]
+
+
+def test_base64offset_variants_substring_property():
+    """For EVERY stream alignment, at least one variant must be a literal
+    substring of the stream's base64 — the property the trim rule exists
+    to guarantee (the pre-fix variants failed alignment 0 for needles
+    whose byte length ≢ 0 mod 3)."""
+    from dagger_spark.sigma.compiler import _b64offset_variants
+
+    for needle in ("http://", "cmd.exe /c", "AB", "powershell -enc"):
+        variants = _b64offset_variants(needle)
+        for pre in range(3):
+            stream = base64.b64encode(
+                b"X" * pre + needle.encode() + b"TRAILER").decode()
+            assert any(v in stream for v in variants), (needle, pre, stream)
+
+
+def test_wide_base64offset_contains():
+    det = {"sel": {"CommandLine|wide|base64offset|contains": "cmd"},
+           "condition": "sel"}
+    spec = compile_sigma(mk(det))
+    assert spec.predicate_sql.count("LIKE") == 3
+    # UTF-16LE 'cmd' = 6 bytes (≡0 mod 3): alignment 0 is the full encoding
+    assert base64.b64encode("cmd".encode("utf-16le")).decode() in spec.predicate_sql
+    # and the property holds over wide streams
+    from dagger_spark.sigma.compiler import _b64offset_variants
+    variants = _b64offset_variants("cmd", "utf-16le")
+    for pre in range(3):
+        stream = base64.b64encode(
+            b"X" * pre + "cmd".encode("utf-16le") + b"TRAIL").decode()
+        assert any(v in stream for v in variants)
+
+
+def test_plain_base64_eq_and_contains():
+    eq = compile_sigma(mk({"sel": {"Payload|base64": "hello world"},
+                           "condition": "sel"}))
+    enc = base64.b64encode(b"hello world").decode()
+    assert f"= '{enc}'" in eq.predicate_sql
+    cont = compile_sigma(mk({"sel": {"Payload|base64|contains": "hello world"},
+                             "condition": "sel"}))
+    assert f"'%{enc}%'" in cont.predicate_sql
+    wide = compile_sigma(mk({"sel": {"Payload|utf16le|base64": "x"},
+                             "condition": "sel"}))
+    assert base64.b64encode("x".encode("utf-16le")).decode() in wide.predicate_sql
+
+
+def test_encoding_modifiers_reject_loudly():
+    import pytest
+    from dagger_spark.sigma.compiler import SigmaCompileError
+
+    # bug-compat refuses (reference strips silently -> wrong detections)
+    for field in ("A|base64", "A|wide|base64offset|contains"):
+        with pytest.raises(SigmaCompileError):
+            compile_sigma(mk({"sel": {field: "v"}, "condition": "sel"}),
+                          bug_compat=True)
+    # wide without a following base64 modifier is a spec violation
+    with pytest.raises(SigmaCompileError):
+        compile_sigma(mk({"sel": {"A|wide|contains": "v"}, "condition": "sel"}))
+    # base64 cannot chain with |all
+    with pytest.raises(SigmaCompileError):
+        compile_sigma(mk({"sel": {"A|base64|contains|all": ["v", "w"]},
+                          "condition": "sel"}))
 
 
 def test_windash_contains_expands_dash_variants():

@@ -96,3 +96,78 @@ def running_totals(
             update, RUNNING_TOTALS_SCHEMA, _STATE_SCHEMA, "update", timeout
         )
     )
+
+
+class _RunningTotalsProcessor:
+    """StatefulProcessor for running_totals_tws.  Defined lazily (the base
+    class import is Spark 4.x-only) via __init_subclass__-free composition:
+    build() returns a concrete subclass instance."""
+
+    @staticmethod
+    def build(value_col: str, ttl_ms: int):
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor, StatefulProcessorHandle)
+
+        class Processor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                # TTL is the transformWithState replacement for the old
+                # processing-time timeout: state older than ttl_ms is
+                # evicted by the store itself (key churn stays bounded)
+                self._totals = handle.getValueState(
+                    "totals", _STATE_SCHEMA, ttlDurationMs=ttl_ms or None)
+
+            def handleInputRows(self, key, rows, timer_values):
+                prior = self._totals.get() if self._totals.exists() else (0, 0.0)
+                n, total = int(prior[0]), float(prior[1])
+                for pdf in rows:
+                    n += len(pdf)
+                    total += float(pdf[value_col].astype("float64").sum())
+                self._totals.update((n, total))
+                yield pd.DataFrame(
+                    {"key": [key[0]], "n_events": [n], "total_value": [total]})
+
+            def close(self) -> None:
+                pass
+
+        return Processor()
+
+
+def running_totals_tws(
+    events: DataFrame,
+    key_col: str = "host",
+    value_col: str = "event_id",
+    ttl_ms: int = 0,
+) -> DataFrame:
+    """``running_totals`` on the Spark 4.x ``transformWithStateInPandas``
+    API (StatefulProcessor + typed state variables): same semantics, same
+    output schema, so the two implementations are drop-in interchangeable
+    and parity-tested against each other and against the batch aggregate.
+
+    Why both exist: applyInPandasWithState is the stable 3.x surface;
+    transformWithState is where new state features land (state TTL used
+    here, ListState/MapState, timers, initial state, state data source
+    reader) — at the 100 TB design point TTL-evicted RocksDB state with
+    changelog checkpointing is the configuration that survives key churn.
+
+    Runtime requirements (streaming path): the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package — transformWithState's Python state server speaks
+    protobuf to the JVM.  Environments without protobuf fail at query start
+    with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE; use
+    ``running_totals`` (applyInPandasWithState) there.
+    """
+    from pyspark.sql import functions as F
+
+    if not events.isStreaming:
+        return running_totals(events, key_col, value_col)
+
+    return (
+        events.select(F.col(key_col).cast("string").alias(key_col), value_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotalsProcessor.build(value_col, ttl_ms),
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

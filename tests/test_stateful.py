@@ -53,3 +53,72 @@ def test_running_totals_stream_equals_batch(spark, events_src, tmp_path):
     got = {r["key"]: (r["n_events"], round(r["total_value"], 6)) for r in rows}
     assert got == expected
     assert len(got) > 1
+
+
+def test_running_totals_tws_matches_apply_in_pandas_and_batch(
+    spark, events_src, tmp_path
+):
+    """The transformWithStateInPandas implementation must agree with both
+    the batch aggregate and the applyInPandasWithState path (drop-in
+    interchangeable).  Requires the RocksDB state store provider (the
+    HDFS-backed default does not support transformWithState) AND the
+    protobuf package (the TWS python state server's wire protocol) — the
+    streaming leg SKIPS where protobuf is absent, the batch leg always
+    runs."""
+    from dagger_spark.streaming.stateful import running_totals_tws
+
+    batch_df = spark.read.parquet(events_src)
+    expected = {
+        r["key"]: (r["n_events"], round(r["total_value"], 6))
+        for r in running_totals(batch_df, "event_type", "value").collect()
+    }
+    # batch fallback: identical to running_totals batch path
+    got_batch = {
+        r["key"]: (r["n_events"], round(r["total_value"], 6))
+        for r in running_totals_tws(batch_df, "event_type", "value").collect()
+    }
+    assert got_batch == expected
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState streaming needs protobuf "
+                    "(python state-server wire protocol); not in this env")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_src)
+        )
+        totals = running_totals_tws(stream, "event_type", "value")
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("running_totals_tws")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                """SELECT key, n_events, total_value FROM (
+                     SELECT *, row_number() OVER (PARTITION BY key ORDER BY n_events DESC) rn
+                     FROM running_totals_tws) WHERE rn = 1"""
+            ).collect()
+        finally:
+            q.stop()
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+
+    got = {r["key"]: (r["n_events"], round(r["total_value"], 6)) for r in rows}
+    assert got == expected

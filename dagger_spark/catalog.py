@@ -2121,6 +2121,54 @@ def ann_ivf(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=2)
 
 
+_SEMDEDUP_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+    ), assign AS (
+      SELECT e.vec_id, e.v, cents.cid,
+             round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)) > 0
+                        THEN list_dot_product(e.v, cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))
+                        ELSE 0.0 END, 9) AS s
+      FROM e, cents
+    ), ranked AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rnk
+      FROM assign
+    ), member AS (
+      SELECT vec_id, v, cid AS cell FROM ranked WHERE rnk = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM member a JOIN member b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+                 THEN round(list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                 ELSE 0.0 END >= 0.4
+    )
+    SELECT m.vec_id, m.cell, (d.vec_id IS NULL) AS kept
+    FROM member m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+"""
+
+@register(
+    "semdedup_embeddings",
+    _SEMDEDUP_ORACLE,
+    "SemDeDup (arXiv:2303.09540) semantic dedup: 16-cell coarse quantizer, "
+    "cluster-local triangular cosine prune at 0.4 — pair space is "
+    "sum-of-per-cell-squares, never n^2",
+)
+def semdedup_embeddings(spark, sf_dir):
+    from .ops.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semdedup(emb, n_centroids=16, threshold=0.4)
+
+
 # ===========================================================================
 # as-of / interval joins (operators Spark lacks natively; ops/asof.py)
 # ===========================================================================

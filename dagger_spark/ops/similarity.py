@@ -447,3 +447,60 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication, the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
+    prune near-duplicates CLUSTER-LOCALLY — a row is dropped when a
+    higher-priority row in its cell has cosine similarity >= threshold.
+
+    Exactly the paper's published implementation shape: rank the members of
+    each cluster, compute the triangular pairwise-similarity matrix, and
+    drop every point whose max similarity to an earlier-ranked point
+    crosses the threshold.  Priority here is ascending id (deterministic,
+    oracle-replayable); the paper's distance-to-centroid ranking is a
+    drop-in change of the ORDER BY.
+
+    Scale shape: assignment is a pure map (plan-time centroid literals, no
+    shuffle — see ``ivf_topk``); the only shuffle is the cell-keyed
+    self-join, so the pair space is sum-of-per-cell-squares, never n^2.
+    At 100 TB the quantizer comes from ``kmeans_train`` and cells are
+    written bucketed-by-cell so the self-join is co-located.
+
+    Output: (vec_id, cell, kept) for every non-NULL-embedding row.
+    """
+    member = assign_cells(corpus, n_centroids, id_col, vec_col)
+    a = member.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("vnorm").alias("na"), "cell",
+    )
+    b = member.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("vnorm").alias("nb"), "cell",
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(
+                cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                6,
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        member.join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("__dropped").isNull().alias("kept"))
+    )

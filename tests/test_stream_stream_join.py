@@ -11,7 +11,9 @@ from dagger_spark.sources.files import load_table
 @pytest.fixture(scope="module")
 def split_events(spark, sf_dir, tmp_path_factory):
     base = tmp_path_factory.mktemp("ssj")
-    ev = load_table(spark, sf_dir, "events")
+    # Watermarks require TIMESTAMP (LTZ); the testdata parquet reads as
+    # TIMESTAMP_NTZ, so cast before writing the split tables.
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_event_id"), "user_id", F.col("ts").alias("p_ts")

@@ -66,6 +66,10 @@ HEADLINE = [
     "pii_scan_docs",
     "chunk_docs",
     "decontam_docs",
+    "semdedup_embeddings",
+    "ann_pq_adc",
+    "substring_dedup_docs",
+    "mixture_sample_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -1546,6 +1546,137 @@ def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXTURE_SAMPLE_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, doc_id, len({_DUCK_TOKS})::BIGINT AS t FROM documents
+    ), src AS (
+      SELECT source, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS c_tokens
+      FROM toks GROUP BY source
+    ), w AS (
+      SELECT *, round(sqrt(c_tokens), 6) AS wv FROM src
+    ), tot AS (
+      SELECT round(sum(wv), 6) AS w_total, sum(c_tokens)::BIGINT AS tot_tokens FROM w
+    ), rates AS (
+      SELECT w.source, w.n_docs, w.c_tokens,
+             CASE WHEN tot.w_total > 0
+                  THEN round(w.wv / tot.w_total, 6) ELSE 0.0 END AS weight,
+             CASE WHEN w.c_tokens > 0 AND tot.w_total > 0
+                  THEN round(least(1.0, 0.3 * tot.tot_tokens * w.wv
+                                   / (tot.w_total * w.c_tokens)), 6)
+                  ELSE 0.0 END AS rate
+      FROM w, tot
+    ), acc AS (
+      SELECT t.source, t.t FROM toks t JOIN rates r USING (source)
+      WHERE (('0x' || substr(md5(t.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+            / 1000000.0 < r.rate
+    ), agg AS (
+      SELECT source, count(*)::BIGINT AS n_sampled, sum(t)::BIGINT AS tokens_sampled
+      FROM acc GROUP BY source
+    )
+    SELECT r.source, r.n_docs, r.c_tokens, r.weight, r.rate,
+           coalesce(a.n_sampled, 0)::BIGINT AS n_sampled,
+           coalesce(a.tokens_sampled, 0)::BIGINT AS tokens_sampled
+    FROM rates r LEFT JOIN agg a USING (source)
+"""
+
+@register(
+    "mixture_sample_docs",
+    _MIXTURE_SAMPLE_ORACLE,
+    "temperature-weighted mixture sampling (alpha=0.5, 30% token budget): "
+    "per-source budgets proportional to tokens^alpha, then a deterministic "
+    "md5(doc_id) acceptance gate — two passes: tiny stats agg, broadcast "
+    "rates, map-side filter (no corpus shuffle)",
+)
+def mixture_sample_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("t")
+    )
+    src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("c_tokens")
+    ).withColumn("wv", F.round(F.sqrt(F.col("c_tokens")), 6))
+    tot = src.agg(
+        F.round(F.sum("wv"), 6).alias("w_total"),
+        F.sum("c_tokens").alias("tot_tokens"),
+    )
+    rates = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "c_tokens",
+        F.when(
+            F.col("w_total") > 0, F.round(F.col("wv") / F.col("w_total"), 6)
+        ).otherwise(F.lit(0.0)).alias("weight"),
+        F.when(
+            (F.col("c_tokens") > 0) & (F.col("w_total") > 0),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    0.3 * F.col("tot_tokens") * F.col("wv")
+                    / (F.col("w_total") * F.col("c_tokens")),
+                ),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000
+    ) / 1000000.0
+    accepted = (
+        toks.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(u < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_raw"),
+            F.sum("t").alias("tokens_sampled_raw"),
+        )
+    )
+    return rates.join(accepted, "source", "left").select(
+        "source",
+        "n_docs",
+        "c_tokens",
+        "weight",
+        "rate",
+        F.coalesce(F.col("n_sampled_raw"), F.lit(0)).cast("long").alias("n_sampled"),
+        F.coalesce(F.col("tokens_sampled_raw"), F.lit(0)).cast("long").alias("tokens_sampled"),
+    )
+
+
+_SUBSTRING_DEDUP_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, text, (length(text) - 39)::BIGINT AS n_windows
+      FROM documents WHERE length(text) >= 40
+    ), pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - 39)) AS i FROM d
+    ), spans AS (
+      SELECT doc_id, md5(substring(text, i, 40)) AS h FROM pos
+    ), dups AS (
+      SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_dup FROM spans
+      WHERE h IN (SELECT h FROM dups) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_windows,
+           coalesce(p.n_dup, 0)::BIGINT AS n_dup_windows,
+           round(coalesce(p.n_dup, 0)::DOUBLE / d.n_windows, 6) AS dup_window_frac
+    FROM d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+@register(
+    "substring_dedup_docs",
+    _SUBSTRING_DEDUP_ORACLE,
+    "exact-substring duplication stats (arXiv:2107.06499 signal): every "
+    "40-char window hashed, windows whose text recurs in another doc "
+    "counted per doc — window-hash + one hash-keyed shuffle standing in "
+    "for the paper's suffix array; stride is the scale knob",
+)
+def substring_dedup_docs(spark, sf_dir):
+    from .ops.dedup import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, k=40, stride=1)
+
+
 @register(
     "docs_hash_sample",
     """
@@ -2119,6 +2250,60 @@ def ann_ivf(spark, sf_dir):
     )
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=2)
+
+
+_PQ_ANN_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), cb AS (
+      SELECT vec_id AS j, v FROM e WHERE vec_id < 16
+    ), subs AS (
+      SELECT unnest(generate_series(0, 7)) AS s
+    ), cd AS (
+      SELECT e.vec_id, subs.s, cb.j,
+        round(list_dot_product(list_slice(e.v, subs.s*8+1, subs.s*8+8), list_slice(e.v, subs.s*8+1, subs.s*8+8))
+            + list_dot_product(list_slice(cb.v, subs.s*8+1, subs.s*8+8), list_slice(cb.v, subs.s*8+1, subs.s*8+8))
+            - 2*list_dot_product(list_slice(e.v, subs.s*8+1, subs.s*8+8), list_slice(cb.v, subs.s*8+1, subs.s*8+8)), 9) AS d
+      FROM e, subs, cb
+    ), codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM cd
+      ) t WHERE rn = 1
+    ), code_list AS (
+      SELECT vec_id, list(code ORDER BY s) AS cs FROM codes GROUP BY vec_id
+    ), qlut1 AS (
+      SELECT vec_id AS query_id, s, list(d ORDER BY j) AS lut_s
+      FROM cd WHERE vec_id < 8 GROUP BY vec_id, s
+    ), qlut AS (
+      SELECT query_id, list(lut_s ORDER BY s) AS lut FROM qlut1 GROUP BY query_id
+    ), adc AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 9), i -> q.lut[i][c.cs[i] + 1])), 6) AS adist
+      FROM qlut q, code_list c WHERE c.vec_id <> q.query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= 5
+"""
+
+@register(
+    "ann_pq_adc",
+    _PQ_ANN_ORACLE,
+    "product-quantization ANN (8 subspaces x 16 codewords, asymmetric "
+    "distance): corpus reduced to 8-byte codes, query LUT broadcast — the "
+    "memory-compressed scan path for 100 TB embedding corpora",
+)
+def ann_pq_adc(spark, sf_dir):
+    from .ops.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_topk(emb, queries, k=5, m=8, ksub=16)
 
 
 _SEMDEDUP_ORACLE = """

@@ -504,3 +504,128 @@ def semdedup(
         member.join(dropped, "vec_id", "left")
         .select("vec_id", "cell", F.col("__dropped").isNull().alias("kept"))
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each vector into ``m`` subspaces,
+    quantize every subvector to its nearest of ``ksub`` codewords, and
+    search with asymmetric distance computation (ADC) — the query stays
+    full-precision, each corpus row is reduced to its m-byte code, and
+    distance is a sum of m lookup-table entries.
+
+    This is the memory-compression scale path: at 100 TB of float
+    embeddings the PQ code table is ~dim*4/m x smaller (64-dim float ->
+    8 bytes/vector here), so the ADC scan that replaces the brute-force
+    dot product reads codes, not vectors.  Encoding is a pure map over
+    plan-time codebook literals (no shuffle); the scan is
+    corpus-partition-parallel with the query LUTs broadcast.
+
+    Codebooks are deterministic and oracle-replayable: codeword j of
+    subspace s is the s-th slice of the corpus row with id == j (j <
+    ksub) — the k-means-trained codebook drops in by replacing the
+    literal source with ``kmeans_train`` per subspace.  Squared-L2 via
+    the three-dot-product identity (|a|^2+|b|^2-2ab), rounded to 9
+    before the argmin / LUT so both engines compare identical doubles;
+    argmin ties go to the smaller codeword id.
+
+    Output: (query_id, neighbor_id, adist rounded 6, rank 1..k) by
+    ascending approximate distance, self-matches excluded.
+    """
+    rows = sorted(
+        (int(r["cid"]), list(r["v"]))
+        for r in corpus.filter((F.col(id_col) < ksub) & F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no codebook rows (corpus ids all >= ksub)")
+    dim = len(rows[0][1])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # cb[s][j] = j-th codeword of subspace s; cbn2[s][j] = |codeword|^2
+    # (Python's left-to-right float sum matches the JVM/DuckDB fold order,
+    # so the precomputed norms are bit-identical to computing them in-plan).
+    cb = [
+        [v[s * dsub:(s + 1) * dsub] for _, v in rows]
+        for s in range(m)
+    ]
+    cbn2 = [[sum(x * x for x in sub) for sub in cb_s] for cb_s in cb]
+    cbmat = F.lit(cb)
+    cbn2arr = F.lit(cbn2)
+    n_codes = len(rows)
+
+    def _sqdist(sub, subn2, s, j):
+        # |sub - cb[s][j]|^2 via the dot-product identity, rounded to 9
+        return F.round(
+            subn2
+            + F.element_at(F.element_at(cbn2arr, s), j)
+            - 2 * dot(sub, F.element_at(F.element_at(cbmat, s), j)),
+            9,
+        )
+
+    def codes_of(v):
+        def one_s(s):
+            sub = F.slice(v, (s - 1) * dsub + 1, dsub)
+            subn2 = dot(sub, sub)
+            scored = F.transform(
+                F.sequence(F.lit(1), F.lit(n_codes)),
+                lambda j: F.struct(
+                    _sqdist(sub, subn2, s, j).alias("d"),
+                    j.cast("int").alias("j"),
+                ),
+            )
+            # asc sort by (d, j): argmin with ties to the smaller codeword
+            return F.element_at(F.array_sort(scored), 1)["j"]
+
+        return F.transform(F.sequence(F.lit(1), F.lit(m)), one_s)
+
+    def lut_of(v):
+        def one_s(s):
+            sub = F.slice(v, (s - 1) * dsub + 1, dsub)
+            subn2 = dot(sub, sub)
+            return F.transform(
+                F.sequence(F.lit(1), F.lit(n_codes)),
+                lambda j: _sqdist(sub, subn2, s, j),
+            )
+
+        return F.transform(F.sequence(F.lit(1), F.lit(m)), one_s)
+
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        codes_of(F.col(vec_col).cast("array<double>")).alias("cs"),
+    )
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        lut_of(F.col(vec_col).cast("array<double>")).alias("lut"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(m)),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + F.element_at(
+                        F.element_at(F.col("lut"), i),
+                        F.element_at(F.col("cs"), i),
+                    ),
+                ),
+                6,
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -49,6 +49,8 @@ DOC_QUERIES = [
     "pii_scan_docs",
     "chunk_docs",
     "decontam_docs",
+    "substring_dedup_docs",
+    "mixture_sample_docs",
 ]
 
 _WORDS = (

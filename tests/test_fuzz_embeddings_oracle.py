@@ -31,6 +31,8 @@ EMB_QUERIES = [
     "ann_ivf",
     "embedding_neardup",
     "kmeans_step_embeddings",
+    "semdedup_embeddings",
+    "ann_pq_adc",
 ]
 
 DIM = 64

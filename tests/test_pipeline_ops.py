@@ -1,0 +1,139 @@
+"""Crafted-case unit tests for the round-2 training-data pipeline ops:
+SemDeDup, product-quantization ANN, exact-substring duplication stats, and
+temperature-weighted mixture sampling.  The fuzz/oracle suites pin
+cross-engine parity; these pin the SEMANTICS on inputs small enough to
+verify by hand."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagger_spark.ops.dedup import duplicated_span_stats
+from dagger_spark.ops.similarity import pq_topk, semdedup
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_semdedup_drops_later_near_duplicates_cell_locally(spark):
+    # Two well-separated directions; ids 0 and 1 are the centroids.
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    vecs = [
+        a,                       # 0: centroid/keeper of cell 0
+        b,                       # 1: centroid/keeper of cell 1
+        [2.0, 0.01, 0.0, 0.0],   # 2: near-dup of 0 (cos ~1) -> dropped
+        [0.0, 3.0, 0.02, 0.0],   # 3: near-dup of 1 -> dropped
+        [0.7, 0.0, 0.7, 0.0],    # 4: same cell as 0, cos=0.707 < 0.9 -> kept
+    ]
+    out = semdedup(_emb_df(spark, vecs), n_centroids=2, threshold=0.9)
+    kept = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert kept == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
+def test_semdedup_zero_vector_never_matches(spark):
+    vecs = [[1.0, 0.0], [0.0, 1.0], [0.0, 0.0], [0.0, 0.0]]
+    out = semdedup(_emb_df(spark, vecs), n_centroids=2, threshold=0.5)
+    kept = {r["vec_id"]: r["kept"] for r in out.collect()}
+    # zero vectors score 0.0 against everything (norm guard) -> both kept
+    assert kept[2] and kept[3]
+
+
+def test_pq_exact_duplicate_is_rank_one_with_zero_distance(spark):
+    # 8-dim, m=2 subspaces of 4.  ids 0..3 are the codebook rows; id 4
+    # duplicates id 0 exactly, so they share codes and ADC distance to the
+    # twin equals the query's distance to its own code cell.
+    base = [
+        [1.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 1.0, 0, 0, 0, 5.0, 0, 0],
+        [0, 0, 1.0, 0, 0, 0, 7.0, 0],
+        [0, 0, 0, 1.0, 0, 0, 0, 9.0],
+    ]
+    vecs = base + [list(base[0])]
+    corpus = _emb_df(spark, vecs)
+    out = pq_topk(corpus, corpus.filter(F.col("vec_id") == 4), k=1, m=2, ksub=4)
+    top = out.collect()
+    assert len(top) == 1
+    r = top[0]
+    assert (r["query_id"], r["neighbor_id"], r["rank"]) == (4, 0, 1)
+    assert r["adist"] == 0.0  # same codes -> identical LUT entries
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    corpus = _emb_df(spark, [[1.0, 2.0, 3.0]])
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(corpus, corpus, m=2, ksub=1)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_duplicated_span_stats_shared_prefix(spark):
+    shared = "0123456789" * 4 + "ABCDE"          # 45 chars shared prefix
+    a = shared + "x" * 20                         # 65 chars -> 26 windows
+    b = shared + "y" * 20
+    c = "z" * 80                                  # unique, self-repeating only
+    d = "short"                                   # < 40 chars -> excluded
+    out = duplicated_span_stats(_docs_df(spark, [a, b, c, d]), k=40, stride=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2}
+    # windows fully inside the 45-char shared prefix: positions 1..6
+    assert rows[0]["n_windows"] == 26 and rows[0]["n_dup_windows"] == 6
+    assert rows[1]["n_dup_windows"] == 6
+    assert rows[1]["dup_window_frac"] == round(6 / 26, 6)
+    # c's windows are all 'z'*40: identical WITHIN the doc but in no other
+    # doc -> not cross-doc duplicated
+    assert rows[2]["n_dup_windows"] == 0
+
+
+def test_duplicated_span_stats_stride(spark):
+    shared = "0123456789" * 4 + "ABCDE"
+    a = shared + "x" * 20
+    b = shared + "y" * 20
+    out = duplicated_span_stats(_docs_df(spark, [a, b]), k=40, stride=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # stride-5 positions: 1, 6, 11, 16, 21, 26 -> 6 windows; shared: 1, 6
+    assert rows[0]["n_windows"] == 6
+    assert rows[0]["n_dup_windows"] == 2
+
+
+def test_mixture_sample_rates(spark, tmp_path):
+    # src_a: 10 docs x 10 tokens = 100; src_b: 10 docs x 40 tokens = 400.
+    # alpha=0.5 -> w = (10, 20), w_total = 30; budget = 0.3 * 500 = 150.
+    # rate_a = min(1, 150*10/(30*100)) = 0.5
+    # rate_b = min(1, 150*20/(30*400)) = 0.25
+    rows = []
+    did = 0
+    for src, ntok, nd in (("src_a", 10, 10), ("src_b", 40, 10)):
+        for _ in range(nd):
+            rows.append((did, "w" + str(did) + " " + " ".join(["tok"] * (ntok - 1)), src, None))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    d = tmp_path / "mix"
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    from dagger_spark.catalog import QUERIES
+
+    out = QUERIES["mixture_sample_docs"].fn(spark, str(d)).collect()
+    by_src = {r["source"]: r for r in out}
+    assert by_src["src_a"]["rate"] == 0.5
+    assert by_src["src_b"]["rate"] == 0.25
+    assert by_src["src_a"]["weight"] == round(10 / 30, 6)
+    assert by_src["src_b"]["weight"] == round(20 / 30, 6)
+    assert by_src["src_a"]["c_tokens"] == 100
+    assert by_src["src_b"]["c_tokens"] == 400
+    # acceptance is a deterministic doc_id hash gate: n_sampled <= n_docs
+    for r in out:
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+        assert r["tokens_sampled"] <= r["c_tokens"]

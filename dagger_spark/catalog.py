@@ -1546,6 +1546,64 @@ def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "normalize_docs",
+    """
+    SELECT doc_id,
+           nfc_normalize(text) AS nfc_text,
+           (text IS NOT DISTINCT FROM nfc_normalize(text)) AS is_nfc,
+           length(nfc_normalize(text))::BIGINT AS nfc_len
+    FROM documents
+    """,
+    "Unicode NFC normalization via an Arrow-vectorized scalar Pandas UDF "
+    "(Spark has no built-in normalizer) — the one verified-against-oracle "
+    "Python op: byte-identical to DuckDB's nfc_normalize, NULL-preserving",
+)
+def normalize_docs(spark, sf_dir):
+    from .ops.text import nfc_normalize_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    nfc = nfc_normalize_udf()(F.col("text"))
+    return docs.select(
+        "doc_id",
+        nfc.alias("nfc_text"),
+        F.col("text").eqNullSafe(nfc).alias("is_nfc"),
+        F.length(nfc).cast("long").alias("nfc_len"),
+    )
+
+
+_COHORT_SQL = """
+    WITH user_first AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      FROM events WHERE user_id IS NOT NULL
+    ), joined AS (
+      SELECT f.cohort_day, CAST({datediff} AS BIGINT) AS day_offset, a.user_id
+      FROM activity a JOIN user_first f ON a.user_id = f.user_id
+    ), sizes AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM user_first GROUP BY cohort_day
+    ), ret AS (
+      SELECT cohort_day, day_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM joined GROUP BY cohort_day, day_offset
+    )
+    SELECT r.cohort_day, r.day_offset, r.n_users, s.cohort_size,
+           round(CAST(r.n_users AS DOUBLE) / s.cohort_size, 6) AS retention_frac
+    FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
+"""
+
+_shared_sql(
+    "events_cohort_retention",
+    _COHORT_SQL.format(datediff="datediff(a.day, f.cohort_day)"),
+    "cohort retention matrix: users bucketed by first-seen day, distinct "
+    "actives per (cohort, day-offset) with retention fraction — two "
+    "user-keyed aggregations plus a broadcast-size cohort join",
+    oracle_sql=_COHORT_SQL.format(datediff="date_diff('day', f.cohort_day, a.day)"),
+)
+
+
 _MIXTURE_SAMPLE_ORACLE = f"""
     WITH toks AS (
       SELECT source, doc_id, len({_DUCK_TOKS})::BIGINT AS t FROM documents
@@ -2639,11 +2697,20 @@ def gopher_quality_docs(spark, sf_dir):
     "occurrences; linear in doc length (no pairwise work)",
 )
 def repetition_docs(spark, sf_dir):
+    from .ops.quality import repetition_stats_from_tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    r = repetition_stats(F.col("text"))
-    return docs.select(
+    # tokenize ONCE into a real column: word_ngrams slices its input inside
+    # a transform lambda, and outer non-attribute expressions are
+    # re-evaluated per element — inline tokens(text) here costs O(n_tokens)
+    # regex splits per row (25 s -> ~2 s at sf0.1)
+    staged = docs.select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
+    r = repetition_stats_from_tokens(F.col("__toks"))
+    return staged.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_words"),
+        F.size(F.col("__toks")).cast("long").alias("n_words"),
         F.round(r["dup_frac_2gram"] + F.lit(1e-9), 6).alias("dup_frac_2gram"),
         F.round(r["dup_frac_3gram"] + F.lit(1e-9), 6).alias("dup_frac_3gram"),
     )
@@ -2803,16 +2870,18 @@ def decontam_docs(spark, sf_dir):
     the corpus, so it is BROADCAST — the corpus side never shuffles; the
     only shuffle is the per-doc overlap count (one hash aggregate)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # staged token column: see repetition_docs — word_ngrams over an inline
+    # tokens(text) re-runs the split per n-gram inside the transform lambda
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
     grams = F.array_distinct(
-        F.transform(word_ngrams(toks, _DECON_K), lambda g: F.md5(g)))
-    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+        F.transform(word_ngrams(F.col("__toks"), _DECON_K), lambda g: F.md5(g)))
+    ex = staged.select("doc_id", F.explode(grams).alias("g"))
     bench = ex.filter((F.col("doc_id") % _DECON_MOD) == 0).select("g").distinct()
     train = ex.filter((F.col("doc_id") % _DECON_MOD) != 0)
     # both sides are per-doc-distinct, so plain count == distinct count
     hits = (train.join(F.broadcast(bench), "g")
                  .groupBy("doc_id").agg(F.count("g").alias("n_overlap")))
-    sizes = docs.select("doc_id", F.size(grams).alias("n_grams"))
+    sizes = staged.select("doc_id", F.size(grams).alias("n_grams"))
     return hits.join(sizes, "doc_id").select(
         "doc_id", "n_overlap",
         F.col("n_grams").cast("long").alias("n_grams"),

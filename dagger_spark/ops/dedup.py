@@ -684,16 +684,23 @@ def duplicated_span_stats(
         id_col,
         F.md5(F.col(text_col).substr(F.col("pos"), F.lit(k))).alias("h"),
     )
-    dup_hashes = (
-        spans.groupBy("h")
-        .agg(F.countDistinct(F.col(id_col)).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("h")
+    # Single pass over the (expensive) span stage: reduce to one row per
+    # (hash, doc) first, count sibling docs with a window over the hash, and
+    # roll up the survivors per doc.  The naive shape — countDistinct per
+    # hash then a semi-join back onto spans — evaluates the scan+explode+md5
+    # stage twice (once per join side, no auto-reuse): measured 20 s vs ~5 s
+    # at sf0.1.  Three shuffles of the *reduced* table instead.
+    per_h_doc = (
+        spans.groupBy("h", id_col).agg(F.count(F.lit(1)).alias("__c"))
     )
+    from pyspark.sql.window import Window as _W
+
+    n_docs_with_h = F.count(F.lit(1)).over(_W.partitionBy("h"))
     per_doc = (
-        spans.join(dup_hashes, "h", "left_semi")
+        per_h_doc.withColumn("__nd", n_docs_with_h)
+        .filter(F.col("__nd") >= 2)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__ndup"))
+        .agg(F.sum("__c").alias("__ndup"))
     )
     return (
         base.select(id_col, "n_windows")

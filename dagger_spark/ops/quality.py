@@ -132,8 +132,21 @@ def repetition_stats(text: Column, ns: tuple = (2, 3)) -> dict:
     """C4/Gopher-style intra-document repetition: for each n in ns, the
     fraction of n-gram *occurrences* that are repeats of an earlier
     occurrence — 1 - distinct/total, 0.0 for docs too short to have any.
-    Linear in doc length (no pairwise work), so safe on 100k-token docs."""
-    toks = tokens(text)
+    Linear in doc length (no pairwise work), so safe on 100k-token docs.
+
+    PERF: prefer ``repetition_stats_from_tokens`` over a STAGED token
+    column.  ``word_ngrams`` slices its token array inside a ``transform``
+    lambda, and Spark re-evaluates outer non-attribute expressions per
+    array element — with the inline ``tokens(text)`` split here, that is
+    O(n_tokens) regex splits per row (measured 9x slower at sf0.1).  This
+    signature survives for crafted tests/small inputs only."""
+    return repetition_stats_from_tokens(tokens(text), ns)
+
+
+def repetition_stats_from_tokens(toks: Column, ns: tuple = (2, 3)) -> dict:
+    """``repetition_stats`` over a pre-staged token-array column (stage it
+    with ``df.select(tokens(text).alias("t"))`` so the per-element slice in
+    ``word_ngrams`` references a cheap attribute, not the tokenizer)."""
     out = {}
     for n in ns:
         grams = word_ngrams(toks, n)

@@ -8,6 +8,8 @@ determinism is part of the contract.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -161,3 +163,21 @@ def doc_fingerprint(text: Column, k: int = 8) -> Column:
         lambda i: F.md5(text.substr(i, F.lit(k))),
     )
     return F.array_min(grams)
+
+
+def nfc_normalize_udf():
+    """Arrow-vectorized scalar Pandas UDF applying Unicode NFC normalization
+    (unicodedata via pandas ``Series.str.normalize``).  Spark has no built-in
+    unicode normalizer, so this is the one text op where Python is the right
+    tool — and the Arrow batch path keeps it vectorized: bytes cross the
+    JVM/Python boundary once per batch, not per row.  NULL in -> NULL out,
+    matching DuckDB's ``nfc_normalize`` (the oracle twin) exactly; both
+    engines implement the same Unicode normalization algorithm, so outputs
+    are byte-identical.  Built lazily (factory, not module-level decorator)
+    so importing the module never touches Spark."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return _nfc

@@ -1912,10 +1912,16 @@ def _lang_ngram_score_sql(code: str) -> str:
     "where exact stopword tokens don't appear",
 )
 def language_id_ngram_docs(spark, sf_dir):
-    from .ops.text import language_id_ngram
+    from .ops.text import char_trigrams, language_id_ngram_from_trigrams
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", language_id_ngram(F.col("text")).alias("lang_pred"))
+    # trigram array staged once: the four profile intersections then read an
+    # attribute instead of re-deriving (and re-lowering) the gram array
+    staged = docs.select("doc_id", char_trigrams(F.col("text")).alias("__tg"))
+    return staged.select(
+        "doc_id",
+        language_id_ngram_from_trigrams(F.col("__tg")).alias("lang_pred"),
+    )
 
 
 @register(

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import bind, tokens
 
 #: Gopher appendix-A "must contain >=2 of" stopword set (Rae et al. 2021).
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -118,14 +118,19 @@ def gopher_pass(stats: dict, b: dict = GOPHER_BOUNDS) -> Column:
 
 def word_ngrams(toks: Column, n: int) -> Column:
     """Space-joined word n-grams of a token array; fewer than n tokens ->
-    empty array (never NULL), so counts/set ops behave on short docs."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    empty array (never NULL), so counts/set ops behave on short docs.
+    ``toks`` is let-bound (see ``text.bind``) so even an inline
+    ``tokens(text)`` argument is evaluated once, not once per n-gram."""
+    return bind(
+        toks,
+        lambda tk: F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.array_join(F.slice(tk, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def repetition_stats(text: Column, ns: tuple = (2, 3)) -> dict:
@@ -134,12 +139,11 @@ def repetition_stats(text: Column, ns: tuple = (2, 3)) -> dict:
     occurrence — 1 - distinct/total, 0.0 for docs too short to have any.
     Linear in doc length (no pairwise work), so safe on 100k-token docs.
 
-    PERF: prefer ``repetition_stats_from_tokens`` over a STAGED token
-    column.  ``word_ngrams`` slices its token array inside a ``transform``
-    lambda, and Spark re-evaluates outer non-attribute expressions per
-    array element — with the inline ``tokens(text)`` split here, that is
-    O(n_tokens) regex splits per row (measured 9x slower at sf0.1).  This
-    signature survives for crafted tests/small inputs only."""
+    ``word_ngrams`` let-binds its input (see ``text.bind``), so this
+    convenience form no longer pays per-element re-tokenization; prefer
+    ``repetition_stats_from_tokens`` anyway when the token array is already
+    staged — the 2-gram and 3-gram branches then share one tokenizer run
+    via projection-level subexpression elimination."""
     return repetition_stats_from_tokens(tokens(text), ns)
 
 

@@ -24,6 +24,21 @@ LANG_STOPWORDS = {
 _EN_STOP = LANG_STOPWORDS["en"]
 
 
+def bind(val: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``val`` ONCE and pass it
+    to ``body`` as a bound lambda variable.
+
+    Spark's higher-order functions re-evaluate outer non-attribute
+    expressions PER ARRAY ELEMENT (a transform lambda that references an
+    enclosing ``lower(trim(text))`` re-lowers the text for every element —
+    O(n^2) per row).  Wrapping the value in a single-element array and
+    transforming it turns the expensive expression into the transform's
+    CHILD (evaluated once) and every inner reference into a
+    NamedLambdaVariable (O(1)).  Measured 3x on char_trigrams at sf0.1.
+    """
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of trimmed text.  NULL and empty text both
     yield an EMPTY array (not NULL): a document with no content has zero
@@ -120,10 +135,12 @@ def char_trigrams(text: Column) -> Column:
     Trailing short grams (len<3 near the end) are kept — both engines'
     substr truncates identically, so parity holds without special-casing."""
     t = F.lower(F.trim(F.coalesce(text, F.lit(""))))
-    n = F.length(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-        lambda i: t.substr(i, F.lit(3)),
+    grams = bind(
+        t,
+        lambda tt: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(tt) - 2, F.lit(1))),
+            lambda i: tt.substr(i, F.lit(3)),
+        ),
     )
     return F.array_distinct(grams)
 
@@ -133,9 +150,18 @@ def language_id_ngram(text: Column) -> Column:
     argmax with ties broken by language-code order; no hits -> 'und'.
     The profile-set intersection is the classic Cavnar–Trenkle-style n-gram
     heuristic reduced to a fixed tiny profile so it stays a pure column
-    expression (codegen, no UDF) with an exact SQL twin."""
-    tg = char_trigrams(text)
+    expression (codegen, no UDF) with an exact SQL twin.
 
+    PERF: prefer ``language_id_ngram_from_trigrams`` over a STAGED trigram
+    column — this convenience form inlines ``char_trigrams(text)`` into all
+    four profile intersections, each of which re-lowers/re-trims the text
+    per trigram element (~4x slower at sf0.1)."""
+    return language_id_ngram_from_trigrams(char_trigrams(text))
+
+
+def language_id_ngram_from_trigrams(tg: Column) -> Column:
+    """``language_id_ngram`` over a pre-staged distinct-trigram column
+    (stage with ``df.select(char_trigrams(text).alias("tg"))``)."""
     scores = [
         (code, F.size(F.array_intersect(tg, F.lit(list(grams)))))
         for code, grams in sorted(LANG_TRIGRAMS.items())

@@ -51,6 +51,7 @@ DOC_QUERIES = [
     "decontam_docs",
     "substring_dedup_docs",
     "mixture_sample_docs",
+    "normalize_docs",
 ]
 
 _WORDS = (
@@ -65,6 +66,7 @@ _EDGE_TEXTS = [
     "tab\tsep\ttokens",
     "line\nbreaks\nhere",
     "ünïcödé tökens ünïcödé tökens",
+    "cafe\u0301 decomposed e\u0301 combining ü\u0308 marks",  # non-NFC input
     "punct!!! ??? ... ;;; :::",
     "12345 67890 12345",
     ("repeat " * 40).strip(),

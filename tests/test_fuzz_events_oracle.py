@@ -43,6 +43,7 @@ EVENT_QUERIES = [
     "events_rolling_7d",
     "events_median_sketch",
     "distinct_twophase",
+    "events_cohort_retention",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -70,6 +70,10 @@ HEADLINE = [
     "ann_pq_adc",
     "substring_dedup_docs",
     "mixture_sample_docs",
+    "normalize_docs",
+    "events_cohort_retention",
+    "events_cms_counts",
+    "bloom_decontam_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -367,7 +367,10 @@ _shared_sql(
              AS ma7
     FROM daily
     """,
-    "window frames: 7-day moving average over daily revenue (ROWS BETWEEN)",
+    "window frames: 7-day moving average over daily revenue (ROWS BETWEEN); "
+    "the unpartitioned window runs over per-DAY aggregates — bounded rows "
+    "(one per calendar day) at any corpus size, so the single-partition "
+    "WindowExec is safe by construction",
 )
 
 _shared_sql(
@@ -1543,6 +1546,212 @@ def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tok",
         (cum_before / 4096).cast("long").alias("bin"),
+    )
+
+
+_BLOOM_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+        THEN [md5(array_to_string(list_slice(t, i, i + 4), ' ')) FOR i IN range(1, len(t) - 3)]
+        ELSE []::VARCHAR[] END) AS gs
+      FROM toks
+    ), ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    ks AS (SELECT unnest(generate_series(0, 2)) AS i),
+    bench_bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(i::VARCHAR || ':' || g), 1, 8))::BIGINT % 32768 AS pos
+      FROM (SELECT DISTINCT g FROM ex WHERE doc_id % 17 = 0) b, ks
+    ), sparse AS (
+      SELECT (pos // 32)::INT AS w, sum(1::BIGINT << (pos % 32)::INT)::BIGINT AS word
+      FROM bench_bits GROUP BY 1
+    ), dense AS (
+      SELECT g.w, coalesce(s.word, 0)::BIGINT AS word
+      FROM (SELECT unnest(generate_series(0, 1023)) AS w) g LEFT JOIN sparse s ON g.w = s.w
+    ), words AS (
+      SELECT list(word ORDER BY w) AS ws FROM dense
+    ), probes AS (
+      SELECT e.doc_id, e.g,
+             min(CASE WHEN ((w.ws[(('0x' || substr(md5(k.i::VARCHAR || ':' || e.g), 1, 8))::BIGINT % 32768 // 32)::INT + 1]
+                            >> (('0x' || substr(md5(k.i::VARCHAR || ':' || e.g), 1, 8))::BIGINT % 32768 % 32)::INT) & 1) = 1
+                      THEN 1 ELSE 0 END) AS hit
+      FROM ex e, ks k, words w
+      WHERE e.doc_id % 17 <> 0
+      GROUP BY e.doc_id, e.g
+    ), bench_set AS (SELECT DISTINCT g FROM ex WHERE doc_id % 17 = 0),
+    per_doc AS (
+      SELECT p.doc_id,
+             count(*)::BIGINT AS n_grams,
+             sum(p.hit)::BIGINT AS n_bloom_hits,
+             sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_true_hits
+      FROM probes p LEFT JOIN bench_set b ON p.g = b.g
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_grams, n_bloom_hits, n_true_hits,
+           n_bloom_hits >= n_true_hits AS bloom_never_misses
+    FROM per_doc WHERE n_bloom_hits > 0
+"""
+
+@register(
+    "bloom_decontam_docs",
+    _BLOOM_ORACLE,
+    "Bloom-filter decontamination pre-filter: benchmark 5-gram shingles "
+    "packed into a 32768-bit / 3-hash filter (1024 32-bit words, 8 KB), "
+    "corpus probed with O(1) bitwise tests against the broadcast word "
+    "array; no-false-negative guarantee pinned by the oracle "
+    "(n_bloom_hits >= n_true_hits).  At 100 TB the eval-set filter stays "
+    "KBs where the exact shingle set is GBs — probe first, verify "
+    "survivors exactly",
+)
+def bloom_decontam_docs(spark, sf_dir):
+    M, K, NWORDS = 32768, 3, 1024
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    grams = F.array_distinct(
+        F.transform(word_ngrams(F.col("__toks"), 5), lambda g: F.md5(g)))
+    ex = staged.select("doc_id", F.explode(grams).alias("g"))
+    bench = ex.filter((F.col("doc_id") % 17) == 0).select("g").distinct()
+
+    def pos_of(i, g):
+        key = F.concat_ws(":", i.cast("string"), g)
+        return (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % M
+        )
+
+    bits = (
+        bench.select("g", F.explode(F.lit(list(range(K)))).alias("i"))
+        .select(pos_of(F.col("i"), F.col("g")).alias("pos"))
+        .distinct()
+    )
+    sparse = (
+        bits.groupBy(F.floor(F.col("pos") / 32).cast("int").alias("w"))
+        .agg(
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            ).alias("word")
+        )
+    )
+    dense = (
+        spark.range(NWORDS)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(sparse, "w", "left")
+        .select("w", F.coalesce(F.col("word"), F.lit(0)).cast("long").alias("word"))
+    )
+    words_row = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "word"))),
+            lambda x: x["word"],
+        ).alias("ws")
+    )
+    train = ex.filter((F.col("doc_id") % 17) != 0)
+    probes = (
+        train.select("doc_id", "g", F.explode(F.lit(list(range(K)))).alias("i"))
+        .select("doc_id", "g", pos_of(F.col("i"), F.col("g")).alias("pos"))
+        .crossJoin(F.broadcast(words_row))
+        .select(
+            "doc_id",
+            "g",
+            F.expr(
+                "CASE WHEN ((ws[CAST(pos / 32 AS INT)]"
+                " >> CAST(pos % 32 AS INT)) & 1) = 1 THEN 1 ELSE 0 END"
+            ).alias("hitbit"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.min("hitbit").alias("hit"))
+    )
+    bench_set = bench.withColumn("__b", F.lit(1))
+    per_doc = (
+        probes.join(bench_set, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("hit").cast("long").alias("n_bloom_hits"),
+            F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_hits"),
+        )
+    )
+    return per_doc.filter(F.col("n_bloom_hits") > 0).select(
+        "doc_id",
+        "n_grams",
+        "n_bloom_hits",
+        "n_true_hits",
+        (F.col("n_bloom_hits") >= F.col("n_true_hits")).alias("bloom_never_misses"),
+    )
+
+
+_CMS_ORACLE = """
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    depths AS (SELECT unnest(generate_series(0, 3)) AS j),
+    cells AS (
+      SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT % 256 AS bucket,
+             count(*)::BIGINT AS c
+      FROM ev, depths GROUP BY 1, 2
+    ), queries AS (
+      SELECT DISTINCT user_id FROM ev WHERE user_id < 50
+    ), probes AS (
+      SELECT q.user_id, d.j,
+             ('0x' || substr(md5(d.j::VARCHAR || ':' || q.user_id::VARCHAR), 1, 8))::BIGINT % 256 AS bucket
+      FROM queries q, depths d
+    ), est AS (
+      SELECT p.user_id, min(coalesce(c.c, 0))::BIGINT AS cms_est
+      FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+      GROUP BY p.user_id
+    ), exact AS (
+      SELECT user_id, count(*)::BIGINT AS exact_cnt FROM ev GROUP BY user_id
+    )
+    SELECT e.user_id, x.exact_cnt, e.cms_est,
+           (e.cms_est - x.exact_cnt)::BIGINT AS overcount,
+           e.cms_est >= x.exact_cnt AS never_undercounts
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+"""
+
+@register(
+    "events_cms_counts",
+    _CMS_ORACLE,
+    "count-min sketch (depth 4 x width 256, md5 row-hashes): per-user count "
+    "estimates from the sketch vs exact, overcount >= 0 pinned by the "
+    "oracle — the mergeable heavy-hitter sketch; the 4x row fan-out is "
+    "absorbed map-side by partial aggregation, sketch size is O(d*w) "
+    "regardless of key cardinality",
+)
+def events_cms_counts(spark, sf_dir):
+    depth, width = 4, 256
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+
+    def bucket_of(j, uid):
+        key = F.concat_ws(":", j.cast("string"), uid.cast("string"))
+        return (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % width
+        )
+
+    fan = ev.select("user_id", F.explode(F.lit(list(range(depth)))).alias("j"))
+    cells = (
+        fan.select("j", bucket_of(F.col("j"), F.col("user_id")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    queries = ev.filter(F.col("user_id") < 50).distinct()
+    probes = queries.select(
+        "user_id", F.explode(F.lit(list(range(depth)))).alias("j")
+    ).select(
+        "user_id", "j", bucket_of(F.col("j"), F.col("user_id")).alias("bucket")
+    )
+    est = (
+        probes.join(cells, ["j", "bucket"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
     )
 
 

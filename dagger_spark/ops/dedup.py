@@ -43,15 +43,20 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     document carries no content signal, so it must never form near-dup
     candidates — this also matches the SQL-oracle semantics, where
     array_to_string over an empty slice yields NULL and drops out."""
-    toks = tokens(text)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
-        F.array_sort(F.array_distinct(grams))
-    )
+    from .text import bind
+
+    def shingles(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+        return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+            F.array_sort(F.array_distinct(grams))
+        )
+
+    # let-bound (text.bind): the tokenizer runs once, not once per shingle
+    return bind(tokens(text), shingles)
 
 
 _MOD31 = 2147483648  # 2^31

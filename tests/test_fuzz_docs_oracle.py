@@ -52,6 +52,7 @@ DOC_QUERIES = [
     "substring_dedup_docs",
     "mixture_sample_docs",
     "normalize_docs",
+    "bloom_decontam_docs",
 ]
 
 _WORDS = (

@@ -44,6 +44,7 @@ EVENT_QUERIES = [
     "events_median_sketch",
     "distinct_twophase",
     "events_cohort_retention",
+    "events_cms_counts",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

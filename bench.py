@@ -74,6 +74,7 @@ HEADLINE = [
     "events_cohort_retention",
     "events_cms_counts",
     "bloom_decontam_docs",
+    "events_funnel",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -1813,6 +1813,36 @@ _shared_sql(
 )
 
 
+_shared_sql(
+    "events_funnel",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ), depth AS (
+      SELECT user_id,
+             CASE
+               WHEN t_signup IS NOT NULL AND t_view IS NOT NULL AND t_purchase IS NOT NULL
+                    AND t_signup <= t_view AND t_view <= t_purchase THEN 3
+               WHEN t_signup IS NOT NULL AND t_view IS NOT NULL AND t_signup <= t_view THEN 2
+               WHEN t_signup IS NOT NULL THEN 1
+               ELSE 0 END AS funnel_depth
+      FROM steps
+    )
+    SELECT funnel_depth, CAST(count(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY funnel_depth
+    """,
+    "ordered-step funnel (signup -> view -> purchase by first occurrence): "
+    "one user-keyed aggregation computes every step time via min(CASE), "
+    "depth classification is a pure projection — a single shuffle at any "
+    "scale, no per-step self-joins",
+)
+
+
 _MIXTURE_SAMPLE_ORACLE = f"""
     WITH toks AS (
       SELECT source, doc_id, len({_DUCK_TOKS})::BIGINT AS t FROM documents

@@ -45,6 +45,7 @@ EVENT_QUERIES = [
     "distinct_twophase",
     "events_cohort_retention",
     "events_cms_counts",
+    "events_funnel",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

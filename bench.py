@@ -75,6 +75,7 @@ HEADLINE = [
     "events_cms_counts",
     "bloom_decontam_docs",
     "events_funnel",
+    "ann_recall",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -2609,6 +2609,86 @@ def ann_pq_adc(spark, sf_dir):
     return pq_topk(emb, queries, k=5, m=8, ksub=16)
 
 
+def _ann_recall_oracle():
+    """Compose the recall oracle from the four method oracles (each a full
+    WITH..SELECT — DuckDB accepts CTEs inside subqueries)."""
+    branches = []
+    for method, osql in (
+        ("ivf", _ANN_IVF_ORACLE),
+        ("lsh", _ANN_LSH_ORACLE),
+        ("pq", _PQ_ANN_ORACLE),
+    ):
+        branches.append(f"""
+      SELECT '{method}' AS method, b.query_id,
+             count(m.neighbor_id)::DOUBLE / 5 AS recall
+      FROM brute b LEFT JOIN ({osql}) m
+        ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+      GROUP BY b.query_id""")
+    per = "\n      UNION ALL\n".join(branches)
+    return f"""
+    WITH brute AS (SELECT query_id, neighbor_id FROM ({_ANN_ORACLE}) tb),
+    per AS ({per}
+    )
+    SELECT method, round(avg(recall), 6) AS avg_recall,
+           round(min(recall), 6) AS min_recall,
+           CAST(count(*) AS BIGINT) AS n_queries
+    FROM per GROUP BY method
+"""
+
+
+@register(
+    "ann_recall",
+    _ann_recall_oracle(),
+    "recall@5 of every approximate ANN method (LSH, IVF, PQ-ADC) against "
+    "the exact brute-force top-5, per method avg/min over the query batch "
+    "— the measure-don't-guess gauge for tuning nprobe/planes/codebooks; "
+    "all four methods are deterministic so recall itself is oracle-exact. "
+    "NB the synthetic corpus is ~uniform random vectors — the WORST case "
+    "for sign-LSH and PQ (no cluster structure, near-tied scores): IVF "
+    "still reaches ~0.9 here, LSH/PQ honestly report the floor",
+)
+def ann_recall(spark, sf_dir):
+    from .ops.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    methods = {
+        "ivf": ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=2),
+        "lsh": lsh_topk(emb, queries, k=5, num_planes=4, dim=64),
+        "pq": pq_topk(emb, queries, k=5, m=8, ksub=16),
+    }
+    parts = []
+    for method, df in methods.items():
+        m = df.select(
+            F.col("query_id").alias("m_qid"),
+            F.col("neighbor_id").alias("m_nid"),
+            F.lit(1).alias("__hit"),
+        )
+        per = (
+            brute.join(
+                m,
+                (F.col("query_id") == F.col("m_qid"))
+                & (F.col("neighbor_id") == F.col("m_nid")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / 5.0).alias("recall"))
+            .select(F.lit(method).alias("method"), "query_id", "recall")
+        )
+        parts.append(per)
+    per_all = parts[0]
+    for p in parts[1:]:
+        per_all = per_all.unionByName(p)
+    return per_all.groupBy("method").agg(
+        F.round(F.avg("recall"), 6).alias("avg_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+    )
+
+
 _SEMDEDUP_ORACLE = """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

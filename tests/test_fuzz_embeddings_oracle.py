@@ -33,6 +33,7 @@ EMB_QUERIES = [
     "kmeans_step_embeddings",
     "semdedup_embeddings",
     "ann_pq_adc",
+    "ann_recall",
 ]
 
 DIM = 64

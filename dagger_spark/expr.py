@@ -233,14 +233,22 @@ def to_column(pred: Pred, case_insensitive: bool = False) -> Column:
             return col == F.lit(v)
         if op == "ne":
             return col != F.lit(v)
-        if op == "lt":
-            return col < F.lit(v)
-        if op == "le":
-            return col <= F.lit(v)
-        if op == "gt":
-            return col > F.lit(v)
-        if op == "ge":
-            return col >= F.lit(v)
+        if op in ("lt", "le", "gt", "ge"):
+            # Numeric comparison semantics are pinned ENGINE-AGNOSTICALLY:
+            # the field TRY_CASTs to DOUBLE (NULL for non-numeric text ->
+            # no match).  Without it Spark would implicitly coerce a string
+            # column (and ANSI mode, the Spark 4 default, THROWS on bad
+            # input) while DuckDB refuses VARCHAR-vs-number outright — a
+            # divergence, not a preference.
+            cnum = col.try_cast("double")
+            vnum = F.lit(float(v))
+            if op == "lt":
+                return cnum < vnum
+            if op == "le":
+                return cnum <= vnum
+            if op == "gt":
+                return cnum > vnum
+            return cnum >= vnum
         if op == "in":
             # one flag drives BOTH sides (mirrors to_sql's lower_all): a
             # mixed-type list must not lower the column while leaving the
@@ -330,8 +338,10 @@ def to_sql(pred: Pred, dialect: str = "duckdb", case_insensitive: bool = False) 
         if op == "ne":
             return f"({f} <> {lit(v, low)})"
         if op in ("lt", "le", "gt", "ge"):
+            # mirror to_column: field TRY_CASTs to DOUBLE (NULL -> no match)
+            # so VARCHAR fields compare numerically in both engines
             sym = {"lt": "<", "le": "<=", "gt": ">", "ge": ">="}[op]
-            return f"({f} {sym} {lit(v, low)})"
+            return f"(TRY_CAST({f} AS DOUBLE) {sym} {float(v)!r})"
         if op == "in":
             lower_all = ci and all(isinstance(x, str) for x in v)
             f2 = fld(p, lower_all)

@@ -319,6 +319,50 @@ def _modifier_term(key: str, modifier: str, value, bug_compat: bool) -> str:
             key, ["base64offset"] + ([modifier] if modifier else []),
             value, "utf-8")
 
+    if modifier in ("lt", "lte", "gt", "gte"):
+        if bug_compat:
+            raise SigmaCompileError(f"{modifier} not supported in bug-compat mode")
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise SigmaCompileError(
+                f"{modifier} requires a scalar numeric value, got {value!r}")
+        sym = {"lt": "<", "lte": "<=", "gt": ">", "gte": ">="}[modifier]
+        return f"{_field(key)} {sym} {value!r}"
+
+    if modifier == "exists":
+        if bug_compat:
+            raise SigmaCompileError("exists not supported in bug-compat mode")
+        if not isinstance(value, bool):
+            raise SigmaCompileError(f"exists requires true/false, got {value!r}")
+        return (
+            f"{_field(key)} IS NOT NULL" if value else f"{_field(key)} IS NULL"
+        )
+
+    if modifier == "all":
+        # generic |all (no contains): every listed value must match exactly —
+        # meaningful for multi-valued event fields, degenerate-but-correct
+        # (never matches >1 distinct value) for scalar columns
+        if bug_compat:
+            raise SigmaCompileError("all not supported in bug-compat mode")
+        if not isinstance(value, list):
+            raise SigmaCompileError("all requires a list")
+        return "(" + " AND ".join(_scalar_term(key, v, False) for v in value) + ")"
+
+    if modifier.startswith("re|"):
+        # regex flag modifiers (Sigma spec): i / m / s -> inline Java/RE2
+        # flags prefixed onto the pattern, identical in both engines
+        if bug_compat:
+            raise SigmaCompileError("re flags not supported in bug-compat mode")
+        flags = modifier.split("|")[1:]
+        bad = [f for f in flags if f not in ("i", "m", "s")]
+        if bad:
+            raise SigmaCompileError(f"unsupported re flags: {bad!r}")
+        prefix = "(?" + "".join(flags) + ")"
+        parts = [
+            f"{_field(key)} SIMILAR TO {_q(prefix + str(v))}"
+            for v in values_list(value)
+        ]
+        return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
+
     if modifier == "contains":
         if bug_compat:
             if isinstance(value, str):

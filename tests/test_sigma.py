@@ -380,3 +380,108 @@ def test_count_without_timeframe_is_rejected():
     }
     with pytest.raises(SigmaCompileError, match="timeframe"):
         compile_sigma(mk(det))
+
+
+# --- round-2 spec modifiers: comparisons, exists, generic all, re flags ---
+
+
+def test_numeric_comparison_modifiers():
+    for mod, sym in (("lt", "<"), ("lte", "<="), ("gt", ">"), ("gte", ">=")):
+        spec = compile_sigma(mk({"sel": {f"Size|{mod}": 100}, "condition": "sel"}))
+        assert f"`event_data`.`Size` {sym} 100" in spec.predicate_sql
+        parse_predicate(spec.predicate_sql)
+
+
+def test_numeric_comparison_rejects_non_numeric_and_bug_compat():
+    import pytest
+    from dagger_spark.sigma.compiler import SigmaCompileError
+
+    with pytest.raises(SigmaCompileError, match="numeric"):
+        compile_sigma(mk({"sel": {"A|lt": "abc"}, "condition": "sel"}))
+    with pytest.raises(SigmaCompileError, match="numeric"):
+        compile_sigma(mk({"sel": {"A|gte": [1, 2]}, "condition": "sel"}))
+    with pytest.raises(SigmaCompileError, match="bug-compat"):
+        compile_sigma(mk({"sel": {"A|lt": 5}, "condition": "sel"}), bug_compat=True)
+
+
+def test_exists_modifier():
+    import pytest
+    from dagger_spark.sigma.compiler import SigmaCompileError
+
+    yes = compile_sigma(mk({"sel": {"User|exists": True}, "condition": "sel"}))
+    assert "`event_data`.`User` IS NOT NULL" in yes.predicate_sql
+    no = compile_sigma(mk({"sel": {"User|exists": False}, "condition": "sel"}))
+    assert "`event_data`.`User` IS NULL" in no.predicate_sql
+    parse_predicate(yes.predicate_sql)
+    parse_predicate(no.predicate_sql)
+    with pytest.raises(SigmaCompileError, match="true/false"):
+        compile_sigma(mk({"sel": {"A|exists": "yes"}, "condition": "sel"}))
+
+
+def test_generic_all_modifier_is_and_of_equalities():
+    import pytest
+    from dagger_spark.sigma.compiler import SigmaCompileError
+
+    spec = compile_sigma(mk({"sel": {"A|all": ["x", "y"]}, "condition": "sel"}))
+    assert "`event_data`.`A` = 'x' AND `event_data`.`A` = 'y'" in spec.predicate_sql
+    parse_predicate(spec.predicate_sql)
+    with pytest.raises(SigmaCompileError, match="list"):
+        compile_sigma(mk({"sel": {"A|all": "x"}, "condition": "sel"}))
+
+
+def test_re_flag_modifiers_compile_to_inline_flags():
+    import pytest
+    from dagger_spark.sigma.compiler import SigmaCompileError
+
+    spec = compile_sigma(mk({"sel": {"A|re|i": "foo.*"}, "condition": "sel"}))
+    assert "SIMILAR TO '(?i)foo.*'" in spec.predicate_sql
+    both = compile_sigma(mk({"sel": {"A|re|i|s": "bar"}, "condition": "sel"}))
+    assert "SIMILAR TO '(?is)bar'" in both.predicate_sql
+    parse_predicate(spec.predicate_sql)
+    with pytest.raises(SigmaCompileError, match="unsupported re flags"):
+        compile_sigma(mk({"sel": {"A|re|x": "p"}, "condition": "sel"}))
+    with pytest.raises(SigmaCompileError, match="bug-compat"):
+        compile_sigma(mk({"sel": {"A|re|i": "p"}, "condition": "sel"}), bug_compat=True)
+
+
+def test_re_flag_case_insensitive_matches_end_to_end(spark):
+    """(?i) survives the parse -> anchor -> rlike pipeline in both engines."""
+    from dagger_spark.expr import parse_predicate as pp, to_column, to_sql
+    import duckdb
+
+    pred = pp("`name` SIMILAR TO '(?i)ab.'")
+    df = spark.createDataFrame([("ABC",), ("abd",), ("xbc",), (None,)], "name string")
+    got = sorted(r["name"] for r in df.filter(to_column(pred)).collect())
+    assert got == ["ABC", "abd"]
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT name FROM (VALUES ('ABC'), ('abd'), ('xbc'), (NULL)) t(name) WHERE "
+        + to_sql(pred, dialect="duckdb")
+    ).fetchall()
+    assert sorted(r[0] for r in rows) == ["ABC", "abd"]
+
+
+def test_numeric_comparison_cross_engine_on_string_field(spark):
+    """lt/gte on a VARCHAR field: the IR casts the field to DOUBLE in BOTH
+    renderers — without it Spark implicitly coerces while DuckDB refuses to
+    compare VARCHAR to a number (an engine divergence, not a preference).
+    Non-numeric text casts to NULL and never matches."""
+    import duckdb
+    import pandas as pd
+
+    from dagger_spark.expr import parse_predicate as pp, to_column, to_sql
+
+    pred = pp("`size` >= 100")
+    rows = [("150",), ("99",), ("abc",), (None,), ("100",)]
+    df = spark.createDataFrame(rows, "size string")
+    got = sorted(r["size"] for r in df.filter(to_column(pred)).collect())
+    assert got == ["100", "150"]
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["size"]))
+    duck = sorted(
+        r[0] for r in con.execute(
+            "SELECT size FROM t WHERE " + to_sql(pred, dialect="duckdb")
+        ).fetchall()
+    )
+    assert duck == got

@@ -1559,20 +1559,20 @@ _BLOOM_ORACLE = f"""
     ), ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
     ks AS (SELECT unnest(generate_series(0, 2)) AS i),
     bench_bits AS (
-      SELECT DISTINCT ('0x' || substr(md5(i::VARCHAR || ':' || g), 1, 8))::BIGINT % 32768 AS pos
+      SELECT DISTINCT ('0x' || substr(md5(i::VARCHAR || ':' || g), 1, 8))::BIGINT % 262144 AS pos
       FROM (SELECT DISTINCT g FROM ex WHERE doc_id % 17 = 0) b, ks
     ), sparse AS (
       SELECT (pos // 32)::INT AS w, sum(1::BIGINT << (pos % 32)::INT)::BIGINT AS word
       FROM bench_bits GROUP BY 1
     ), dense AS (
       SELECT g.w, coalesce(s.word, 0)::BIGINT AS word
-      FROM (SELECT unnest(generate_series(0, 1023)) AS w) g LEFT JOIN sparse s ON g.w = s.w
+      FROM (SELECT unnest(generate_series(0, 8191)) AS w) g LEFT JOIN sparse s ON g.w = s.w
     ), words AS (
       SELECT list(word ORDER BY w) AS ws FROM dense
     ), probes AS (
       SELECT e.doc_id, e.g,
-             min(CASE WHEN ((w.ws[(('0x' || substr(md5(k.i::VARCHAR || ':' || e.g), 1, 8))::BIGINT % 32768 // 32)::INT + 1]
-                            >> (('0x' || substr(md5(k.i::VARCHAR || ':' || e.g), 1, 8))::BIGINT % 32768 % 32)::INT) & 1) = 1
+             min(CASE WHEN ((w.ws[(('0x' || substr(md5(k.i::VARCHAR || ':' || e.g), 1, 8))::BIGINT % 262144 // 32)::INT + 1]
+                            >> (('0x' || substr(md5(k.i::VARCHAR || ':' || e.g), 1, 8))::BIGINT % 262144 % 32)::INT) & 1) = 1
                       THEN 1 ELSE 0 END) AS hit
       FROM ex e, ks k, words w
       WHERE e.doc_id % 17 <> 0
@@ -1595,7 +1595,7 @@ _BLOOM_ORACLE = f"""
     "bloom_decontam_docs",
     _BLOOM_ORACLE,
     "Bloom-filter decontamination pre-filter: benchmark 5-gram shingles "
-    "packed into a 32768-bit / 3-hash filter (1024 32-bit words, 8 KB), "
+    "packed into a 262144-bit / 3-hash filter (8192 32-bit words, 64 KB), "
     "corpus probed with O(1) bitwise tests against the broadcast word "
     "array; no-false-negative guarantee pinned by the oracle "
     "(n_bloom_hits >= n_true_hits).  At 100 TB the eval-set filter stays "
@@ -1603,7 +1603,7 @@ _BLOOM_ORACLE = f"""
     "survivors exactly",
 )
 def bloom_decontam_docs(spark, sf_dir):
-    M, K, NWORDS = 32768, 3, 1024
+    M, K, NWORDS = 262144, 3, 8192
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
     grams = F.array_distinct(

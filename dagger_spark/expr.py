@@ -234,14 +234,18 @@ def to_column(pred: Pred, case_insensitive: bool = False) -> Column:
         if op == "ne":
             return col != F.lit(v)
         if op in ("lt", "le", "gt", "ge"):
-            # Numeric comparison semantics are pinned ENGINE-AGNOSTICALLY:
-            # the field TRY_CASTs to DOUBLE (NULL for non-numeric text ->
-            # no match).  Without it Spark would implicitly coerce a string
-            # column (and ANSI mode, the Spark 4 default, THROWS on bad
-            # input) while DuckDB refuses VARCHAR-vs-number outright — a
-            # divergence, not a preference.
-            cnum = col.try_cast("double")
-            vnum = F.lit(float(v))
+            # Numeric comparison semantics are pinned ENGINE-AGNOSTICALLY
+            # for NUMERIC literals: the field TRY_CASTs to DOUBLE (NULL for
+            # non-numeric text -> no match).  Without it Spark would
+            # implicitly coerce a string column (and ANSI mode, the Spark 4
+            # default, THROWS on bad input) while DuckDB refuses
+            # VARCHAR-vs-number outright — a divergence, not a preference.
+            # STRING literals keep plain lexical comparison (identical
+            # collation-free semantics in both engines).
+            if isinstance(v, str):
+                cnum, vnum = col, F.lit(v)
+            else:
+                cnum, vnum = col.try_cast("double"), F.lit(float(v))
             if op == "lt":
                 return cnum < vnum
             if op == "le":
@@ -338,9 +342,11 @@ def to_sql(pred: Pred, dialect: str = "duckdb", case_insensitive: bool = False) 
         if op == "ne":
             return f"({f} <> {lit(v, low)})"
         if op in ("lt", "le", "gt", "ge"):
-            # mirror to_column: field TRY_CASTs to DOUBLE (NULL -> no match)
-            # so VARCHAR fields compare numerically in both engines
+            # mirror to_column: numeric literals TRY_CAST the field to
+            # DOUBLE (NULL -> no match); string literals compare lexically
             sym = {"lt": "<", "le": "<=", "gt": ">", "ge": ">="}[op]
+            if isinstance(v, str):
+                return f"({f} {sym} {lit(v, low)})"
             return f"(TRY_CAST({f} AS DOUBLE) {sym} {float(v)!r})"
         if op == "in":
             lower_all = ci and all(isinstance(x, str) for x in v)
@@ -380,7 +386,7 @@ _TOKEN_RE = re.compile(
     r"""
       \s+
     | (?P<str>'(?:[^']|'')*')
-    | (?P<num>\d+(?:\.\d+)?)
+    | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<bq>`[^`]+`)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op><>|!=|<=|>=|=|<|>)
@@ -402,7 +408,8 @@ def _tokenize(text: str):
             toks.append(("str", m.group("str")[1:-1].replace("''", "'")))
         elif m.group("num") is not None:
             raw = m.group("num")
-            toks.append(("num", float(raw) if "." in raw else int(raw)))
+            is_float = "." in raw or "e" in raw or "E" in raw
+            toks.append(("num", float(raw) if is_float else int(raw)))
         elif m.group("bq") is not None:
             toks.append(("ident", m.group("bq")[1:-1]))
         elif m.group("ident") is not None:

@@ -358,8 +358,15 @@ def connected_components(
         prev_fp = fp
     if stats is not None:
         stats["rounds"] = rounds
+    # One row per vertex even if max_iters exhausted before the fixed
+    # point: a non-converged edge set can still hold edges to TWO minima
+    # for one vertex, and a bare join would fan out to conflicting
+    # (id, cluster) rows — min-aggregate first so the invariant the old
+    # label-propagation code guaranteed (unique label per id) survives
+    # early exit.  At the fixed point this is a no-op.
+    roots = e.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("__root"))
     labels = vertices.select(F.col(id_col).alias("id")).join(
-        e.select(F.col("a").alias("id"), F.col("b").alias("__root")), "id", "left"
+        roots, "id", "left"
     ).select(
         "id", F.coalesce(F.col("__root"), F.col("id")).alias("cluster")
     )

@@ -35,19 +35,32 @@ MAGIC = b"FAKEIMG1"
 # ---- codec autodetection ---------------------------------------------------
 # probe codec: bytes -> (width, height, channels); raises on undecodable
 # resize codec: (bytes, width, height) -> re-encoded bytes; raises likewise
-try:  # pragma: no cover - exercised only where Pillow is installed
-    from PIL import Image as _PILImage
+# The Pillow-backed codecs are defined UNCONDITIONALLY with the PIL import
+# inside: module-level functions pickle by reference, so if they only
+# existed when the driver could import Pillow, a task shipped to an
+# executor WITHOUT Pillow would fail to unpickle (AttributeError killing
+# the stage) instead of degrading per-blob.  With the lazy import the
+# reference always resolves, and a codec-less worker raises ImportError
+# inside the per-blob try/except -> row flagged invalid, stage survives.
+def _pil_probe(blob: bytes) -> Tuple[int, int, int]:
+    from PIL import Image
 
-    def _pil_probe(blob: bytes) -> Tuple[int, int, int]:
-        img = _PILImage.open(io.BytesIO(blob))
-        return img.width, img.height, len(img.getbands())
+    img = Image.open(io.BytesIO(blob))
+    return img.width, img.height, len(img.getbands())
 
-    def _pil_resize(blob: bytes, width: int, height: int) -> bytes:
-        img = _PILImage.open(io.BytesIO(blob))
-        fmt = img.format or "PNG"
-        buf = io.BytesIO()
-        img.resize((width, height)).save(buf, format=fmt)
-        return buf.getvalue()
+
+def _pil_resize(blob: bytes, width: int, height: int) -> bytes:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(blob))
+    fmt = img.format or "PNG"
+    buf = io.BytesIO()
+    img.resize((width, height)).save(buf, format=fmt)
+    return buf.getvalue()
+
+
+try:  # driver-side availability probe (drives the strict=True decision)
+    from PIL import Image as _PILImage  # noqa: F401
 
     DEFAULT_PROBE: Optional[Callable] = _pil_probe
     DEFAULT_RESIZE: Optional[Callable] = _pil_resize

@@ -58,7 +58,10 @@ def salted_join(
     Only ``inner`` and ``left`` are salt-invariant: under ``right``/``full``
     an unmatched right row would surface once per replica (n_salts copies).
     """
-    if how not in ("inner", "left"):
+    # normalize Spark's join-type aliases ('left_outer', 'leftouter',
+    # case variants) before the guard — they are equally salt-invariant
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "left", "leftouter"):
         raise ValueError(
             f"salted_join supports how='inner'|'left' only, got {how!r}: "
             "right/full would emit each unmatched right row n_salts times"

@@ -168,6 +168,9 @@ def running_totals_tws(
             statefulProcessor=_RunningTotalsProcessor.build(value_col, ttl_ms),
             outputStructType=RUNNING_TOTALS_SCHEMA,
             outputMode="Update",
-            timeMode="None",
+            # ValueState TTL is only legal under ProcessingTime time mode —
+            # timeMode="None" with a ttlDurationMs fails at query start
+            # (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL)
+            timeMode="ProcessingTime" if ttl_ms else "None",
         )
     )

@@ -137,3 +137,22 @@ def test_mixture_sample_rates(spark, tmp_path):
     for r in out:
         assert 0 <= r["n_sampled"] <= r["n_docs"]
         assert r["tokens_sampled"] <= r["c_tokens"]
+
+
+def test_connected_components_unique_labels_on_early_exit(spark):
+    """With max_iters too small to converge, every vertex still gets exactly
+    ONE label row (the final min-aggregate), never conflicting duplicates."""
+    from dagger_spark.ops.dedup import connected_components
+
+    n = 40  # chain 0-1-2-...-39
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels = connected_components(vertices, edges, max_iters=1)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert len({r["id"] for r in rows}) == n  # one row per vertex
+    # full run still collapses the chain to a single component
+    full = connected_components(vertices, edges, max_iters=20)
+    assert {r["cluster"] for r in full.collect()} == {0}

@@ -485,3 +485,34 @@ def test_numeric_comparison_cross_engine_on_string_field(spark):
         ).fetchall()
     )
     assert duck == got
+
+
+def test_numeric_comparison_negative_and_scientific_values():
+    """Negative thresholds and floats whose repr is scientific notation must
+    compile AND re-parse through the predicate tokenizer."""
+    neg = compile_sigma(mk({"sel": {"Delta|lt": -5}, "condition": "sel"}))
+    assert "< -5" in neg.predicate_sql
+    parse_predicate(neg.predicate_sql)
+    tiny = compile_sigma(mk({"sel": {"Rate|gte": 0.00001}, "condition": "sel"}))
+    parse_predicate(tiny.predicate_sql)  # repr is '1e-05'
+
+
+def test_string_comparison_leaf_renders_lexically(spark):
+    """lt/gt with a STRING literal keeps lexical comparison in both
+    renderers (the numeric TRY_CAST path applies to numeric literals only —
+    previously this crashed with float('2024-01-01'))."""
+    import duckdb
+    import pandas as pd
+
+    from dagger_spark.expr import parse_predicate as pp, to_column, to_sql
+
+    pred = pp("`day` > '2024-06-15'")
+    rows = [("2024-06-14",), ("2024-06-15",), ("2024-07-01",), (None,)]
+    df = spark.createDataFrame(rows, "day string")
+    got = sorted(r["day"] for r in df.filter(to_column(pred)).collect())
+    assert got == ["2024-07-01"]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["day"]))
+    duck = [r[0] for r in con.execute(
+        "SELECT day FROM t WHERE " + to_sql(pred, dialect="duckdb")).fetchall()]
+    assert duck == got

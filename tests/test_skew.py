@@ -156,3 +156,18 @@ def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     got = {r["id"]: r["cluster"] for r in connected_components(verts, edges).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_salted_join_accepts_spark_aliases(spark):
+    """'left_outer'/'leftouter'/case variants are the same salt-invariant
+    join type as 'left' and must not be rejected."""
+    import pytest
+    from dagger_spark.ops.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    right = spark.createDataFrame([(1, "x")], "k int, w string")
+    for how in ("left_outer", "leftouter", "LEFT", "Inner"):
+        out = salted_join(left, right, ["k"], how=how, n_salts=4)
+        assert out.count() == (2 if how.lower().startswith("l") else 1)
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full", n_salts=4)

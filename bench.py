@@ -76,6 +76,8 @@ HEADLINE = [
     "bloom_decontam_docs",
     "events_funnel",
     "ann_recall",
+    "events_zorder_layout",
+    "sentences_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -1679,6 +1679,89 @@ def bloom_decontam_docs(spark, sf_dir):
     )
 
 
+def _zorder_sql(x: str, y: str, bits: int = 10) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_ORACLE = f"""
+    WITH pts AS (
+      SELECT (user_id % 1024)::BIGINT AS x, (event_id % 1024)::BIGINT AS y,
+             event_id AS tie
+      FROM events WHERE user_id IS NOT NULL
+    ), keyed AS (
+      SELECT x, y, tie, {_zorder_sql('x', 'y')} AS zkey FROM pts
+    ), buck AS (
+      SELECT x, y,
+             ntile(64) OVER (ORDER BY zkey, tie) AS zb,
+             ntile(64) OVER (ORDER BY x, y, tie) AS xb
+      FROM keyed
+    ), ze AS (
+      SELECT zb, max(x) - min(x) AS ex, max(y) - min(y) AS ey FROM buck GROUP BY zb
+    ), xe AS (
+      SELECT xb, max(x) - min(x) AS ex, max(y) - min(y) AS ey FROM buck GROUP BY xb
+    )
+    SELECT 'zorder' AS ordering, round(avg(ex), 2) AS avg_extent_x,
+           round(avg(ey), 2) AS avg_extent_y, CAST(count(*) AS BIGINT) AS n_buckets
+    FROM ze
+    UNION ALL
+    SELECT 'xorder', round(avg(ex), 2), round(avg(ey), 2), CAST(count(*) AS BIGINT)
+    FROM xe
+"""
+
+@register(
+    "events_zorder_layout",
+    _ZORDER_ORACLE,
+    "Z-order (Morton) layout gauge: rows bucketed 64 ways under z-key "
+    "order vs single-column order, per-bucket min/max extents averaged — "
+    "z bounds BOTH dimensions (data skipping prunes on either filter "
+    "column) where x-order leaves y unbounded; production layout is "
+    "repartitionByRange(zkey)+sortWithinPartitions before the write, the "
+    "windowed ntile here is the oracle-matchable stand-in",
+)
+def events_zorder_layout(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from .ops.skew import zorder_key
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            (F.col("user_id") % 1024).cast("long").alias("x"),
+            (F.col("event_id") % 1024).cast("long").alias("y"),
+            F.col("event_id").alias("tie"),
+        )
+    )
+    keyed = ev.select("x", "y", "tie", zorder_key(F.col("x"), F.col("y")).alias("zkey"))
+    buck = keyed.select(
+        "x",
+        "y",
+        F.ntile(64).over(Window.orderBy("zkey", "tie")).alias("zb"),
+        F.ntile(64).over(Window.orderBy("x", "y", "tie")).alias("xb"),
+    )
+
+    def extents(col, name):
+        return (
+            buck.groupBy(col)
+            .agg(
+                (F.max("x") - F.min("x")).alias("ex"),
+                (F.max("y") - F.min("y")).alias("ey"),
+            )
+            .agg(
+                F.lit(name).alias("ordering"),
+                F.round(F.avg("ex"), 2).alias("avg_extent_x"),
+                F.round(F.avg("ey"), 2).alias("avg_extent_y"),
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            )
+        )
+
+    return extents("zb", "zorder").unionByName(extents("xb", "xorder"))
+
+
 _CMS_ORACLE = """
     WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
     depths AS (SELECT unnest(generate_series(0, 3)) AS j),
@@ -1752,6 +1835,48 @@ def events_cms_counts(spark, sf_dir):
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
         (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+    )
+
+
+@register(
+    "sentences_docs",
+    r"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[.!?]+\s+'), s -> s <> '') AS arr
+      FROM documents WHERE text IS NOT NULL
+    ), pos AS (
+      SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS p FROM arrs
+    )
+    SELECT doc_id, p::INT AS pos, arr[p] AS sentence FROM pos
+    """,
+    "sentence segmentation via a Python UDTF (LATERAL table function, the "
+    "one UDF flavor the rest of the catalog doesn't exercise): split on "
+    "terminal punctuation + whitespace, 1-based ordinal per doc — regex "
+    "chosen lookbehind-free so Python re and DuckDB RE2 split identically",
+)
+def sentences_docs(spark, sf_dir):
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SentenceSplit:
+        def eval(self, text):
+            if text is None:
+                return
+            pos = 0
+            for p in _re.split(r"[.!?]+\s+", text):
+                if p != "":
+                    pos += 1
+                    yield pos, p
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.sentence "
+        "FROM documents d, LATERAL sentence_split(d.text) s "
+        "WHERE d.text IS NOT NULL"
     )
 
 

@@ -96,3 +96,32 @@ def two_phase_agg(
     return p1.groupBy(*keys).agg(
         *[merge_fn[fn](out).alias(out) for out, (col, fn) in aggs.items()]
     )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two
+    non-negative integer columns — bit i of x lands at position 2i, bit i
+    of y at 2i+1 — so sorting by the key gives rows locality in BOTH
+    dimensions at once.
+
+    This is the multi-dimensional data-skipping layout: files/row-groups
+    written in z-key order carry bounded min/max ranges for x AND y, so a
+    filter on EITHER column prunes ~sqrt-fashion, where a single-column
+    sort prunes only its own column (see the events_zorder_layout catalog
+    entry for the measured contrast).  At 100 TB the layout step is
+    ``df.repartitionByRange(N, zkey).sortWithinPartitions(zkey)`` before
+    the write — a distributed range sort, no global window.
+
+    Pure integer shift/mask expressions (whole-stage codegen, exactly
+    replayable in DuckDB with << >> & operators).
+    """
+    xi = x.cast("long")
+    yi = y.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xi, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(yi, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z

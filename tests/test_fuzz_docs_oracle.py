@@ -53,6 +53,7 @@ DOC_QUERIES = [
     "mixture_sample_docs",
     "normalize_docs",
     "bloom_decontam_docs",
+    "sentences_docs",
 ]
 
 _WORDS = (

@@ -46,6 +46,7 @@ EVENT_QUERIES = [
     "events_cohort_retention",
     "events_cms_counts",
     "events_funnel",
+    "events_zorder_layout",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

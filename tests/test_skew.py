@@ -171,3 +171,17 @@ def test_salted_join_accepts_spark_aliases(spark):
         assert out.count() == (2 if how.lower().startswith("l") else 1)
     with pytest.raises(ValueError):
         salted_join(left, right, ["k"], how="full", n_salts=4)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from dagger_spark.ops.skew import zorder_key
+    from pyspark.sql import functions as F
+
+    # x=0b101, y=0b011 -> z bits (y2 x2 y1 x1 y0 x0) = 0b011011 = 27
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+    z = df.select(zorder_key(F.col("x"), F.col("y"), bits=3).alias("z")).collect()[0]["z"]
+    assert z == 27
+    # identity cases
+    df2 = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (1023, 1023)], "x long, y long")
+    zs = [r["z"] for r in df2.select(zorder_key(F.col("x"), F.col("y")).alias("z")).collect()]
+    assert zs == [0, 1, 2, (1 << 20) - 1]

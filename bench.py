@@ -78,6 +78,7 @@ HEADLINE = [
     "ann_recall",
     "events_zorder_layout",
     "sentences_docs",
+    "jaccard_exact_join",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -2064,6 +2064,41 @@ def mixture_sample_docs(spark, sf_dir):
     )
 
 
+_JACCARD_EXACT_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_DUCK_TOKS}) AS t FROM documents
+      WHERE doc_id < 500
+    ), nz AS (SELECT * FROM toks WHERE len(t) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.t, b.t))::BIGINT AS nint,
+             (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))::BIGINT AS nuni
+      FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(nint::DOUBLE / nuni, 6) AS jaccard
+    FROM pairs WHERE 10 * nint >= 9 * nuni
+"""
+
+@register(
+    "jaccard_exact_join",
+    _JACCARD_EXACT_ORACLE,
+    "EXACT Jaccard>=0.9 self-join via prefix filtering (AllPairs/PPJoin): "
+    "rarest-first token prefixes generate candidates, integer-only prefix "
+    "length and cross-multiplied threshold keep the filter LOSSLESS — the "
+    "oracle brute-forces all pairs and the hash gate verifies the pruned "
+    "plan returns the identical set.  Input capped at doc_id < 500: this "
+    "synthetic corpus is prefix filtering's worst case (a ~200-token "
+    "shared vocabulary makes every prefix common and most pairs genuinely "
+    ">=0.9 similar — 965k qualifying pairs at sf0.1), so the demo is "
+    "bounded; real Zipfian corpora are where the prefix prunes",
+)
+def jaccard_exact_join(spark, sf_dir):
+    from .ops.dedup import jaccard_prefix_join
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return jaccard_prefix_join(docs, threshold_num=9, threshold_den=10)
+
+
 _SUBSTRING_DEDUP_ORACLE = """
     WITH d AS (
       SELECT doc_id, text, (length(text) - 39)::BIGINT AS n_windows

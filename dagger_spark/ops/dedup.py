@@ -727,3 +727,94 @@ def duplicated_span_stats(
             ).alias("dup_window_frac"),
         )
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering (the
+    AllPairs/PPJoin principle, Bayardo et al. 2007 / Xiao et al. 2008):
+    order every document's distinct tokens rarest-first under one global
+    order, index only each document's PREFIX (the first
+    n - ceil(t*n) + 1 tokens), and generate candidates from prefix-token
+    matches.  The filter is LOSSLESS for Jaccard >= t — any qualifying
+    pair must share a prefix token — so the output equals the brute-force
+    all-pairs join, which is exactly what the DuckDB oracle computes.
+
+    Engine-agnostic exactness is engineered in two places: the prefix
+    length uses INTEGER arithmetic (ceil(num*n/den) as
+    floor((num*n + den - 1) / den) — a float t*n can round above the true
+    product and silently shorten the prefix, breaking losslessness), and
+    the threshold test cross-multiplies (den*|A∩B| >= num*|A∪B|) so no
+    float comparison exists anywhere.
+
+    Scale shape: the global order is (token frequency, token) carried as
+    sort KEYS — no global rank window; prefixes hold each doc's RAREST
+    tokens, so the candidate join groups are the smallest frequency
+    classes; one shuffle for the frequency count, one for the candidate
+    join, broadcast of nothing.  Output: (id_a, id_b, jaccard rounded 6),
+    id_a < id_b.
+    """
+    from .text import tokens
+
+    toksd = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(tokens(F.col(text_col))).alias("t"),
+        )
+        .filter(F.size("t") > 0)
+    )
+    tf = (
+        toksd.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # tokens per doc sorted rarest-first under the global (freq, tok) order
+    ranked = (
+        toksd.select("id", F.explode("t").alias("tok"))
+        .join(tf, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "tok"))),
+                lambda x: x["tok"],
+            ).alias("st")
+        )
+    )
+    n = F.size("st")
+    # p = n - ceil(num*n/den) + 1, all-integer
+    ceil_tn = F.floor((F.lit(threshold_num) * n + threshold_den - 1) / threshold_den)
+    prefix = F.slice(F.col("st"), 1, (n - ceil_tn + 1).cast("int"))
+    cand = (
+        ranked.select("id", F.explode(prefix).alias("tok"))
+    )
+    pairs = (
+        cand.alias("a")
+        .join(cand.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = toksd.select(F.col("id").alias("id_a"), F.col("t").alias("ta"))
+    tb = toksd.select(F.col("id").alias("id_b"), F.col("t").alias("tb"))
+    verified = (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("nint"),
+            (F.size("ta") + F.size("tb")).cast("long").alias("nsum"),
+        )
+        .withColumn("nuni", F.col("nsum") - F.col("nint"))
+        .filter(F.lit(threshold_den) * F.col("nint") >= F.lit(threshold_num) * F.col("nuni"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("nint").cast("double") / F.col("nuni"), 6).alias("jaccard"),
+    )

@@ -54,6 +54,7 @@ DOC_QUERIES = [
     "normalize_docs",
     "bloom_decontam_docs",
     "sentences_docs",
+    "jaccard_exact_join",
 ]
 
 _WORDS = (

@@ -29,6 +29,7 @@ Semantics notes (parity with the reference, verified by tests):
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 from typing import Callable, Iterable, Optional, Sequence, Union
@@ -100,6 +101,14 @@ class Leaf(Pred):
     def __post_init__(self):
         if self.op not in LEAF_OPS:
             raise ValueError(f"unknown leaf op: {self.op!r}")
+        # Non-finite floats have no SQL literal text (repr(inf)/repr(nan)
+        # render invalid SQL in to_sql) and no sane match semantics —
+        # reject at the IR boundary so the Sigma compiler can't smuggle
+        # them in via a YAML float.
+        vals = self.value if isinstance(self.value, (list, tuple)) else (self.value,)
+        for x in vals:
+            if isinstance(x, float) and not math.isfinite(x):
+                raise ValueError(f"non-finite numeric literal in predicate: {x!r}")
 
 
 def all_of(preds: Iterable[Pred]) -> Pred:
@@ -244,6 +253,13 @@ def to_column(pred: Pred, case_insensitive: bool = False) -> Column:
             # collation-free semantics in both engines).
             if isinstance(v, str):
                 cnum, vnum = col, F.lit(v)
+            elif isinstance(v, int) and not isinstance(v, bool) and abs(v) < 10 ** 29:
+                # Integer literals compare in DECIMAL(38,9): exact for any
+                # int64 (DOUBLE silently loses integers past 2^53) while
+                # still matching fractional text like '3.5' identically in
+                # both engines.  BIGINT would diverge: DuckDB TRY_CAST
+                # rounds '3.5'->4 where Spark try_cast yields NULL.
+                cnum, vnum = col.try_cast("decimal(38,9)"), F.lit(v)
             else:
                 cnum, vnum = col.try_cast("double"), F.lit(float(v))
             if op == "lt":
@@ -347,6 +363,8 @@ def to_sql(pred: Pred, dialect: str = "duckdb", case_insensitive: bool = False) 
             sym = {"lt": "<", "le": "<=", "gt": ">", "ge": ">="}[op]
             if isinstance(v, str):
                 return f"({f} {sym} {lit(v, low)})"
+            if isinstance(v, int) and not isinstance(v, bool) and abs(v) < 10 ** 29:
+                return f"(TRY_CAST({f} AS DECIMAL(38,9)) {sym} {v})"
             return f"(TRY_CAST({f} AS DOUBLE) {sym} {float(v)!r})"
         if op == "in":
             lower_all = ci and all(isinstance(x, str) for x in v)

@@ -552,26 +552,22 @@ def pq_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    # cb[s][j] = j-th codeword of subspace s; cbn2[s][j] = |codeword|^2
-    # (Python's left-to-right float sum matches the JVM/DuckDB fold order,
-    # so the precomputed norms are bit-identical to computing them in-plan).
+    # cb[s][j] = j-th codeword of subspace s.  |codeword|^2 is computed
+    # IN-PLAN with the same dot() used for the query subvectors — keeping a
+    # single float-summation implementation on the parity surface (a
+    # driver-side Python sum would be a third fold whose one-ULP drift could
+    # flip an argmin tie vs the DuckDB oracle, which also norms in-plan).
     cb = [
         [v[s * dsub:(s + 1) * dsub] for _, v in rows]
         for s in range(m)
     ]
-    cbn2 = [[sum(x * x for x in sub) for sub in cb_s] for cb_s in cb]
     cbmat = F.lit(cb)
-    cbn2arr = F.lit(cbn2)
     n_codes = len(rows)
 
     def _sqdist(sub, subn2, s, j):
         # |sub - cb[s][j]|^2 via the dot-product identity, rounded to 9
-        return F.round(
-            subn2
-            + F.element_at(F.element_at(cbn2arr, s), j)
-            - 2 * dot(sub, F.element_at(F.element_at(cbmat, s), j)),
-            9,
-        )
+        cw = F.element_at(F.element_at(cbmat, s), j)
+        return F.round(subn2 + dot(cw, cw) - 2 * dot(sub, cw), 9)
 
     def codes_of(v):
         def one_s(s):

@@ -63,7 +63,8 @@ def salted_join(
     norm = how.lower().replace("_", "")
     if norm not in ("inner", "left", "leftouter"):
         raise ValueError(
-            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "salted_join supports how='inner'|'left'/'left_outer'/'leftouter' "
+            f"(case-insensitive) only, got {how!r}: "
             "right/full would emit each unmatched right row n_salts times"
         )
     on = list(on)

@@ -91,3 +91,22 @@ def test_case_insensitive_render():
 def test_parse_rejects_garbage():
     with pytest.raises(ValueError):
         parse_predicate("SELECT * FROM x;")
+
+
+def test_numeric_literal_renders_decimal_for_ints():
+    # int literal -> exact DECIMAL(38,9) comparison (2^53 cliff avoided)
+    s = to_sql(Leaf("a", "gt", 2 ** 53 + 1), "duckdb")
+    assert "DECIMAL(38,9)" in s and str(2 ** 53 + 1) in s
+    # float literal keeps the DOUBLE path
+    s = to_sql(Leaf("a", "gt", 3.5), "duckdb")
+    assert "DOUBLE" in s and "3.5" in s
+    # bool is not an int for this purpose
+    assert "DOUBLE" in to_sql(Leaf("a", "lt", True), "duckdb")
+
+
+def test_non_finite_numeric_literals_rejected():
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            Leaf("a", "gt", bad)
+        with pytest.raises(ValueError, match="non-finite"):
+            Leaf("a", "in", (1.0, bad))

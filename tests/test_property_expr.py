@@ -18,6 +18,11 @@ VALUES = [
 ]
 REGEXES = ["^a", "c$", "a.c", "[0-9]+", "^(?:abc|ABC)$", "x{2,3}", "\\|", "^$"]
 FIELDS = ["a", "b"]
+# numeric-ish text the lt/le/gt/ge TRY_CAST path must treat identically in
+# both engines: fractional, whitespace-padded, scientific, past-2^53, junk
+NUM_TEXT = ["3.5", "42", "-7", " 7 ", "1e10", "9007199254740993",
+            "9007199254740992", "0", "abc", "", "nan"]
+NUM_LITS = [0, 3, 4, -1, 2 ** 53, 2 ** 53 + 1, 3.5, 0.1, -2.0]
 
 leaf_st = st.one_of(
     st.builds(Leaf, st.sampled_from(FIELDS), st.just("eq"), st.sampled_from(VALUES)),
@@ -32,6 +37,9 @@ leaf_st = st.one_of(
     st.builds(Leaf, st.sampled_from(FIELDS), st.just("in"),
               st.lists(st.sampled_from(VALUES), min_size=1, max_size=4).map(tuple)),
     st.builds(Leaf, st.sampled_from(FIELDS), st.just("is_null"), st.none()),
+    st.builds(Leaf, st.sampled_from(FIELDS),
+              st.sampled_from(["lt", "le", "gt", "ge"]),
+              st.sampled_from(NUM_LITS)),
 )
 
 pred_st = st.recursive(
@@ -49,8 +57,8 @@ pred_st = st.recursive(
 def prop_data(spark, tmp_path_factory):
     rows = []
     i = 0
-    for a in VALUES + [None]:
-        for b in VALUES[::3] + [None]:
+    for a in VALUES + NUM_TEXT + [None]:
+        for b in VALUES[::3] + NUM_TEXT[::2] + [None]:
             rows.append((i, a, b))
             i += 1
     df = spark.createDataFrame(rows, "id int, a string, b string")

@@ -962,6 +962,117 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_burst_sliding",
+    """
+    WITH hits AS (
+      SELECT user_id, ts, cast(floor(epoch(ts) / 1800) AS BIGINT) AS halfslot
+      FROM events WHERE event_type = 'error'
+    ), w AS (
+      SELECT user_id, ts, (halfslot - k.k) * 1800 AS wstart_s
+      FROM hits CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+    )
+    SELECT make_timestamp(wstart_s * 1000000) AS w_start, user_id,
+           cast(count(*) AS bigint) AS n_events,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM w GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    "sliding-window burst detection (1 h window, 30 min slide): the fix for "
+    "tumbling's boundary under-detection — a burst shorter than "
+    "window - slide is fully contained in SOME window no matter where it "
+    "falls.  Spark explodes each event into its 2 windows (F.window with "
+    "slide); the oracle mirrors the epoch-aligned floor arithmetic with a "
+    "generate_series cross join.  Same shape rules/timeframe.py runs "
+    "batch+streaming when RuleSpec.timeframe_slide_seconds is set",
+)
+def events_burst_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("__w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .select(
+            F.col("__w.start").alias("w_start"),
+            "user_id",
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+@register(
+    "events_burst_exact",
+    """
+    WITH h AS (
+      SELECT user_id, event_id, ts,
+             cast(floor(epoch(ts)) AS BIGINT) AS tsec
+      FROM events WHERE event_type = 'error'
+    ), c AS (
+      SELECT user_id, event_id, ts, tsec,
+             cast(count(*) OVER (
+               PARTITION BY user_id ORDER BY tsec
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS n_trail
+      FROM h
+    ), f AS (
+      SELECT user_id, event_id, ts, n_trail,
+             CASE WHEN n_trail >= 2 THEN 1 ELSE 0 END AS trig,
+             lag(CASE WHEN n_trail >= 2 THEN 1 ELSE 0 END, 1, 0) OVER (
+               PARTITION BY user_id ORDER BY tsec, event_id
+             ) AS prev_trig
+      FROM c
+    )
+    SELECT user_id, event_id AS trigger_event_id,
+           date_trunc('second', ts) AS trigger_ts, n_trail
+    FROM f WHERE trig = 1 AND prev_trig = 0
+    """,
+    "EXACT Sigma timeframe semantics — N events within ANY 3600-second "
+    "span, zero discretization loss: trailing RANGE frame over whole epoch "
+    "seconds counts each event's preceding hour, an event with n_trail >= 2 "
+    "is a trigger, and lag() keeps only episode-starting triggers (previous "
+    "event not triggering) so a sustained burst yields one row, not one per "
+    "event.  One shuffle keyed by user_id; the frame is time-valued so "
+    "same-second rows share one frame in both engines (floor(epoch) == "
+    "unix_timestamp truncation parity, see events_rolling_7d)",
+)
+def events_burst_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    h = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id", "event_id", "ts",
+            F.unix_timestamp("ts").alias("tsec"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("tsec").rangeBetween(-3599, 0)
+    wl = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    c = h.withColumn("n_trail", F.count(F.lit(1)).over(wr).cast("long"))
+    c = c.withColumn(
+        "trig", F.when(F.col("n_trail") >= 2, F.lit(1)).otherwise(F.lit(0))
+    ).withColumn("prev_trig", F.lag("trig", 1, 0).over(wl))
+    return (
+        c.filter((F.col("trig") == 1) & (F.col("prev_trig") == 0))
+        .select(
+            "user_id",
+            F.col("event_id").alias("trigger_event_id"),
+            F.date_trunc("second", F.col("ts")).alias("trigger_ts"),
+            "n_trail",
+        )
+    )
+
+
+@register(
     "events_rolling_7d",
     """
     SELECT user_id, event_id,

@@ -43,6 +43,12 @@ class RuleSpec:
     timeframe_seconds: Optional[int] = None
     timeframe_min_count: Optional[int] = None
     timeframe_group_by: tuple = ("host",)
+    # Sliding stride for the timeframe window.  None/== timeframe_seconds =
+    # tumbling (the round-2 behavior, kept as the default).  A divisor of
+    # timeframe_seconds enables overlapping windows so a burst straddling a
+    # tumbling boundary still alerts: any burst shorter than
+    # (timeframe - slide) seconds is fully contained in SOME window.
+    timeframe_slide_seconds: Optional[int] = None
 
     @property
     def predicate(self) -> Pred:

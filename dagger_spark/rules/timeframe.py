@@ -30,6 +30,19 @@ per-key memory bound holding on BOTH execution paths (SURVEY.md §2.5-T3/T4):
 Scale: the shuffle is keyed by (window, host[, extra]) — naturally
 high-cardinality and time-local, so partial aggregation (batch) / per-key
 state (streaming) absorbs bursts and AQE handles skewed hosts.
+
+**Sliding windows** (``RuleSpec.timeframe_slide_seconds``, a divisor of the
+timeframe): tumbling discretization under-detects — a burst of >= N events
+straddling a window boundary raises nothing, though Sigma's intent is "N
+events within ANY timeframe-second span".  With slide s, any burst shorter
+than (timeframe - s) seconds is fully contained in some window, at the cost
+of each event updating timeframe/s windows (batch: ``F.window(ts, tf, s)``;
+streaming: an epoch-aligned explode feeding the same bounded per-window
+state).  Both paths share the arithmetic, so batch==stream holds for every
+slide.  For ZERO discretization loss see the ``events_burst_exact`` catalog
+query: a trailing RANGE-frame formulation of the same semantics (batch,
+oracle-verified); its streaming twin would be an arrival-driven
+applyInPandasWithState keeping the last N-1 event times per key.
 """
 
 from __future__ import annotations
@@ -85,11 +98,27 @@ def _alert_projection(rule: RuleSpec, host_col, start_col, end_col) -> list:
     ]
 
 
+def _slide_seconds(rule: RuleSpec) -> int:
+    """Validated slide: defaults to the timeframe itself (tumbling)."""
+    tf = int(rule.timeframe_seconds)
+    slide = tf if rule.timeframe_slide_seconds is None \
+        else int(rule.timeframe_slide_seconds)
+    if slide <= 0 or slide > tf or tf % slide:
+        raise ValueError(
+            f"rule {rule.name!r}: timeframe_slide_seconds={slide} must be a "
+            f"positive divisor of timeframe_seconds={tf} (<= it)"
+        )
+    return slide
+
+
 def _batch_timeframe(
     events: DataFrame, rule: RuleSpec, ts_col: str, max_origin_ids: int
 ) -> DataFrame:
     ts = F.col(ts_col)
-    window = F.window(ts, f"{rule.timeframe_seconds} seconds")
+    slide = _slide_seconds(rule)
+    window = F.window(
+        ts, f"{rule.timeframe_seconds} seconds", f"{slide} seconds"
+    )
     group_by = list(rule.timeframe_group_by)
     keys = [f"__k{i}" for i in range(len(group_by))]
     host_idx = group_by.index("host") if "host" in group_by else None
@@ -141,6 +170,7 @@ def _stream_timeframe(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     tf_us = int(rule.timeframe_seconds) * 1_000_000
+    slide_us = _slide_seconds(rule) * 1_000_000
     min_count = int(rule.timeframe_min_count or 2)
     cap = int(max_origin_ids)
     group_by = list(rule.timeframe_group_by)
@@ -148,12 +178,24 @@ def _stream_timeframe(
     host_idx = group_by.index("host") if "host" in group_by else None
     ts = F.col(ts_col)
 
+    # every window containing t: wstart = floor(t/slide)*slide - k*slide for
+    # k in 0..tf/slide-1 (epoch-aligned, matching F.window's sliding
+    # alignment on the batch path).  Tumbling is the slide==tf special case
+    # (a 1-element sequence), so both variants share one code path; sliding
+    # multiplies per-event state updates by tf/slide, still O(cap) per key.
+    last_wstart = (F.floor(F.unix_micros(ts) / slide_us) * slide_us).cast("long")
+    wstarts = F.sequence(
+        last_wstart - F.lit(tf_us - slide_us).cast("long"),
+        last_wstart,
+        F.lit(slide_us).cast("long"),
+    )
+
     prep = events.filter(rule.condition()).select(
         # keep the original event-time column: it carries the watermark
         # metadata, so rows older than the watermark are filtered before
         # the stateful operator (T4 late-data semantics)
         ts,
-        (F.floor(F.unix_micros(ts) / tf_us) * tf_us).cast("long").alias("__wstart_us"),
+        F.explode(wstarts).alias("__wstart_us"),
         F.unix_micros(ts).alias("__ts_us"),
         F.col("uuid").cast("string").alias("__uuid"),
         F.col("computer_name").cast("string").alias("__cn"),

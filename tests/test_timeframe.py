@@ -182,3 +182,78 @@ def test_stream_state_bounded_at_cap(spark, tmp_path):
     assert len(batch[0]["event"]["origin_ids"]) == 5
     assert batch[0]["event"]["start"] == a["event"]["start"]
     assert batch[0]["event"]["end"] == a["event"]["end"]
+
+
+def _lsass_ev(i, host, offset_s):
+    ed = {f.name: None for f in SYSMON_EVENT_SCHEMA["event_data"].dataType.fields}
+    ed["TargetImage"] = "C:\\Windows\\System32\\lsass.exe"
+    return ("CN", 10, host, ed, f"s-{i:03d}", BASE + timedelta(seconds=offset_s))
+
+
+def test_sliding_catches_boundary_straddling_burst(spark):
+    """4 events in a 58 s span straddling the 60 s tumbling boundary
+    (t=31,45,61,89): tumbling sees 2+2 and stays silent — the documented
+    round-2 under-detection — while slide=30 puts all 4 inside window
+    [30,90) and alerts.  This is the Sigma intent: N events within ANY
+    timeframe-second span (detected whenever the burst spans < tf - slide)."""
+    from dataclasses import replace
+
+    rows = [_lsass_ev(i, "hostA", off) for i, off in enumerate((31, 45, 61, 89))]
+    df = spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA)
+    tumbling = tf_rule(60, 4)
+    assert apply_timeframe_rule(df, tumbling).count() == 0
+    sliding = replace(tumbling, timeframe_slide_seconds=30)
+    out = apply_timeframe_rule(df, sliding).collect()
+    assert len(out) == 1
+    a = out[0]
+    assert a["host"] == "hostA" and a["event"]["count"] == 4
+    assert a["event"]["start"] == NAIVE + timedelta(seconds=31)
+    assert a["event"]["end"] == NAIVE + timedelta(seconds=89)
+    assert sorted(a["event"]["origin_ids"]) == ["s-000", "s-001", "s-002", "s-003"]
+
+
+def test_sliding_stream_matches_batch(spark, tmp_path):
+    """The same straddling burst through the stateful streaming path: the
+    sliding explode multiplies window-state updates (tf/slide per event) but
+    emission, counts, bounds, and ids match batch exactly."""
+    from dataclasses import replace
+    from dagger_spark.streaming import file_stream_events, run_to_memory
+
+    rows = [_lsass_ev(i, "hostA", off) for i, off in enumerate((31, 45, 61, 89))]
+    rows.append(_lsass_ev(99, "push", 600))  # advances watermark past window end
+    src = tmp_path / "slide_src"
+    src.mkdir()
+    spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    sliding = replace(tf_rule(60, 4), timeframe_slide_seconds=30)
+    events = file_stream_events(spark, str(src) + "/*", watermark="5 seconds")
+    alerts = apply_timeframe_rule(events, sliding)
+    q = run_to_memory(alerts, "slide_alerts", str(tmp_path / "slide_ckpt"))
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM slide_alerts").collect()
+    finally:
+        q.stop()
+    batch = apply_timeframe_rule(
+        spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA), sliding
+    ).collect()
+    assert len(got) == len(batch) == 1
+    for s, b in zip(got, batch):
+        assert s["host"] == b["host"] == "hostA"
+        assert s["event"]["count"] == b["event"]["count"] == 4
+        assert s["event"]["start"] == b["event"]["start"]
+        assert s["event"]["end"] == b["event"]["end"]
+        assert sorted(s["event"]["origin_ids"]) == sorted(b["event"]["origin_ids"])
+
+
+def test_slide_must_divide_timeframe(spark):
+    from dataclasses import replace
+
+    df = spark.createDataFrame(
+        [_lsass_ev(0, "hostA", 1)], SYSMON_EVENT_SCHEMA
+    )
+    for bad in (7, 120, 0, -30):
+        rule = replace(tf_rule(60, 3), timeframe_slide_seconds=bad)
+        with pytest.raises(ValueError, match="divisor"):
+            apply_timeframe_rule(df, rule)

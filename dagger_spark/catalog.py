@@ -3495,6 +3495,43 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_rules_engine(spark, sf_dir)
 
 
+_ZIPF_DOCS_PATH = "/tmp/dagger_zipf_docs_v1.parquet"  # seed-pinned fixture
+
+
+@register(
+    "jaccard_zipf_join",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM read_parquet('{_ZIPF_DOCS_PATH}')
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.t, b.t)) AS nint,
+             len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS nuni
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(nint::DOUBLE / nuni, 6) AS jaccard
+    FROM p WHERE 10 * nint >= 9 * nuni
+    """,
+    "exact Jaccard self-join with the prefix filter PRUNING on-camera: a "
+    "seed-pinned Zipfian corpus (1200 docs, log-uniform vocab, 40 planted "
+    ">=0.9 copies — the realistic head/tail shape, unlike the driver "
+    "documents table whose ~200-token shared vocab makes the qualifying "
+    "output itself quadratic) runs UNCAPPED; the oracle brute-forces all "
+    "~719k pairs so the hash gate proves the pruned plan loses nothing. "
+    "Candidate count vs n(n-1)/2 is asserted in tests/test_zipf_jaccard.py "
+    "(~0.1%: rarest-first prefixes almost never collide across unrelated "
+    "docs)",
+)
+def jaccard_zipf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import write_zipf_docs_parquet
+    from .ops.dedup import jaccard_prefix_join
+
+    write_zipf_docs_parquet(_ZIPF_DOCS_PATH)
+    docs = spark.read.parquet(_ZIPF_DOCS_PATH)
+    return jaccard_prefix_join(docs)
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -315,3 +315,65 @@ def sysmon_arrow_table(n_rows: int = 2000, seed: int = 42) -> pa.Table:
 def write_sysmon_parquet(path: str, n_rows: int = 2000, seed: int = 42) -> str:
     pq.write_table(sysmon_arrow_table(n_rows, seed), path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Zipfian documents: the corpus shape where prefix filtering EARNS its keep
+# ---------------------------------------------------------------------------
+# The driver's synthetic documents table is prefix filtering's worst case
+# (a ~200-token shared vocabulary makes the >=0.9-similar OUTPUT itself
+# quadratic), so the jaccard_exact_join catalog demo is input-capped and the
+# filter never visibly prunes.  Real corpora are Zipfian: a short head of
+# ubiquitous tokens and a long tail of rare ones.  Under the rarest-first
+# global order the prefix holds each document's TAIL tokens, which almost
+# never collide across unrelated documents — candidates collapse to
+# ~planted-duplicate pairs instead of n(n-1)/2.
+
+
+def generate_zipf_docs(
+    n_docs: int = 1200,
+    vocab_size: int = 20000,
+    doc_len: int = 60,
+    n_neardup: int = 40,
+    seed: int = 7,
+) -> list:
+    """Deterministic log-uniform ("Zipf s≈1") token corpus with
+    ``n_neardup`` planted >=0.9-Jaccard copies (2 of ~60 distinct tokens
+    replaced).  Every document's tokens are DISTINCT, so engines that
+    treat the split list as a set and ones that don't agree."""
+    rng = random.Random(seed)
+    base = []
+    for _ in range(n_docs - n_neardup):
+        toks = set()
+        while len(toks) < doc_len:
+            # inverse-CDF log-uniform rank in [1, vocab_size)
+            r = int(vocab_size ** rng.random())
+            toks.add(f"w{r:05d}")
+        base.append(sorted(toks))
+    docs = list(base)
+    for k in range(n_neardup):
+        src = list(base[rng.randrange(len(base))])
+        for j in range(2):
+            # replacement tokens live OUTSIDE the w-vocab: uniqueness keeps
+            # the token list duplicate-free (distinct-set invariant above)
+            src[rng.randrange(len(src))] = f"nd{k:03d}_{j}"
+        docs.append(src)
+    return [
+        {"doc_id": i, "text": " ".join(d)} for i, d in enumerate(docs)
+    ]
+
+
+def write_zipf_docs_parquet(path: str, **kw) -> str:
+    """Idempotent seed-pinned write (atomic rename) — safe as a shared
+    /tmp fixture for catalog query + DuckDB oracle to read side-by-side."""
+    import os
+
+    if os.path.exists(path):
+        return path
+    schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("text", pa.string())]
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.Table.from_pylist(generate_zipf_docs(**kw), schema=schema), tmp)
+    os.replace(tmp, path)
+    return path

@@ -729,6 +729,69 @@ def duplicated_span_stats(
     )
 
 
+def _distinct_token_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from .text import tokens
+
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(tokens(F.col(text_col))).alias("t"),
+        )
+        .filter(F.size("t") > 0)
+    )
+
+
+def _prefix_candidate_pairs(
+    toksd: DataFrame, threshold_num: int, threshold_den: int
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from prefix-token collisions — the set
+    the verify stage intersects.  Exposed via jaccard_prefix_candidates so
+    tests can assert the pruning ratio (candidates ≪ n(n-1)/2), which is
+    the prefix filter's entire reason to exist."""
+    tf = (
+        toksd.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # tokens per doc sorted rarest-first under the global (freq, tok) order
+    ranked = (
+        toksd.select("id", F.explode("t").alias("tok"))
+        .join(tf, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "tok"))),
+                lambda x: x["tok"],
+            ).alias("st")
+        )
+    )
+    n = F.size("st")
+    # p = n - ceil(num*n/den) + 1, all-integer
+    ceil_tn = F.floor((F.lit(threshold_num) * n + threshold_den - 1) / threshold_den)
+    prefix = F.slice(F.col("st"), 1, (n - ceil_tn + 1).cast("int"))
+    cand = ranked.select("id", F.explode(prefix).alias("tok"))
+    return (
+        cand.alias("a")
+        .join(cand.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_prefix_candidates(
+    docs: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The pre-verify candidate pairs of :func:`jaccard_prefix_join`."""
+    return _prefix_candidate_pairs(
+        _distinct_token_sets(docs, id_col, text_col), threshold_num, threshold_den
+    )
+
+
 def jaccard_prefix_join(
     docs: DataFrame,
     threshold_num: int = 9,
@@ -759,46 +822,8 @@ def jaccard_prefix_join(
     join, broadcast of nothing.  Output: (id_a, id_b, jaccard rounded 6),
     id_a < id_b.
     """
-    from .text import tokens
-
-    toksd = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(tokens(F.col(text_col))).alias("t"),
-        )
-        .filter(F.size("t") > 0)
-    )
-    tf = (
-        toksd.select(F.explode("t").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    # tokens per doc sorted rarest-first under the global (freq, tok) order
-    ranked = (
-        toksd.select("id", F.explode("t").alias("tok"))
-        .join(tf, "tok")
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("freq", "tok"))),
-                lambda x: x["tok"],
-            ).alias("st")
-        )
-    )
-    n = F.size("st")
-    # p = n - ceil(num*n/den) + 1, all-integer
-    ceil_tn = F.floor((F.lit(threshold_num) * n + threshold_den - 1) / threshold_den)
-    prefix = F.slice(F.col("st"), 1, (n - ceil_tn + 1).cast("int"))
-    cand = (
-        ranked.select("id", F.explode(prefix).alias("tok"))
-    )
-    pairs = (
-        cand.alias("a")
-        .join(cand.alias("b"), "tok")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    toksd = _distinct_token_sets(docs, id_col, text_col)
+    pairs = _prefix_candidate_pairs(toksd, threshold_num, threshold_den)
     ta = toksd.select(F.col("id").alias("id_a"), F.col("t").alias("ta"))
     tb = toksd.select(F.col("id").alias("id_b"), F.col("t").alias("tb"))
     verified = (

@@ -3158,6 +3158,32 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_pixels",
+    None,  # a pixel decoder has no SQL twin; rows-only (deterministic crc)
+    "REAL pixel decode with zero installed codecs: deterministic PNGs "
+    "(encode_png, stdlib zlib+struct) stream through mapInPandas and "
+    "decode_image_pixels inflates + defilters them back to raw pixel "
+    "buffers on the workers — Pillow used instead when present, identical "
+    "schema.  Output pins width/height/channels and a crc32 of the pixel "
+    "bytes so the decode is value-checked, not just shape-checked",
+)
+def multimodal_pixels(spark, sf_dir):
+    from .ops.multimodal import MEDIA_SCHEMA, decode_image_pixels, encode_png
+
+    rows = []
+    for i in range(32):
+        w, h = 8 + i % 5, 6 + i % 3
+        px = bytes((i * 37 + j) % 256 for j in range(w * h * 3))
+        blob = encode_png(w, h, 3, px, filter_type=i % 5)
+        rows.append((i, "image/png", bytearray(blob), ("png", len(blob))))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return decode_image_pixels(df).select(
+        "media_id", "width", "height", "channels",
+        F.crc32(F.col("pixels")).alias("pixel_crc"), "valid",
+    )
+
+
+@register(
     "skew_resistant_agg",
     """
     SELECT event_type,

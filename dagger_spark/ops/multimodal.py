@@ -1,16 +1,16 @@
 """Multimodal columns: opaque binary payloads + typed metadata, processed by
 Arrow-batched Pandas UDFs over ``mapInPandas``.
 
-Codec policy: Pillow is probed at import and used automatically when present
-(``DEFAULT_PROBE``/``DEFAULT_RESIZE``); environments without codecs — like
-this container — fall back to the deterministic fake-header path: blobs
-carry a tiny header (magic, width, height, channels) that
-``extract_image_meta`` parses for real, so the Spark-side plumbing (schema,
-batch iteration, partition behavior, UDF signatures) is genuine and tested
-either way.  A custom codec can also be injected per call (it is captured by
-value into the UDF closure, so it reaches the Python workers without being
-installed there).  ``strict=True`` raises NotImplementedError ONLY when no
-codec is available — exactly where Pillow/libvips would plug in.
+Codec policy (a chain, never empty): Pillow when importable on the worker
+(every format), else the PURE-STDLIB PNG codec (``decode_png``/
+``encode_png`` — zlib inflate + CRC-checked chunks + scanline defiltering),
+else the deterministic fake-header path for fixture blobs.  Real pixel
+decode therefore works even in this codec-less container for PNG;
+non-PNG formats without Pillow degrade per-blob to valid=false rather than
+failing the stage.  A custom codec can also be injected per call (captured
+by value into the UDF closure, so it reaches Python workers without being
+installed there).  ``strict=True``'s NotImplementedError is now reachable
+only when a caller explicitly disables codecs.
 
 Scale notes: blobs ride as parquet binary; metadata predicates (width>=..,
 media_type=..) are ordinary columns so pruning/pushdown skip undecodable
@@ -59,14 +59,206 @@ def _pil_resize(blob: bytes, width: int, height: int) -> bytes:
     return buf.getvalue()
 
 
-try:  # driver-side availability probe (drives the strict=True decision)
+# ---- pure-stdlib PNG codec -------------------------------------------------
+# PNG is decodable with zlib+struct alone (signature, CRC-checked chunks,
+# inflate, per-scanline defilter), so a codec-less environment still gets
+# REAL pixels for the web's most common lossless format.  Supports 8-bit
+# gray/RGB/palette/gray-alpha/RGBA, non-interlaced — the overwhelmingly
+# common shape; anything else raises and the caller's per-blob try/except
+# flags the row.  Pillow, when installed, still takes precedence (JPEG,
+# WebP, 16-bit, interlaced, ...).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
+
+
+def decode_png(blob: bytes) -> Tuple[int, int, int, bytes]:
+    """(width, height, channels, raw pixel bytes) from a PNG blob.
+
+    Full pixel decode: CRC-verified chunk walk, one zlib inflate, scanline
+    defiltering (None/Sub/Up/Average/Paeth), palette expansion to RGB.
+    """
+    import zlib
+
+    if bytes(blob[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = None
+    plte = None
+    idat = []
+    pos = 8
+    while pos + 12 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+        typ = bytes(blob[pos + 4:pos + 8])
+        data = bytes(blob[pos + 8:pos + 8 + ln])
+        (crc,) = struct.unpack(">I", blob[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth}, interlace={inter})"
+        )
+    nch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(h):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p:p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 255
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 255
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 255
+        elif f != 0:
+            raise ValueError(f"bad scanline filter {f}")
+        out += line
+        prev = line
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        rgb = bytearray()
+        for idx in out:
+            rgb += plte[3 * idx:3 * idx + 3]
+        out, nch = rgb, 3
+    return w, h, nch, bytes(out)
+
+
+def encode_png(
+    width: int, height: int, channels: int, pixels: bytes, filter_type: int = 0
+) -> bytes:
+    """Minimal PNG writer (8-bit gray/gray-alpha/RGB/RGBA).  ``filter_type``
+    applies one filter to every scanline — exercising each inverse path of
+    :func:`decode_png` in roundtrip tests."""
+    import zlib
+
+    if channels not in _PNG_CTYPE:
+        raise ValueError(f"channels must be 1/2/3/4, got {channels}")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer length mismatch")
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride:(y + 1) * stride])
+        flt = bytearray(stride)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            elif filter_type == 4:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            else:
+                raise ValueError(f"bad filter_type {filter_type}")
+            flt[i] = (line[i] - pred) & 255
+        raw.append(filter_type)
+        raw += flt
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_CTYPE[channels], 0, 0, 0
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_probe(blob: bytes) -> Tuple[int, int, int]:
+    w, h, c, _ = decode_png(blob)
+    return w, h, c
+
+
+def _png_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample + filter-0 re-encode, stdlib only."""
+    w, h, c, px = decode_png(blob)
+    out = bytearray()
+    for y in range(height):
+        sy = y * h // height
+        row = px[sy * w * c:(sy + 1) * w * c]
+        for x in range(width):
+            sx = x * w // width
+            out += row[sx * c:(sx + 1) * c]
+    return encode_png(width, height, c, bytes(out))
+
+
+def _chain_probe(blob: bytes) -> Tuple[int, int, int]:
+    """Pillow first (every format), stdlib PNG decode as the fallback."""
+    try:
+        return _pil_probe(blob)
+    except ImportError:
+        return _png_probe(blob)
+
+
+def _chain_resize(blob: bytes, width: int, height: int) -> bytes:
+    try:
+        return _pil_resize(blob, width, height)
+    except ImportError:
+        return _png_resize(blob, width, height)
+
+
+# The chained codecs are ALWAYS available (stdlib PNG needs nothing), so
+# strict=True never refuses PNG work in a codec-less environment; non-PNG
+# formats without Pillow still fail per-blob -> valid=false.  DEFAULT_*
+# stays non-None either way; HAVE_PIL records the driver-side probe for
+# introspection/tests.
+try:  # driver-side availability probe
     from PIL import Image as _PILImage  # noqa: F401
 
-    DEFAULT_PROBE: Optional[Callable] = _pil_probe
-    DEFAULT_RESIZE: Optional[Callable] = _pil_resize
+    HAVE_PIL = True
 except ImportError:
-    DEFAULT_PROBE = None
-    DEFAULT_RESIZE = None
+    HAVE_PIL = False
+
+DEFAULT_PROBE: Optional[Callable] = _chain_probe
+DEFAULT_RESIZE: Optional[Callable] = _chain_resize
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -148,12 +340,62 @@ def decode_image(
     """
     codec = codec if codec is not None else DEFAULT_PROBE
     if strict and codec is None:
+        # unreachable with the default chain (stdlib PNG is always
+        # importable); kept for callers that explicitly disable codecs
         raise NotImplementedError(
             "pixel decode requires an image codec (Pillow/libvips); none is "
             "installed and none was injected — pass codec= or pip install "
             "Pillow where workers can import it"
         )
     return extract_image_meta(media, codec=codec)
+
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_image_pixels(media: DataFrame) -> DataFrame:
+    """REAL pixel decode to raw bytes via mapInPandas: Pillow when the
+    worker has it, else the stdlib PNG decoder (:func:`decode_png`) — so
+    this yields actual pixel buffers even in a codec-less environment.
+    Undecodable/non-PNG-without-Pillow blobs keep their row with
+    valid=false (same ignore-parse-errors discipline as the meta path)."""
+
+    def px_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    out.append((mid, None, None, None, None, False))
+                    continue
+                try:
+                    try:
+                        from PIL import Image
+
+                        img = Image.open(io.BytesIO(bytes(blob)))
+                        w, h, c = img.width, img.height, len(img.getbands())
+                        px = img.tobytes()
+                    except ImportError:
+                        w, h, c, px = decode_png(bytes(blob))
+                    out.append((mid, w, h, c, bytearray(px), True))
+                except Exception:
+                    out.append((mid, None, None, None, None, False))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "channels", "pixels", "valid",
+                ],
+            )
+
+    return media.mapInPandas(px_batches, PIXEL_SCHEMA)
 
 
 FEATURE_SCHEMA = T.StructType(

@@ -60,11 +60,30 @@ def test_malformed_blob_flagged_not_fatal(spark):
     assert got == {0: True, 1: False, 2: False}
 
 
-@pytest.mark.skipif(DEFAULT_PROBE is not None,
-                    reason="codec installed: strict no longer raises")
-def test_decode_image_strict_raises_without_codec(media):
-    with pytest.raises(NotImplementedError):
-        decode_image(media, strict=True)
+def test_decode_image_strict_accepts_png_codecless(spark):
+    """strict=True no longer refuses work without Pillow: the stdlib PNG
+    decoder sits in the default chain, so real PNG blobs yield real
+    dimensions (and real pixels via decode_image_pixels) in this
+    codec-less sandbox; junk still degrades per-blob."""
+    from dagger_spark.ops.multimodal import decode_image_pixels, encode_png
+
+    px = bytes(range(30)) * 2  # 5x4 RGB = 60 bytes
+    rows = [
+        (0, "image/png", bytearray(encode_png(5, 4, 3, px)), ("s", 0)),
+        (1, "image/test", bytearray(b"junk"), ("s", 4)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["channels"], r["valid"])
+        for r in decode_image(df, strict=True).collect()
+    }
+    assert got == {0: (5, 4, 3, True), 1: (None, None, None, False)}
+    pix = {
+        r["media_id"]: (r["valid"], None if r["pixels"] is None else bytes(r["pixels"]))
+        for r in decode_image_pixels(df).collect()
+    }
+    assert pix[0] == (True, px)  # pixel-exact, no codec installed
+    assert pix[1] == (False, None)
 
 
 def test_injected_codec_decodes_real_format(spark):
@@ -116,11 +135,22 @@ def test_resize_stamps_target_dims(media):
     assert all(r["width"] == 224 and r["height"] == 224 for r in meta.values())
 
 
-@pytest.mark.skipif(DEFAULT_PROBE is not None,
-                    reason="codec installed: strict no longer raises")
-def test_resize_strict_raises_without_codec(media):
-    with pytest.raises(NotImplementedError):
-        resize_image(media, 224, 224, strict=True)
+def test_resize_strict_png_codecless(spark):
+    """strict resize works on PNG without Pillow: stdlib nearest-neighbor
+    resample + re-encode, dimensions verified by the stdlib decoder."""
+    from dagger_spark.ops.multimodal import decode_png, encode_png
+
+    px = bytes((i * 7) % 256 for i in range(8 * 6 * 3))
+    rows = [(0, "image/png", bytearray(encode_png(8, 6, 3, px)), ("s", 0))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_image(df, 4, 3, strict=True).collect()
+    w, h, c, rpx = decode_png(bytes(out[0]["content"]))
+    assert (w, h, c) == (4, 3, 3)
+    # nearest-neighbor: out pixel (x,y) == src pixel (x*8//4, y*6//3)
+    for y in range(3):
+        for x in range(4):
+            src = ((y * 2) * 8 + (x * 2)) * 3
+            assert rpx[(y * 4 + x) * 3:(y * 4 + x) * 3 + 3] == px[src:src + 3]
 
 
 def test_frame_sample_plan_explodes(media):

@@ -27,6 +27,55 @@ from ..rules.timeframe import apply_timeframe_rules
 from ..schemas import SYSMON_EVENT_SCHEMA
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+
+def configure_state_store(
+    spark: SparkSession,
+    provider: str = "rocksdb",
+    changelog_checkpointing: bool = True,
+    bounded_memory_mb: Optional[int] = None,
+) -> dict:
+    """State-store posture for large-state streaming; returns the conf set.
+
+    The default HDFSBackedStateStoreProvider keeps every key's state as JVM
+    heap objects — at 100 TB/day (millions of live (window, host) keys plus
+    watermark-bounded dedup ids) that is an OOM, not a tuning problem.
+    RocksDB (bundled with Spark) moves state off-heap/on-disk with
+    changelog checkpointing so per-commit upload is the delta, not a full
+    snapshot; ``bounded_memory_mb`` caps the shared block cache +
+    memtables across all RocksDB instances on an executor.
+
+    Observability: each StreamingQueryProgress carries per-operator
+    ``stateOperators`` rows (numRowsTotal, numRowsUpdated, memoryUsedBytes,
+    customMetrics.rocksdb*) — assert/alert on those, not on executor RSS
+    (see ARCHITECTURE.md "Streaming state posture").
+    """
+    if provider == "rocksdb":
+        conf = {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
+        if changelog_checkpointing:
+            conf[
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+            ] = "true"
+        if bounded_memory_mb:
+            conf["spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"] = "true"
+            conf["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] = str(
+                int(bounded_memory_mb)
+            )
+    elif provider == "hdfs":
+        conf = {"spark.sql.streaming.stateStore.providerClass": HDFS_PROVIDER}
+    else:
+        raise ValueError(f"unknown state-store provider {provider!r}")
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    return conf
+
+
 def file_stream_events(
     spark: SparkSession,
     path: str,

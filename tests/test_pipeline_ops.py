@@ -156,3 +156,31 @@ def test_connected_components_unique_labels_on_early_exit(spark):
     # full run still collapses the chain to a single component
     full = connected_components(vertices, edges, max_iters=20)
     assert {r["cluster"] for r in full.collect()} == {0}
+
+
+def test_cc_10k_chain_converges_log_rounds(spark):
+    """A 10,000-vertex path graph — the worst case for diameter-bound
+    min-label propagation (10k rounds) — collapses under alternating
+    large-star/small-star in O(log n) rounds.  Asserted via the stats
+    hook: <= 15 rounds, every vertex labeled with the component minimum."""
+    from dagger_spark.ops.dedup import connected_components
+
+    n = 10_000
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    edges = spark.range(n - 1).select(
+        F.col("id").cast("long").alias("src"),
+        (F.col("id") + 1).cast("long").alias("dst"),
+    )
+    stats = {}
+    labels = connected_components(vertices, edges, max_iters=25, stats=stats)
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id").alias("nd"),
+        F.countDistinct("cluster").alias("nc"),
+        F.min("cluster").alias("mn"),
+        F.max("cluster").alias("mx"),
+    ).collect()[0]
+    assert (agg["n"], agg["nd"], agg["nc"], agg["mn"], agg["mx"]) == (
+        n, n, 1, 0, 0
+    )
+    assert stats["rounds"] <= 15, stats

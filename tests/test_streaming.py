@@ -179,3 +179,61 @@ def test_foreach_batch_sink(spark, tmp_path):
     finally:
         q.stop()
     assert sum(n for _, n in seen) == 1
+
+
+def test_rocksdb_state_store_posture(spark, tmp_path):
+    """configure_state_store lands the RocksDB provider + changelog
+    checkpointing confs, and a STATEFUL streaming query (timeframe rule)
+    actually runs under RocksDB — progress metrics report rocksdb state
+    stores, alerts unchanged vs the default provider."""
+    from dagger_spark.rules.timeframe import apply_timeframe_rule
+    from dagger_spark.streaming.job import ROCKSDB_PROVIDER, configure_state_store
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    orig = spark.conf.get(key, None)
+    rows = _ev_rows([("hostA", 1), ("hostA", 5), ("hostA", 20), ("push", 600)])
+    det = {"sel": {"TargetImage|endswith": "\\lsass.exe"},
+           "timeframe": "60s", "condition": "sel | count() >= 3"}
+    rule = compile_sigma({
+        "title": "RB", "author": "t", "description": "d", "level": "high",
+        "logsource": {"category": "process_access"}, "detection": det,
+    })
+    src = tmp_path / "rdb_src"
+    src.mkdir()
+    spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    try:
+        conf = configure_state_store(spark, "rocksdb", bounded_memory_mb=256)
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+            )
+            == "true"
+        )
+        assert conf["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] == "256"
+        events = file_stream_events(spark, str(src) + "/*", watermark="5 seconds")
+        alerts = apply_timeframe_rule(events, rule)
+        q = run_to_memory(alerts, "rdb_alerts", str(tmp_path / "rdb_ckpt"))
+        try:
+            _await(q)
+            got = spark.sql("SELECT * FROM rdb_alerts").collect()
+            prog = q.lastProgress
+        finally:
+            q.stop()
+        assert len(got) == 1 and got[0]["event"]["count"] == 3
+        ops = prog["stateOperators"]
+        assert ops and any(
+            "rocksdb" in str(op.get("customMetrics", {})).lower() for op in ops
+        ), ops
+    finally:
+        if orig is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, orig)
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+        spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage")
+        spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB")

@@ -79,6 +79,11 @@ HEADLINE = [
     "events_zorder_layout",
     "sentences_docs",
     "jaccard_exact_join",
+    # round-3 additions
+    "events_burst_sliding",
+    "events_burst_exact",
+    "jaccard_zipf_join",
+    "multimodal_pixels",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000
@@ -173,6 +178,14 @@ def main() -> None:
         load_table(spark, SF_DIR, t).schema
 
     timings: dict = {}
+    best: dict = {}
+    # Each query runs N_RUNS times (default 2).  "queries" keeps the FIRST
+    # run — the same accounting as earlier rounds, so suite totals stay
+    # comparable — while "queries_best" carries min-of-runs: first-run
+    # numbers embed whatever JIT/page-cache state the suite order left
+    # behind, so round-over-round regression detection should diff the best
+    # numbers, not re-order and re-run the suite.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     # minhash_pairs + jaccard_pairs deliberately share ONE persisted
     # signature stage (catalog._dedup_stage — tokenize/shingle/md5/min-fold
     # the corpus once, the real-pipeline shape), so the cache survives
@@ -180,10 +193,14 @@ def main() -> None:
     no_clear_after = {"minhash_pairs_docs"}
     for name in HEADLINE:
         q = QUERIES[name]
-        t0 = time.perf_counter()
-        rows = q.fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        del rows
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            rows = q.fn(spark, SF_DIR).collect()
+            runs.append(round(time.perf_counter() - t0, 3))
+            del rows
+        timings[name] = runs[0]
+        best[name] = min(runs)
         # the LSH/dedup pipelines persist intermediates for within-query
         # reuse; their blocks are dead once the query is collected — drop
         # them so storage memory doesn't accumulate across the suite
@@ -193,10 +210,14 @@ def main() -> None:
     # reference workload: 25 rules x 2.56M events, single-pass engine
     sysmon = spark.read.parquet(_sysmon_bench_path())
     rules = active_rules()
-    t0 = time.perf_counter()
-    n_alerts = apply_rules_single_pass(sysmon, rules).count()
-    dt = time.perf_counter() - t0
+    leg_runs = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        n_alerts = apply_rules_single_pass(sysmon, rules).count()
+        leg_runs.append(time.perf_counter() - t0)
+    dt = leg_runs[0]
     timings["sysmon_rules_2_56m"] = round(dt, 3)
+    best["sysmon_rules_2_56m"] = round(min(leg_runs), 3)
 
     # same workload as a Structured Streaming micro-batch replay (256 files,
     # 32 per trigger -> 8 micro-batches through the identical single-pass
@@ -249,6 +270,9 @@ def main() -> None:
     q.awaitTermination()
     dt_stream = time.perf_counter() - t0
     timings["sysmon_rules_stream_2_56m"] = round(dt_stream, 3)
+    # single streaming run: its fixed costs are already isolated by the
+    # untimed warmup query, so the first run IS the steady-state number
+    best["sysmon_rules_stream_2_56m"] = round(dt_stream, 3)
 
     total = round(sum(timings.values()), 3)
     sf = None
@@ -263,6 +287,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_best": best,
+        "bench_runs": n_runs,
         "sf": sf,
         "detail": {
             "sysmon_rules_events_per_sec": round(SYSMON_BENCH_ROWS / dt),

@@ -49,6 +49,12 @@ class RuleSpec:
     # tumbling boundary still alerts: any burst shorter than
     # (timeframe - slide) seconds is fully contained in SOME window.
     timeframe_slide_seconds: Optional[int] = None
+    # Exact semantics: trigger on the event whose (min_count-1)-th
+    # predecessor (per group key, (ts, uuid) order) lies within
+    # timeframe_seconds — "N events within ANY T-second span", zero
+    # discretization loss at O(min_count) state per key.  Mutually
+    # exclusive with timeframe_slide_seconds.
+    timeframe_exact: bool = False
 
     @property
     def predicate(self) -> Pred:

@@ -39,10 +39,20 @@ than (timeframe - s) seconds is fully contained in some window, at the cost
 of each event updating timeframe/s windows (batch: ``F.window(ts, tf, s)``;
 streaming: an epoch-aligned explode feeding the same bounded per-window
 state).  Both paths share the arithmetic, so batch==stream holds for every
-slide.  For ZERO discretization loss see the ``events_burst_exact`` catalog
-query: a trailing RANGE-frame formulation of the same semantics (batch,
-oracle-verified); its streaming twin would be an arrival-driven
-applyInPandasWithState keeping the last N-1 event times per key.
+slide.
+
+**Exact semantics** (``RuleSpec.timeframe_exact``): ZERO discretization
+loss — an event triggers when its (N-1)-th predecessor (per key, (ts,
+uuid) order) lies within T seconds, i.e. literally "N events within ANY
+T-second span"; a prev-trigger flag suppresses non-episode-starting
+triggers so a sustained burst alerts once.  Batch: one lag/collect window
+pass per key.  Streaming: arrival-driven ``applyInPandasWithState`` whose
+per-key state is the last N-1 (ts, uuid) pairs + one flag — O(N) bounded,
+alerts emit on arrival (no window-close latency).  The in-order caveat:
+cross-micro-batch exactness assumes per-key event-time order of arrival
+(each batch is sorted internally; watermark drops the too-late).  The
+oracle-verified SQL twin of the batch formulation is the
+``events_burst_exact`` catalog query.
 """
 
 from __future__ import annotations
@@ -75,6 +85,15 @@ _TF_STATE_SCHEMA = T.StructType(
         T.StructField("end_us", T.LongType(), True),
         T.StructField("ids", T.ArrayType(T.StringType()), False),
         T.StructField("cn", T.StringType(), True),
+    ]
+)
+
+# exact path: last N-1 event (ts, uuid) pairs + previous trigger flag
+_TF_EXACT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tss", T.ArrayType(T.LongType()), False),
+        T.StructField("uids", T.ArrayType(T.StringType()), False),
+        T.StructField("prev_trig", T.BooleanType(), False),
     ]
 )
 
@@ -274,6 +293,173 @@ def _stream_timeframe(
     )
 
 
+def _batch_timeframe_exact(
+    events: DataFrame, rule: RuleSpec, ts_col: str, max_origin_ids: int
+) -> DataFrame:
+    """Exact path, batch: one window pass per key ordered by (ts, uuid).
+
+    An event TRIGGERS when its (N-1)-th predecessor is within T seconds —
+    i.e. it is the N-th (or later) event of some T-second span.  An alert
+    fires only on EPISODE-STARTING triggers (previous event not a trigger),
+    so a sustained burst yields one alert, not one per event.  Alert
+    fields: count = N (the threshold — "at least N within T"), start = the
+    (N-1)-th predecessor's time, end = trigger time, origin_ids = the N
+    involved events' uuids (oldest first, capped).
+    """
+    tf_us = int(rule.timeframe_seconds) * 1_000_000
+    n = int(rule.timeframe_min_count or 2)
+    group_by = list(rule.timeframe_group_by)
+    keys = [f"__k{i}" for i in range(len(group_by))]
+    host_idx = group_by.index("host") if "host" in group_by else None
+    ts = F.col(ts_col)
+
+    prep = events.filter(rule.condition()).select(
+        *[F.col(k).alias(a) for k, a in zip(group_by, keys)],
+        F.unix_micros(ts).alias("__ts_us"),
+        F.col("uuid"),
+        F.col("computer_name").alias("__computer_name"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__ts_us", "uuid")
+    nth_prev_ts = F.lag("__ts_us", n - 1).over(w)
+    trig = nth_prev_ts.isNotNull() & (
+        F.col("__ts_us") - nth_prev_ts <= F.lit(tf_us)
+    )
+    ids = F.collect_list("uuid").over(w.rowsBetween(-(n - 1), 0))
+    flagged = prep.select(
+        *keys,
+        "__ts_us",
+        "uuid",
+        "__computer_name",
+        trig.alias("__trig"),
+        nth_prev_ts.alias("__start_us"),
+        F.slice(ids, 1, int(max_origin_ids)).alias("__origin_ids"),
+    ).withColumn(
+        "__prev_trig",
+        F.lag("__trig", 1, False).over(
+            Window.partitionBy(*keys).orderBy("__ts_us", "uuid")
+        ),
+    )
+    first = flagged.filter(F.col("__trig") & ~F.col("__prev_trig")).withColumn(
+        "__count", F.lit(n).cast("long")
+    )
+    host_col = (
+        F.col(keys[host_idx]) if host_idx is not None else F.lit(None).cast("string")
+    )
+    return first.select(
+        *_alert_projection(
+            rule,
+            host_col,
+            F.timestamp_micros(F.col("__start_us")),
+            F.timestamp_micros(F.col("__ts_us")),
+        )
+    )
+
+
+def _stream_timeframe_exact(
+    events: DataFrame, rule: RuleSpec, ts_col: str, max_origin_ids: int
+) -> DataFrame:
+    """Exact path, streaming: arrival-driven ``applyInPandasWithState``
+    keyed by the group fields alone.  Per-key state is the last N-1
+    (ts, uuid) pairs plus the previous event's trigger flag — O(N), bounded
+    regardless of rate — and alerts emit ON ARRIVAL of the triggering
+    event (no window-close latency).  Within a micro-batch events are
+    processed in (ts, uuid) order, matching the batch window order;
+    cross-batch ordering holds for in-order sources, and rows later than
+    the watermark are dropped upstream like every other path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tf_us = int(rule.timeframe_seconds) * 1_000_000
+    n = int(rule.timeframe_min_count or 2)
+    cap = int(max_origin_ids)
+    group_by = list(rule.timeframe_group_by)
+    keys = [f"__k{i}" for i in range(len(group_by))]
+    host_idx = group_by.index("host") if "host" in group_by else None
+    ts = F.col(ts_col)
+
+    prep = events.filter(rule.condition()).select(
+        ts,  # carries the watermark metadata (late rows filtered upstream)
+        F.unix_micros(ts).alias("__ts_us"),
+        F.col("uuid").cast("string").alias("__uuid"),
+        F.col("computer_name").cast("string").alias("__cn"),
+        *[F.col(k).cast("string").alias(a) for k, a in zip(group_by, keys)],
+    )
+
+    def update(
+        key: Tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        host = key[host_idx] if host_idx is not None else None
+        if host is not None:
+            host = str(host)
+        if state.hasTimedOut:  # no timeouts registered; defensive
+            state.remove()
+            return
+        # state: (flat [ts0, ts1, ...] of last N-1 events, matching uuids,
+        # prev_was_trigger)
+        tss, uids, prev_trig = (
+            state.get if state.exists else ([], [], False)
+        )
+        tss, uids = list(tss), list(uids)
+        rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
+        out = []
+        if rows is not None and len(rows):
+            rows = rows.sort_values(["__ts_us", "__uuid"], ignore_index=True)
+            for t_us, uid, cn in zip(
+                rows["__ts_us"].tolist(), rows["__uuid"].tolist(),
+                rows["__cn"].tolist(),
+            ):
+                t_us = int(t_us)
+                trig = len(tss) >= n - 1 and t_us - tss[-(n - 1)] <= tf_us
+                if trig and not prev_trig:
+                    involved = uids[-(n - 1):] + [uid] if n > 1 else [uid]
+                    out.append(
+                        (
+                            cn,
+                            host,
+                            n,
+                            tss[-(n - 1)] if n > 1 else t_us,
+                            t_us,
+                            involved[:cap],
+                        )
+                    )
+                prev_trig = trig
+                tss.append(t_us)
+                uids.append(uid)
+                if len(tss) > n - 1:
+                    tss, uids = tss[-(n - 1):], uids[-(n - 1):]
+        state.update((tss, uids, bool(prev_trig)))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "computer_name", "host", "__count", "__start_us",
+                    "__end_us", "__origin_ids",
+                ],
+            )
+
+    agg = (
+        prep.groupBy(*keys)
+        .applyInPandasWithState(
+            update,
+            _TF_OUT_SCHEMA,
+            _TF_EXACT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+        .withColumnRenamed("computer_name", "__computer_name")
+        .withColumnRenamed("host", "__host")
+    )
+    return agg.select(
+        *_alert_projection(
+            rule,
+            F.col("__host"),
+            F.timestamp_micros(F.col("__start_us")),
+            F.timestamp_micros(F.col("__end_us")),
+        )
+    )
+
+
 def apply_timeframe_rule(
     events: DataFrame,
     rule: RuleSpec,
@@ -288,6 +474,15 @@ def apply_timeframe_rule(
     """
     if not rule.timeframe_seconds:
         raise ValueError(f"rule {rule.name!r} has no timeframe")
+    if rule.timeframe_exact:
+        if rule.timeframe_slide_seconds is not None:
+            raise ValueError(
+                f"rule {rule.name!r}: timeframe_exact and "
+                "timeframe_slide_seconds are mutually exclusive"
+            )
+        if events.isStreaming:
+            return _stream_timeframe_exact(events, rule, ts_col, max_origin_ids)
+        return _batch_timeframe_exact(events, rule, ts_col, max_origin_ids)
     if events.isStreaming:
         return _stream_timeframe(events, rule, ts_col, max_origin_ids)
     return _batch_timeframe(events, rule, ts_col, max_origin_ids)

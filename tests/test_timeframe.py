@@ -257,3 +257,97 @@ def test_slide_must_divide_timeframe(spark):
         rule = replace(tf_rule(60, 3), timeframe_slide_seconds=bad)
         with pytest.raises(ValueError, match="divisor"):
             apply_timeframe_rule(df, rule)
+
+
+def test_exact_timeframe_catches_what_sliding_misses(spark):
+    """Events at t=29,45,61,88: a 59 s span of 4 events.  Tumbling 60 s
+    sees 2+2; sliding slide=30 sees at most 3 in [30,90) — both silent.
+    Exact semantics trigger at t=88 (its 3rd predecessor t=29 is within
+    60 s): count = N, start = the span's first event, ids = all four."""
+    from dataclasses import replace
+
+    rows = [_lsass_ev(i, "hostA", off) for i, off in enumerate((29, 45, 61, 88))]
+    df = spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA)
+    base = tf_rule(60, 4)
+    assert apply_timeframe_rule(df, base).count() == 0
+    assert apply_timeframe_rule(
+        df, replace(base, timeframe_slide_seconds=30)
+    ).count() == 0
+    out = apply_timeframe_rule(df, replace(base, timeframe_exact=True)).collect()
+    assert len(out) == 1
+    a = out[0]
+    assert a["host"] == "hostA" and a["event"]["count"] == 4
+    assert a["event"]["start"] == NAIVE + timedelta(seconds=29)
+    assert a["event"]["end"] == NAIVE + timedelta(seconds=88)
+    assert a["event"]["origin_ids"] == ["s-000", "s-001", "s-002", "s-003"]
+
+
+def test_exact_timeframe_episode_suppression(spark):
+    """A sustained burst (8 events, 5 s apart, N=3/T=60): every event from
+    the 3rd on is a trigger, but only the episode-starting one alerts."""
+    from dataclasses import replace
+
+    rows = [_lsass_ev(i, "hostA", 5 * i) for i in range(8)]
+    df = spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA)
+    out = apply_timeframe_rule(
+        df, replace(tf_rule(60, 3), timeframe_exact=True)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["event"]["origin_ids"] == ["s-000", "s-001", "s-002"]
+    # two bursts separated by > T: two episodes, two alerts
+    rows2 = rows + [_lsass_ev(10 + i, "hostA", 300 + 5 * i) for i in range(3)]
+    df2 = spark.createDataFrame(rows2, SYSMON_EVENT_SCHEMA)
+    out2 = apply_timeframe_rule(
+        df2, replace(tf_rule(60, 3), timeframe_exact=True)
+    ).collect()
+    assert len(out2) == 2
+
+
+def test_exact_timeframe_stream_matches_batch(spark, tmp_path):
+    """The arrival-driven stateful twin: same alerts (count, bounds, ids)
+    as the batch lag-window formulation, state capped at N-1 pairs/key."""
+    from dataclasses import replace
+    from dagger_spark.streaming import file_stream_events, run_to_memory
+
+    rows = [_lsass_ev(i, "hostA", off) for i, off in enumerate((29, 45, 61, 88))]
+    rows += [_lsass_ev(10 + i, "hostB", 5 * i) for i in range(5)]
+    src = tmp_path / "ex_src"
+    src.mkdir()
+    spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    rule = replace(tf_rule(60, 4), timeframe_exact=True)
+    events = file_stream_events(spark, str(src) + "/*", watermark="5 seconds")
+    q = run_to_memory(
+        apply_timeframe_rule(events, rule), "ex_alerts", str(tmp_path / "ex_ck")
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            spark.sql("SELECT * FROM ex_alerts").collect(),
+            key=lambda r: r["host"],
+        )
+    finally:
+        q.stop()
+    batch = sorted(
+        apply_timeframe_rule(
+            spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA), rule
+        ).collect(),
+        key=lambda r: r["host"],
+    )
+    assert len(got) == len(batch) == 2  # hostA span + hostB dense burst
+    for s, b in zip(got, batch):
+        assert s["host"] == b["host"]
+        assert s["event"]["count"] == b["event"]["count"]
+        assert s["event"]["start"] == b["event"]["start"]
+        assert s["event"]["end"] == b["event"]["end"]
+        assert s["event"]["origin_ids"] == b["event"]["origin_ids"]
+
+
+def test_exact_and_slide_mutually_exclusive(spark):
+    from dataclasses import replace
+
+    df = spark.createDataFrame([_lsass_ev(0, "h", 1)], SYSMON_EVENT_SCHEMA)
+    bad = replace(tf_rule(60, 3), timeframe_exact=True, timeframe_slide_seconds=30)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        apply_timeframe_rule(df, bad)

@@ -84,6 +84,9 @@ HEADLINE = [
     "events_burst_exact",
     "jaccard_zipf_join",
     "multimodal_pixels",
+    "chunk_dedup_docs",
+    "bm25_topk_docs",
+    "dedup_canonical_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -3521,6 +3521,224 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_rules_engine(spark, sf_dir)
 
 
+_CDD_SIZE = 20  # chunk-dedup: non-overlapping 20-token chunks
+
+
+@register(
+    "chunk_dedup_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t), 1) + 1, {_CDD_SIZE})) AS s
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, s,
+             md5(array_to_string(list_slice(t, s, s + {_CDD_SIZE} - 1), ' ')) AS h,
+             len(list_slice(t, s, s + {_CDD_SIZE} - 1)) AS n
+      FROM starts WHERE len(list_slice(t, s, s + {_CDD_SIZE} - 1)) > 0
+    ), ranked AS (
+      SELECT doc_id, s, n,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS occ
+      FROM chunks
+    )
+    SELECT doc_id,
+           cast(count(*) AS bigint)                          AS n_chunks,
+           cast(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS bigint)
+                                                             AS n_kept,
+           cast(sum(CASE WHEN occ = 1 THEN n ELSE 0 END) AS bigint)
+                                                             AS kept_tokens,
+           round(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6)                              AS kept_frac
+    FROM ranked GROUP BY doc_id
+    """,
+    "CCNet/Lee-et-al-style chunk-level exact dedup (this corpus has no "
+    "newlines, so 'paragraph' = non-overlapping 20-token chunk): hash "
+    "every chunk, keep only each hash's GLOBAL first occurrence "
+    "(deterministic (doc_id, start) order), report per-doc survival.  "
+    "Scale shape: explode + one hash-keyed window + one per-doc rollup — "
+    "the dedup decision never materializes text, only 16-byte hashes",
+)
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)),
+                        F.lit(_CDD_SIZE))
+    chunk = F.slice(F.col("t"), F.col("s"), _CDD_SIZE)
+    ex = (
+        df.select("doc_id", "t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id", "s",
+            F.md5(F.array_join(chunk, " ")).alias("h"),
+            F.size(chunk).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    occ = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "s"))
+    ranked = ex.withColumn("occ", occ)
+    kept = F.when(F.col("occ") == 1, 1).otherwise(0)
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("occ") == 1, F.col("n")).otherwise(0))
+         .cast("long").alias("kept_tokens"),
+        F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6)
+         .alias("kept_frac"),
+    )
+
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_topk_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), lens AS (
+      SELECT doc_id, t, len(t) AS dl FROM toks WHERE len(t) > 0
+    ), stats AS (
+      SELECT avg(dl) AS avgdl, count(*) AS n FROM lens
+    ), q AS (SELECT unnest(['spark', 'hash', 'window']) AS term),
+    tf AS (
+      SELECT l.doc_id, l.dl, q.term,
+             len(list_filter(l.t, x -> x = q.term)) AS f
+      FROM lens l CROSS JOIN q
+    ), df AS (
+      SELECT term, sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS nd
+      FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((s.n - df.nd + 0.5) / (df.nd + 0.5) + 1.0)
+               * (tf.f * ({_BM25_K1} + 1.0))
+               / (tf.f + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * tf.dl / s.avgdl))
+             ) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+      WHERE tf.f > 0
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    "BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed term set: tf via "
+    "a filter lambda over the token array, df/avgdl as 1-row broadcast "
+    "aggregates — the corpus is scanned once and never shuffled on "
+    "content; only (doc, term, tf) triples for MATCHING docs reach the "
+    "scoring aggregation.  Deterministic top-20 with doc_id tiebreak",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lens = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .withColumn("dl", F.size("t"))
+        .filter(F.col("dl") > 0)
+    )
+    stats = lens.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
+    )
+    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    tf = lens.crossJoin(F.broadcast(q)).select(
+        "doc_id", "dl", "term",
+        F.size(F.filter("t", lambda x: x == F.col("term"))).alias("f"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("f") > 0, 1).otherwise(0)).alias("nd")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1.0
+    )
+    contrib = idf * (F.col("f") * (_BM25_K1 + 1.0)) / (
+        F.col("f")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.filter(F.col("f") > 0)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "dedup_canonical_docs",
+    _DUCK_MINHASH_CTE.replace("WITH toks", "WITH RECURSIVE toks") + """
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION ALL SELECT id_b, id_a FROM cand
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), clusters AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster,
+             length(coalesce(d.text, '')) AS nlen
+      FROM documents d
+      LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+        ON d.doc_id = m.a
+    ), ranked AS (
+      SELECT doc_id, cluster, nlen,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY nlen DESC, doc_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY cluster) AS csize
+      FROM clusters
+    )
+    SELECT cast(doc_id AS bigint) AS doc_id,
+           cast(cluster AS bigint) AS cluster,
+           cast(csize AS bigint) AS cluster_size,
+           (rk = 1) AS keep
+    FROM ranked
+    """,
+    "dedup END-TO-END: near-dup clusters (LSH graph -> connected "
+    "components) -> one CANONICAL survivor per cluster (longest text, "
+    "doc_id tiebreak — the keep-best policy of production dedup, vs "
+    "keep-arbitrary) -> per-doc keep/drop verdict with cluster size.  "
+    "The canonical choice is one window over the cluster assignment; "
+    "oracle replays the whole chain via recursive-CTE closure",
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .ops.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
+    )
+    # both sides are corpus-sized (one row per doc) so broadcast is wrong at
+    # scale; shuffle-hash keeps the doc_id-keyed join sort-free
+    sized = clusters.join(
+        docs.select(
+            "doc_id", F.length(F.coalesce(F.col("text"), F.lit(""))).alias("nlen")
+        ).hint("shuffle_hash"),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("nlen").desc(), "doc_id")
+    return sized.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+         .cast("long").alias("cluster_size"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 _ZIPF_DOCS_PATH = "/tmp/dagger_zipf_docs_v1.parquet"  # seed-pinned fixture
 
 

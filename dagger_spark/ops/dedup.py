@@ -365,8 +365,11 @@ def connected_components(
     # label-propagation code guaranteed (unique label per id) survives
     # early exit.  At the fixed point this is a no-op.
     roots = e.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("__root"))
+    # shuffle-hash, not sort-merge: roots arrives as a checkpointed RDD with
+    # no stats, so the planner defaults to SMJ — both sides are vertex-sized
+    # (broadcast would be wrong at scale) and the equi-join needs no order
     labels = vertices.select(F.col(id_col).alias("id")).join(
-        roots, "id", "left"
+        roots.hint("shuffle_hash"), "id", "left"
     ).select(
         "id", F.coalesce(F.col("__root"), F.col("id")).alias("cluster")
     )

@@ -87,6 +87,10 @@ HEADLINE = [
     "chunk_dedup_docs",
     "bm25_topk_docs",
     "dedup_canonical_docs",
+    "weighted_sample_docs",
+    "heavy_hitters_docs",
+    "token_entropy_docs",
+    "pack_sequences_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

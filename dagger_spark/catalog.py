@@ -3739,6 +3739,229 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_sample_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               % 1000000) + 1) / 1000000.0 AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, cast(n_chars AS bigint) AS n_chars,
+           round(pow(u, 1.0 / n_chars), 6) AS es_key
+    FROM w
+    ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
+    LIMIT 50
+    """,
+    "weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
+    "key = u^(1/w) with w = char count and u a DETERMINISTIC md5-derived "
+    "uniform, top-k by key — the distributed one-pass weighted reservoir "
+    "(any executor can compute keys locally; only the top-k heap "
+    "merges).  Deterministic u makes the sample reproducible across "
+    "engines/runs/partitionings, same policy as docs_hash_sample",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 1000000
+            + 1
+        )
+        / 1000000.0
+    )
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        docs.select(
+            "doc_id", "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(key, 6).alias("es_key"),
+            key.alias("__k"),
+        )
+        .orderBy(F.col("__k").desc(), "doc_id")
+        .limit(50)
+        .drop("__k")
+    )
+
+
+@register(
+    "heavy_hitters_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), exact AS (
+      SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+      ORDER BY freq DESC, tok LIMIT 20
+    ), sample_counts AS (
+      SELECT tok, count(*) AS sfreq FROM toks
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 20
+      GROUP BY tok
+    ), cand AS (
+      SELECT tok FROM sample_counts ORDER BY sfreq DESC, tok LIMIT 40
+    )
+    SELECT e.tok, cast(e.freq AS bigint) AS freq,
+           (c.tok IS NOT NULL) AS found_by_sample
+    FROM exact e LEFT JOIN cand c ON e.tok = c.tok
+    ORDER BY e.freq DESC, e.tok
+    """,
+    "heavy hitters with the two-pass scale pattern instrumented: pass 1 "
+    "counts a 20% hash-sample and keeps 2k candidates (at 100 TB this is "
+    "the only full-vocabulary aggregation, over 1/5 the data); pass 2 is "
+    "the exact top-20 with a flag showing the sample pass found it — on "
+    "any heavy-tailed corpus the flag is all-true, making the "
+    "sample-then-verify shortcut's safety measurable, not assumed",
+)
+def heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    exact = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok").limit(20)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    cand = (
+        toks.filter(bucket < 20)
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("sfreq"))
+        .orderBy(F.col("sfreq").desc(), "tok").limit(40)
+        .select("tok", F.lit(True).alias("__hit"))
+    )
+    return (
+        exact.join(F.broadcast(cand), "tok", "left")
+        .select(
+            "tok", F.col("freq").cast("long").alias("freq"),
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("found_by_sample"),
+        )
+        .orderBy(F.col("freq").desc(), "tok")
+    )
+
+
+@register(
+    "token_entropy_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ), withn AS (
+      SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM tf
+    )
+    SELECT doc_id,
+           cast(min(n) AS bigint) AS n_tokens,
+           cast(count(*) AS bigint) AS n_types,
+           round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS entropy,
+           round(count(*)::DOUBLE / min(n), 6) AS ttr
+    FROM withn GROUP BY doc_id
+    """,
+    "per-document token-distribution entropy (-sum p ln p) + type-token "
+    "ratio: the information-density quality signal (low entropy = "
+    "repetitive/templated text, the same family as the Gopher repetition "
+    "gates but distribution-level).  One (doc, token) aggregate, then a "
+    "doc-keyed window + rollup — the window rides the same hash "
+    "partitioning as the aggregate, so one real shuffle",
+)
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    withn = tf.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return withn.groupBy("doc_id").agg(
+        F.min("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        F.round(F.count(F.lit(1)).cast("double") / F.min("n"), 6).alias("ttr"),
+    )
+
+
+_PACK_L, _PACK_SHARDS = 2048, 8  # block length in CHARS (no token column)
+
+
+@register(
+    "pack_sequences_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard, n_chars
+      FROM documents WHERE n_chars > 0
+    ), cum AS (
+      SELECT doc_id, shard, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_end
+      FROM d
+    ), placed AS (
+      SELECT shard, doc_id, n_chars,
+             (cum_end - n_chars) // {_PACK_L} AS seq_first,
+             (cum_end - 1) // {_PACK_L} AS seq_last
+      FROM cum
+    )
+    SELECT shard, cast(seq_first AS bigint) AS seq_id,
+           cast(count(*) AS bigint) AS n_docs_starting,
+           cast(sum(n_chars) AS bigint) AS chars_started,
+           cast(sum(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END)
+                AS bigint) AS n_docs_spilling
+    FROM placed
+    GROUP BY shard, seq_first
+    ORDER BY shard, seq_id
+    """,
+    f"training-sequence packing (concat-and-chop, GPT style): docs "
+    f"concatenate in doc_id order and chop into {_PACK_L}-char blocks "
+    f"(chars stand in for tokens; the table has no token count); "
+    f"each doc's start/end block comes from a running-sum window.  "
+    f"Packing is PER-SHARD (doc_id % {_PACK_SHARDS}) because a single "
+    f"global running sum is inherently sequential — shards pack "
+    f"independently and in parallel at any scale, the standard "
+    f"data-parallel packing layout.  Output: per block, docs starting "
+    f"in it, their token mass, and how many spill into the next block",
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    d = docs.select(
+        "doc_id", (F.col("doc_id") % _PACK_SHARDS).alias("shard"), "n_chars"
+    )
+    w = (
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = d.withColumn("cum_end", F.sum("n_chars").over(w)).select(
+        "shard", "doc_id", "n_chars",
+        F.floor((F.col("cum_end") - F.col("n_chars")) / _PACK_L).alias("seq_first"),
+        F.floor((F.col("cum_end") - 1) / _PACK_L).alias("seq_last"),
+    )
+    return (
+        placed.groupBy("shard", "seq_first")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_starting"),
+            F.sum("n_chars").cast("long").alias("chars_started"),
+            F.sum(
+                F.when(F.col("seq_last") > F.col("seq_first"), 1).otherwise(0)
+            ).cast("long").alias("n_docs_spilling"),
+        )
+        .select(
+            "shard", F.col("seq_first").cast("long").alias("seq_id"),
+            "n_docs_starting", "chars_started", "n_docs_spilling",
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
 _ZIPF_DOCS_PATH = "/tmp/dagger_zipf_docs_v1.parquet"  # seed-pinned fixture
 
 

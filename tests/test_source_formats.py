@@ -59,3 +59,46 @@ def test_orc_json_csv_roundtrips_match_parquet(spark, docs, tmp_path):
         .csv(csv_p)
     )
     assert got == expected
+
+
+def test_xml_roundtrip_matches_parquet(spark, docs, tmp_path):
+    """Spark 4's built-in XML source: same fingerprint as parquet.  XML has
+    its own trap — attribute/element ambiguity and whitespace handling —
+    so the assert is again on full row content.  Documents with empty/NULL
+    text write as empty elements; the reader must map both back without
+    inventing rows."""
+    from pyspark.sql import types as T
+
+    xml_p = str(tmp_path / "docs_xml")
+    src = docs.select("doc_id", "text")
+    (
+        src.write.format("xml")
+        .option("rootTag", "docs").option("rowTag", "doc")
+        .save(xml_p)
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    back = (
+        spark.read.format("xml").schema(schema)
+        .option("rowTag", "doc")
+        .load(xml_p)
+    )
+    want = sorted(
+        (r["doc_id"], r["n_tok"], r["text"])
+        for r in src.select(
+            "doc_id", token_count(F.col("text")).alias("n_tok"), "text"
+        ).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_tok"], r["text"])
+        for r in back.select(
+            "doc_id", token_count(F.col("text")).alias("n_tok"), "text"
+        ).collect()
+    )
+    # XML cannot distinguish NULL from empty text; normalize both sides the
+    # way token_count already does (both -> 0 tokens) and compare texts
+    # through the same coalesce
+    norm = lambda rows: [(i, n, t if t else "") for i, n, t in rows]
+    assert norm(got) == norm(want)

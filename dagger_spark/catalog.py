@@ -3751,7 +3751,10 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, cast(n_chars AS bigint) AS n_chars,
            round(pow(u, 1.0 / n_chars), 6) AS es_key
     FROM w
-    ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
+    -- rank by the ROUNDED key: JVM Math.pow and libm pow may differ by
+    -- 1 ulp, and an unrounded ORDER BY would let that flip the rank-50
+    -- cutoff between engines (same discipline as pq_topk's in-plan norms)
+    ORDER BY round(pow(u, 1.0 / n_chars), 6) DESC, doc_id
     LIMIT 50
     """,
     "weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
@@ -3773,17 +3776,15 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 1000000.0
     )
-    key = F.pow(u, 1.0 / F.col("n_chars"))
+    key = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
     return (
         docs.select(
             "doc_id", "source",
             F.col("n_chars").cast("long").alias("n_chars"),
-            F.round(key, 6).alias("es_key"),
-            key.alias("__k"),
+            key.alias("es_key"),
         )
-        .orderBy(F.col("__k").desc(), "doc_id")
+        .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(50)
-        .drop("__k")
     )
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import math
 import re
 from dataclasses import dataclass
+from decimal import Decimal as _Decimal
 from typing import Callable, Iterable, Optional, Sequence, Union
 
 from pyspark.sql import Column
@@ -258,8 +259,11 @@ def to_column(pred: Pred, case_insensitive: bool = False) -> Column:
                 # int64 (DOUBLE silently loses integers past 2^53) while
                 # still matching fractional text like '3.5' identically in
                 # both engines.  BIGINT would diverge: DuckDB TRY_CAST
-                # rounds '3.5'->4 where Spark try_cast yields NULL.
-                cnum, vnum = col.try_cast("decimal(38,9)"), F.lit(v)
+                # rounds '3.5'->4 where Spark try_cast yields NULL.  The
+                # literal ships as a python Decimal: F.lit on a plain int
+                # past 2^63 throws NumberFormatException (no JVM long),
+                # while a Decimal literal carries the full 29 digits.
+                cnum, vnum = col.try_cast("decimal(38,9)"), F.lit(_Decimal(v))
             else:
                 cnum, vnum = col.try_cast("double"), F.lit(float(v))
             if op == "lt":

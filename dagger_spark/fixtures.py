@@ -365,11 +365,21 @@ def generate_zipf_docs(
 
 def write_zipf_docs_parquet(path: str, **kw) -> str:
     """Idempotent seed-pinned write (atomic rename) — safe as a shared
-    /tmp fixture for catalog query + DuckDB oracle to read side-by-side."""
+    /tmp fixture for catalog query + DuckDB oracle to read side-by-side.
+
+    An existing file is reused only if its row count matches the requested
+    ``n_docs`` — a stale file from different parameters (or a planted
+    imposter at the well-known path) is rewritten, not silently trusted.
+    """
     import os
 
+    n_docs = int(kw.get("n_docs", 1200))
     if os.path.exists(path):
-        return path
+        try:
+            if pq.read_metadata(path).num_rows == n_docs:
+                return path
+        except Exception:
+            pass  # unreadable/foreign file: rewrite it
     schema = pa.schema(
         [pa.field("doc_id", pa.int64()), pa.field("text", pa.string())]
     )

@@ -46,6 +46,10 @@ def _pil_probe(blob: bytes) -> Tuple[int, int, int]:
     from PIL import Image
 
     img = Image.open(io.BytesIO(blob))
+    if img.mode == "P":
+        # palette images expand to RGB so Pillow and the stdlib PNG
+        # decoder agree on channels/pixels (environment-independent output)
+        img = img.convert("RGB")
     return img.width, img.height, len(img.getbands())
 
 
@@ -333,10 +337,13 @@ def decode_image(
 ) -> DataFrame:
     """Pixel decode — backed by ``codec`` (default: Pillow when installed).
 
-    strict=True raises NotImplementedError ONLY when no codec is available
-    (neither Pillow nor an injected one); strict=False additionally degrades
-    to header metadata extraction in codec-less environments so pipelines
-    remain runnable end-to-end.
+    strict semantics since the stdlib PNG codec joined the default chain:
+    strict=True no longer fail-fasts a codec-less environment (PNG always
+    decodes; that is the round-3 contract change) — NON-PNG blobs without
+    Pillow degrade per-blob to valid=false rather than raising.  Callers
+    that require Pillow for a JPEG/WebP corpus should check
+    ``multimodal.HAVE_PIL`` (driver-side) explicitly; the
+    NotImplementedError below remains only for explicitly-disabled codecs.
     """
     codec = codec if codec is not None else DEFAULT_PROBE
     if strict and codec is None:
@@ -370,6 +377,15 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
     valid=false (same ignore-parse-errors discipline as the meta path)."""
 
     def px_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # probe Pillow ONCE per task, not per row: a failed import is not
+        # cached by Python, so a per-blob try/import would re-run the
+        # module finder for every row of a codec-less worker
+        try:
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
@@ -377,13 +393,16 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
                     out.append((mid, None, None, None, None, False))
                     continue
                 try:
-                    try:
+                    if have_pil:
                         from PIL import Image
 
                         img = Image.open(io.BytesIO(bytes(blob)))
+                        if img.mode == "P":
+                            # match the stdlib decoder's palette expansion
+                            img = img.convert("RGB")
                         w, h, c = img.width, img.height, len(img.getbands())
                         px = img.tobytes()
-                    except ImportError:
+                    else:
                         w, h, c, px = decode_png(bytes(blob))
                     out.append((mid, w, h, c, bytearray(px), True))
                 except Exception:

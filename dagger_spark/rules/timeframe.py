@@ -401,7 +401,8 @@ def _stream_timeframe_exact(
             state.get if state.exists else ([], [], False)
         )
         tss, uids = list(tss), list(uids)
-        rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
+        pdf_list = [p for p in pdfs if len(p)]
+        rows = pd.concat(pdf_list, ignore_index=True) if pdf_list else None
         out = []
         if rows is not None and len(rows):
             rows = rows.sort_values(["__ts_us", "__uuid"], ignore_index=True)
@@ -410,7 +411,13 @@ def _stream_timeframe_exact(
                 rows["__cn"].tolist(),
             ):
                 t_us = int(t_us)
-                trig = len(tss) >= n - 1 and t_us - tss[-(n - 1)] <= tf_us
+                # n == 1: every event is trivially "1 within T" — the
+                # general expression would index tss[-0] (== tss[0]) and
+                # crash on empty state; keep NO history for that case
+                trig = (
+                    True if n == 1
+                    else len(tss) >= n - 1 and t_us - tss[-(n - 1)] <= tf_us
+                )
                 if trig and not prev_trig:
                     involved = uids[-(n - 1):] + [uid] if n > 1 else [uid]
                     out.append(
@@ -424,10 +431,11 @@ def _stream_timeframe_exact(
                         )
                     )
                 prev_trig = trig
-                tss.append(t_us)
-                uids.append(uid)
-                if len(tss) > n - 1:
-                    tss, uids = tss[-(n - 1):], uids[-(n - 1):]
+                if n > 1:
+                    tss.append(t_us)
+                    uids.append(uid)
+                    if len(tss) > n - 1:
+                        tss, uids = tss[-(n - 1):], uids[-(n - 1):]
         state.update((tss, uids, bool(prev_trig)))
         if out:
             yield pd.DataFrame(

@@ -110,3 +110,14 @@ def test_non_finite_numeric_literals_rejected():
             Leaf("a", "gt", bad)
         with pytest.raises(ValueError, match="non-finite"):
             Leaf("a", "in", (1.0, bad))
+
+
+def test_huge_int_literals_render_decimal():
+    # past 2^63 a plain int has no JVM long literal; the Decimal literal
+    # keeps the DECIMAL(38,9) path selected (execution of these literals
+    # on live Spark+DuckDB is covered by test_property_expr's NUM_LITS)
+    for v in (2 ** 63, 2 ** 64 - 1, 10 ** 28, -(10 ** 28)):
+        s = to_sql(Leaf("a", "gt", v), "duckdb")
+        assert "DECIMAL(38,9)" in s and str(v) in s
+    # at/above 10^29: double fallback (no DECIMAL(38,9) headroom)
+    assert "DOUBLE" in to_sql(Leaf("a", "gt", 10 ** 29), "duckdb")

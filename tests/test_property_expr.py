@@ -22,7 +22,7 @@ FIELDS = ["a", "b"]
 # both engines: fractional, whitespace-padded, scientific, past-2^53, junk
 NUM_TEXT = ["3.5", "42", "-7", " 7 ", "1e10", "9007199254740993",
             "9007199254740992", "0", "abc", "", "nan"]
-NUM_LITS = [0, 3, 4, -1, 2 ** 53, 2 ** 53 + 1, 3.5, 0.1, -2.0]
+NUM_LITS = [0, 3, 4, -1, 2 ** 53, 2 ** 53 + 1, 2 ** 63, 10 ** 28, 3.5, 0.1, -2.0]
 
 leaf_st = st.one_of(
     st.builds(Leaf, st.sampled_from(FIELDS), st.just("eq"), st.sampled_from(VALUES)),

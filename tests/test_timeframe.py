@@ -351,3 +351,39 @@ def test_exact_and_slide_mutually_exclusive(spark):
     bad = replace(tf_rule(60, 3), timeframe_exact=True, timeframe_slide_seconds=30)
     with pytest.raises(ValueError, match="mutually exclusive"):
         apply_timeframe_rule(df, bad)
+
+
+def test_exact_timeframe_min_count_one(spark, tmp_path):
+    """min_count=1 (a compilable Sigma config: 'sel | count() >= 1'):
+    every event trivially triggers, episode suppression leaves exactly
+    one alert per key, zero history kept — batch == stream, no crash."""
+    from dataclasses import replace
+    from dagger_spark.streaming import file_stream_events, run_to_memory
+
+    rows = [_lsass_ev(i, "hostA", 5 * i) for i in range(4)]
+    rows += [_lsass_ev(10, "hostB", 7)]
+    rule = replace(tf_rule(60, 1), timeframe_exact=True)
+    df = spark.createDataFrame(rows, SYSMON_EVENT_SCHEMA)
+    batch = sorted(
+        apply_timeframe_rule(df, rule).collect(), key=lambda r: r["host"]
+    )
+    assert [(b["host"], b["event"]["count"], b["event"]["origin_ids"])
+            for b in batch] == [("hostA", 1, ["s-000"]), ("hostB", 1, ["s-010"])]
+    src = tmp_path / "n1_src"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "b1"))
+    events = file_stream_events(spark, str(src) + "/*", watermark="5 seconds")
+    q = run_to_memory(
+        apply_timeframe_rule(events, rule), "n1_alerts", str(tmp_path / "n1_ck")
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            spark.sql("SELECT * FROM n1_alerts").collect(),
+            key=lambda r: r["host"],
+        )
+    finally:
+        q.stop()
+    assert [(g["host"], g["event"]["count"], g["event"]["origin_ids"])
+            for g in got] == [(b["host"], b["event"]["count"],
+                               b["event"]["origin_ids"]) for b in batch]

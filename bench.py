@@ -91,6 +91,7 @@ HEADLINE = [
     "heavy_hitters_docs",
     "token_entropy_docs",
     "pack_sequences_docs",
+    "incremental_dedup_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -3963,6 +3963,57 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_dedup_docs",
+    _duck_lsh_cte(3, 8, 2) + """
+    , nb AS (SELECT * FROM buckets WHERE doc_id % 10 = 0),
+    ob AS (SELECT * FROM buckets WHERE doc_id % 10 <> 0),
+    cand AS (
+      SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
+      FROM nb JOIN ob ON nb.b = ob.b AND nb.bucket = ob.bucket
+    ), ver AS (
+      SELECT c.new_id, c.old_id,
+             round(len(list_intersect(a.hs, b.hs))::DOUBLE
+                   / (len(a.hs) + len(b.hs)
+                      - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
+      FROM cand c
+      JOIN hsh a ON c.new_id = a.doc_id
+      JOIN hsh b ON c.old_id = b.doc_id
+    ), best AS (
+      SELECT new_id, old_id, jaccard,
+             row_number() OVER (
+               PARTITION BY new_id ORDER BY jaccard DESC, old_id
+             ) AS rk
+      FROM ver WHERE jaccard >= 0.2
+    )
+    SELECT d.doc_id AS id,
+           (b.new_id IS NOT NULL) AS is_dup,
+           b.old_id AS match_id,
+           b.jaccard
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.new_id
+    WHERE d.doc_id % 10 = 0
+    """,
+    "incremental ingest dedup — an INCOMING batch (doc_id % 10 = 0, ~10%) "
+    "checked against the EXISTING corpus without any corpus self-join: "
+    "the batch's LSH bucket table broadcasts, the corpus bucket stream "
+    "filters map-side with zero corpus shuffle, and only colliding "
+    "(new, old) candidates reach the Jaccard verify; per new doc the best "
+    "match (highest jaccard, old-id tiebreak) or a clean is_dup=false.  "
+    "The production shape self-join dedup cannot express: daily ingest "
+    "cost scales with the batch, not the corpus",
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import incremental_dedup
+
+    sigs = _dedup_stage(spark, sf_dir)
+    new_sigs = sigs.filter((F.col("id") % 10) == 0)
+    corpus_sigs = sigs.filter((F.col("id") % 10) != 0)
+    return incremental_dedup(
+        new_sigs, corpus_sigs, threshold=0.2, bands=8, num_hashes=16
+    )
+
+
 _ZIPF_DOCS_PATH = "/tmp/dagger_zipf_docs_v1.parquet"  # seed-pinned fixture
 
 

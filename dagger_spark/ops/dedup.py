@@ -846,3 +846,70 @@ def jaccard_prefix_join(
         "id_b",
         F.round(F.col("nint").cast("double") / F.col("nuni"), 6).alias("jaccard"),
     )
+
+
+def incremental_dedup(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    threshold: float = 0.2,
+    bands: int = 8,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING corpus — the production
+    ingest shape, which a self-join cannot express efficiently: the corpus
+    never joins itself, only (new x corpus) bucket collisions materialize.
+
+    Both inputs are ``minhash_signatures`` relations (id, hs, nsh, sig).
+    Scale shape: the incoming batch is orders of magnitude smaller than
+    the corpus, so its bucket table BROADCASTS — the corpus-side bucket
+    stream is filtered map-side with zero shuffle of corpus data; only
+    colliding candidates (new_id, old_id) reach the verify join.  Output:
+    one row per new doc — (id, is_dup, match_id, jaccard of best match).
+    """
+    from pyspark.sql.window import Window
+
+    rows_per_band = num_hashes // bands
+    nb = lsh_buckets(new_sigs, bands, rows_per_band)
+    ob = lsh_buckets(corpus_sigs, bands, rows_per_band)
+    cand = (
+        ob.alias("o")
+        .join(
+            F.broadcast(nb.alias("n")),
+            (F.col("o.band") == F.col("n.band"))
+            & (F.col("o.bucket") == F.col("n.bucket")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("o.id").alias("old_id"))
+        .distinct()
+    )
+    a = new_sigs.select(F.col("id").alias("new_id"), F.col("hs").alias("ha"))
+    b = corpus_sigs.select(F.col("id").alias("old_id"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    j = F.round(
+        inter.cast("double") / (F.size("ha") + F.size("hb") - inter), 6
+    )
+    ver = (
+        cand.join(a, "new_id")
+        .join(b, "old_id")
+        .select("new_id", "old_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= float(threshold))
+    )
+    best = ver.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("new_id")
+            .orderBy(F.col("jaccard").desc(), "old_id")
+        ),
+    ).filter(F.col("__rk") == 1)
+    return (
+        new_sigs.select(F.col("id").alias("new_id"))
+        # both sides are batch-sized but windowed `best` carries no stats;
+        # shuffle-hash keeps the equi-join sort-free without assuming the
+        # batch fits in a broadcast
+        .join(best.drop("__rk").hint("shuffle_hash"), "new_id", "left")
+        .select(
+            F.col("new_id").alias("id"),
+            F.col("old_id").isNotNull().alias("is_dup"),
+            F.col("old_id").alias("match_id"),
+            "jaccard",
+        )
+    )

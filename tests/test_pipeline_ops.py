@@ -184,3 +184,34 @@ def test_cc_10k_chain_converges_log_rounds(spark):
         n, n, 1, 0, 0
     )
     assert stats["rounds"] <= 15, stats
+
+
+def test_incremental_dedup_semantics(spark):
+    """Incoming batch vs existing corpus: a planted near-dup of a corpus
+    doc is flagged with the right match; a novel doc passes clean; the
+    corpus never self-joins (only new x old candidates exist)."""
+    from dagger_spark.ops.dedup import (
+        hashed_docs, incremental_dedup, minhash_signatures, shingled_docs,
+    )
+
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "red orange yellow green blue indigo violet pink brown black"),
+    ]
+    new_rows = [
+        # near-dup of corpus doc 1 (one token changed)
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        # novel content
+        (11, "completely different words with no overlap whatsoever here now"),
+    ]
+    mk = lambda rows: minhash_signatures(
+        hashed_docs(shingled_docs(
+            spark.createDataFrame(rows, "doc_id long, text string")))
+    )
+    out = {
+        r["id"]: (r["is_dup"], r["match_id"])
+        for r in incremental_dedup(mk(new_rows), mk(corpus_rows)).collect()
+    }
+    assert out[10] == (True, 1)
+    assert out[11] == (False, None)

@@ -92,6 +92,7 @@ HEADLINE = [
     "token_entropy_docs",
     "pack_sequences_docs",
     "incremental_dedup_docs",
+    "pipeline_verdict_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

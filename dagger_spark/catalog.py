@@ -4051,6 +4051,77 @@ def jaccard_zipf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_join(docs)
 
 
+def _pipeline_verdict_oracle() -> str:
+    """Compose the verdict oracle from the three component oracles (each a
+    full WITH..SELECT — DuckDB accepts CTEs, including RECURSIVE ones,
+    inside subqueries; same technique as the ann_recall oracle)."""
+    q = QUERIES["gopher_quality_docs"].oracle
+    c = QUERIES["dedup_canonical_docs"].oracle
+    d = QUERIES["decontam_docs"].oracle
+    return f"""
+    SELECT b.doc_id,
+           coalesce(q.passes, FALSE) AS passes_quality,
+           coalesce(c.keep, FALSE) AS is_canonical,
+           coalesce(d.contamination >= 0.05, FALSE) AS is_contaminated,
+           (b.doc_id % {_DECON_MOD} = 0) AS is_benchmark,
+           (coalesce(q.passes, FALSE) AND coalesce(c.keep, FALSE)
+            AND NOT coalesce(d.contamination >= 0.05, FALSE)
+            AND b.doc_id % {_DECON_MOD} <> 0) AS keep
+    FROM documents b
+    LEFT JOIN ({q}) q ON b.doc_id = q.doc_id
+    LEFT JOIN ({c}) c ON b.doc_id = c.doc_id
+    LEFT JOIN ({d}) d ON b.doc_id = d.doc_id
+    """
+
+
+def pipeline_verdict_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select("doc_id")
+    q = QUERIES["gopher_quality_docs"].fn(spark, sf_dir).select(
+        "doc_id", F.col("passes")
+    )
+    c = QUERIES["dedup_canonical_docs"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("__can")
+    )
+    d = QUERIES["decontam_docs"].fn(spark, sf_dir).select(
+        "doc_id", "contamination"
+    )
+    passes = F.coalesce(F.col("passes"), F.lit(False))
+    canonical = F.coalesce(F.col("__can"), F.lit(False))
+    contaminated = F.coalesce(
+        F.col("contamination") >= 0.05, F.lit(False)
+    )
+    bench = (F.col("doc_id") % _DECON_MOD) == 0
+    return (
+        base.join(q, "doc_id", "left")
+        # the canonical side descends from checkpointed CC labels (no
+        # stats -> SMJ default); shuffle-hash, corpus-sized both sides
+        .join(c.hint("shuffle_hash"), "doc_id", "left")
+        .join(d, "doc_id", "left")
+        .select(
+            "doc_id",
+            passes.alias("passes_quality"),
+            canonical.alias("is_canonical"),
+            contaminated.alias("is_contaminated"),
+            bench.alias("is_benchmark"),
+            (passes & canonical & ~contaminated & ~bench).alias("keep"),
+        )
+    )
+
+
+QUERIES["pipeline_verdict_docs"] = CatalogQuery(
+    pipeline_verdict_docs,
+    _pipeline_verdict_oracle(),
+    "the WHOLE cleaning pipeline as one DAG — every document's final "
+    "keep/drop verdict with its reasons: Gopher quality gates AND "
+    "near-dup canonical survivorship (LSH -> connected components -> "
+    "keep-longest) AND n-gram benchmark decontamination (>= 5% "
+    "contaminated shingles drops), benchmark split excluded.  One Spark "
+    "job, one scan per signal family; the oracle composes the three "
+    "component oracles as subquery CTEs so the hash gate verifies the "
+    "END-TO-END decision, not just the parts",
+)
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -93,6 +93,9 @@ HEADLINE = [
     "pack_sequences_docs",
     "incremental_dedup_docs",
     "pipeline_verdict_docs",
+    "quality_classifier_docs",
+    "unigram_logprob_docs",
+    "winnowing_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

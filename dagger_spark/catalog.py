@@ -4122,6 +4122,215 @@ QUERIES["pipeline_verdict_docs"] = CatalogQuery(
 )
 
 
+def _classifier_weights_sql() -> str:
+    from .ops.text import classifier_weights
+
+    return "[" + ", ".join(str(w) for w in classifier_weights()) + "]"
+
+
+@register(
+    "quality_classifier_docs",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(t) - 2, 1) + 1),
+               i -> substr(t, i, 3))) AS tg
+      FROM (SELECT doc_id, lower(trim(coalesce(text, ''))) AS t
+            FROM documents)
+    ), s AS (
+      SELECT doc_id, len(tg) AS n_feats,
+             coalesce(list_sum(list_transform(
+               tg, x -> w[('0x' || substr(md5(x), 1, 8))::BIGINT % 1024 + 1]
+             )), 0)::BIGINT AS logit_milli
+      FROM g, (SELECT {_classifier_weights_sql()} AS w)
+    )
+    SELECT doc_id, n_feats, logit_milli,
+           round(1.0 / (1.0 + exp(-(logit_milli / 1000.0))) + 1e-9, 6) AS score,
+           logit_milli > 0 AS keep
+    FROM s
+    """,
+    "model-based quality filter in the fastText / hashing-trick serving "
+    "shape: distinct char trigrams -> md5 hash bucket (dim 1024) -> "
+    "weight-vector lookup -> logit fold -> sigmoid score + keep decision.  "
+    "The weight vector is a plan-time Literal (a trained model's weights "
+    "broadcast into codegen), buckets are md5-derived so both engines "
+    "embed the identical array, and the weights are INTEGER milli-units so "
+    "the per-doc logit is an order-free integer sum (a float fold would "
+    "depend on element order and break cross-engine parity).  Zero "
+    "shuffles: the entire classifier is one narrow projection — the 100 TB "
+    "shape for cheap model-based filtering before any expensive stage",
+)
+def quality_classifier_docs(spark, sf_dir):
+    from .ops.text import (
+        char_trigrams, classifier_weights, hashing_trick_logit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", char_trigrams(F.col("text")).alias("__tg")
+    )
+    scored = staged.select(
+        "doc_id",
+        F.size(F.col("__tg")).cast("long").alias("n_feats"),
+        hashing_trick_logit(F.col("__tg"), classifier_weights())
+        .alias("logit_milli"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "logit_milli",
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("logit_milli") / F.lit(1000.0))))
+            + F.lit(1e-9),
+            6,
+        ).alias("score"),
+        (F.col("logit_milli") > 0).alias("keep"),
+    )
+
+
+@register(
+    "unigram_logprob_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ), vocab AS (
+      SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ), stats AS (
+      SELECT sum(c) AS n_total, count(*) AS n_vocab FROM vocab
+    ), lp AS (
+      SELECT tok,
+             CAST(round(ln((c + 1.0) / (n_total + n_vocab)) * 1e6)
+                  AS BIGINT) AS lp_micro
+      FROM vocab, stats
+    ), per_doc AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             sum(l.lp_micro)::BIGINT AS sum_lp_micro
+      FROM tok t JOIN lp l ON t.tok = l.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_lp_micro,
+           round(sum_lp_micro / (n_tokens * 1e6) + 1e-9, 6) AS avg_logprob,
+           round(exp(-round(sum_lp_micro / (n_tokens * 1e6) + 1e-9, 6))
+                 + 1e-9, 4) AS perplexity
+    FROM per_doc
+    """,
+    "unigram-LM document scoring, the CCNet-style perplexity quality "
+    "signal: pass 1 aggregates corpus token counts (ONE shuffle on token, "
+    "map-side combine), pass 2 broadcasts the add-one-smoothed log-prob "
+    "table and folds per-document average log-prob + perplexity.  "
+    "Per-token log-probs are rounded to integer micro-nats BEFORE the "
+    "per-doc sum so the aggregation is order-free (float sums across "
+    "partitions are not), and perplexity exponentiates the already-rounded "
+    "average so both engines exp the same clean double.  Zero-token "
+    "documents drop out (no tokens to score).  Scale note: this corpus's "
+    "vocab broadcasts; at open-vocab 100 TB the per-doc join shuffles on "
+    "token instead — same plan minus the hint, and the Zipf head still "
+    "map-side-combines",
+)
+def unigram_logprob_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    stats = vocab.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("n_vocab")
+    )
+    lp = vocab.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.round(
+            F.log((F.col("c") + F.lit(1.0))
+                  / (F.col("n_total") + F.col("n_vocab"))) * 1e6,
+            0,
+        ).cast("long").alias("lp_micro"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+    )
+    avg = F.round(
+        F.col("sum_lp_micro") / (F.col("n_tokens") * F.lit(1e6))
+        + F.lit(1e-9),
+        6,
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "sum_lp_micro", avg.alias("avg_logprob")
+    ).withColumn(
+        "perplexity",
+        F.round(F.exp(-F.col("avg_logprob")) + F.lit(1e-9), 4),
+    )
+
+
+@register(
+    "winnowing_docs",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(t) - 7, 1) + 1),
+               i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+             ) AS hs
+      FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+    ), w AS (
+      SELECT doc_id, len(hs) AS n_grams,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 15, 1) + 1),
+               i -> list_min(list_slice(hs, i, i + 15))))) AS fps
+      FROM h
+    )
+    SELECT doc_id, n_grams,
+           len(fps) AS n_fingerprints,
+           round(len(fps)::DOUBLE / greatest(n_grams - 15, 1) + 1e-9, 6)
+             AS density,
+           array_to_string(fps, '|') AS fingerprints
+    FROM w
+    """,
+    "Schleimer winnowing (the MOSS fingerprint): 8-char-gram 60-bit "
+    "hashes, window-16 minima, distinct sorted fingerprint set per "
+    "document — every 16-gram span contributes a fingerprint, so any two "
+    "documents sharing a >=23-char substring share one.  Pure per-row "
+    "array expressions (hash array staged as an attribute so the window "
+    "transform doesn't re-hash per window), zero shuffles; expected "
+    "density 2/(w+1) ~ 0.118 is emitted as a checked value.  The upgrade "
+    "over doc_fingerprint's single global-min: position-local minima "
+    "survive partial edits, the property substring-level near-dup "
+    "detection actually needs",
+)
+def winnowing_docs(spark, sf_dir):
+    from .ops.text import char_kgram_hashes, winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", char_kgram_hashes(F.col("text"), 8).alias("__hs")
+    )
+    w2 = staged.select(
+        "doc_id",
+        F.size(F.col("__hs")).cast("long").alias("n_grams"),
+        winnow_fingerprints(F.col("__hs"), 16).alias("__fps"),
+    )
+    return w2.select(
+        "doc_id",
+        "n_grams",
+        F.size(F.col("__fps")).cast("long").alias("n_fingerprints"),
+        F.round(
+            F.size(F.col("__fps"))
+            / F.greatest(F.col("n_grams") - 15, F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("density"),
+        F.concat_ws("|", F.col("__fps").cast("array<string>"))
+        .alias("fingerprints"),
+    )
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

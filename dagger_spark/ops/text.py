@@ -191,6 +191,83 @@ def doc_fingerprint(text: Column, k: int = 8) -> Column:
     return F.array_min(grams)
 
 
+#: feature-hashing classifier dimensionality (buckets) and weight scale
+HASH_DIM = 1024
+
+
+def classifier_weights(dim: int = HASH_DIM) -> list:
+    """Deterministic integer milli-weights for the feature-hashing text
+    classifier: w[i] in [-100, 100], derived from md5 of the bucket index so
+    both engines embed the IDENTICAL literal.  Integer weights make the
+    per-document logit an integer SUM — order-free, so the aggregation is
+    parity-safe across engines and partitionings (a float fold would depend
+    on element order).  Stands in for a trained model's weight vector; the
+    plan (hash -> bucket -> weight lookup -> fold) is exactly the fastText /
+    hashing-trick serving shape."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w:{i}".encode()).hexdigest()[:8], 16) % 201 - 100
+        for i in range(dim)
+    ]
+
+
+def feature_bucket(gram: Column, dim: int = HASH_DIM) -> Column:
+    """Hashing-trick bucket of a feature string: first 8 md5 hex chars as an
+    integer, mod ``dim``.  Mirrors the DuckDB twin
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT % dim`` bit-for-bit."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % dim
+
+
+def hashing_trick_logit(grams: Column, weights: list) -> Column:
+    """Integer logit (milli-units): fold the weight of every feature's hash
+    bucket.  ``grams`` MUST be a staged column (Attribute), not an inline
+    expression — higher-order lambdas re-evaluate non-attribute children per
+    element (see ``bind``).  The weight array is a plan-time Literal, so the
+    lookup is O(1) codegen per element; the whole op is zero-shuffle."""
+    w = F.lit(weights)
+    return F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + F.element_at(w, (feature_bucket(g) + 1).cast("int")),
+    )
+
+
+def winnow_fingerprints(hashes: Column, window: int) -> Column:
+    """Schleimer et al. winnowing over a staged k-gram hash array: the
+    sorted distinct set of per-window minima, windows of ``window``
+    consecutive hashes (fewer hashes than the window -> one window over
+    all of them).  Winnowing's guarantee: every span of ``window``
+    consecutive grams contributes at least one selected fingerprint, so two
+    documents sharing a sufficiently long substring ALWAYS share a
+    fingerprint — the MOSS plagiarism-detection / near-dup signature.
+
+    The classic rightmost-min tiebreak only disambiguates which POSITION is
+    recorded for equal hash values; this operator emits hash VALUES, for
+    which min() is tiebreak-free.  ``hashes`` must be a staged column
+    (Attribute) — an inline expression would re-hash the text per window."""
+    nwin = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def char_kgram_hashes(text: Column, k: int = 8) -> Column:
+    """60-bit integer hashes of every character k-gram (md5 prefix), the
+    winnowing input.  NULL ≡ empty; texts shorter than k hash their whole
+    (short) text once — same guard as ``doc_fingerprint``."""
+    text = F.coalesce(text, F.lit(""))
+    n = F.length(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(text.substr(i, F.lit(k))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+
+
 def nfc_normalize_udf():
     """Arrow-vectorized scalar Pandas UDF applying Unicode NFC normalization
     (unicodedata via pandas ``Series.str.normalize``).  Spark has no built-in

@@ -3184,6 +3184,25 @@ def multimodal_pixels(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio",
+    None,  # an audio decoder has no SQL twin; rows-only (deterministic crc)
+    "REAL audio decode with zero installed audio libraries: deterministic "
+    "PCM16 WAV blobs (all-integer triangle-wave synthesis, one corrupted "
+    "per 16) stream through mapInPandas where the stdlib RIFF parser "
+    "(ops/audio.py) decodes samples on the workers and emits gate "
+    "features — duration, RMS, peak, zero-crossing count — plus a crc32 "
+    "of the raw sample bytes so the decode is value-checked; truncated "
+    "blobs keep their row with valid=false.  The audio twin of "
+    "multimodal_pixels: blobs never leave the executors, only fixed-width "
+    "feature rows shuffle",
+)
+def multimodal_audio(spark, sf_dir):
+    from .ops.audio import extract_audio_features, fake_audio_df
+
+    return extract_audio_features(fake_audio_df(spark, 48))
+
+
+@register(
     "skew_resistant_agg",
     """
     SELECT event_type,

@@ -4141,6 +4141,42 @@ QUERIES["pipeline_verdict_docs"] = CatalogQuery(
 )
 
 
+def _profile_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           round((count(*) - count({c})) / count(*)::DOUBLE + 1e-9, 6)
+             AS null_frac,
+           count(DISTINCT {c}) AS n_distinct,
+           min({c})::VARCHAR AS min_value,
+           max({c})::VARCHAR AS max_value
+    FROM documents"""
+
+
+@register(
+    "profile_documents",
+    " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    ),
+    "one-pass table profiling, the ingest-time data-quality pass: per "
+    "column — null count/fraction, EXACT distinct count, min/max "
+    "aggregated on the native type then cast to string.  All columns "
+    "profile in ONE aggregation job (the countDistinct set rewrites to a "
+    "single expand+aggregate: one shuffle total), per-column rows explode "
+    "from the single result row driver-side.  At 100 TB swap exact "
+    "distinct for approx_count_distinct (see events_approx_distinct); "
+    "exact is kept here so the oracle can verify it",
+)
+def profile_documents(spark, sf_dir):
+    from .ops.quality import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _classifier_weights_sql() -> str:
     from .ops.text import classifier_weights
 

@@ -189,3 +189,43 @@ def redact_pii(text: Column) -> Column:
     for name, pat in PII_PATTERNS:
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return out
+
+
+def profile_table(df, cols):
+    """One-pass data-profiling: per column — null count/fraction, exact
+    distinct count, min/max (cast to string AFTER aggregating on the native
+    type, so numeric min is numeric, not lexicographic).  The ingest-time
+    data-quality pass every pipeline runs before anything expensive.
+
+    ONE aggregation job: the countDistinct set rewrites to a single
+    expand+aggregate (one shuffle total for all columns); everything else
+    map-side-combines in the same pass.  The per-column rows are exploded
+    from the single result row driver-side — nothing wide ever shuffles.
+    At 100 TB swap countDistinct for approx_count_distinct (the HLL path
+    events_approx_distinct demonstrates) — exact distinct is kept here
+    because the oracle can verify it."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.round(
+                (F.col("__n") - F.col(f"__nn_{c}")) / F.col("__n")
+                + F.lit(1e-9), 6,
+            ).alias("null_frac"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ])
+    return row.select(F.explode(structs).alias("p")).select("p.*")

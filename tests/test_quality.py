@@ -221,3 +221,23 @@ def test_decontam_flags_planted_duplicate(spark, quality_dir):
     # doc 3 has 7 shingles total (11 tokens) -> contamination 6/7
     assert got[3].n_grams == 7
     assert got[3].contamination == pytest.approx(6 / 7, abs=1e-6)
+
+
+def test_profile_table_exact_counts(spark):
+    from pyspark.sql import Row
+
+    from dagger_spark.ops.quality import profile_table
+
+    df = spark.createDataFrame(
+        [Row(a=1, s="x"), Row(a=1, s=None), Row(a=None, s="y"),
+         Row(a=30, s="x")],
+        "a int, s string",
+    )
+    p = {r["col_name"]: r for r in profile_table(df, ["a", "s"]).collect()}
+    assert p["a"]["n_rows"] == 4 and p["a"]["n_nulls"] == 1
+    assert p["a"]["n_distinct"] == 2  # nulls excluded, dup counted once
+    # min/max aggregate on the NATIVE type: 30 > 1 numerically even though
+    # '1' > '30' would win a lexicographic string comparison after casting
+    assert (p["a"]["min_value"], p["a"]["max_value"]) == ("1", "30")
+    assert p["s"]["n_nulls"] == 1 and p["s"]["n_distinct"] == 2
+    assert p["a"]["null_frac"] == 0.25

@@ -96,6 +96,11 @@ HEADLINE = [
     "quality_classifier_docs",
     "unigram_logprob_docs",
     "winnowing_docs",
+    "ann_rp",
+    "bpe_pair_counts_docs",
+    "html_strip_docs",
+    "profile_documents",
+    "multimodal_audio",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

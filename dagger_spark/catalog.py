@@ -4141,6 +4141,205 @@ QUERIES["pipeline_verdict_docs"] = CatalogQuery(
 )
 
 
+def _rp_proj_sql(out_dim: int = 16, dim: int = 64) -> str:
+    from .ops.similarity import rp_signs
+
+    comps = []
+    for j in range(out_dim):
+        signs = ", ".join(repr(s) for s in rp_signs(j, dim))
+        comps.append(f"list_dot_product(v, [{signs}]::DOUBLE[])")
+    return "[" + ", ".join(comps) + "]"
+
+
+@register(
+    "ann_rp",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), p AS (
+      SELECT vec_id, {_rp_proj_sql(16, 64)} AS pv FROM e
+    ), q AS (SELECT vec_id AS qid, pv AS qv FROM p WHERE vec_id < 8),
+    s AS (
+      SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+             CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(c.pv, c.pv)) > 0
+                  THEN round(list_dot_product(q.qv, c.pv)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.pv, c.pv))), 6)
+                  ELSE 0.0 END AS score
+      FROM q JOIN p c ON c.vec_id <> q.qid
+    ), r AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+    """,
+    "ANN via Johnson–Lindenstrauss random projection (Achlioptas ±1 sign "
+    "matrix, md5-derived so both engines replay it): 64 -> 16 dims, then "
+    "exact cosine top-5 over the short vectors — 4x less per-comparison "
+    "compute and 4x fewer at-rest vector bytes.  The 5th rung of the ANN "
+    "ladder (brute/LSH/IVF/PQ/RP): where PQ compresses via codebooks and "
+    "scans with LUTs, RP keeps plain float arithmetic on a sketch column "
+    "projected ONCE at write time.  Exact duplicates stay rank-1 at score "
+    "1.0 (identical inputs project identically)",
+)
+def ann_rp(spark, sf_dir):
+    from .ops.similarity import rp_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return rp_topk(emb, queries, k=5, out_dim=16, dim=64)
+
+
+@register(
+    "bpe_pair_counts_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), words AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), pairs AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(length(w) - 1, 0) + 1),
+               i -> substr(w, i, 2))) AS pair,
+             c
+      FROM words
+    )
+    SELECT pair, sum(c)::BIGINT AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 50
+    """,
+    "BPE tokenizer-training pair statistics (the Sennrich et al. merge-"
+    "selection inner loop, first iteration): corpus -> word-frequency "
+    "table FIRST (one shuffle, map-side combine — exactly how real BPE "
+    "training scales: distinct words are millions where corpus tokens are "
+    "trillions), then adjacent symbol pairs explode off the SMALL word "
+    "table weighted by word count; deterministic top-50 merge candidates.  "
+    "The op a pipeline runs before training a tokenizer on its own corpus",
+)
+def bpe_pair_counts_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grams = F.when(
+        F.length(F.col("w")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(F.col("w")) - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = words.select(F.col("c"), F.explode(grams).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+_WS = "[ \\t\\n\\r\\f]"  # explicit class: Python/Java \\s is Unicode, RE2 ASCII
+
+
+@register(
+    "html_strip_docs",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id || '</title>'
+             || '<style>p{{margin:0}}</style></head><body>'
+             || '<script type="text/javascript">var t = "' || doc_id
+             || '";</script><h1>Doc ' || doc_id || '</h1><p>'
+             || coalesce(text, '') || '</p><em>fin</em></body></html>'
+               AS html,
+             coalesce(text, '') AS src
+      FROM documents
+    ), s AS (
+      SELECT doc_id, src, html,
+             regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '{_WS}+', ' ', 'g')) AS clean_text
+      FROM h
+    )
+    SELECT doc_id, title,
+           length(clean_text) AS n_chars_clean,
+           clean_text = trim(regexp_replace(
+             'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || src || ' fin',
+             '{_WS}+', ' ', 'g')) AS clean_ok,
+           clean_text
+    FROM s
+    """,
+    "HTML -> text extraction, the stage every web-scale corpus passes "
+    "first: documents wrapped in a deterministic page (title, style, an "
+    "inline script) are stripped back — script/style blocks REMOVED "
+    "bodily (the boilerplate trap naive tag-stripping misses), remaining "
+    "tags to spaces, whitespace collapsed with an explicit [ tnrf] class "
+    "(Java regex \\\\s is Unicode, RE2's is ASCII — the sentences_docs "
+    "lesson), title extracted separately.  clean_ok proves lossless "
+    "recovery of the source text per row; pure regexp column expressions, "
+    "zero shuffles",
+)
+def html_strip_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    src = F.coalesce(F.col("text"), F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did, F.lit("</title>"),
+        F.lit("<style>p{margin:0}</style></head><body>"),
+        F.lit('<script type="text/javascript">var t = "'), did,
+        F.lit('";</script><h1>Doc '), did, F.lit("</h1><p>"),
+        src, F.lit("</p><em>fin</em></body></html>"),
+    )
+    staged = docs.select("doc_id", src.alias("__src"), html.alias("__html"))
+    ws = "[ \\t\\n\\r\\f]"
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("__html"),
+                        r"(?s)<script[^>]*>.*?</script>", " "),
+                    r"(?s)<style[^>]*>.*?</style>", " "),
+                r"<[^>]+>", " "),
+            ws + "+", " ")
+    )
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(
+                F.lit("Doc "), F.col("doc_id").cast("string"),
+                F.lit(" Doc "), F.col("doc_id").cast("string"),
+                F.lit(" "), F.col("__src"), F.lit(" fin"),
+            ),
+            ws + "+", " ")
+    )
+    s2 = staged.select(
+        "doc_id",
+        F.regexp_extract(F.col("__html"), "<title>([^<]*)</title>", 1)
+        .alias("title"),
+        clean.alias("clean_text"),
+        expected.alias("__expected"),
+    )
+    return s2.select(
+        "doc_id",
+        "title",
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+        (F.col("clean_text") == F.col("__expected")).alias("clean_ok"),
+        "clean_text",
+    )
+
+
 def _profile_col_sql(c: str) -> str:
     return f"""
     SELECT '{c}' AS col_name, count(*) AS n_rows,

@@ -625,3 +625,73 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def rp_signs(j: int, dim: int) -> list:
+    """Row j of the ±1 Johnson–Lindenstrauss projection matrix (Achlioptas
+    2003 sign variant), derived from md5(rp:j:d) so any engine replays the
+    identical matrix — same determinism contract as ``_plane_coeffs``."""
+    return [
+        1.0 if int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def project_rp(vec: Column, out_dim: int, dim: int) -> Column:
+    """JL sign-projection of a staged vector column to ``out_dim``
+    components (each a ±1 dot fold — same left-fold order as ``dot`` so
+    the DuckDB ``list_dot_product`` twin is bit-identical)."""
+    return F.array(*[
+        dot(vec, F.array(*[F.lit(c) for c in rp_signs(j, dim)]))
+        for j in range(out_dim)
+    ])
+
+
+def rp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k in Johnson–Lindenstrauss-projected space:
+    both sides project 64 -> ``out_dim`` dims through the shared ±1 sign
+    matrix, then score exactly like ``brute_force_topk`` but over the short
+    vectors — a 4x cut in per-comparison compute AND in at-rest vector
+    bytes.  At 100 TB the corpus is projected ONCE at write time and only
+    the 16-double sketch column is scanned; exact duplicates stay rank-1
+    with score 1.0 (identical inputs project identically), and JL's
+    distance-preservation bound degrades gracefully for near-ties.
+    Projection + norm are staged per side so the pair loop is one
+    zip_with fold over 16 elements."""
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        project_rp(F.col(vec_col), out_dim, dim).alias("qvec"),
+    ).select("query_id", "qvec", norm(F.col("qvec")).alias("__qn"))
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        project_rp(F.col(vec_col), out_dim, dim).alias("cvec"),
+    ).select("neighbor_id", "cvec", norm(F.col("cvec")).alias("__cn"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms(
+                    F.col("qvec"), F.col("cvec"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -132,3 +132,22 @@ def test_unigram_logprob_ranks_rare_tokens_lower(spark, tmp_path):
     s = lp(10) + lp(10) + lp(1) + lp(10)
     assert out[9]["sum_lp_micro"] == s
     assert out[9]["n_tokens"] == 4
+
+
+def test_html_strip_removes_script_bodies_and_recovers_text(spark, tmp_path, sf_dir):
+    from dagger_spark.catalog import QUERIES
+
+    out = QUERIES["html_strip_docs"].fn(spark, sf_dir).collect()
+    assert out and all(r["clean_ok"] for r in out)
+    assert all(r["title"] == f"Doc {r['doc_id']}" for r in out[:5])
+    # the script BODY (not just its tags) must be gone
+    assert all("var t =" not in r["clean_text"] for r in out[:20])
+    # crafted: multi-line whitespace text collapses, not a parity hazard
+    from pyspark.sql import Row
+
+    d = str(tmp_path / "h")
+    spark.createDataFrame(
+        [Row(doc_id=1, text="a\n\n  b\tc ", lang="en", source="s", n_chars=9)]
+    ).write.parquet(d + "/documents.parquet")
+    r = QUERIES["html_strip_docs"].fn(spark, d).head()
+    assert r["clean_text"] == "Doc 1 Doc 1 a b c fin" and r["clean_ok"]

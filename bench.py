@@ -101,6 +101,8 @@ HEADLINE = [
     "html_strip_docs",
     "profile_documents",
     "multimodal_audio",
+    "phrase_search_docs",
+    "corpus_diff_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

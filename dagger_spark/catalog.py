@@ -4340,6 +4340,101 @@ def html_strip_docs(spark, sf_dir):
     )
 
 
+_PHRASE = ("table", "hash")
+
+
+@register(
+    "phrase_search_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), idx AS (
+      SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+      FROM toks
+    ),
+    p0 AS (SELECT doc_id, pos AS start FROM idx WHERE term = '{_PHRASE[0]}'),
+    p1 AS (SELECT doc_id, pos - 1 AS start FROM idx WHERE term = '{_PHRASE[1]}')
+    SELECT p0.doc_id, count(*) AS n_matches, min(p0.start) AS first_pos
+    FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p0.start = p1.start
+    GROUP BY p0.doc_id
+    """,
+    "positional phrase search over an inverted index — the retrieval "
+    "shape BM25 can't express: tokens posexplode to (term, doc, pos) "
+    "postings, each phrase word's postings FILTER FIRST (tiny lists; at "
+    "100 TB the index is partitioned by term and only the phrase's "
+    "postings are read), then co-positional equi-join on (doc, start "
+    "offset) finds exact adjacency; per-doc match count + first position "
+    "(1-based).  Postings joins hinted shuffle-hash — both sides are "
+    "same-scale filtered streams, sort-merge would pay an unneeded sort",
+)
+def phrase_search_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    m = None
+    for i, w in enumerate(_PHRASE):
+        p = idx.filter(F.col("term") == w).select(
+            "doc_id", (F.col("pos") - i).alias("start")
+        )
+        m = p if m is None else m.join(p.hint("shuffle_hash"), ["doc_id", "start"])
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        (F.min("start") + 1).cast("long").alias("first_pos"),
+    )
+
+
+@register(
+    "corpus_diff_docs",
+    """
+    WITH a AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0
+    ), b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 13 <> 0
+    )
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.h <> b.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           a.h AS old_hash, b.h AS new_hash
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+    "corpus snapshot diff — the daily data-versioning pass: two snapshots "
+    "(old drops doc_id%11=0, new drops %13=0 and edits %7=0) reduce to "
+    "(id, content-hash) and full-outer-join into added/removed/changed/"
+    "unchanged verdicts.  Only 16-byte hashes join, never content; at "
+    "100 TB both snapshots bucket by doc_id so the diff is co-located "
+    "map-side — the hint keeps same-scale sides off sort-merge",
+)
+def corpus_diff_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("old_hash")
+    )
+    b = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("new_hash"),
+    )
+    j = a.join(b.hint("shuffle_hash"), "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        "old_hash",
+        "new_hash",
+    )
+
+
 def _profile_col_sql(c: str) -> str:
     return f"""
     SELECT '{c}' AS col_name, count(*) AS n_rows,

@@ -151,3 +151,42 @@ def test_html_strip_removes_script_bodies_and_recovers_text(spark, tmp_path, sf_
     ).write.parquet(d + "/documents.parquet")
     r = QUERIES["html_strip_docs"].fn(spark, d).head()
     assert r["clean_text"] == "Doc 1 Doc 1 a b c fin" and r["clean_ok"]
+
+
+def _mini_docs(spark, tmp_path, texts):
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    ).write.parquet(d + "/documents.parquet")
+    return d
+
+
+def test_phrase_search_positions_and_overlap(spark, tmp_path):
+    from dagger_spark.catalog import QUERIES
+
+    d = _mini_docs(spark, tmp_path, [
+        "table hash x table hash",   # starts 1 and 4
+        "table table hash",          # adjacency only at start 2
+        "hash table",                # reversed order: no match
+        "table hash",                # exact
+    ])
+    out = {r["doc_id"]: r for r in
+           QUERIES["phrase_search_docs"].fn(spark, d).collect()}
+    assert out[0]["n_matches"] == 2 and out[0]["first_pos"] == 1
+    assert out[1]["n_matches"] == 1 and out[1]["first_pos"] == 2
+    assert 2 not in out  # reversed order must not match
+    assert out[3]["n_matches"] == 1
+
+
+def test_corpus_diff_statuses(spark, tmp_path):
+    from dagger_spark.catalog import QUERIES
+
+    d = _mini_docs(spark, tmp_path, [f"text {i}" for i in range(20)])
+    out = {r["doc_id"]: r["status"] for r in
+           QUERIES["corpus_diff_docs"].fn(spark, d).collect()}
+    assert 0 not in out            # dropped from both snapshots
+    assert out[11] == "added"      # missing from old only
+    assert out[13] == "removed"    # missing from new only
+    assert out[7] == "changed" and out[14] == "changed"
+    assert out[1] == "unchanged" and out[12] == "unchanged"

@@ -3876,7 +3876,8 @@ def heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            cast(min(n) AS bigint) AS n_tokens,
            cast(count(*) AS bigint) AS n_types,
-           round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS entropy,
+           round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)) + 0.0, 6)
+             AS entropy,
            round(count(*)::DOUBLE / min(n), 6) AS ttr
     FROM withn GROUP BY doc_id
     """,
@@ -3903,7 +3904,10 @@ def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return withn.groupBy("doc_id").agg(
         F.min("n").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        # + 0.0 canonicalizes IEEE negative zero: a single-type doc is
+        # -(1*ln 1) = -0.0 under one engine's fold and +0.0 under the
+        # other's; -0.0 + 0.0 = +0.0 in both (fuzz-corpus catch)
+        F.round(-F.sum(p * F.log(p)) + F.lit(0.0), 6).alias("entropy"),
         F.round(F.count(F.lit(1)).cast("double") / F.min("n"), 6).alias("ttr"),
     )
 
@@ -4397,7 +4401,7 @@ def phrase_search_docs(spark, sf_dir):
     SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
            CASE WHEN a.doc_id IS NULL THEN 'added'
                 WHEN b.doc_id IS NULL THEN 'removed'
-                WHEN a.h <> b.h THEN 'changed'
+                WHEN a.h IS DISTINCT FROM b.h THEN 'changed'
                 ELSE 'unchanged' END AS status,
            a.h AS old_hash, b.h AS new_hash
     FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
@@ -4411,8 +4415,14 @@ def phrase_search_docs(spark, sf_dir):
 )
 def corpus_diff_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
+    # presence comes from explicit flags, NOT hash nullness: md5(NULL text)
+    # is NULL for a PRESENT doc, which would misread as added/removed —
+    # and the changed-comparison is null-safe for the same reason
+    # (fuzz-corpus catch)
     a = docs.filter(F.col("doc_id") % 11 != 0).select(
-        "doc_id", F.md5(F.col("text")).alias("old_hash")
+        "doc_id",
+        F.md5(F.col("text")).alias("old_hash"),
+        F.lit(True).alias("__in_old"),
     )
     b = docs.filter(F.col("doc_id") % 13 != 0).select(
         "doc_id",
@@ -4421,13 +4431,14 @@ def corpus_diff_docs(spark, sf_dir):
                 F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
             ).otherwise(F.col("text"))
         ).alias("new_hash"),
+        F.lit(True).alias("__in_new"),
     )
     j = a.join(b.hint("shuffle_hash"), "doc_id", "full_outer")
     return j.select(
         "doc_id",
-        F.when(F.col("old_hash").isNull(), "added")
-        .when(F.col("new_hash").isNull(), "removed")
-        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~F.col("old_hash").eqNullSafe(F.col("new_hash")), "changed")
         .otherwise("unchanged")
         .alias("status"),
         "old_hash",

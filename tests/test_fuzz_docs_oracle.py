@@ -55,6 +55,24 @@ DOC_QUERIES = [
     "bloom_decontam_docs",
     "sentences_docs",
     "jaccard_exact_join",
+    # round-3 first wave
+    "chunk_dedup_docs",
+    "bm25_topk_docs",
+    "dedup_canonical_docs",
+    "weighted_sample_docs",
+    "heavy_hitters_docs",
+    "token_entropy_docs",
+    "pack_sequences_docs",
+    "incremental_dedup_docs",
+    # round-3 second wave
+    "quality_classifier_docs",
+    "unigram_logprob_docs",
+    "winnowing_docs",
+    "html_strip_docs",
+    "phrase_search_docs",
+    "corpus_diff_docs",
+    "profile_documents",
+    "bpe_pair_counts_docs",
 ]
 
 _WORDS = (

@@ -304,3 +304,52 @@ def test_checkpoint_recovery_no_duplicates_no_loss(spark, tmp_path):
         for r in apply_rules_single_pass(batch_events, stateless).collect()
     )
     assert got == want == ["s-000", "s-101"]  # no loss, no duplicates
+
+
+def test_docs_classifier_stream_equals_batch(spark, tmp_path, sf_dir):
+    """The text-pipeline column expressions are execution-path-agnostic:
+    the SAME classifier expressions run over a file stream of the documents
+    table and over the batch read, row-for-row identical.  (Stateless ops
+    need no watermark; append mode is exact.)"""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dagger_spark.ops.text import (
+        char_trigrams, classifier_weights, hashing_trick_logit,
+    )
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", str(src / "part-0.parquet"))
+    schema = spark.read.parquet(str(src)).schema
+
+    def classify(df):
+        staged = df.select(
+            "doc_id", char_trigrams(F.col("text")).alias("__tg")
+        )
+        return staged.select(
+            "doc_id",
+            hashing_trick_logit(F.col("__tg"), classifier_weights())
+            .alias("logit_milli"),
+        )
+
+    q = (
+        classify(spark.readStream.schema(schema).parquet(str(src)))
+        .writeStream.format("memory").queryName("clf_out")
+        .option("checkpointLocation", str(tmp_path / "clf_ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["logit_milli"]
+            for r in spark.sql("SELECT * FROM clf_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["doc_id"]: r["logit_milli"]
+        for r in classify(spark.read.parquet(str(src))).collect()
+    }
+    assert got == want and len(got) > 0

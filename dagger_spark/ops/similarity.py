@@ -29,6 +29,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: single-slot memo for PQ codeword norms (see pq_topk): the plan-time
+#: norms job runs once per (session, codebook), not once per call
+_PQ_NORM_MEMO: dict = {}
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -563,11 +567,42 @@ def pq_topk(
     ]
     cbmat = F.lit(cb)
     n_codes = len(rows)
+    # |codeword|^2 folded ONCE each in a one-row JVM job and embedded as a
+    # literal: the inline dot(cw, cw) form re-folded every norm per
+    # (corpus row x subspace x codeword) — m*ksub*dsub = 1024 redundant
+    # multiply-adds per row.  The JVM fold is arithmetically IDENTICAL to
+    # dot(cw, cw) (multiply-then-accumulate, left order), so the literal
+    # doubles are bit-equal to what the per-row fold produced — parity
+    # unchanged, still no third summation implementation — and the collect
+    # ships only m*ksub plan-time doubles, same class as the codebook.
+    # One nested-lambda expression (not m*ksub separate folds: Janino
+    # compile of 128 column trees measurably dominates) and a per-session
+    # memo (the norms job would otherwise rerun per pq_topk call).
+    spark = corpus.sparkSession
+    memo_key = (spark.sparkContext.applicationId, m, n_codes,
+                tuple(r[0] for r in rows), str(cb))
+    cwn2 = _PQ_NORM_MEMO.get(memo_key)
+    if cwn2 is None:
+        cwn2 = spark.range(1).select(
+            F.transform(
+                cbmat,
+                lambda sub: F.transform(
+                    sub,
+                    lambda cw: F.aggregate(
+                        cw, F.lit(0.0), lambda acc, v: acc + v * v
+                    ),
+                ),
+            ).alias("n2")
+        ).head()["n2"]
+        _PQ_NORM_MEMO.clear()  # single slot: codebooks change per corpus
+        _PQ_NORM_MEMO[memo_key] = cwn2
+    cwn2mat = F.lit([list(r) for r in cwn2])
 
     def _sqdist(sub, subn2, s, j):
         # |sub - cb[s][j]|^2 via the dot-product identity, rounded to 9
         cw = F.element_at(F.element_at(cbmat, s), j)
-        return F.round(subn2 + dot(cw, cw) - 2 * dot(sub, cw), 9)
+        n2 = F.element_at(F.element_at(cwn2mat, s), j)
+        return F.round(subn2 + n2 - 2 * dot(sub, cw), 9)
 
     def codes_of(v):
         def one_s(s):

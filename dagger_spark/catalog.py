@@ -49,6 +49,23 @@ class CatalogQuery:
     description: str = ""
 
 
+def _load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """documents/embeddings loader for the compute-heavy per-row operators:
+    the testdata files are single-row-group miniatures, and parquet splits
+    only at row-group boundaries — so every scan is ONE task and md5-heavy
+    map stages run single-core.  parallelize_narrow repartitions ONLY when
+    splits < cores; at real file sizes it is a no-op (see
+    sources/files.py).  Measured: winnowing_docs 4.1 -> 0.95 s at sf0.1."""
+    import os
+
+    from .sources.files import parallelize_narrow
+
+    return parallelize_narrow(
+        load_table(spark, sf_dir, name),
+        path=os.path.join(sf_dir, f"{name}.parquet"),
+    )
+
+
 QUERIES: dict = {}
 
 
@@ -1321,7 +1338,7 @@ _DUCK_TOKS = ("CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[] "
     "exact deduplication: hash-groupBy, deterministic survivor",
 )
 def exact_dedup_docs(spark, sf_dir):
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(_load_wide(spark, sf_dir, "documents"))
 
 
 def _duck_minhash_mins(num_hashes: int = 16) -> str:
@@ -1383,7 +1400,7 @@ def _dedup_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         old = _DEDUP_STAGE.pop("df", None)
         if old is not None:
             old.unpersist()
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _load_wide(spark, sf_dir, "documents")
         _DEDUP_STAGE["key"] = key
         _DEDUP_STAGE["df"] = minhash_signatures(
             hashed_docs(shingled_docs(docs, "text", "doc_id", 3)), 16
@@ -1402,7 +1419,7 @@ def _dedup_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash+LSH near-dup candidates: shingle -> minhash -> band -> bucket-join",
 )
 def minhash_pairs_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return minhash_candidate_pairs(
         docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
     )
@@ -1435,7 +1452,7 @@ def minhash_pairs_docs(spark, sf_dir):
 def dedup_clusters_docs(spark, sf_dir):
     from .ops.dedup import dedup_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return dedup_clusters(
         docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
     )
@@ -1465,7 +1482,7 @@ def dedup_clusters_docs(spark, sf_dir):
     "(verify on 60-bit hashed shingles; union size by arithmetic)",
 )
 def jaccard_pairs_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, threshold=0.2, num_hashes=16, bands=8,
         sigs=_dedup_stage(spark, sf_dir),
@@ -1493,7 +1510,7 @@ def jaccard_pairs_docs(spark, sf_dir):
 def simhash_docs(spark, sf_dir):
     from .ops.dedup import simhash_df
 
-    return simhash_df(load_table(spark, sf_dir, "documents"), "text", "doc_id", 32)
+    return simhash_df(_load_wide(spark, sf_dir, "documents"), "text", "doc_id", 32)
 
 
 _SIMHASH_SIG_CTE = f"""
@@ -1556,7 +1573,7 @@ _MULTIPROBE_BRANCH = """
 def simhash_multiprobe(spark, sf_dir):
     from .ops.dedup import simhash_multiprobe_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     out = simhash_multiprobe_pairs(docs, bits=32, probes=4, probe_bits=8, max_hamming=4)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -1578,7 +1595,7 @@ def simhash_multiprobe(spark, sf_dir):
 def simhash_neardup(spark, sf_dir):
     from .ops.dedup import simhash_neardup_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     out = simhash_neardup_pairs(docs, bits=32, prefix_bits=8, max_hamming=4)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -1607,7 +1624,7 @@ def simhash_neardup(spark, sf_dir):
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
@@ -1642,7 +1659,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     sized = docs.select(
         "source", "doc_id", token_count(F.col("text")).alias("n_tok")
     )
@@ -1715,7 +1732,7 @@ _BLOOM_ORACLE = f"""
 )
 def bloom_decontam_docs(spark, sf_dir):
     M, K, NWORDS = 262144, 3, 8192
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     staged = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
     grams = F.array_distinct(
         F.transform(word_ngrams(F.col("__toks"), 5), lambda g: F.md5(g)))
@@ -1985,7 +2002,7 @@ def sentences_docs(spark, sf_dir):
                     pos += 1
                     yield pos, p
 
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _load_wide(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     spark.udtf.register("sentence_split", SentenceSplit)
     return spark.sql(
         "SELECT d.doc_id, s.pos, s.sentence "
@@ -2010,7 +2027,7 @@ def sentences_docs(spark, sf_dir):
 def normalize_docs(spark, sf_dir):
     from .ops.text import nfc_normalize_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     nfc = nfc_normalize_udf()(F.col("text"))
     return docs.select(
         "doc_id",
@@ -2124,7 +2141,7 @@ _MIXTURE_SAMPLE_ORACLE = f"""
     "rates, map-side filter (no corpus shuffle)",
 )
 def mixture_sample_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     toks = docs.select(
         "source", "doc_id", token_count(F.col("text")).alias("t")
     )
@@ -2209,7 +2226,7 @@ _JACCARD_EXACT_ORACLE = f"""
 def jaccard_exact_join(spark, sf_dir):
     from .ops.dedup import jaccard_prefix_join
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = _load_wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return jaccard_prefix_join(docs, threshold_num=9, threshold_den=10)
 
 
@@ -2244,7 +2261,7 @@ _SUBSTRING_DEDUP_ORACLE = """
 def substring_dedup_docs(spark, sf_dir):
     from .ops.dedup import duplicated_span_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return duplicated_span_stats(docs, k=40, stride=1)
 
 
@@ -2262,7 +2279,7 @@ def substring_dedup_docs(spark, sf_dir):
     "standard way to carve stable training-data subsets",
 )
 def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
@@ -2289,7 +2306,7 @@ def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling-hash document fingerprint: min md5 over char 8-grams",
 )
 def fingerprint_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_fingerprint(F.col("text"), 8).alias("fp"))
 
 
@@ -2333,7 +2350,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     "text quality scoring: char/word stats + composite quality in [0,1]",
 )
 def text_stats_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     s = text_stats(F.col("text"))
     return docs.select(
         "doc_id",
@@ -2382,7 +2399,7 @@ def _lang_score_sql(code: str) -> str:
     "stopword-vote language identification heuristic",
 )
 def language_id_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
 
 
@@ -2427,7 +2444,7 @@ def _lang_ngram_score_sql(code: str) -> str:
 def language_id_ngram_docs(spark, sf_dir):
     from .ops.text import char_trigrams, language_id_ngram_from_trigrams
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     # trigram array staged once: the four profile intersections then read an
     # attribute instead of re-deriving (and re-lowering) the gram array
     staged = docs.select("doc_id", char_trigrams(F.col("text")).alias("__tg"))
@@ -2476,7 +2493,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .ops.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("raw_term")
@@ -2540,8 +2557,8 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.similarity import norm as vec_norm
     from .ops.text import text_stats
 
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    docs = _load_wide(spark, sf_dir, "documents")
+    emb = _load_wide(spark, sf_dir, "embeddings")
     s = text_stats(F.col("text"))
     gated = docs.select(
         "doc_id", "lang", "source",
@@ -2573,7 +2590,7 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token counting: whitespace + BPE-ish regex chunking",
 )
 def token_counts_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("ws_tokens"),
@@ -2597,7 +2614,7 @@ def token_counts_docs(spark, sf_dir):
     "token arrays, all JVM-side lambdas (no Python)",
 )
 def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     staged = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     return staged.select(
         "doc_id",
@@ -2644,7 +2661,7 @@ _ANN_ORACLE = """
     "exact cosine top-5 per query vector (broadcast queries, scan corpus)",
 )
 def ann_brute_force(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 8)
@@ -2691,7 +2708,7 @@ _ANN_LSH_ORACLE = f"""
     "bucket-local candidate join (the 100 TB path)",
 )
 def ann_lsh(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 8)
@@ -2722,7 +2739,7 @@ _NEARDUP_ORACLE = f"""
     "(n^2 -> sum of per-bucket squares at scale)",
 )
 def embedding_neardup(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return cosine_neardup_pairs(emb, threshold=0.35, num_planes=4, dim=64)
@@ -2809,7 +2826,7 @@ _KMEANS_STEP_ORACLE = """
 def kmeans_step_embeddings(spark, sf_dir):
     from .ops.similarity import kmeans_step
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return kmeans_step(emb, n_centroids=16)
@@ -2822,7 +2839,7 @@ def kmeans_step_embeddings(spark, sf_dir):
     "literals (map-side assignment, no shuffle), nprobe=2 cell-local search",
 )
 def ann_ivf(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 8)
@@ -2876,7 +2893,7 @@ _PQ_ANN_ORACLE = """
 def ann_pq_adc(spark, sf_dir):
     from .ops.similarity import pq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 8)
@@ -2924,7 +2941,7 @@ def _ann_recall_oracle():
 def ann_recall(spark, sf_dir):
     from .ops.similarity import pq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 8)
@@ -3005,7 +3022,7 @@ _SEMDEDUP_ORACLE = """
 def semdedup_embeddings(spark, sf_dir):
     from .ops.similarity import semdedup
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return semdedup(emb, n_centroids=16, threshold=0.4)
@@ -3292,7 +3309,7 @@ _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     "symbol/bullet/ellipsis ratios, stopword presence, composite pass flag",
 )
 def gopher_quality_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     s = gopher_stats(F.col("text"))
     # flags evaluate the UNROUNDED ratios (same expression both engines);
     # rounded copies are for the hash compare only (+1e-9 parks dyadic
@@ -3343,7 +3360,7 @@ def gopher_quality_docs(spark, sf_dir):
 def repetition_docs(spark, sf_dir):
     from .ops.quality import repetition_stats_from_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     # tokenize ONCE into a real column: word_ngrams slices its input inside
     # a transform lambda, and outer non-attribute expressions are
     # re-evaluated per element — inline tokens(text) here costs O(n_tokens)
@@ -3415,7 +3432,7 @@ _PII_PAT = dict(PII_PATTERNS)
     "and the md5 of the globally-redacted text (regex parity across engines)",
 )
 def pii_scan_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     aug = _pii_aug_spark()
     c = pii_counts(aug)
     return docs.select(
@@ -3454,7 +3471,7 @@ _CHUNK_SIZE, _CHUNK_STRIDE = 16, 12
     f"{_CHUNK_STRIDE} (overlapping); explode-only, no shuffle",
 )
 def chunk_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     df = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     starts = F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)),
                         F.lit(_CHUNK_STRIDE))
@@ -3513,7 +3530,7 @@ def decontam_docs(spark, sf_dir):
     benchmark.  Scale shape: the benchmark shingle set is tiny relative to
     the corpus, so it is BROADCAST — the corpus side never shuffles; the
     only shuffle is the per-doc overlap count (one hash aggregate)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     # staged token column: see repetition_docs — word_ngrams over an inline
     # tokens(text) re-runs the split per n-gram inside the transform lambda
     staged = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
@@ -3582,7 +3599,7 @@ _CDD_SIZE = 20  # chunk-dedup: non-overlapping 20-token chunks
 def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     df = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     starts = F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)),
                         F.lit(_CDD_SIZE))
@@ -3654,7 +3671,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     "scoring aggregation.  Deterministic top-20 with doc_id tiebreak",
 )
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     lens = (
         docs.select("doc_id", tokens(F.col("text")).alias("t"))
         .withColumn("dl", F.size("t"))
@@ -3736,7 +3753,7 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .ops.dedup import dedup_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     clusters = dedup_clusters(
         docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
     )
@@ -3784,7 +3801,7 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines/runs/partitionings, same policy as docs_hash_sample",
 )
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _load_wide(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
         (
             F.conv(
@@ -3835,7 +3852,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample-then-verify shortcut's safety measurable, not assumed",
 )
 def heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
@@ -3891,7 +3908,7 @@ def heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -3956,7 +3973,7 @@ _PACK_L, _PACK_SHARDS = 2048, 8  # block length in CHARS (no token column)
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _load_wide(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     d = docs.select(
         "doc_id", (F.col("doc_id") % _PACK_SHARDS).alias("shard"), "n_chars"
     )
@@ -4098,7 +4115,7 @@ def _pipeline_verdict_oracle() -> str:
 
 
 def pipeline_verdict_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = _load_wide(spark, sf_dir, "documents").select("doc_id")
     q = QUERIES["gopher_quality_docs"].fn(spark, sf_dir).select(
         "doc_id", F.col("passes")
     )
@@ -4193,7 +4210,7 @@ def _rp_proj_sql(out_dim: int = 16, dim: int = 64) -> str:
 def ann_rp(spark, sf_dir):
     from .ops.similarity import rp_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 8)
@@ -4228,7 +4245,7 @@ def ann_rp(spark, sf_dir):
     "The op a pipeline runs before training a tokenizer on its own corpus",
 )
 def bpe_pair_counts_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
@@ -4296,7 +4313,7 @@ _WS = "[ \\t\\n\\r\\f]"  # explicit class: Python/Java \\s is Unicode, RE2 ASCII
     "zero shuffles",
 )
 def html_strip_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     src = F.coalesce(F.col("text"), F.lit(""))
     html = F.concat(
@@ -4372,7 +4389,7 @@ _PHRASE = ("table", "hash")
     "same-scale filtered streams, sort-merge would pay an unneeded sort",
 )
 def phrase_search_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     idx = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
     )
@@ -4414,7 +4431,7 @@ def phrase_search_docs(spark, sf_dir):
     "map-side — the hint keeps same-scale sides off sort-merge",
 )
 def corpus_diff_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     # presence comes from explicit flags, NOT hash nullness: md5(NULL text)
     # is NULL for a PRESENT doc, which would misread as added/removed —
     # and the changed-comparison is null-safe for the same reason
@@ -4476,7 +4493,7 @@ def _profile_col_sql(c: str) -> str:
 def profile_documents(spark, sf_dir):
     from .ops.quality import profile_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return profile_table(
         docs, ["doc_id", "text", "lang", "source", "n_chars"]
     )
@@ -4525,8 +4542,7 @@ def quality_classifier_docs(spark, sf_dir):
     from .ops.text import (
         char_trigrams, classifier_weights, hashing_trick_logit,
     )
-
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id", char_trigrams(F.col("text")).alias("__tg")
     )
@@ -4592,7 +4608,7 @@ def quality_classifier_docs(spark, sf_dir):
     "map-side-combines",
 )
 def unigram_logprob_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
@@ -4666,8 +4682,7 @@ def unigram_logprob_docs(spark, sf_dir):
 )
 def winnowing_docs(spark, sf_dir):
     from .ops.text import char_kgram_hashes, winnow_fingerprints
-
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id", char_kgram_hashes(F.col("text"), 8).alias("__hs")
     )

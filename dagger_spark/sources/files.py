@@ -23,6 +23,7 @@ TPCH_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
 ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
 
 
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # defensively enable the nanos workaround — the driver may hand us a
@@ -40,7 +41,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_narrow(
+    df: DataFrame, path: str = None, min_parts: int = None
+) -> DataFrame:
+    """Spread a CPU-heavy NARROW stage across cores when the underlying
+    parquet cannot fan out by itself.
+
+    Parquet parallelism bottoms out at ROW GROUPS: Spark will happily cut a
+    file into byte-range splits, but every row of a single-row-group file
+    lands in the one task whose range covers the group's midpoint — the
+    other splits read nothing.  All the driver testdata files are written
+    as one row group, so every scan is effectively single-core no matter
+    what maxPartitionBytes says (which is why partition COUNT is the wrong
+    detector — it counts the empty splits too; we read the parquet footer
+    instead).  A map-heavy operator (winnowing, the hashing-trick
+    classifier: thousands of md5s per row) then runs 1-core however many
+    exist.  The repartition is CONDITIONAL: production files carry many
+    row groups, the condition is false, and no shuffle is added — this
+    compensates for miniature fixtures (same contract as bench.py's
+    SPLIT_CONF), it is not a production setting."""
+    spark = df.sparkSession
+    want = min_parts or spark.sparkContext.defaultParallelism
+    groups = None
+    if path is not None and os.path.isfile(path):
+        try:
+            import pyarrow.parquet as _pq
+
+            groups = _pq.ParquetFile(path).num_row_groups
+        except Exception:
+            groups = None
+    if groups is None:
+        groups = df.rdd.getNumPartitions()
+    if groups < want:
+        return df.repartition(want)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=ALL_TABLES, register_views: bool = True) -> dict:
+    # NOTE: the fact tables (lineitem/orders/events) are NOT spread through
+    # parallelize_narrow even though they are single-row-group miniatures
+    # too — measured at sf0.1, the round-robin exchange costs more than the
+    # single-core scan it parallelizes when per-row work is trivial
+    # (q1 1.62 -> 2.25 s).  Spreading pays only where per-row compute
+    # dominates (md5-heavy document/embedding operators — see catalog's
+    # _load_wide); cheap scans keep Spark's native split behavior.
     out = {}
     for n in names:
         out[n] = load_table(spark, sf_dir, n)

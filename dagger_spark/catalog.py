@@ -4132,11 +4132,14 @@ def pipeline_verdict_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = (F.col("doc_id") % _DECON_MOD) == 0
     return (
-        base.join(q, "doc_id", "left")
-        # the canonical side descends from checkpointed CC labels (no
-        # stats -> SMJ default); shuffle-hash, corpus-sized both sides
+        # every side is corpus-sized AND stats-less (the quality/decontam
+        # sides now descend from a repartition, the canonical side from
+        # checkpointed CC labels — both hide scan statistics), so Spark
+        # would default each join to sort-merge; shuffle-hash needs no
+        # sort and broadcast would be wrong at the design point
+        base.join(q.hint("shuffle_hash"), "doc_id", "left")
         .join(c.hint("shuffle_hash"), "doc_id", "left")
-        .join(d, "doc_id", "left")
+        .join(d.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             passes.alias("passes_quality"),

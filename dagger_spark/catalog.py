@@ -3145,6 +3145,31 @@ def sysmon_rules_alerts(spark, sf_dir):
 
 
 @register(
+    "sysmon_rules_correlated",
+    None,
+    "Sigma-v2-style temporal CORRELATION (the meta-rule surface the "
+    "reference lacks entirely): entity matches 'Direct Syscall of "
+    "NtOpenProcess' then 'CMSTP Execution Process Access' within 30 min "
+    "— filtered alert streams, time-bucketed equi-join (never a "
+    "cartesian), streaming twin is a watermarked stream-stream join "
+    "(batch==stream pinned in tests/test_correlate.py along with a "
+    "DuckDB differential oracle over the fixture; fixture table is not "
+    "in the driver's views, so rows-only here)",
+)
+def sysmon_rules_correlated(spark, sf_dir):
+    from .fixtures import write_sysmon_parquet
+    from .rules.builtin import active_rules
+    from .rules.correlate import correlate_alerts
+
+    path = write_sysmon_parquet("/tmp/dagger_corr_sysmon_2000.parquet")
+    events = spark.read.parquet(path)
+    rules = sorted(active_rules(), key=lambda r: r.name)
+    ra = next(r for r in rules if r.name == "Direct Syscall of NtOpenProcess")
+    rb = next(r for r in rules if r.name == "CMSTP Execution Process Access")
+    return correlate_alerts(events, ra, rb, window_s=1800)
+
+
+@register(
     "multimodal_meta",
     None,
     "multimodal binary columns: fake image blobs -> mapInPandas header "

@@ -1,0 +1,98 @@
+"""Sigma-v2-style temporal CORRELATION rules: entity X matches rule A and
+then rule B within T seconds.
+
+The reference compiles only per-event predicate rules
+(sigma-transf/main.py:179-208) — correlations, the modern Sigma meta-rule
+surface (https://sigmahq.io/docs/meta/correlations), are entirely absent
+there; this module supplies them Spark-first on top of the existing rule
+predicates and the time-bucketed interval join.
+
+Scale shape: each side is a FILTERED alert stream (tiny vs the event
+firehose), the join is a bucketed equi-join on (entity, time bucket) —
+never a cartesian — and the streaming twin is a watermarked stream-stream
+join whose time-range predicate lets Spark garbage-collect state, the
+standard production correlation topology.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ops.asof import interval_join
+
+
+def rule_matches(
+    events: DataFrame, rule, key: str = "computer_name",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """The (entity, uuid, ts) alert projection of one rule — the minimal
+    correlation input (full alert enrichment happens downstream, only on
+    correlated survivors)."""
+    return events.filter(rule.condition()).select(
+        F.col(key).alias("entity"), F.col("uuid"), F.col(ts_col).alias("ts")
+    )
+
+
+def correlate_alerts(
+    events: DataFrame,
+    rule_a,
+    rule_b,
+    key: str = "computer_name",
+    ts_col: str = "timestamp",
+    window_s: int = 300,
+) -> DataFrame:
+    """Batch correlation: every (A-match, B-match) pair on the same entity
+    with ``0 <= t_B - t_A <= window_s`` (ordered: A happened first; an
+    event matching both rules correlates with itself excluded).  Output:
+    entity, a_uuid, b_uuid, lag_s.
+
+    Candidate generation is the time-bucketed equi-join of
+    ``ops.asof.interval_join`` — pair space is per-(entity, bucket), no
+    cartesian at any scale — with the ordered window refined after."""
+    a = rule_matches(events, rule_a, key, ts_col).select(
+        "entity", F.col("uuid").alias("a_uuid"), F.col("ts").alias("a_ts")
+    )
+    b = rule_matches(events, rule_b, key, ts_col).select(
+        "entity", F.col("uuid").alias("b_uuid"), F.col("ts").alias("b_ts")
+    )
+    j = interval_join(a, b, "entity", "a_ts", "b_ts", window_s)
+    lag = F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")
+    return (
+        j.filter((lag >= 0) & (F.col("a_uuid") != F.col("b_uuid")))
+        .select("entity", "a_uuid", "b_uuid", lag.cast("long").alias("lag_s"))
+    )
+
+
+def correlate_alerts_stream(
+    events: DataFrame,
+    rule_a,
+    rule_b,
+    key: str = "computer_name",
+    ts_col: str = "timestamp",
+    window_s: int = 300,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming twin: watermarked stream-stream inner join with an
+    explicit time-range predicate — the form Structured Streaming requires
+    so both sides' state can be garbage-collected (A-side state lives
+    window_s + watermark, B-side watermark only).  Same answer as
+    ``correlate_alerts`` on the same data (pinned by test)."""
+    a = rule_matches(events, rule_a, key, ts_col).select(
+        "entity", F.col("uuid").alias("a_uuid"), F.col("ts").alias("a_ts")
+    ).withWatermark("a_ts", watermark)
+    b = rule_matches(events, rule_b, key, ts_col).select(
+        F.col("entity").alias("entity_b"),
+        F.col("uuid").alias("b_uuid"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", watermark)
+    cond = (
+        (F.col("entity") == F.col("entity_b"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (F.col("a_uuid") != F.col("b_uuid"))
+    )
+    lag = F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")
+    return a.join(b, cond).select(
+        "entity", "a_uuid", "b_uuid", lag.cast("long").alias("lag_s")
+    )

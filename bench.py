@@ -103,6 +103,8 @@ HEADLINE = [
     "multimodal_audio",
     "phrase_search_docs",
     "corpus_diff_docs",
+    "multimodal_frames",
+    "sysmon_rules_correlated",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -3245,6 +3245,24 @@ def multimodal_audio(spark, sf_dir):
 
 
 @register(
+    "multimodal_frames",
+    None,  # container parsing has no SQL twin; rows-only (crc value-check)
+    "REAL video-container frame sampling with zero installed libraries: "
+    "deterministic AVI blobs (stdlib RIFF writer, one truncated per 16) "
+    "parse on the workers — chunk walk, avih header, declared-vs-actual "
+    "frame-count integrity — and every 4th frame emits a row with its "
+    "payload crc32.  The honest boundary is documented: frame PAYLOAD "
+    "decode needs a codec library, so payloads stay opaque; the sampled "
+    "rows are exactly what decode_image_pixels consumes next.  At scale "
+    "only 1/N of payload bytes survive the scan",
+)
+def multimodal_frames(spark, sf_dir):
+    from .ops.video import fake_video_df, sample_video_frames
+
+    return sample_video_frames(fake_video_df(spark, 32), every_n=4)
+
+
+@register(
     "skew_resistant_agg",
     """
     SELECT event_type,

@@ -105,6 +105,7 @@ HEADLINE = [
     "corpus_diff_docs",
     "multimodal_frames",
     "sysmon_rules_correlated",
+    "multimodal_video_pixels",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

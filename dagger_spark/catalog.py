@@ -3263,6 +3263,55 @@ def multimodal_frames(spark, sf_dir):
 
 
 @register(
+    "multimodal_video_pixels",
+    None,  # two-codec composition; rows-only (pixel crc value-check)
+    "the FULL multimodal chain as one DAG: AVI containers whose frames "
+    "are real PNGs stream through sample_video_frames (stdlib RIFF "
+    "parse, every 2nd frame) into decode_image_pixels (stdlib PNG "
+    "inflate+defilter) — container -> frame -> pixels, all real compute "
+    "with zero installed libraries, pixel crc32 value-checking the whole "
+    "chain.  The production shape: video fans out to sampled frames "
+    "which feed the image tower; each stage is the already-tested "
+    "operator, composed",
+)
+def multimodal_video_pixels(spark, sf_dir):
+    from .ops.multimodal import MEDIA_SCHEMA, decode_image_pixels, encode_png
+    from .ops.video import encode_avi, sample_video_frames
+
+    rows = []
+    for i in range(12):
+        w, h = 6 + i % 3, 4 + i % 2
+        frames = [
+            encode_png(
+                w, h, 3,
+                bytes((i * 37 + f * 11 + j) % 256 for j in range(w * h * 3)),
+                filter_type=(i + f) % 5,
+            )
+            for f in range(4 + i % 3)
+        ]
+        blob = encode_avi(frames, w, h, fps=10)
+        rows.append((i, "video/avi", bytearray(blob), ("avi", len(blob))))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sampled = sample_video_frames(media, every_n=2, payloads=True).filter(
+        F.col("valid")
+    )
+    frames_media = sampled.select(
+        (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
+        F.lit("image/png").alias("media_type"),
+        F.col("frame_data").alias("content"),
+        F.struct(
+            F.lit("frame").alias("source"),
+            F.col("frame_bytes").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    px = decode_image_pixels(frames_media)
+    return px.select(
+        "media_id", "width", "height", "channels",
+        F.crc32(F.col("pixels")).alias("pixel_crc"), "valid",
+    )
+
+
+@register(
     "skew_resistant_agg",
     """
     SELECT event_type,

@@ -146,8 +146,8 @@ def fake_video_df(spark, n: int = 32) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-FRAME_SCHEMA = T.StructType(
-    [
+def _frame_schema(payloads: bool) -> T.StructType:
+    fields = [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -158,16 +158,25 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_crc", T.LongType(), True),
         T.StructField("valid", T.BooleanType(), False),
     ]
-)
+    if payloads:
+        fields.insert(8, T.StructField("frame_data", T.BinaryType(), True))
+    return T.StructType(fields)
 
 
-def sample_video_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+FRAME_SCHEMA = _frame_schema(False)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 4, payloads: bool = False
+) -> DataFrame:
     """REAL frame sampling via mapInPandas: decode the container on the
     workers, keep every ``every_n``-th frame (index 0, n, 2n…), emit one
     row per sampled frame with the payload crc32 value-checking the
-    extraction.  Undecodable blobs keep ONE row with valid=false.  At
-    100 TB this is the fan-out stage feeding the image tower — only 1/N
-    of payload bytes survive the scan."""
+    extraction.  Undecodable blobs keep ONE row with valid=false.
+    ``payloads=True`` adds the frame bytes themselves (``frame_data``) —
+    the fan-out feeding a downstream image stage; default off so the
+    metadata-only path ships no payload bytes.  At 100 TB only 1/N of
+    payload bytes survive the scan either way."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -178,20 +187,21 @@ def sample_video_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                         raise ValueError("null blob")
                     w, h, fps, total, frames = decode_avi(bytes(blob))
                     for i in range(0, total, every_n):
-                        out.append(
-                            (mid, w, h, fps, total, i, len(frames[i]),
-                             zlib.crc32(frames[i]), True)
-                        )
+                        row = [mid, w, h, fps, total, i, len(frames[i]),
+                               zlib.crc32(frames[i]), True]
+                        if payloads:
+                            row.insert(8, bytearray(frames[i]))
+                        out.append(tuple(row))
                 except (ValueError, struct.error):
-                    out.append(
-                        (mid, None, None, None, None, None, None, None, False)
-                    )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "width", "height", "fps", "n_frames",
-                    "frame_idx", "frame_bytes", "frame_crc", "valid",
-                ],
-            )
+                    row = [mid, None, None, None, None, None, None, None,
+                           False]
+                    if payloads:
+                        row.insert(8, None)
+                    out.append(tuple(row))
+            cols = ["media_id", "width", "height", "fps", "n_frames",
+                    "frame_idx", "frame_bytes", "frame_crc", "valid"]
+            if payloads:
+                cols.insert(8, "frame_data")
+            yield pd.DataFrame(out, columns=cols)
 
-    return media.mapInPandas(batches, FRAME_SCHEMA)
+    return media.mapInPandas(batches, _frame_schema(payloads))

@@ -77,3 +77,19 @@ def test_spark_frame_sampling_matches_python(spark):
     want = sorted((i, zlib.crc32(frames[i])) for i in range(0, total, 4))
     assert got == want
     assert all(r["width"] == w and r["fps"] == fps for r in rows[3])
+
+
+def test_video_to_pixels_chain_is_value_exact(spark):
+    # the composed catalog query: AVI -> sampled PNG frames -> raw pixels.
+    # Every decoded pixel buffer must crc-match the ORIGINAL pixel bytes
+    # the fixture encoded, proving both codecs round-trip through the DAG.
+    from dagger_spark.catalog import QUERIES
+
+    out = QUERIES["multimodal_video_pixels"].fn(spark, "unused").collect()
+    assert out and all(r["valid"] for r in out)
+    for r in out:
+        vid, fidx = divmod(r["media_id"], 1000)
+        w, h = 6 + vid % 3, 4 + vid % 2
+        px = bytes((vid * 37 + fidx * 11 + j) % 256 for j in range(w * h * 3))
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["pixel_crc"] == zlib.crc32(px), r["media_id"]

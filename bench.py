@@ -106,6 +106,8 @@ HEADLINE = [
     "multimodal_frames",
     "sysmon_rules_correlated",
     "multimodal_video_pixels",
+    "dq_checks_orders",
+    "scd2_customer_priority",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

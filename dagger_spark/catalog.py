@@ -4558,6 +4558,87 @@ def corpus_diff_docs(spark, sf_dir):
     )
 
 
+_shared_sql(
+    "dq_checks_orders",
+    """
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS violations,
+           (SELECT count(*) FROM orders) AS population
+    UNION ALL
+    SELECT 'orders_key_unique',
+           (SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT count(*) FROM lineitem
+            WHERE l_quantity IS NULL OR l_quantity <= 0 OR l_quantity > 50),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orders_price_nonneg',
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice IS NULL OR o_totalprice < 0),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.1),
+           (SELECT count(*) FROM lineitem)
+    """,
+    "Deequ-style declarative data-quality suite over the relational "
+    "tables — the ingest gate every warehouse runs: referential "
+    "integrity (anti-join existence checks Catalyst turns into "
+    "broadcast/hash anti joins), key uniqueness, NULL and range "
+    "constraints, each reported as (check, violations, population) so "
+    "downstream alerting thresholds on the ratio.  Shared SQL text runs "
+    "verbatim in both engines; each subquery is one aggregate over one "
+    "scan, and at 100 TB the checks batch into a single pass per table "
+    "with conditional aggregation",
+)
+
+
+_shared_sql(
+    "scd2_customer_priority",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority AS p,
+             date_trunc('second', o_orderdate) AS d, o_orderkey AS k,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), changes AS (
+      SELECT o_custkey, p, d, k FROM ordered
+      WHERE prev IS NULL OR p <> prev
+    )
+    SELECT o_custkey, p AS priority, d AS valid_from,
+           lead(d) OVER (
+             PARTITION BY o_custkey ORDER BY d, k
+           ) AS valid_to,
+           (lead(d) OVER (
+             PARTITION BY o_custkey ORDER BY d, k
+           ) IS NULL) AS is_current
+    FROM changes
+    """,
+    "CDC -> SCD Type-2 compaction, the warehouse-history staple: each "
+    "customer's order-priority CHANGE points (lag() drops consecutive "
+    "repeats) become versioned rows with [valid_from, valid_to) ranges "
+    "via lead(), open-ended current row flagged.  Both windows ride ONE "
+    "hash partitioning on the entity key — one shuffle total at any "
+    "scale; deterministic (date, orderkey) tiebreak.  Shared SQL text "
+    "runs verbatim in both engines",
+)
+
+
 def _profile_col_sql(c: str) -> str:
     return f"""
     SELECT '{c}' AS col_name, count(*) AS n_rows,

@@ -50,3 +50,61 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_dq_checks_fire_on_planted_violations(spark, tmp_path):
+    """The DQ suite must COUNT violations, not just pass on clean data:
+    plant an orphan order, a duplicate orderkey, and an out-of-range
+    quantity/discount in a crafted sf_dir and assert each check fires."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from dagger_spark.catalog import QUERIES
+    from dagger_spark.sources.files import ALL_TABLES
+
+    d = str(tmp_path / "sf_bad")
+    import os
+
+    os.makedirs(d)
+    for t in ALL_TABLES:
+        if t not in ("customer", "orders", "lineitem"):
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                        f"{d}/{t}.parquet")
+    spark.createDataFrame(
+        [Row(c_custkey=1, c_name="a", c_mktsegment="BUILDING",
+             c_nationkey=0, c_acctbal=0.0)]
+    ).write.parquet(d + "/customer.parquet")
+    orders = [
+        Row(o_orderkey=10, o_custkey=1, o_totalprice=5.0,
+            o_orderdate=None, o_orderpriority="1-URGENT"),
+        Row(o_orderkey=10, o_custkey=1, o_totalprice=5.0,
+            o_orderdate=None, o_orderpriority="1-URGENT"),  # dup key
+        Row(o_orderkey=11, o_custkey=999, o_totalprice=-1.0,
+            o_orderdate=None, o_orderpriority="1-URGENT"),  # orphan + neg
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    li = [
+        Row(l_orderkey=10, l_quantity=99.0, l_discount=0.5,
+            l_extendedprice=1.0),             # qty + discount out of range
+        Row(l_orderkey=777, l_quantity=5.0, l_discount=0.05,
+            l_extendedprice=1.0),             # orphan lineitem
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_quantity double, l_discount double, "
+        "l_extendedprice double",
+    ).write.parquet(d + "/lineitem.parquet")
+
+    out = {r["check_name"]: r["violations"]
+           for r in QUERIES["dq_checks_orders"].fn(spark, d).collect()}
+    assert out["orders_custkey_fk"] == 1
+    assert out["orders_key_unique"] == 1      # one key with count > 1
+    assert out["lineitem_orderkey_fk"] == 1
+    assert out["lineitem_qty_range"] == 1
+    assert out["orders_price_nonneg"] == 1
+    assert out["lineitem_discount_range"] == 1

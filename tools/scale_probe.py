@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Scale probe: run representative document-pipeline operators at sf0.1
+(5k docs) and at a 20x tiled corpus (100k docs, written with REAL row
+groups so Spark's native splits engage and parallelize_narrow no-ops —
+i.e. the production layout, not the miniature-fixture path).
+
+Prints per-query wall seconds at both scales and the scaling factor; a
+map-heavy operator scaling ~linearly (factor ~<= 20 with parallel slack)
+is the evidence the ARCHITECTURE scale claims rest on.  Usage:
+
+    python tools/scale_probe.py [queries...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+TILE = 20
+BASE = "/root/testdata/sf0.1"
+PROBE_DIR = f"/tmp/dagger_scale_probe_{TILE}x"
+
+DEFAULT_QUERIES = [
+    "gopher_quality_docs",
+    "quality_classifier_docs",
+    "winnowing_docs",
+    "exact_dedup_docs",
+    "unigram_logprob_docs",
+    "text_stats_docs",
+    "token_entropy_docs",
+]
+
+
+def build_probe_corpus() -> str:
+    """Tile documents 20x with per-tile doc_id offsets and a tile marker
+    token appended to text (so the tiled corpus is 20x DISTINCT docs, not
+    20 copies — copies would make dedup-family timings meaningless).
+    Written with 8k-row row groups: many native splits, production-like."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = os.path.join(PROBE_DIR, "documents.parquet")
+    done = os.path.join(PROBE_DIR, "_DONE")
+    if os.path.exists(done):
+        return PROBE_DIR
+    os.makedirs(PROBE_DIR, exist_ok=True)
+    base = pq.read_table(os.path.join(BASE, "documents.parquet"))
+    n = base.num_rows
+    tiles = []
+    for t in range(TILE):
+        ids = pc.add(base["doc_id"], t * n)
+        texts = pc.binary_join_element_wise(
+            base["text"].cast(pa.string()), f"tile{t}", " "
+        )
+        tiles.append(
+            pa.table(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": base["lang"],
+                    "source": base["source"],
+                    "n_chars": pc.add(base["n_chars"], len(f" tile{t}")),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(tiles), out, row_group_size=8192)
+    open(done, "w").close()
+    return PROBE_DIR
+
+
+def main() -> None:
+    from dagger_spark.catalog import QUERIES
+    from dagger_spark.session import get_spark
+
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    probe = build_probe_corpus()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        "scale_probe", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    results = {}
+    for name in names:
+        fn = QUERIES[name].fn
+        fn(spark, BASE).collect()  # warm both code paths
+        t = time.time()
+        n_small = len(fn(spark, BASE).collect())
+        t_small = time.time() - t
+        fn(spark, probe).collect()
+        t = time.time()
+        n_big = len(fn(spark, probe).collect())
+        t_big = time.time() - t
+        results[name] = {
+            "sf0.1_s": round(t_small, 2),
+            f"{TILE}x_s": round(t_big, 2),
+            "factor": round(t_big / t_small, 1) if t_small > 0 else None,
+            "rows": [n_small, n_big],
+        }
+        print(name, results[name], flush=True)
+    print(json.dumps({"tile": TILE, "cpus": cpus, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,7 @@ HEADLINE = [
     "multimodal_video_pixels",
     "dq_checks_orders",
     "scd2_customer_priority",
+    "pagerank_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

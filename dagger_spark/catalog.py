@@ -4639,6 +4639,76 @@ _shared_sql(
 )
 
 
+def _pagerank_oracle(iters: int = 10) -> str:
+    """The SAME integer iteration unrolled as chained CTEs (standard SQL
+    forbids aggregation in a recursive member, and unrolling mirrors the
+    Spark loop literally anyway)."""
+    parts = [_DUCK_MINHASH_CTE + """
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL SELECT id_b, id_a FROM cand
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM sym GROUP BY src
+    ), e AS (
+      SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)
+    ), r0 AS (
+      SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents
+    )"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", r{k} AS (
+      SELECT n.doc_id AS id,
+             CAST(150000 + (85 * coalesce(sum(pr.r // e.deg), 0)) // 100
+                  AS BIGINT) AS r
+      FROM documents n
+      LEFT JOIN e ON e.dst = n.doc_id
+      LEFT JOIN r{k - 1} pr ON pr.id = e.src
+      GROUP BY n.doc_id
+    )""")
+    parts.append(f"""
+    SELECT r{iters}.id AS doc_id,
+           coalesce(deg.deg, 0)::BIGINT AS degree,
+           r{iters}.r AS rank_micro
+    FROM r{iters} LEFT JOIN deg ON deg.src = r{iters}.id
+    """)
+    return "".join(parts)
+
+
+@register(
+    "pagerank_docs",
+    _pagerank_oracle(10),
+    "integer-scaled PageRank over the document SIMILARITY graph (the LSH "
+    "candidate pairs the dedup family already computes, symmetrized) — "
+    "the centrality-as-quality-weight signal CommonCrawl-scale pipelines "
+    "apply before sampling.  Ten damped Pregel rounds, each ONE src-keyed "
+    "join + ONE dst-keyed aggregate (two shuffles/round at any scale), "
+    "lineage truncated per round like connected_components, stats-less "
+    "joins hinted shuffle-hash.  Ranks are micro-unit INTEGERS (r div "
+    "deg contributions, (85*sum) div 100 damping): every sum is "
+    "order-free, so the oracle — the same ten iterations unrolled as "
+    "chained CTEs — matches hash-exactly; floor division sheds mass, so "
+    "this is a deterministic centrality score, not a distribution",
+)
+def pagerank_docs(spark, sf_dir):
+    from .ops.dedup import minhash_candidate_pairs
+    from .ops.graph import pagerank_int
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(
+        docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
+    )
+    sym = cand.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        cand.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return pagerank_int(nodes, sym, iters=10).withColumnRenamed("id", "doc_id")
+
+
 def _profile_col_sql(c: str) -> str:
     return f"""
     SELECT '{c}' AS col_name, count(*) AS n_rows,

@@ -1,0 +1,73 @@
+"""Graph centrality: integer-scaled PageRank over DataFrame edge lists.
+
+The production use in a training-data pipeline is quality weighting —
+CommonCrawl-scale corpora weight documents/domains by link centrality
+(Harmonic/PageRank) before sampling — and the similarity graph the dedup
+family already builds (LSH candidate pairs) gives every corpus that
+structure even without hyperlinks.
+
+Why INTEGER-scaled: float PageRank sums contributions in partition order,
+so cross-engine (and cross-partitioning) bit-equality is unattainable.
+Ranks here live in micro-units (start 1_000_000); per-edge contributions
+use integer division (``r div deg``), the damped update is
+``150_000 + (85 * sum) div 100`` — every operation is order-free integer
+arithmetic, so the DuckDB oracle (the same 10 iterations unrolled as
+chained CTEs) matches hash-exactly.  The floor divisions shed mass, so
+ranks are a deterministic centrality SCORE, not a probability
+distribution — documented, and irrelevant for the ranking use.
+
+Scale shape: one (src)-keyed join + one (dst)-keyed aggregate per
+iteration — the textbook Pregel round as two shuffles; lineage truncated
+per round exactly like connected_components, and every join against the
+truncated frame is hinted shuffle-hash (checkpointed frames carry no
+stats; the files.py join-statistics rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 10,
+    id_col: str = "id",
+) -> DataFrame:
+    """Ten damped rounds over a directed edge list (``src``, ``dst``).
+    Returns (id, degree, rank_micro); dangling/isolated nodes hold the
+    base rank 150_000.  ``nodes`` must carry every vertex (including
+    edge-less ones)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(deg.hint("shuffle_hash"), "src").persist()
+    r = nodes.select(
+        F.col(id_col).alias("src"),
+        F.lit(1_000_000).cast("long").alias("r"),
+    )
+    base = nodes.select(F.col(id_col).alias("src"))
+    for _ in range(iters):
+        contrib = e.join(r.hint("shuffle_hash"), "src").select(
+            F.col("dst").alias("src"), F.expr("r div deg").alias("c")
+        )
+        inc = contrib.groupBy("src").agg(F.sum("c").alias("s"))
+        r = base.join(inc.hint("shuffle_hash"), "src", "left").select(
+            "src",
+            (F.lit(150_000) + F.expr("(85 * coalesce(s, 0L)) div 100"))
+            .cast("long").alias("r"),
+        )
+        r = r.localCheckpoint(eager=True)  # truncate the per-round lineage
+    out = (
+        r.withColumnRenamed("src", id_col)
+        .join(
+            deg.withColumnRenamed("src", id_col).hint("shuffle_hash"),
+            id_col, "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("degree"),
+            F.col("r").alias("rank_micro"),
+        )
+    )
+    e.unpersist()
+    return out

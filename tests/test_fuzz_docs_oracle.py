@@ -73,6 +73,7 @@ DOC_QUERIES = [
     "corpus_diff_docs",
     "profile_documents",
     "bpe_pair_counts_docs",
+    "pagerank_docs",
 ]
 
 _WORDS = (

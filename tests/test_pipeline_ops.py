@@ -265,3 +265,32 @@ def test_rp_signs_deterministic():
     assert s == rp_signs(3, 64)
     assert set(s) == {1.0, -1.0}
     assert rp_signs(4, 64) != s
+
+
+def test_pagerank_int_star_graph_exact(spark):
+    from pyspark.sql import Row
+
+    from dagger_spark.ops.graph import pagerank_int
+
+    # star: 0 <-> {1,2,3}; node 9 isolated
+    pairs = [(0, i) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs]
+        + [Row(src=b, dst=a) for a, b in pairs],
+    )
+    nodes = spark.createDataFrame([Row(id=i) for i in (0, 1, 2, 3, 9)])
+    got = {r["id"]: (r["degree"], r["rank_micro"])
+           for r in pagerank_int(nodes, edges, iters=10).collect()}
+
+    # independent pure-Python recomputation of the integer iteration
+    deg = {0: 3, 1: 1, 2: 1, 3: 1}
+    r = {i: 1_000_000 for i in (0, 1, 2, 3, 9)}
+    for _ in range(10):
+        inc = {i: 0 for i in r}
+        for a, b in pairs:
+            inc[b] += r[a] // deg[a]
+            inc[a] += r[b] // deg[b]
+        r = {i: 150_000 + (85 * inc[i]) // 100 for i in r}
+    assert got == {i: (deg.get(i, 0), r[i]) for i in r}
+    # the hub out-ranks the leaves; the isolate holds the base rank
+    assert got[0][1] > got[1][1] and got[9] == (0, 150_000)

@@ -109,6 +109,7 @@ HEADLINE = [
     "dq_checks_orders",
     "scd2_customer_priority",
     "pagerank_docs",
+    "events_pattern_match",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

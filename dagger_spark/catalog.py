@@ -4639,6 +4639,59 @@ _shared_sql(
 )
 
 
+@register(
+    "events_pattern_match",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           length(s) AS n_events,
+           len(regexp_extract_all(s, 'vc+p')) AS n_patterns,
+           len(regexp_extract_all(s, 'vc+p')) > 0 AS matched
+    FROM seq
+    """,
+    "MATCH_RECOGNIZE-style event-sequence pattern matching (the SQL-2016 "
+    "feature Spark lacks): per-user event types collapse — ordered by "
+    "(ts, event_id), initials only — into one string per user, and the "
+    "row-pattern 'view, one-or-more clicks, purchase' becomes the regex "
+    "vc+p counted non-overlapping.  One user-keyed shuffle; the sequence "
+    "string is bounded by the user's event count, and at 100 TB the "
+    "same shape runs windowed (pattern within session) rather than "
+    "whole-history.  Initials are distinct across the 5 event types, so "
+    "the encoding is lossless here; a general encoder maps types to "
+    "single codepoints first",
+)
+def events_pattern_match(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"), F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("i"),
+                        )
+                    )
+                ),
+                lambda x: x["i"],
+            ),
+            "",
+        ).alias("s")
+    )
+    n = F.coalesce(F.regexp_count(F.col("s"), F.lit("vc+p")), F.lit(0))
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        n.cast("long").alias("n_patterns"),
+        (n > 0).alias("matched"),
+    )
+
+
 def _pagerank_oracle(iters: int = 10) -> str:
     """The SAME integer iteration unrolled as chained CTEs (standard SQL
     forbids aggregation in a recursive member, and unrolling mirrors the

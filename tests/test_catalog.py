@@ -108,3 +108,43 @@ def test_dq_checks_fire_on_planted_violations(spark, tmp_path):
     assert out["lineitem_qty_range"] == 1
     assert out["orders_price_nonneg"] == 1
     assert out["lineitem_discount_range"] == 1
+
+
+def test_events_pattern_match_semantics(spark, tmp_path):
+    """Crafted sequences pin the row-pattern semantics: vc+p needs at
+    least one click between view and purchase; matches count
+    non-overlapping; order comes from (ts, event_id), not input order."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from dagger_spark.catalog import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, typ, sec):
+        return Row(event_id=i, ts=t0 + dt.timedelta(seconds=sec),
+                   user_id=u, event_type=typ, value=1.0, props=None)
+
+    rows = [
+        # u1: v c c p -> one match
+        ev(1, 1, "view", 0), ev(2, 1, "click", 1),
+        ev(3, 1, "click", 2), ev(4, 1, "purchase", 3),
+        # u2: v p (no click) -> no match
+        ev(5, 2, "view", 0), ev(6, 2, "purchase", 1),
+        # u3: v c p v c p -> two non-overlapping matches, written out of
+        # order to prove (ts, event_id) ordering governs
+        ev(12, 3, "purchase", 5), ev(7, 3, "view", 0), ev(9, 3, "click", 1),
+        ev(10, 3, "purchase", 2), ev(11, 3, "view", 3), ev(8, 3, "click", 4),
+    ]
+    d = str(tmp_path / "pev")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {r["user_id"]: r for r in
+           QUERIES["events_pattern_match"].fn(spark, d).collect()}
+    assert out[1]["n_patterns"] == 1 and out[1]["matched"]
+    assert out[2]["n_patterns"] == 0 and not out[2]["matched"]
+    assert out[3]["n_patterns"] == 2 and out[3]["n_events"] == 6

@@ -47,6 +47,7 @@ EVENT_QUERIES = [
     "events_cms_counts",
     "events_funnel",
     "events_zorder_layout",
+    "events_pattern_match",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

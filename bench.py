@@ -110,6 +110,7 @@ HEADLINE = [
     "scd2_customer_priority",
     "pagerank_docs",
     "events_pattern_match",
+    "events_gapfill",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

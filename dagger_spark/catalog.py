@@ -4639,6 +4639,54 @@ _shared_sql(
 )
 
 
+def _gapfill_sql(grid_expr: str) -> str:
+    """One query text, one dialect hole: the dense-grid explode is
+    ``explode(sequence(...))`` in Spark, ``unnest(generate_series(...))``
+    in DuckDB; everything else is shared verbatim."""
+    return f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(avg(value), 6) AS v
+      FROM events WHERE user_id % 20 = 0
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), bounds AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly
+      GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, {grid_expr} AS h FROM bounds
+    ), joined AS (
+      SELECT g.user_id, g.h, hr.v,
+             count(hr.v) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS UNBOUNDED PRECEDING
+             ) AS grp
+      FROM grid g LEFT JOIN hourly hr
+        ON g.user_id = hr.user_id AND g.h = hr.h
+    )
+    SELECT user_id, h AS hour, (v IS NULL) AS filled,
+           max(v) OVER (PARTITION BY user_id, grp) AS value_ff
+    FROM joined
+    """
+
+
+_shared_sql(
+    "events_gapfill",
+    _gapfill_sql("explode(sequence(h0, h1, INTERVAL 1 HOUR))"),
+    "time-series gap-fill + forward-fill, the resampling op Spark has no "
+    "native verb for: per-user hourly averages land on a DENSE hour grid "
+    "(sequence explode between each user's own bounds) and gaps carry "
+    "the last observation forward.  The fill uses the "
+    "count-over-preceding trick — count(v) over preceding rows is "
+    "constant within each observation's fill-run, so max(v) per (user, "
+    "run) IS the forward fill — which runs identically in both engines "
+    "(last_value IGNORE NULLS is the intent, but engines disagree on "
+    "IGNORE NULLS in window frames; the trick sidesteps it).  Agg, "
+    "fill-run window, and run-max all ride user-keyed partitionings; "
+    "user_id % 20 keeps the demo grid bounded",
+    oracle_sql=_gapfill_sql("unnest(generate_series(h0, h1, INTERVAL 1 HOUR))"),
+)
+
+
 @register(
     "events_pattern_match",
     """

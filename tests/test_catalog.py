@@ -148,3 +148,50 @@ def test_events_pattern_match_semantics(spark, tmp_path):
     assert out[1]["n_patterns"] == 1 and out[1]["matched"]
     assert out[2]["n_patterns"] == 0 and not out[2]["matched"]
     assert out[3]["n_patterns"] == 2 and out[3]["n_events"] == 6
+
+
+def test_events_gapfill_semantics(spark, tmp_path):
+    """Crafted gaps pin the fill: missing hours appear with filled=true
+    carrying the LAST observation, leading rows before any observation
+    stay NULL, and the grid spans each user's own bounds only."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from dagger_spark.catalog import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 0 (passes %20 filter): hours 0, 3 observed, 1-2 gaps
+        Row(event_id=1, ts=t0, user_id=0, event_type="view",
+            value=10.0, props=None),
+        Row(event_id=2, ts=t0 + dt.timedelta(hours=3), user_id=0,
+            event_type="view", value=40.0, props=None),
+        # user 20: single hour -> single-row grid, nothing filled
+        Row(event_id=3, ts=t0, user_id=20, event_type="view",
+            value=7.0, props=None),
+    ]
+    import os
+    import shutil
+
+    from dagger_spark.sources.files import ALL_TABLES
+
+    d = str(tmp_path / "gf")
+    os.makedirs(d)
+    for t in ALL_TABLES:  # _shared_sql registers every view
+        if t != "events":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                        f"{d}/{t}.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = QUERIES["events_gapfill"].fn(spark, d).collect()
+    u0 = sorted((r for r in out if r["user_id"] == 0),
+                key=lambda r: r["hour"])
+    assert [r["filled"] for r in u0] == [False, True, True, False]
+    assert [r["value_ff"] for r in u0] == [10.0, 10.0, 10.0, 40.0]
+    u20 = [r for r in out if r["user_id"] == 20]
+    assert len(u20) == 1 and not u20[0]["filled"] and u20[0]["value_ff"] == 7.0
+    assert len(out) == 5

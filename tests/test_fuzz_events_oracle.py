@@ -48,6 +48,7 @@ EVENT_QUERIES = [
     "events_funnel",
     "events_zorder_layout",
     "events_pattern_match",
+    "events_gapfill",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -34,11 +34,19 @@ def pagerank_int(
     edges: DataFrame,
     iters: int = 10,
     id_col: str = "id",
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Ten damped rounds over a directed edge list (``src``, ``dst``).
     Returns (id, degree, rank_micro); dangling/isolated nodes hold the
     base rank 150_000.  ``nodes`` must carry every vertex (including
-    edge-less ones)."""
+    edge-less ones).
+
+    ``checkpoint_every`` trades lineage depth against materialization
+    count: each eager localCheckpoint is a full job, so truncating every
+    round pays ~iters fixed job overheads (measured: the dominant cost at
+    small scale), while a 3-round stride keeps the plan bounded at 3
+    iterations deep for a third of the jobs.  Set to 1 for very large
+    graphs where executor memory pressure beats job overhead."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e = edges.join(deg.hint("shuffle_hash"), "src").persist()
     r = nodes.select(
@@ -46,7 +54,7 @@ def pagerank_int(
         F.lit(1_000_000).cast("long").alias("r"),
     )
     base = nodes.select(F.col(id_col).alias("src"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = e.join(r.hint("shuffle_hash"), "src").select(
             F.col("dst").alias("src"), F.expr("r div deg").alias("c")
         )
@@ -56,7 +64,8 @@ def pagerank_int(
             (F.lit(150_000) + F.expr("(85 * coalesce(s, 0L)) div 100"))
             .cast("long").alias("r"),
         )
-        r = r.localCheckpoint(eager=True)  # truncate the per-round lineage
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            r = r.localCheckpoint(eager=True)  # truncate lineage
     out = (
         r.withColumnRenamed("src", id_col)
         .join(

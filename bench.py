@@ -111,6 +111,7 @@ HEADLINE = [
     "pagerank_docs",
     "events_pattern_match",
     "events_gapfill",
+    "events_alert_debounce",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

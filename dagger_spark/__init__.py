@@ -14,8 +14,11 @@ Layout:
               sigma-transf/main.py semantics, bugs fixed by default)
   sources     batch/stream source wrappers (parquet/json/kafka/rate/file-stream)
   streaming   unioned alert streaming job + windowed timeframe rules
-  ops         LLM-data-pipeline operators: dedup, similarity, text, multimodal
-  analytics   TPC-H-ish batch analytics used for bench/correctness
+  ops         LLM-data-pipeline operators: dedup, similarity, text, graph,
+              multimodal (image/audio/video), skew, as-of joins
+  pipeline    CorpusPipeline, the fluent cleaning-composition API
+  catalog     every operator as a named (query, DuckDB-oracle) pair —
+              including the TPC-H-ish analytics used for bench/correctness
 """
 
 __version__ = "0.1.0"

@@ -4687,6 +4687,57 @@ _shared_sql(
 )
 
 
+def _debounce_sql(epoch_expr: str) -> str:
+    """One text, one dialect hole: seconds-since-epoch is
+    ``unix_timestamp(ts)`` in Spark, ``epoch(ts)`` in DuckDB."""
+    e = epoch_expr
+    return f"""
+    WITH err AS (
+      SELECT user_id, date_trunc('second', ts) AS ts
+      FROM events WHERE event_type = 'error'
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR {e.format(c="ts")} - {e.format(c="lag(ts) OVER w")}
+                       > 1800
+                  THEN 1 ELSE 0 END AS re_armed
+      FROM err
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(re_armed) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS episode
+      FROM flagged
+    )
+    SELECT user_id, CAST(episode AS BIGINT) AS episode,
+           min(ts) AS alert_ts,
+           count(*) - 1 AS n_suppressed,
+           CAST({e.format(c="max(ts)")} - {e.format(c="min(ts)")}
+                AS BIGINT) AS episode_span_s
+    FROM sessions GROUP BY user_id, episode
+    """
+
+
+@register(
+    "events_alert_debounce",
+    _debounce_sql("epoch({c})"),
+    "alert debouncing, the SIEM noise-control staple: per (user, error) "
+    "stream, emit the FIRST alert of each burst and suppress followers "
+    "until a quiet gap of 30 min re-arms — the gap-session semantics "
+    "(quiet period extends while events keep coming), expressed as the "
+    "classic lag-flag + running-sum sessionization with first/count per "
+    "episode.  All three windows ride ONE user-keyed partitioning "
+    "(single shuffle); the fixed-window-from-emission variant (chained "
+    "throttle) is inherently stateful and lives in the timeframe engine's "
+    "episode suppression (rules/timeframe.py).  Reports suppressed count "
+    "and episode span so the noise reduction is itself measured",
+)
+def events_alert_debounce(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_debounce_sql("unix_timestamp({c})"))
+
+
 @register(
     "events_pattern_match",
     """

@@ -195,3 +195,53 @@ def test_events_gapfill_semantics(spark, tmp_path):
     u20 = [r for r in out if r["user_id"] == 20]
     assert len(u20) == 1 and not u20[0]["filled"] and u20[0]["value_ff"] == 7.0
     assert len(out) == 5
+
+
+def test_events_alert_debounce_semantics(spark, tmp_path):
+    """Crafted bursts pin the debounce: followers within 30 min of the
+    PREVIOUS event suppress (quiet period extends while events keep
+    coming), a >30 min gap re-arms, non-error events never alert."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from dagger_spark.catalog import QUERIES
+    from dagger_spark.sources.files import ALL_TABLES
+
+    t0 = dt.datetime(2024, 1, 1)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        # u1: errors at 0, 20, 40 — each within 30 min of the PREVIOUS, so
+        # the chain stays ONE episode even though 40 > 30 from the first
+        Row(event_id=1, ts=mins(0), user_id=1, event_type="error",
+            value=1.0, props=None),
+        Row(event_id=2, ts=mins(20), user_id=1, event_type="error",
+            value=1.0, props=None),
+        Row(event_id=3, ts=mins(40), user_id=1, event_type="error",
+            value=1.0, props=None),
+        # quiet 31 min -> re-armed second episode
+        Row(event_id=4, ts=mins(71), user_id=1, event_type="error",
+            value=1.0, props=None),
+        # noise that must not alert
+        Row(event_id=5, ts=mins(2), user_id=1, event_type="click",
+            value=1.0, props=None),
+    ]
+    d = str(tmp_path / "deb")
+    os.makedirs(d)
+    for t in ALL_TABLES:
+        if t != "events":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                        f"{d}/{t}.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = sorted(QUERIES["events_alert_debounce"].fn(spark, d).collect(),
+                 key=lambda r: r["episode"])
+    assert len(out) == 2
+    assert out[0]["alert_ts"] == mins(0) and out[0]["n_suppressed"] == 2
+    assert out[0]["episode_span_s"] == 2400
+    assert out[1]["alert_ts"] == mins(71) and out[1]["n_suppressed"] == 0

@@ -49,6 +49,7 @@ EVENT_QUERIES = [
     "events_zorder_layout",
     "events_pattern_match",
     "events_gapfill",
+    "events_alert_debounce",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -84,6 +84,7 @@ LEAF_OPS = frozenset(
     {
         "eq", "ne", "lt", "le", "gt", "ge",
         "in", "is_null",
+        "eq_field",   # field = OTHER FIELD (Sigma v2 fieldref); value is the path
         "contains", "startswith", "endswith",
         "like",       # generic LIKE pattern kept verbatim (has `_` or interior `%`)
         "regex",      # regex, SEARCH semantics (Spark rlike / duckdb regexp_matches)
@@ -243,6 +244,11 @@ def to_column(pred: Pred, case_insensitive: bool = False) -> Column:
             return col == F.lit(v)
         if op == "ne":
             return col != F.lit(v)
+        if op == "eq_field":
+            other = _col(v)
+            if ci:
+                return F.lower(col) == F.lower(other)
+            return col == other
         if op in ("lt", "le", "gt", "ge"):
             # Numeric comparison semantics are pinned ENGINE-AGNOSTICALLY
             # for NUMERIC literals: the field TRY_CASTs to DOUBLE (NULL for
@@ -361,6 +367,10 @@ def to_sql(pred: Pred, dialect: str = "duckdb", case_insensitive: bool = False) 
             return f"({f} = {lit(v, low)})"
         if op == "ne":
             return f"({f} <> {lit(v, low)})"
+        if op == "eq_field":
+            a = fld(p, ci)
+            b = _field_sql(v, dialect)
+            return f"({a} = lower({b}))" if ci else f"({a} = {b})"
         if op in ("lt", "le", "gt", "ge"):
             # mirror to_column: numeric literals TRY_CAST the field to
             # DOUBLE (NULL -> no match); string literals compare lexically
@@ -530,6 +540,10 @@ class _Parser:
         k, v = self.peek()
         if k == "op":
             self.i += 1
+            pk, _pv = self.peek()
+            if v == "=" and pk == "ident":
+                # column-vs-column equality (Sigma v2 fieldref)
+                return Leaf(field, "eq_field", self._field())
             val = self._value()
             op = {"=": "eq", "<>": "ne", "!=": "ne", "<": "lt",
                   "<=": "le", ">": "gt", ">=": "ge"}[v]

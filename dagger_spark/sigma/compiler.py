@@ -328,6 +328,19 @@ def _modifier_term(key: str, modifier: str, value, bug_compat: bool) -> str:
         sym = {"lt": "<", "lte": "<=", "gt": ">", "gte": ">="}[modifier]
         return f"{_field(key)} {sym} {value!r}"
 
+    if modifier == "fieldref":
+        # Sigma v2: compare against ANOTHER FIELD of the same event, not a
+        # literal (e.g. ParentImage|fieldref: Image).  Column-vs-column
+        # equality in both renderers; lists OR the references.
+        if bug_compat:
+            raise SigmaCompileError("fieldref not supported in bug-compat mode")
+        refs = values_list(value)
+        if not all(isinstance(v, str) for v in refs):
+            raise SigmaCompileError(
+                f"fieldref requires field-name string(s), got {value!r}")
+        parts = [f"{_field(key)} = {_field(v)}" for v in refs]
+        return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
+
     if modifier == "exists":
         if bug_compat:
             raise SigmaCompileError("exists not supported in bug-compat mode")

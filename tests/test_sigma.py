@@ -516,3 +516,78 @@ def test_string_comparison_leaf_renders_lexically(spark):
     duck = [r[0] for r in con.execute(
         "SELECT day FROM t WHERE " + to_sql(pred, dialect="duckdb")).fetchall()]
     assert duck == got
+
+
+def test_fieldref_modifier_compares_columns():
+    import pytest
+    from dagger_spark.sigma.compiler import SigmaCompileError
+
+    spec = compile_sigma(
+        mk({"sel": {"ParentImage|fieldref": "Image"}, "condition": "sel"})
+    )
+    assert (
+        "`event_data`.`ParentImage` = `event_data`.`Image`"
+        in spec.predicate_sql
+    )
+    parse_predicate(spec.predicate_sql)
+    multi = compile_sigma(
+        mk({"sel": {"A|fieldref": ["B", "C"]}, "condition": "sel"})
+    )
+    assert (
+        "`event_data`.`A` = `event_data`.`B` OR "
+        "`event_data`.`A` = `event_data`.`C`"
+    ) in multi.predicate_sql
+    with pytest.raises(SigmaCompileError, match="field-name"):
+        compile_sigma(mk({"sel": {"A|fieldref": 5}, "condition": "sel"}))
+    with pytest.raises(SigmaCompileError, match="bug-compat"):
+        compile_sigma(
+            mk({"sel": {"A|fieldref": "B"}, "condition": "sel"}),
+            bug_compat=True,
+        )
+
+
+def test_fieldref_matches_rows_where_fields_equal(spark):
+    """End-to-end: a fieldref rule fires exactly where the two event_data
+    fields carry the same value."""
+    from pyspark.sql import functions as F
+
+    from dagger_spark.expr import parse_predicate, to_column
+
+    spec = compile_sigma(
+        mk({"sel": {"Image|fieldref": "ParentImage"}, "condition": "sel"})
+    )
+    pred = to_column(parse_predicate(spec.predicate_sql))
+    df = spark.createDataFrame(
+        [(1, 1, ("same.exe", "same.exe")), (2, 1, ("a.exe", "b.exe")),
+         (3, 1, (None, None)), (4, 10, ("same.exe", "same.exe"))],
+        "uuid int, event_id int, "
+        "event_data struct<Image: string, ParentImage: string>",
+    )
+    got = {r["uuid"] for r in df.filter(pred).collect()}
+    assert got == {1}  # NULL = NULL is not TRUE, as in both engines
+
+
+def test_fieldref_cross_engine_differential():
+    """The eq_field leaf renders to working SQL in BOTH engines and
+    matches the same rows."""
+    import duckdb
+
+    from dagger_spark.expr import parse_predicate, to_sql
+
+    p = parse_predicate("`event_data`.`Image` = `event_data`.`ParentImage`")
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE t AS SELECT * FROM (VALUES
+          (1, {'Image': 'same.exe', 'ParentImage': 'same.exe'}),
+          (2, {'Image': 'a.exe',    'ParentImage': 'b.exe'}),
+          (3, {'Image': 'CASE.exe', 'ParentImage': 'case.exe'}),
+          (4, {'Image': NULL,       'ParentImage': NULL})
+        ) AS v(uuid, event_data)
+    """)
+    got = {r[0] for r in con.execute(
+        f"SELECT uuid FROM t WHERE {to_sql(p, 'duckdb')}").fetchall()}
+    assert got == {1}
+    ci = {r[0] for r in con.execute(
+        f"SELECT uuid FROM t WHERE {to_sql(p, 'duckdb', case_insensitive=True)}"
+    ).fetchall()}
+    assert ci == {1, 3}

@@ -112,6 +112,7 @@ HEADLINE = [
     "events_pattern_match",
     "events_gapfill",
     "events_alert_debounce",
+    "contrastive_triplets",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -4272,7 +4272,7 @@ def _rp_proj_sql(out_dim: int = 16, dim: int = 64) -> str:
     f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      WHERE embedding IS NOT NULL
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
     ), p AS (
       SELECT vec_id, {_rp_proj_sql(16, 64)} AS pv FROM e
     ), q AS (SELECT vec_id AS qid, pv AS qv FROM p WHERE vec_id < 8),
@@ -4789,6 +4789,62 @@ def events_pattern_match(spark, sf_dir):
         n.cast("long").alias("n_patterns"),
         (n > 0).alias("matched"),
     )
+
+
+@register(
+    "contrastive_triplets",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), q AS (
+      SELECT vec_id AS anchor_id, v AS qv FROM e WHERE vec_id < 32
+    ), s AS (
+      SELECT q.anchor_id, e.vec_id AS cand_id,
+             CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.v, e.v)) > 0
+                  THEN round(list_dot_product(q.qv, e.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(e.v, e.v))), 6)
+                  ELSE 0.0 END AS score,
+             md5(q.anchor_id::VARCHAR || ':' || e.vec_id::VARCHAR) AS h
+      FROM q JOIN e ON e.vec_id <> q.anchor_id
+    ), rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY score DESC, cand_id) AS rk
+      FROM s
+    ), pos AS (
+      SELECT anchor_id, cand_id AS pos_id, score AS pos_score
+      FROM rk WHERE rk = 1
+    ), neg AS (
+      SELECT anchor_id, cand_id AS neg_id, score AS neg_score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY anchor_id ORDER BY h, cand_id) AS nk
+        FROM rk WHERE rk > 1
+      ) WHERE nk = 1
+    )
+    SELECT anchor_id, pos_id, pos_score, neg_id, neg_score,
+           round(pos_score - neg_score, 6) AS margin
+    FROM pos JOIN neg USING (anchor_id)
+    """,
+    "contrastive training-triplet mining for embedding models: per "
+    "anchor, the POSITIVE is its exact cosine top-1 and the NEGATIVE a "
+    "deterministic hash-random corpus row (min md5(anchor:cand), "
+    "positive and self excluded) — the (anchor, positive, "
+    "random-negative) batch shape contrastive losses train on, with the "
+    "margin reported so near-tie anchors are visible in the data.  ONE "
+    "scored pass serves both roles (queries broadcast, corpus scanned "
+    "once, two windows over the same anchor-keyed partitioning); swap "
+    "bucketed ANN in for the positive when exact top-1 is too expensive "
+    "at scale",
+)
+def contrastive_triplets(spark, sf_dir):
+    from .ops.similarity import contrastive_triplets as _ct
+
+    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return _ct(emb, emb.filter(F.col("vec_id") < 32))
 
 
 def _pagerank_oracle(iters: int = 10) -> str:

@@ -701,12 +701,20 @@ def rp_topk(
     with score 1.0 (identical inputs project identically), and JL's
     distance-preservation bound degrades gracefully for near-ties.
     Projection + norm are staged per side so the pair loop is one
-    zip_with fold over 16 elements."""
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    zip_with fold over 16 elements.
+
+    Rows whose vector is not exactly ``dim`` long are EXCLUDED, same as
+    NULLs: zip_with null-pads a short vector, the null poisons the fold,
+    and the cosine's null-guard would silently flatten every score to
+    0.0 — a wrong-dim corpus would "work" with garbage ranks while the
+    DuckDB oracle errors loudly.  Explicit exclusion makes both engines
+    agree AND surfaces the mismatch in row counts."""
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    q = queries.filter(ok).select(
         F.col(id_col).alias("query_id"),
         project_rp(F.col(vec_col), out_dim, dim).alias("qvec"),
     ).select("query_id", "qvec", norm(F.col("qvec")).alias("__qn"))
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c = corpus.filter(ok).select(
         F.col(id_col).alias("neighbor_id"),
         project_rp(F.col(vec_col), out_dim, dim).alias("cvec"),
     ).select("neighbor_id", "cvec", norm(F.col("cvec")).alias("__cn"))
@@ -729,4 +737,76 @@ def rp_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Training-triplet mining for embedding models: per anchor, the
+    POSITIVE is its exact cosine top-1 neighbor and the NEGATIVE is a
+    deterministic hash-random corpus row (min md5(anchor:candidate),
+    positives and self excluded) — the standard (anchor, positive,
+    random-negative) batch shape contrastive losses train on, with the
+    margin reported so collapsed/near-tie anchors are visible in data.
+
+    ONE scored pass serves both roles: queries broadcast, the corpus is
+    scanned once producing (anchor, candidate, score, hash), and two
+    windows over the same anchor-keyed partitioning pick top-score and
+    min-hash respectively — no second scan, no shuffle beyond the window.
+    Deterministic end to end (md5 + rounded-score ranking with id
+    tiebreaks), so the DuckDB oracle replays it exactly.  At 100 TB the
+    negative sampler stays O(corpus) per batch but embarrassingly
+    parallel; swap in bucketed ANN positives (ann_lsh/ivf) when exact
+    top-1 is too expensive."""
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("qvec"),
+    ).select("anchor_id", "qvec", norm(F.col("qvec")).alias("__qn"))
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+    ).select("cand_id", "cvec", norm(F.col("cvec")).alias("__cn"))
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            F.round(
+                cosine_from_norms(
+                    F.col("qvec"), F.col("cvec"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("score"),
+            F.md5(
+                F.concat_ws(":", F.col("anchor_id"), F.col("cand_id"))
+            ).alias("__h"),
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    ranked = scored.withColumn("__rk", F.row_number().over(wp))
+    pos = ranked.filter(F.col("__rk") == 1).select(
+        "anchor_id",
+        F.col("cand_id").alias("pos_id"),
+        F.col("score").alias("pos_score"),
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(F.asc("__h"), F.asc("cand_id"))
+    neg = (
+        ranked.filter(F.col("__rk") > 1)  # positives (and self) excluded
+        .withColumn("__nk", F.row_number().over(wn))
+        .filter(F.col("__nk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+        )
+    )
+    return pos.join(neg.hint("shuffle_hash"), "anchor_id").select(
+        "anchor_id", "pos_id", "pos_score", "neg_id", "neg_score",
+        F.round(F.col("pos_score") - F.col("neg_score"), 6).alias("margin"),
     )

@@ -34,6 +34,8 @@ EMB_QUERIES = [
     "semdedup_embeddings",
     "ann_pq_adc",
     "ann_recall",
+    "ann_rp",
+    "contrastive_triplets",
 ]
 
 DIM = 64

@@ -294,3 +294,36 @@ def test_pagerank_int_star_graph_exact(spark):
     assert got == {i: (deg.get(i, 0), r[i]) for i in r}
     # the hub out-ranks the leaves; the isolate holds the base rank
     assert got[0][1] > got[1][1] and got[9] == (0, 150_000)
+
+
+def test_contrastive_triplets_semantics(spark):
+    """Planted geometry pins the mining: the positive is the true nearest
+    neighbor, the negative is never the anchor or the positive, and the
+    margin is their score difference."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from dagger_spark.ops.similarity import contrastive_triplets
+
+    vecs = [
+        [1.0, 0.0, 0.0],   # 0: anchor
+        [0.9, 0.1, 0.0],   # 1: its obvious positive
+        [0.0, 1.0, 0.0],   # 2
+        [0.0, 0.0, 1.0],   # 3
+        [-1.0, 0.0, 0.0],  # 4
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)]
+    )
+    out = contrastive_triplets(df, df.filter(df.vec_id == 0)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["pos_id"] == 1 and r["pos_score"] > 0.99
+    assert r["neg_id"] not in (0, 1)
+    assert r["margin"] == round(r["pos_score"] - r["neg_score"], 6)
+    # the negative is the md5-argmin over remaining candidates — recompute
+    want = min(
+        (hashlib.md5(f"0:{i}".encode()).hexdigest(), i) for i in (2, 3, 4)
+    )[1]
+    assert r["neg_id"] == want

@@ -113,6 +113,7 @@ HEADLINE = [
     "events_gapfill",
     "events_alert_debounce",
     "contrastive_triplets",
+    "customer_hierarchy",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -4791,6 +4791,44 @@ def events_pattern_match(spark, sf_dir):
     )
 
 
+def _hierarchy_sql(intdiv: str) -> str:
+    """One text, one dialect hole: integer division is ``DIV`` in Spark
+    SQL, ``//`` in DuckDB."""
+    return f"""
+    WITH RECURSIVE chain(custkey, anc, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      WHERE c_custkey BETWEEN 1 AND 500
+      UNION ALL
+      SELECT custkey, anc {intdiv} 2, depth + 1 FROM chain WHERE anc > 1
+    )
+    SELECT ch.custkey,
+           max(ch.depth) AS depth,
+           count(*) AS chain_len,
+           round(sum(a.c_acctbal), 2) AS chain_balance
+    FROM chain ch JOIN customer a ON a.c_custkey = ch.anc
+    GROUP BY ch.custkey
+    """
+
+
+@register(
+    "customer_hierarchy",
+    _hierarchy_sql("//"),
+    "hierarchical rollup via RECURSIVE CTE — the Spark 4 SQL surface "
+    "(org charts, category trees, BOM explosions) exercised end-to-end: "
+    "each customer walks a synthetic binary-tree ancestor chain "
+    "(parent = custkey div 2) accumulating depth and the SUM of account "
+    "balances along the chain, the classic hierarchical aggregate.  The "
+    "recursion is DAG-bounded (ancestors strictly decrease), which "
+    "matters: Spark supports only UNION ALL recursion, so cyclic-graph "
+    "closures stay with the iterative connected-components operator — "
+    "the boundary between the two is documented here on purpose.  One "
+    "dialect hole (DIV vs //); both engines run the same text otherwise",
+)
+def customer_hierarchy(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_hierarchy_sql("DIV"))
+
+
 @register(
     "contrastive_triplets",
     """

@@ -245,3 +245,29 @@ def test_events_alert_debounce_semantics(spark, tmp_path):
     assert out[0]["alert_ts"] == mins(0) and out[0]["n_suppressed"] == 2
     assert out[0]["episode_span_s"] == 2400
     assert out[1]["alert_ts"] == mins(71) and out[1]["n_suppressed"] == 0
+
+
+def test_customer_hierarchy_chain_math(spark, sf_dir):
+    """The recursive chain is exact: depth = floor(log2(custkey)), chain
+    length = depth + 1, and the rollup sums exactly the halving ancestors."""
+    import math
+
+    from dagger_spark.catalog import QUERIES
+
+    out = {r["custkey"]: r for r in
+           QUERIES["customer_hierarchy"].fn(spark, sf_dir).collect()}
+    bal = {r["c_custkey"]: r["c_acctbal"] for r in
+           spark.sql("SELECT c_custkey, c_acctbal FROM customer").collect()}
+    # the anchor range clips to the table (sf0.001 has 150 customers)
+    assert set(out) == {k for k in bal if 1 <= k <= 500}
+    for k in (1, 2, 7, 128, max(out)):
+        r = out[k]
+        assert r["depth"] == int(math.log2(k))
+        assert r["chain_len"] == r["depth"] + 1
+        want, a = 0.0, k
+        while True:
+            want += bal[a]
+            if a <= 1:
+                break
+            a //= 2
+        assert r["chain_balance"] == round(want, 2), k

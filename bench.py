@@ -114,6 +114,7 @@ HEADLINE = [
     "events_alert_debounce",
     "contrastive_triplets",
     "customer_hierarchy",
+    "events_hll_intersect",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

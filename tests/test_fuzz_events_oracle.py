@@ -50,6 +50,7 @@ EVENT_QUERIES = [
     "events_pattern_match",
     "events_gapfill",
     "events_alert_debounce",
+    "events_hll_intersect",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -115,6 +115,8 @@ HEADLINE = [
     "contrastive_triplets",
     "customer_hierarchy",
     "events_hll_intersect",
+    "events_winsorized_stats",
+    "quality_policy_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

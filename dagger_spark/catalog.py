@@ -4829,6 +4829,110 @@ def customer_hierarchy(spark, sf_dir):
     return spark.sql(_hierarchy_sql("DIV"))
 
 
+_shared_sql(
+    "events_winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             percentile_cont(0.0625) WITHIN GROUP (ORDER BY value) AS lo,
+             percentile_cont(0.9375) WITHIN GROUP (ORDER BY value) AS hi
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(avg(e.value), 6) AS raw_mean,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 6)
+             AS winsorized_mean,
+           round(b.lo, 6) AS p_lo, round(b.hi, 6) AS p_hi
+    FROM events e JOIN b ON e.event_type = b.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, b.lo, b.hi
+    """,
+    "winsorized robust statistics per group — the outlier-resistant "
+    "aggregate metrics pipelines report next to raw means: exact "
+    "percentile bounds (DYADIC fractions 1/16 and 15/16, the "
+    "percentile_prices rule — both engines interpolate lo + (hi-lo)*f "
+    "identically only when f is exactly representable), values clipped "
+    "into [p_lo, p_hi] via least/greatest, then averaged.  Two passes "
+    "over the group (bounds agg + clipped agg), both riding the same "
+    "group-key partitioning; the bounds side is group-cardinality-sized "
+    "and broadcasts at scale",
+)
+
+
+#: per-language classifier-logit thresholds (milli-units) — policy AS DATA
+_LANG_POLICY = (("en", 0), ("de", -50), ("es", -50), ("fr", -100))
+_LANG_POLICY_DEFAULT = 50
+
+
+@register(
+    "quality_policy_docs",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(t) - 2, 1) + 1),
+               i -> substr(t, i, 3))) AS tg,
+             lang
+      FROM (SELECT doc_id, lower(trim(coalesce(text, ''))) AS t, lang
+            FROM documents)
+    ), s AS (
+      SELECT doc_id, lang,
+             coalesce(list_sum(list_transform(
+               tg, x -> w[('0x' || substr(md5(x), 1, 8))::BIGINT % 1024 + 1]
+             )), 0)::BIGINT AS logit_milli
+      FROM g, (SELECT {{weights}} AS w)
+    ), pol AS (
+      SELECT * FROM (VALUES {{policy_rows}}) v(lang, thr)
+    )
+    SELECT s.doc_id, s.lang, s.logit_milli,
+           CAST(coalesce(p.thr, {_LANG_POLICY_DEFAULT}) AS BIGINT)
+             AS threshold,
+           s.logit_milli >= coalesce(p.thr, {_LANG_POLICY_DEFAULT}) AS keep
+    FROM s LEFT JOIN pol p ON s.lang = p.lang
+    """.format(
+        weights="[" + ", ".join(
+            str(w) for w in __import__(
+                "dagger_spark.ops.text", fromlist=["classifier_weights"]
+            ).classifier_weights()
+        ) + "]",
+        policy_rows=", ".join(f"('{l}', {t})" for l, t in _LANG_POLICY),
+    ),
+    "policy-table gating, the config-as-data pattern: per-LANGUAGE "
+    "classifier-logit thresholds live in a tiny policy table (broadcast "
+    "joined; unknown languages fall back to a stricter default) instead "
+    "of being baked into code — retuning a language's bar is a data "
+    "change, no redeploy.  Composes the oracle-verified hashing-trick "
+    "classifier; thresholds are integer milli-units so the gate decision "
+    "is parity-exact.  NULL lang takes the default path in both engines "
+    "(LEFT JOIN miss -> coalesce)",
+)
+def quality_policy_docs(spark, sf_dir):
+    from .ops.text import (
+        char_trigrams, classifier_weights, hashing_trick_logit,
+    )
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", char_trigrams(F.col("text")).alias("__tg")
+    )
+    scored = staged.select(
+        "doc_id", "lang",
+        hashing_trick_logit(F.col("__tg"), classifier_weights())
+        .alias("logit_milli"),
+    )
+    policy = spark.createDataFrame(
+        list(_LANG_POLICY), "lang string, thr long"
+    )
+    j = scored.join(F.broadcast(policy), "lang", "left")
+    thr = F.coalesce(F.col("thr"), F.lit(_LANG_POLICY_DEFAULT))
+    return j.select(
+        "doc_id", "lang", "logit_milli",
+        thr.cast("long").alias("threshold"),
+        (F.col("logit_milli") >= thr).alias("keep"),
+    )
+
+
 @register(
     "events_hll_intersect",
     """

@@ -74,6 +74,7 @@ DOC_QUERIES = [
     "profile_documents",
     "bpe_pair_counts_docs",
     "pagerank_docs",
+    "quality_policy_docs",
 ]
 
 _WORDS = (

@@ -51,6 +51,7 @@ EVENT_QUERIES = [
     "events_gapfill",
     "events_alert_debounce",
     "events_hll_intersect",
+    "events_winsorized_stats",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

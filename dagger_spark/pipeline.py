@@ -176,3 +176,23 @@ class CorpusPipeline:
         v = self.verdict().filter(F.col("keep")).select(self.id)
         return self.docs.join(v.hint("shuffle_hash"), self.id, "left_semi")
 
+    def publish(self, path: str, partition_by=("lang",)) -> DataFrame:
+        """Write the surviving corpus partitioned for downstream pruning
+        and return a per-partition MANIFEST computed from what was
+        actually WRITTEN (read back from disk, not from the plan — a
+        manifest derived from the unexecuted DataFrame could disagree
+        with the files if the write half-failed).  Manifest columns: the
+        partition keys, row count, and an order-free content checksum
+        (sum of per-doc crc32(text) — integer, so partitioning and read
+        order cannot change it); re-publishing identical data yields the
+        identical manifest."""
+        self.kept().write.partitionBy(*list(partition_by)).mode(
+            "overwrite"
+        ).parquet(path)
+        written = self.docs.sparkSession.read.parquet(path)
+        return written.groupBy(*list(partition_by)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.crc32(F.coalesce(F.col(self.text), F.lit(""))))
+            .cast("long").alias("content_checksum"),
+        )
+

@@ -67,3 +67,37 @@ def test_pipeline_classifier_gate_alone(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_publish_writes_partitioned_and_manifests_exactly(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = CorpusPipeline(docs).quality_gates()
+    out = str(tmp_path / "corpus_out")
+    manifest = {tuple(r)[:1]: (r["n_docs"], r["content_checksum"])
+                for r in p.publish(out).collect()}
+
+    # partition directories exist per lang and prune at the storage layer
+    langs = {d.split("=", 1)[1] for d in os.listdir(out)
+             if d.startswith("lang=")}
+    assert langs == {k[0] for k in manifest}
+
+    # the manifest counts what was WRITTEN, which equals kept()
+    kept = p.kept()
+    want = {(r["lang"],): r["n"] for r in
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {k: v[0] for k, v in manifest.items()} == want
+
+    # checksum is content-derived and order-free: recompute independently
+    chk = {(r["lang"],): r["c"] for r in kept.groupBy("lang").agg(
+        F.sum(F.crc32(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long").alias("c")).collect()}
+    assert {k: v[1] for k, v in manifest.items()} == chk
+
+    # re-publish is idempotent: identical manifest
+    again = {tuple(r)[:1]: (r["n_docs"], r["content_checksum"])
+             for r in p.publish(out).collect()}
+    assert again == manifest

@@ -117,6 +117,7 @@ HEADLINE = [
     "events_hll_intersect",
     "events_winsorized_stats",
     "quality_policy_docs",
+    "classifier_calibration_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

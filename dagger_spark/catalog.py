@@ -4860,6 +4860,80 @@ _shared_sql(
 )
 
 
+@register(
+    "classifier_calibration_docs",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(t) - 2, 1) + 1),
+               i -> substr(t, i, 3))) AS tg,
+             lang
+      FROM (SELECT doc_id, lower(trim(coalesce(text, ''))) AS t, lang
+            FROM documents)
+    ), s AS (
+      SELECT doc_id, lang,
+             coalesce(list_sum(list_transform(
+               tg, x -> w[('0x' || substr(md5(x), 1, 8))::BIGINT % 1024 + 1]
+             )), 0)::BIGINT AS logit
+      FROM g, (SELECT {{weights}} AS w)
+    ), q AS (
+      SELECT lang, count(*) AS n,
+             round(percentile_cont(0.375)
+                   WITHIN GROUP (ORDER BY logit), 6) AS thr_625
+      FROM s GROUP BY lang
+    )
+    SELECT q.lang, q.n, q.thr_625,
+           round(sum(CASE WHEN s.logit >= q.thr_625 THEN 1 ELSE 0 END)
+                 / q.n::DOUBLE + 1e-9, 6) AS actual_keep_rate
+    FROM s JOIN q ON s.lang = q.lang
+    GROUP BY q.lang, q.n, q.thr_625
+    """.format(weights="[" + ", ".join(
+        str(w) for w in __import__(
+            "dagger_spark.ops.text", fromlist=["classifier_weights"]
+        ).classifier_weights()) + "]"),
+    "classifier CALIBRATION, the step between training and gating: the "
+    "per-language keep threshold is DERIVED from the logit distribution "
+    "(the 37.5% quantile keeps the top 62.5% — dyadic fraction per the "
+    "percentile_prices interpolation rule) instead of hand-picked, and "
+    "the actually-achieved keep rate at that threshold is emitted beside "
+    "it (interpolated thresholds between integer logits need not attain "
+    "the nominal rate exactly — the gap is data, not error).  Completes "
+    "the model-filter family: train (weights) -> calibrate (threshold) "
+    "-> gate (policy table).  Quantiles per group ride one lang-keyed "
+    "partitioning; the threshold table is lang-cardinality-sized and "
+    "broadcasts at scale",
+)
+def classifier_calibration_docs(spark, sf_dir):
+    from .ops.text import (
+        char_trigrams, classifier_weights, hashing_trick_logit,
+    )
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", char_trigrams(F.col("text")).alias("__tg")
+    )
+    s = staged.select(
+        "doc_id", "lang",
+        hashing_trick_logit(F.col("__tg"), classifier_weights())
+        .alias("logit"),
+    )
+    q = s.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("percentile_cont(0.375) WITHIN GROUP (ORDER BY logit)"), 6)
+        .alias("thr_625"),
+    )
+    j = s.join(F.broadcast(q), "lang")
+    return j.groupBy("lang", "n", "thr_625").agg(
+        F.round(
+            F.sum(F.when(F.col("logit") >= F.col("thr_625"), 1).otherwise(0))
+            / F.col("n").cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("actual_keep_rate")
+    ).select("lang", "n", "thr_625", "actual_keep_rate")
+
+
 #: per-language classifier-logit thresholds (milli-units) — policy AS DATA
 _LANG_POLICY = (("en", 0), ("de", -50), ("es", -50), ("fr", -100))
 _LANG_POLICY_DEFAULT = 50

@@ -75,6 +75,7 @@ DOC_QUERIES = [
     "bpe_pair_counts_docs",
     "pagerank_docs",
     "quality_policy_docs",
+    "classifier_calibration_docs",
 ]
 
 _WORDS = (

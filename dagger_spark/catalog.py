@@ -5463,6 +5463,444 @@ def winnowing_docs(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-3 continuation wave: tokenizer apply, doc surgery, CDC chunking,
+# warehouse MERGE, unpivot, bigram LM
+# ===========================================================================
+
+# BPE merge table — a frozen MODEL ARTIFACT (learned offline from the
+# sf0.01 word-frequency table with deterministic ties: max count, then
+# lexicographic), shipped as data exactly the way production tokenizers
+# ship merges.txt.  Applying merge k everywhere before merge k+1, each
+# left-to-right non-overlapping, IS the BPE apply algorithm — and that is
+# literally the semantics of chained string replace() in both engines.
+_BPE_MERGES = [
+    ("e r", "er"), ("i n", "in"), ("o w", "ow"), ("o r", "or"),
+    ("s t", "st"), ("m er", "mer"), ("a t", "at"), ("l u", "lu"),
+    ("a r", "ar"), ("p ar", "par"), ("j o", "jo"), ("jo in", "join"),
+]
+
+
+def _bpe_duck_expr(col: str) -> str:
+    # chars spaced: DuckDB regexp_replace needs the 'g' flag (default is
+    # first-match-only; Spark's replaces all) — one of the two dialect
+    # holes, the other being \\1 vs $1 backreferences.
+    e = f"trim(regexp_replace({col}, '(.)', '\\1 ', 'g'))"
+    for a, b in _BPE_MERGES:
+        e = f"replace({e}, '{a}', '{b}')"
+    return e
+
+
+@register(
+    "bpe_encode_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ), vocab AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), enc AS (
+      SELECT w, len(string_split({_bpe_duck_expr('w')}, ' ')) AS np
+      FROM vocab
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT            AS n_words,
+           sum(e.np)::BIGINT           AS n_pieces,
+           round(sum(e.np)::DOUBLE / count(*) + 1e-9, 6) AS pieces_per_word
+    FROM tok t JOIN enc e ON t.w = e.w
+    GROUP BY t.doc_id
+    """,
+    "BPE tokenizer APPLY at corpus scale (the serving half of the "
+    "bpe_pair_counts training step): encode the DISTINCT-WORD table — the "
+    "real tokenizer-serving shape, vocabulary-sized work not corpus-sized "
+    "— by spacing characters and folding the frozen merge list through "
+    "chained replace() (merge-priority order globally, left-to-right "
+    "non-overlapping within a merge: exactly BPE's apply semantics, and "
+    "exactly replace()'s), then broadcast-join piece counts back onto the "
+    "token stream for per-doc totals.  Zero UDFs; the merge fold is one "
+    "codegen'd expression.  Scale: vocab table is Zipf-bounded (MBs at "
+    "100 TB), corpus pass is a broadcast join + one doc-keyed aggregate",
+)
+def bpe_encode_docs(spark, sf_dir):
+    docs = _load_wide(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    enc = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for a, b in _BPE_MERGES:
+        enc = F.replace(enc, F.lit(a), F.lit(b))
+    pieces = vocab.select(
+        "w", F.size(F.split(enc, " ")).alias("np")
+    )
+    return (
+        tok.join(F.broadcast(pieces), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("np").cast("double") / F.count("*") + F.lit(1e-9), 6
+            ).alias("pieces_per_word"),
+        )
+    )
+
+
+_SCRUB_SIZE, _SCRUB_MAXFREQ = 10, 2  # remove chunks occurring > 2 times
+
+
+@register(
+    "line_scrub_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t), 1) + 1, {_SCRUB_SIZE})) AS s
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, s,
+             array_to_string(list_slice(t, s, s + {_SCRUB_SIZE} - 1), ' ') AS txt
+      FROM starts WHERE len(list_slice(t, s, s + {_SCRUB_SIZE} - 1)) > 0
+    ), freqd AS (
+      SELECT doc_id, s, txt,
+             count(*) OVER (PARTITION BY md5(txt)) AS freq
+      FROM chunks
+    ), per_doc AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_chunks,
+             sum(CASE WHEN freq > {_SCRUB_MAXFREQ} THEN 1 ELSE 0 END)::BIGINT
+               AS n_removed,
+             coalesce(string_agg(txt, ' ' ORDER BY s)
+                        FILTER (WHERE freq <= {_SCRUB_MAXFREQ}), '')
+               AS scrubbed
+      FROM freqd GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_removed,
+           CASE WHEN trim(scrubbed) = '' THEN 0
+                ELSE len(string_split(trim(scrubbed), ' ')) END::BIGINT
+             AS scrubbed_tokens,
+           md5(scrubbed) AS scrub_hash
+    FROM per_doc
+    """,
+    "RefinedWeb/MassiveText-style line-level scrub — DOCUMENT SURGERY, "
+    "not gating: every 10-token chunk whose exact text occurs more than "
+    "twice corpus-wide (boilerplate) is cut OUT of the document and the "
+    "survivor text reconstructed in original order; the gate hashes the "
+    "reconstructed text itself, so ordering bugs cannot hide.  (This "
+    "corpus has no newlines, so 'line' = fixed token chunk — same surgery "
+    "mechanics.)  One md5-keyed frequency window + one doc-keyed ordered "
+    "rebuild; only hashes shuffle for the dedup decision.  Complements "
+    "chunk_dedup_docs (which KEEPS first occurrences and reports stats)",
+)
+def line_scrub_docs(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    df = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)),
+                        F.lit(_SCRUB_SIZE))
+    chunk = F.slice(F.col("t"), F.col("s"), _SCRUB_SIZE)
+    ex = (
+        df.select("doc_id", "t", F.explode(starts).alias("s"))
+        .select("doc_id", "s", F.array_join(chunk, " ").alias("txt"),
+                F.size(chunk).alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    freq = F.count("*").over(Window.partitionBy(F.md5("txt")))
+    fd = ex.withColumn("freq", freq)
+    kept = F.col("freq") <= _SCRUB_MAXFREQ
+    per_doc = fd.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct(F.col("s"), F.col("txt")))
+                    )
+                ),
+                lambda x: x["txt"],
+            ),
+            " ",
+        ).alias("scrubbed"),
+    )
+    return per_doc.select(
+        "doc_id", "n_chunks", "n_removed",
+        F.when(F.trim(F.col("scrubbed")) == "", F.lit(0))
+         .otherwise(F.size(F.split(F.trim(F.col("scrubbed")), " ")))
+         .cast("long").alias("scrubbed_tokens"),
+        F.md5("scrubbed").alias("scrub_hash"),
+    )
+
+
+_CDC_MOD = 8  # expected chunk length ~8 words
+
+
+@register(
+    "cdc_chunk_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM toks
+    ), tokp AS (
+      SELECT doc_id, p, t[p] AS w,
+             CASE WHEN ('0x' || substr(md5(t[p]), 1, 8))::BIGINT
+                       % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+      FROM pos
+    ), cids AS (
+      SELECT doc_id, p, w,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS UNBOUNDED PRECEDING) - b AS cid
+      FROM tokp
+    ), chunks AS (
+      SELECT doc_id, cid, count(*)::BIGINT AS n,
+             md5(string_agg(w, ' ' ORDER BY p)) AS h
+      FROM cids GROUP BY doc_id, cid
+    ), freqd AS (
+      SELECT doc_id, cid, n,
+             count(*) OVER (PARTITION BY h) AS freq
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_chunks,
+           round(avg(n) + 1e-9, 6) AS avg_chunk,
+           max(n)::BIGINT AS max_chunk,
+           sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
+    FROM freqd GROUP BY doc_id
+    """,
+    "Content-defined chunking (the FastCDC/rsync shape): a word ends a "
+    "chunk when its content hash ≡ 0 (mod 8), so boundaries move WITH the "
+    "content — an insertion reshapes only its local chunk and every later "
+    "chunk keeps its identity, which is why storage dedup uses CDC instead "
+    "of fixed offsets.  chunk_id = running boundary count (boundary word "
+    "closes its own chunk); duplicate detection on md5 of the ordered "
+    "chunk text.  One doc-keyed window + one (doc,chunk) aggregate + one "
+    "hash-keyed frequency window — all hash-sized shuffles at 100 TB",
+)
+def cdc_chunk_docs(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    tokp = (
+        docs.select("doc_id", F.posexplode(tokens(F.col("text")))
+                    .alias("p0", "w"))
+        .select(
+            "doc_id", (F.col("p0") + 1).alias("p"), "w",
+            F.when(
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10)
+                 .cast("long") % _CDC_MOD == 0, 1
+            ).otherwise(0).alias("b"),
+        )
+    )
+    wdoc = (Window.partitionBy("doc_id").orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cids = tokp.withColumn("cid", F.sum("b").over(wdoc) - F.col("b"))
+    chunks = cids.groupBy("doc_id", "cid").agg(
+        F.count("*").cast("long").alias("n"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            )
+        ).alias("h"),
+    )
+    freqd = chunks.withColumn(
+        "freq", F.count("*").over(Window.partitionBy("h"))
+    )
+    return freqd.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.round(F.avg("n") + F.lit(1e-9), 6).alias("avg_chunk"),
+        F.max("n").cast("long").alias("max_chunk"),
+        F.sum(F.when(F.col("freq") > 1, 1).otherwise(0)).cast("long")
+         .alias("n_dup_chunks"),
+    )
+
+
+_shared_sql(
+    "merge_upsert_orders",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 1000 AS new_cents
+      FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS k, 'I' AS op,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS new_cents
+      FROM orders WHERE o_orderkey % 13 = 0
+    ), tgt AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), merged AS (
+      SELECT coalesce(s.k, t.k) AS k,
+             CASE WHEN s.k IS NULL                  THEN 'keep'
+                  WHEN s.op = 'D' AND t.k IS NOT NULL THEN 'delete'
+                  WHEN t.k IS NULL                  THEN 'insert'
+                  ELSE 'update' END AS action,
+             CASE WHEN s.k IS NULL THEN t.cents ELSE s.new_cents END AS cents
+      FROM tgt t FULL OUTER JOIN src s ON s.k = t.k
+    )
+    SELECT action,
+           count(*)                         AS n,
+           CAST(sum(cents) AS BIGINT)       AS total_cents,
+           round(sum(cents) / CAST(100 AS DOUBLE), 2) AS total_price
+    FROM merged
+    GROUP BY action
+    """,
+    "MERGE INTO (upsert) emulated engine-agnostically — the Delta/Iceberg "
+    "verb OSS Spark lacks — as ONE full-outer join between target and a "
+    "deterministic CDC batch (updates %7, deletes %11 [delete wins on "
+    "overlap], inserts on fresh keys %13), with WHEN MATCHED / NOT "
+    "MATCHED arms as a CASE over the two join sides; per-action row and "
+    "value totals make every arm's effect visible to the hash gate.  "
+    "Money math is EXACT INTEGER CENTS end-to-end: round(price*100) to "
+    "BIGINT once at the edge, integer sums are order-free — the float "
+    "variant (round(x*1.1, 2) per row) diverged between engines on "
+    "halfway rounding at sf0.01, caught by this gate.  "
+    "Scale: at 100 TB both sides bucket by key for a co-located merge, "
+    "or the CDC batch broadcasts when small — same plan either way",
+)
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    """
+    WITH m AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric,
+           count(*)            AS n,
+           round(sum(v), 2)    AS total,
+           round(avg(v), 6)    AS mean,
+           round(min(v), 6)    AS vmin,
+           round(max(v), 6)    AS vmax
+    FROM m GROUP BY metric
+    """,
+    "UNPIVOT (wide -> long reshaping): Spark runs the NATIVE "
+    "DataFrame.unpivot operator (one Expand node, single scan — not four "
+    "self-unions re-reading the table), the oracle is the semantically "
+    "equivalent UNION ALL; the differential proves the melt reshape "
+    "itself.  At scale the Expand multiplies rows 4x in the map stage "
+    "with one shuffle for the tiny per-metric aggregate",
+)
+def unpivot_lineitem_metrics(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric", "v",
+    )
+    return m.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.min("v"), 6).alias("vmin"),
+        F.round(F.max("v"), 6).alias("vmax"),
+    )
+
+
+@register(
+    "bigram_logprob_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ), uni AS (
+      SELECT w, count(*) AS c1 FROM tok GROUP BY w
+    ), vstats AS (
+      SELECT count(*) AS v FROM uni
+    ), bg AS (
+      SELECT doc_id, t[p] AS w1, t[p + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS p FROM toks)
+    ), bgc AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ), lp AS (
+      SELECT b.w1, b.w2,
+             CAST(round(ln((b.c2 + 1.0) / (u.c1 + s.v)) * 1e6) AS BIGINT)
+               AS lp_micro
+      FROM bgc b JOIN uni u ON b.w1 = u.w, vstats s
+    ), per_doc AS (
+      SELECT g.doc_id, count(*) AS n_bigrams,
+             sum(l.lp_micro)::BIGINT AS sum_lp_micro
+      FROM bg g JOIN lp l ON g.w1 = l.w1 AND g.w2 = l.w2
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_lp_micro,
+           round(sum_lp_micro / (n_bigrams * 1e6) + 1e-9, 6) AS avg_logprob,
+           round(exp(-round(sum_lp_micro / (n_bigrams * 1e6) + 1e-9, 6))
+                 + 1e-9, 4) AS perplexity
+    FROM per_doc
+    """,
+    "Bigram-LM document scoring — the KenLM-direction upgrade of "
+    "unigram_logprob_docs: corpus bigram counts with add-one smoothing "
+    "over P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V), per-bigram log-probs rounded "
+    "to integer micro-nats BEFORE summation (order-free parity, same rule "
+    "as unigram), per-doc average and perplexity.  Docs with < 2 tokens "
+    "drop (no bigrams).  Two count aggregates + one doc rollup; the "
+    "bigram LM table is Zipf-bounded and broadcasts here — at open-vocab "
+    "100 TB the score join shuffles on (w1,w2) instead, same plan minus "
+    "the hint",
+)
+def bigram_logprob_docs(spark, sf_dir):
+    docs = _load_wide(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    tok = staged.select("doc_id", F.explode("t").alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("c1"))
+    vstats = uni.agg(F.count("*").alias("v"))
+    # sequence(1, n) DESCENDS when n < 1 in Spark (range() in DuckDB is
+    # simply empty) — guard short docs explicitly.
+    pair_idx = F.when(
+        F.size("t") < 2, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.size("t") - 1))
+    bg = staged.select(
+        "doc_id", "t", F.explode(pair_idx).alias("p")
+    ).select(
+        "doc_id",
+        F.element_at("t", F.col("p")).alias("w1"),
+        F.element_at("t", F.col("p") + 1).alias("w2"),
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    lp = (
+        bgc.join(F.broadcast(uni), bgc["w1"] == uni["w"]).drop("w")
+        .crossJoin(F.broadcast(vstats))
+        .select(
+            "w1", "w2",
+            F.round(
+                F.log((F.col("c2") + F.lit(1.0))
+                      / (F.col("c1") + F.col("v"))) * 1e6, 0
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    per_doc = (
+        bg.join(F.broadcast(lp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+    )
+    avg = F.round(
+        F.col("sum_lp_micro") / (F.col("n_bigrams") * F.lit(1e6))
+        + F.lit(1e-9), 6,
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", "sum_lp_micro", avg.alias("avg_logprob")
+    ).withColumn(
+        "perplexity", F.round(F.exp(-F.col("avg_logprob")) + F.lit(1e-9), 4)
+    )
+
+
+# ===========================================================================
 # Driver-window curation
 # ===========================================================================
 # The round-robin driver's differential-correctness gate checks exactly the

@@ -76,6 +76,11 @@ DOC_QUERIES = [
     "pagerank_docs",
     "quality_policy_docs",
     "classifier_calibration_docs",
+    # round-3 continuation wave
+    "bpe_encode_docs",
+    "line_scrub_docs",
+    "cdc_chunk_docs",
+    "bigram_logprob_docs",
 ]
 
 _WORDS = (

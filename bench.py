@@ -118,6 +118,16 @@ HEADLINE = [
     "events_winsorized_stats",
     "quality_policy_docs",
     "classifier_calibration_docs",
+    # round-3 continuation wave
+    "bpe_encode_docs",
+    "line_scrub_docs",
+    "cdc_chunk_docs",
+    "merge_upsert_orders",
+    "unpivot_lineitem_metrics",
+    "bigram_logprob_docs",
+    "events_rate_anomaly",
+    "events_partial_merge",
+    "events_decayed_score",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

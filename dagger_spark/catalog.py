@@ -5736,7 +5736,11 @@ _shared_sql(
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
     ), merged AS (
-      SELECT coalesce(s.k, t.k) AS k,
+      -- SHUFFLE_HASH: full-outer cannot broadcast, and Spark defaults the
+      -- stats-equal sides to sort-merge; the hint rides in a comment DuckDB
+      -- ignores, keeping ONE shared text.  At 100 TB both sides bucket by k.
+      SELECT /*+ SHUFFLE_HASH(s) */
+             coalesce(s.k, t.k) AS k,
              CASE WHEN s.k IS NULL                  THEN 'keep'
                   WHEN s.op = 'D' AND t.k IS NOT NULL THEN 'delete'
                   WHEN t.k IS NULL                  THEN 'insert'
@@ -5897,6 +5901,156 @@ def bigram_logprob_docs(spark, sf_dir):
         "doc_id", "n_bigrams", "sum_lp_micro", avg.alias("avg_logprob")
     ).withColumn(
         "perplexity", F.round(F.exp(-F.col("avg_logprob")) + F.lit(1e-9), 4)
+    )
+
+
+_RATE_ANOMALY_SQL = """
+    WITH daily AS (
+      SELECT user_id,
+             CAST(hour(ts) AS BIGINT)   AS hr,
+             date_trunc('day', ts)      AS day,
+             count(*)                   AS c
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id, CAST(hour(ts) AS BIGINT), date_trunc('day', ts)
+    ), z AS (
+      SELECT user_id, hr, c,
+             count(*)   OVER w AS n_days,
+             sum(c)     OVER w AS s1,
+             sum(c * c) OVER w AS s2,
+             max(c)     OVER w AS max_count
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id, hr)
+    )
+    SELECT user_id,
+           hr,
+           CAST(max(n_days) AS BIGINT)    AS n_days,
+           CAST(max(s1) AS BIGINT)        AS s1,
+           CAST(max(s2) AS BIGINT)        AS s2,
+           CAST(max(max_count) AS BIGINT) AS max_count,
+           CAST(sum(CASE WHEN n_days * c - s1 > 0
+                          AND (n_days * c - s1) * (n_days * c - s1)
+                              > 9 * (n_days * s2 - s1 * s1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_days
+    FROM z
+    GROUP BY user_id, hr
+"""
+
+_shared_sql(
+    "events_rate_anomaly",
+    _RATE_ANOMALY_SQL,
+    "UEBA rate baselining — the SIEM behavioral layer above per-event "
+    "rules: per (user, hour-of-day), daily event counts form the baseline "
+    "and a day is anomalous when count > mean + 3*stddev.  The 3-sigma "
+    "test is EXACT INTEGER arithmetic — c > S1/n + 3*sqrt((n*S2-S1^2))/n "
+    "cross-multiplied to (n*c-S1)^2 > 9*(n*S2-S1^2) with a sign guard — "
+    "so no float ever enters the decision and both engines agree bit-wise "
+    "(sqrt/stddev would not).  Baseline moments ride ONE (user,hr)-keyed "
+    "window over the tiny daily-count table (NULL users group as their "
+    "own entity, no null-safe join needed — windows partition NULLs "
+    "together in both engines).  Scale: the daily rollup is the only "
+    "corpus-sized pass; baselines are users x 24 rows",
+)
+
+
+_shared_sql(
+    "events_partial_merge",
+    """
+    WITH clean AS (
+      SELECT date_trunc('week', ts) AS wk, date_trunc('day', ts) AS day,
+             CAST(round(value * 1e6) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), day_partial AS (
+      SELECT wk, day, count(*) AS n, sum(v) AS s, min(v) AS lo, max(v) AS hi
+      FROM clean GROUP BY wk, day
+    ), merged AS (
+      SELECT wk, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+             min(lo) AS lo, max(hi) AS hi
+      FROM day_partial GROUP BY wk
+    ), direct AS (
+      SELECT wk, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+             min(v) AS lo, max(v) AS hi
+      FROM clean GROUP BY wk
+    )
+    SELECT m.wk AS wk, m.n AS n, m.s AS sum_micro,
+           m.lo AS vmin_micro, m.hi AS vmax_micro,
+           (m.n = d.n AND m.s = d.s AND m.lo = d.lo AND m.hi = d.hi)
+             AS partials_equal
+    FROM merged m JOIN direct d ON m.wk = d.wk
+    """,
+    "Incremental-view-maintenance proof: weekly aggregates computed two "
+    "ways — MERGED from persisted day-level partials (sum of n/s, min of "
+    "lo, max of hi: the algebraic-aggregate merge a materialized rollup "
+    "performs on refresh, never rescanning raw data) and DIRECT from raw "
+    "rows — with the equality emitted as a column the oracle pins TRUE.  "
+    "Values in integer micro-units so both paths and both engines sum "
+    "order-free.  This is the exact-aggregate twin of the HLL/CMS "
+    "mergeable-sketch rows: at 100 TB the day partials are the stored "
+    "artifact and week/month/quarter all fold from them",
+)
+
+
+@register(
+    "events_decayed_score",
+    """
+    WITH clean AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(round(value * 1e6) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), horizon AS (
+      SELECT max(day) AS maxday FROM clean
+    ), aged AS (
+      SELECT user_id, v,
+             least(CAST(date_diff('day', day, maxday) AS BIGINT) // 7, 62)
+               AS k
+      FROM clean, horizon
+    )
+    SELECT user_id,
+           count(*)                    AS n_events,
+           CAST(sum(v) AS BIGINT)      AS raw_micro,
+           CAST(sum(v >> CAST(k AS INTEGER)) AS BIGINT) AS decayed_micro,
+           round(sum(v >> CAST(k AS INTEGER)) / greatest(sum(v), 1)
+                 + 1e-9, 6)            AS retention
+    FROM aged GROUP BY user_id
+    """,
+    "Time-decayed engagement score (the feature-store 'decayed counter'): "
+    "each event's value decays by half per 7 days of age at the corpus "
+    "horizon — and the decay is an INTEGER RIGHT-SHIFT of micro-units "
+    "(v >> floor(age/7d), capped at 62), a discretized exponential that "
+    "keeps the whole aggregation order-free integer math; the float form "
+    "(v * exp(-lambda*age)) cannot hash-match across engines because "
+    "windowed float summation associates differently.  One corpus pass + "
+    "a 1-row broadcast horizon; per-user sums shuffle once.  Weekly "
+    "half-life steps are the tradeoff for exactness — documented, and at "
+    "100 TB the shift table costs nothing",
+)
+def events_decayed_score(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    clean = ev.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    horizon = clean.agg(F.max("day").alias("maxday"))
+    aged = clean.crossJoin(F.broadcast(horizon)).select(
+        "user_id", "v",
+        F.least(
+            (F.datediff("maxday", "day").cast("long") / F.lit(7))
+            .cast("long"),
+            F.lit(62),
+        ).alias("k"),
+    )
+    # F.shiftright takes a literal bit count only — the per-row shift needs
+    # the SQL form
+    dec = F.expr("shiftright(v, CAST(k AS INT))")
+    return aged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").cast("long").alias("raw_micro"),
+        F.sum(dec).cast("long").alias("decayed_micro"),
+        F.round(
+            F.sum(dec) / F.greatest(F.sum("v"), F.lit(1)) + F.lit(1e-9), 6
+        ).alias("retention"),
     )
 
 

@@ -271,3 +271,58 @@ def test_customer_hierarchy_chain_math(spark, sf_dir):
                 break
             a //= 2
         assert r["chain_balance"] == round(want, 2), k
+
+
+def test_rate_anomaly_fires_on_planted_burst(spark, tmp_path):
+    """The 3-sigma arm of events_rate_anomaly never fires on the uniform
+    synthetic corpus — plant a bursty day (20 quiet days of 1 event/day at
+    hour 9, then one day with 50) and prove the integer cross-multiplied
+    test flags exactly that day, and only for that (user, hour)."""
+    import os
+    import shutil
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from dagger_spark.catalog import QUERIES
+    from dagger_spark.sources.files import ALL_TABLES
+
+    d = str(tmp_path / "sf_burst")
+    os.makedirs(d)
+    for t in ALL_TABLES:
+        if t != "events":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                        f"{d}/{t}.parquet")
+    rows, eid = [], 0
+    t0 = datetime(2024, 5, 1, 9, 0, 0)
+    for day in range(20):                      # quiet baseline
+        rows.append(Row(event_id=eid, ts=t0 + timedelta(days=day),
+                        user_id=42, event_type="click", value=1.0,
+                        props="{}"))
+        eid += 1
+    for i in range(50):                        # the burst day, same hour
+        rows.append(Row(event_id=eid,
+                        ts=t0 + timedelta(days=20, seconds=i),
+                        user_id=42, event_type="click", value=1.0,
+                        props="{}"))
+        eid += 1
+    # a control user with flat traffic at hour 9 — must NOT flag
+    for day in range(21):
+        rows.append(Row(event_id=eid, ts=t0 + timedelta(days=day),
+                        user_id=7, event_type="view", value=1.0,
+                        props="{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(d + "/events.parquet")
+
+    out = {(r["user_id"], r["hr"]): r for r in
+           QUERIES["events_rate_anomaly"].fn(spark, d).collect()}
+    burst = out[(42, 9)]
+    assert burst["n_days"] == 21 and burst["max_count"] == 50
+    assert burst["n_anomalous_days"] == 1      # exactly the planted day
+    assert out[(7, 9)]["n_anomalous_days"] == 0
+    # integer moments exact: S1 = 20*1 + 50, S2 = 20*1 + 2500
+    assert burst["s1"] == 70 and burst["s2"] == 2520

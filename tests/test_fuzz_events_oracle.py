@@ -52,6 +52,10 @@ EVENT_QUERIES = [
     "events_alert_debounce",
     "events_hll_intersect",
     "events_winsorized_stats",
+    # round-3 continuation wave
+    "events_rate_anomaly",
+    "events_partial_merge",
+    "events_decayed_score",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -128,6 +128,11 @@ HEADLINE = [
     "events_rate_anomaly",
     "events_partial_merge",
     "events_decayed_score",
+    "editdist_neardup_docs",
+    "triangle_count_docs",
+    "events_markov_transitions",
+    "events_conversion_lag",
+    "k_anonymity_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

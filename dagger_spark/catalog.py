@@ -6054,6 +6054,256 @@ def events_decayed_score(spark, sf_dir):
     )
 
 
+@register(
+    "editdist_neardup_docs",
+    _DUCK_MINHASH_CTE + """
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), pre AS (
+      SELECT doc_id, substr(coalesce(text, ''), 1, 80) AS pfx FROM documents
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS lev,
+           round(1.0 - levenshtein(pa.pfx, pb.pfx)
+                 / CAST(greatest(length(pa.pfx), length(pb.pfx), 1) AS DOUBLE)
+                 + 1e-9, 6) AS sim
+    FROM cand c
+    JOIN pre pa ON c.id_a = pa.doc_id
+    JOIN pre pb ON c.id_b = pb.doc_id
+    """,
+    "Edit-distance verification of LSH candidates — the character-level "
+    "near-dup check (OCR noise, small in-place edits) that set-based "
+    "Jaccard misses: Levenshtein over 80-char prefixes (bounding the "
+    "O(len^2) DP per pair), normalized to a similarity.  Rides the shared "
+    "persisted MinHash signature stage, so the quadratic work only ever "
+    "touches LSH-bucketed candidates — never all pairs; text joins are "
+    "shuffle-hash on doc_id (stats-less candidate frame).  At 100 TB the "
+    "prefix cap is the knob: verify cost is pairs x cap^2, independent of "
+    "document length",
+)
+def editdist_neardup_docs(spark, sf_dir):
+    docs = _load_wide(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
+    )
+    pre = docs.select(
+        "doc_id",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80)
+         .alias("pfx"),
+    )
+    pa = pre.select(F.col("doc_id").alias("id_a"), F.col("pfx").alias("pa"))
+    pb = pre.select(F.col("doc_id").alias("id_b"), F.col("pfx").alias("pb"))
+    j = (
+        pairs.join(pa.hint("shuffle_hash"), "id_a")
+        .join(pb.hint("shuffle_hash"), "id_b")
+    )
+    lev = F.levenshtein("pa", "pb")
+    return j.select(
+        "id_a", "id_b",
+        lev.cast("long").alias("lev"),
+        F.round(
+            F.lit(1.0)
+            - lev / F.greatest(F.length("pa"), F.length("pb"), F.lit(1))
+                     .cast("double")
+            + F.lit(1e-9), 6,
+        ).alias("sim"),
+    )
+
+
+@register(
+    "triangle_count_docs",
+    _DUCK_MINHASH_CTE + """
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM cand e1
+      JOIN cand e2 ON e1.id_b = e2.id_a
+      JOIN cand e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ), nodes AS (
+      SELECT a AS d FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT d AS doc_id, count(*) AS n_triangles
+    FROM nodes GROUP BY d
+    """,
+    "Triangle counting on the LSH near-dup graph — the clustering- "
+    "coefficient signal that separates tight duplicate cliques from "
+    "chains of borderline matches (a clique's members close triangles; "
+    "transitive false-positive chains do not).  Spark side runs the "
+    "DEGREE-ORIENTED wedge algorithm: each undirected edge points from "
+    "its (degree, id)-smaller endpoint, wedges form only at each "
+    "triangle's minimum vertex, and one join against oriented edges "
+    "closes them — every triangle found exactly once, and hub vertices "
+    "generate O(sqrt(m)) wedges instead of O(d^2), the bound that makes "
+    "the algorithm survive skewed similarity graphs at 100 TB.  The "
+    "oracle brute-forces the a<b<c three-way join: identical triangle "
+    "set, so the hash gate proves the oriented algorithm lossless",
+)
+def triangle_count_docs(spark, sf_dir):
+    docs = _load_wide(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
+    ).select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    sym = pairs.union(pairs.select(F.col("y").alias("x"),
+                                   F.col("x").alias("y")))
+    deg = sym.groupBy("x").agg(F.count("*").alias("dx"))
+    # orient: (u, v) with (deg, id) of u strictly smaller
+    e = (
+        pairs.join(deg.hint("shuffle_hash"), "x")
+        .join(
+            deg.select(F.col("x").alias("y"), F.col("dx").alias("dy"))
+               .hint("shuffle_hash"),
+            "y",
+        )
+        .select(
+            F.when((F.col("dx") < F.col("dy"))
+                   | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+                   F.struct(F.col("x").alias("u"), F.col("dx").alias("du"),
+                            F.col("y").alias("v"), F.col("dy").alias("dv")))
+             .otherwise(
+                   F.struct(F.col("y").alias("u"), F.col("dy").alias("du"),
+                            F.col("x").alias("v"), F.col("dx").alias("dv")))
+             .alias("o")
+        )
+        .select("o.u", "o.du", "o.v", "o.dv")
+    )
+    e1 = e.select(F.col("u"), F.col("v").alias("v1"),
+                  F.col("dv").alias("d1"))
+    e2 = e.select(F.col("u"), F.col("v").alias("v2"),
+                  F.col("dv").alias("d2"))
+    wedges = (
+        e1.join(e2.hint("shuffle_hash"), "u")
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+        )
+    )
+    closing = e.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing.hint("shuffle_hash"), ["v1", "v2"])
+    nodes = (
+        tri.select(F.col("u").alias("d"))
+        .union(tri.select(F.col("v1").alias("d")))
+        .union(tri.select(F.col("v2").alias("d")))
+    )
+    return nodes.groupBy(F.col("d").alias("doc_id")).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+_shared_sql(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ), trans AS (
+      SELECT cur, nxt, count(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), tot AS (
+      SELECT cur, sum(n) AS tn FROM trans GROUP BY cur
+    )
+    SELECT t.cur, t.nxt,
+           CAST(t.n AS BIGINT) AS n,
+           round(t.n / CAST(o.tn AS DOUBLE) + 1e-9, 6) AS p
+    FROM trans t JOIN tot o ON t.cur = o.cur
+    """,
+    "First-order Markov transition matrix over per-user event sequences — "
+    "the path-analysis primitive behind next-action prediction and "
+    "anomalous-sequence detection: lead() within each user's (ts, "
+    "event_id)-ordered stream (the unique tiebreak keeps both engines' "
+    "orderings identical), transition counts, and row-normalized "
+    "probabilities.  One user-keyed window + two tiny aggregates; the "
+    "matrix is |event_types|^2 regardless of corpus size",
+)
+
+
+_CONV_LAG_SPARK = """
+    WITH fv AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id,
+             unix_timestamp(min(e.ts)) - unix_timestamp(f.first_view) AS lag_s
+      FROM events e JOIN fv f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= f.first_view
+      GROUP BY e.user_id, f.first_view
+    )
+    SELECT count(*)                                        AS n_converted,
+           CAST(min(lag_s) AS BIGINT)                      AS min_lag_s,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY lag_s), 6)
+             AS median_lag_s,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY lag_s), 6)
+             AS p75_lag_s,
+           CAST(max(lag_s) AS BIGINT)                      AS max_lag_s
+    FROM conv
+"""
+
+
+def _conv_lag_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_CONV_LAG_SPARK)
+
+
+QUERIES["events_conversion_lag"] = CatalogQuery(
+    _conv_lag_fn,
+    _CONV_LAG_SPARK.replace(
+        "unix_timestamp(min(e.ts)) - unix_timestamp(f.first_view)",
+        "date_diff('second', f.first_view, min(e.ts))",
+    ),
+    "Conversion-lag funnel timing: per user, first 'view' then the first "
+    "'purchase' at-or-after it; the lag distribution reported at exact "
+    "dyadic percentiles (0.5, 0.75 — the percentile_prices "
+    "representability rule) over INTEGER seconds.  One text modulo the "
+    "epoch-difference dialect hole (unix_timestamp subtraction vs "
+    "date_diff('second'), both = floor-second difference).  Two "
+    "user-keyed aggregates + one join; the converted-user table is "
+    "users-sized",
+)
+
+
+@register(
+    "k_anonymity_docs",
+    """
+    WITH g AS (
+      SELECT lang, source, count(*) AS n FROM documents
+      GROUP BY lang, source
+    ), tot AS (SELECT sum(n) AS t FROM g)
+    SELECT g.lang, g.source,
+           CAST(g.n AS BIGINT)                          AS n,
+           (g.n < 5)                                    AS k_violation,
+           round(g.n / CAST(o.t AS DOUBLE) + 1e-9, 6)   AS share
+    FROM g g, tot o
+    """,
+    "k-anonymity audit over the quasi-identifier (lang, source) — the "
+    "governance gate run before releasing corpus metadata: any "
+    "equivalence class smaller than k=5 is a re-identification risk and "
+    "flags k_violation (NULL attribute values form their own class, as "
+    "GROUP BY does in both engines).  One aggregate; class table is "
+    "cardinality-sized, the 1-row total broadcasts",
+)
+def k_anonymity_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    tot = g.agg(F.sum("n").alias("t"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang", "source",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") < 5).alias("k_violation"),
+        F.round(F.col("n") / F.col("t").cast("double") + F.lit(1e-9), 6)
+         .alias("share"),
+    )
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -81,6 +81,9 @@ DOC_QUERIES = [
     "line_scrub_docs",
     "cdc_chunk_docs",
     "bigram_logprob_docs",
+    "editdist_neardup_docs",
+    "triangle_count_docs",
+    "k_anonymity_docs",
 ]
 
 _WORDS = (

@@ -56,6 +56,8 @@ EVENT_QUERIES = [
     "events_rate_anomaly",
     "events_partial_merge",
     "events_decayed_score",
+    "events_markov_transitions",
+    "events_conversion_lag",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

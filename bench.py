@@ -133,6 +133,9 @@ HEADLINE = [
     "events_markov_transitions",
     "events_conversion_lag",
     "k_anonymity_docs",
+    "containment_pairs_docs",
+    "trimmed_mean_pandas",
+    "zipf_slope_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

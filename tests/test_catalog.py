@@ -326,3 +326,31 @@ def test_rate_anomaly_fires_on_planted_burst(spark, tmp_path):
     assert out[(7, 9)]["n_anomalous_days"] == 0
     # integer moments exact: S1 = 20*1 + 50, S2 = 20*1 + 2500
     assert burst["s1"] == 70 and burst["s2"] == 2520
+
+
+def test_observe_metrics_on_pipeline_pass(spark, sf_dir):
+    """Production observability posture: df.observe() attaches named
+    aggregate metrics to a pipeline pass and the listener-free pull path
+    (DataFrame.observedMetrics via collect) reports them — row counts and
+    quality tallies come out of the SAME job that produced the data, no
+    second scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+
+    from dagger_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("corpus_pass")
+    gated = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("text").isNull() | (F.trim("text") == ""), 1)
+              .otherwise(0)).alias("empty_docs"),
+        F.max("n_chars").alias("max_chars"),
+    ).filter(F.col("n_chars") > 0)
+    kept = gated.count()
+    m = obs.get
+    assert m["rows_seen"] == docs.count()      # metrics cover pre-filter rows
+    assert m["rows_seen"] >= kept
+    assert m["empty_docs"] >= 0
+    assert m["max_chars"] == docs.agg(F.max("n_chars")).first()[0]

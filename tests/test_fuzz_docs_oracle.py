@@ -84,6 +84,8 @@ DOC_QUERIES = [
     "editdist_neardup_docs",
     "triangle_count_docs",
     "k_anonymity_docs",
+    "containment_pairs_docs",
+    "zipf_slope_docs",
 ]
 
 _WORDS = (

@@ -58,6 +58,7 @@ EVENT_QUERIES = [
     "events_decayed_score",
     "events_markov_transitions",
     "events_conversion_lag",
+    "trimmed_mean_pandas",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

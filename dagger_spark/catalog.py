@@ -5516,12 +5516,18 @@ def _bpe_duck_expr(col: str) -> str:
     "bpe_pair_counts training step): encode the DISTINCT-WORD table — the "
     "real tokenizer-serving shape, vocabulary-sized work not corpus-sized "
     "— by spacing characters and folding the frozen merge list through "
-    "chained replace() (merge-priority order globally, left-to-right "
-    "non-overlapping within a merge: exactly BPE's apply semantics, and "
-    "exactly replace()'s), then broadcast-join piece counts back onto the "
-    "token stream for per-doc totals.  Zero UDFs; the merge fold is one "
-    "codegen'd expression.  Scale: vocab table is Zipf-bounded (MBs at "
-    "100 TB), corpus pass is a broadcast join + one doc-keyed aggregate",
+    "chained replace().  Equivalence caveat (found by "
+    "test_wave_properties): replace() equals the classic symbol-list BPE "
+    "scan only when no producible symbol extends a merge operand across a "
+    "token boundary — 'j o' after 'o w' would glue j to half of 'ow'.  "
+    "The shipped table is proven exact on every corpus word "
+    "(test_engine_merge_table_exact_on_corpus_vocabulary); on unsafe "
+    "inputs both engines still agree (both run replace()), so the gate "
+    "verifies the same documented discretization.  Piece counts "
+    "broadcast-join back onto the token stream for per-doc totals; zero "
+    "UDFs, the merge fold is one codegen'd expression.  Scale: vocab "
+    "table is Zipf-bounded (MBs at 100 TB), corpus pass is a broadcast "
+    "join + one doc-keyed aggregate",
 )
 def bpe_encode_docs(spark, sf_dir):
     docs = _load_wide(spark, sf_dir, "documents")

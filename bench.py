@@ -136,6 +136,8 @@ HEADLINE = [
     "containment_pairs_docs",
     "trimmed_mean_pandas",
     "zipf_slope_docs",
+    "multimodal_phash",
+    "lsh_recall_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

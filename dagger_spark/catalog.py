@@ -6181,6 +6181,13 @@ def triangle_count_docs(spark, sf_dir):
         )
         .select("o.u", "o.du", "o.v", "o.dv")
     )
+    # the oriented edge list feeds THREE joins (two wedge sides + the
+    # closing probe); without materialization each branch re-executes the
+    # whole LSH bucket self-join lineage — measured 24.9 -> 3.9 s at
+    # sf0.1.  Same checkpoint idiom as connected_components: real
+    # checkpoint when the session has a dir, executor-local otherwise.
+    has_dir = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    e = e.checkpoint(eager=True) if has_dir else e.localCheckpoint(eager=True)
     e1 = e.select(F.col("u"), F.col("v").alias("v1"),
                   F.col("dv").alias("d1"))
     e2 = e.select(F.col("u"), F.col("v").alias("v2"),
@@ -6528,6 +6535,179 @@ def zipf_slope_docs(spark, sf_dir):
              - slope * F.col("sx") / F.col("n")) / F.lit(1e6)
             + F.lit(1e-9), 6,
         ).alias("ln_intercept"),
+    )
+
+
+@register(
+    "multimodal_phash",
+    None,  # decode is Pandas-UDF-backed; rows-only (values pinned by tests)
+    "Perceptual near-duplicate IMAGES — the bridge from the multimodal "
+    "family to the dedup family, as one composed DAG: deterministic PNGs "
+    "(8 of them re-encoded with small pixel perturbations = planted "
+    "near-dups) stream through the stdlib decode (decode_image_pixels) "
+    "into phash_from_pixels (64-bit integer average-hash: 8x8 nearest "
+    "sample grid, integer luma, mean threshold by cross-multiplication — "
+    "no float anywhere) and the pairs come from phash_neardup's banded "
+    "Hamming self-join (8 bit-bands; pigeonhole guarantees any pair "
+    "within distance 6 shares a band, so candidates are lossless; "
+    "bit_count(xor) verifies).  Exactly the simhash recipe applied to "
+    "pixels.  Scale: only 64-bit hashes shuffle; decode stays on the "
+    "executors",
+)
+def multimodal_phash(spark, sf_dir):
+    from .ops.multimodal import (
+        MEDIA_SCHEMA, decode_image_pixels, encode_png, phash_from_pixels,
+        phash_neardup,
+    )
+
+    import hashlib
+
+    rows = []
+    for i in range(24):
+        w = h = 16
+        # md5-expanded content: genuinely independent images (a linear
+        # (i*a + j*b) % m ramp has the SAME slope for every i and its
+        # phashes collide at Hamming ~1 — caught in dev)
+        base = b"".join(
+            hashlib.md5(f"{i}:{k}".encode()).digest()
+            for k in range(w * h * 3 // 16)
+        )
+        rows.append((i, "image/png", bytearray(encode_png(w, h, 3, base)),
+                     ("png", 0)))
+        if i < 8:  # planted near-dup: push 3 SAMPLED pixels across the
+            # mean (grid points of the 8x8 phash sample lattice, sx=2*gx,
+            # sy=2*gy at 16x16) so the pair lands at Hamming 1-4, not 0 —
+            # exercising the verify arm, not just band equality
+            pert = bytearray(base)
+            for gy, gx in ((1, 1), (3, 5), (6, 2)):
+                o = (2 * gy * w + 2 * gx) * 3
+                for ch in range(3):
+                    pert[o + ch] = (pert[o + ch] + 120) % 256
+            rows.append((100 + i, "image/png",
+                         bytearray(encode_png(w, h, 3, bytes(pert))),
+                         ("png", 0)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = phash_from_pixels(decode_image_pixels(media))
+    return phash_neardup(hashes, max_dist=6, bands=8)
+
+
+_LSH_GAUGE_CAP = 500      # brute-force truth is the gauge's cost — cap it
+_LSH_GAUGE_THRESH = 0.5
+_LSH_GAUGE_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows_per_band)
+
+
+@register(
+    "lsh_recall_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+      WHERE doc_id < {_LSH_GAUGE_CAP}
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM toks
+    ), hsh AS (
+      SELECT doc_id,
+             list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, [{_duck_minhash_mins(16)}] AS g FROM hsh
+    ), truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.hs, b.hs))::DOUBLE
+            / greatest(len(a.hs) + len(b.hs)
+                       - len(list_intersect(a.hs, b.hs)), 1)
+            >= {_LSH_GAUGE_THRESH}
+    ), cfg AS (
+      SELECT * FROM (VALUES {", ".join(f"({nb}, {rpb})" for nb, rpb in _LSH_GAUGE_CONFIGS)})
+        AS t(nb, rpb)
+    ), buckets AS (
+      SELECT s.doc_id, c.nb, c.rpb, u.b,
+             md5(array_to_string(
+               list_slice(s.g, u.b * c.rpb + 1, u.b * c.rpb + c.rpb), '|'))
+               AS bucket
+      FROM sig s, cfg c, (SELECT unnest(range(0, 8)) AS b) u
+      WHERE u.b < c.nb
+    ), cand AS (
+      SELECT DISTINCT l.nb, l.rpb, l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.nb = r.nb AND l.b = r.b AND l.bucket = r.bucket
+       AND l.doc_id < r.doc_id
+    ), per AS (
+      SELECT c.nb, c.rpb,
+             count(*) AS n_candidates,
+             sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM cand c
+      LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+      GROUP BY c.nb, c.rpb
+    ), tc AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT CAST(p.nb AS BIGINT)            AS bands,
+           CAST(p.rpb AS BIGINT)           AS rows_per_band,
+           CAST(p.n_candidates AS BIGINT)  AS n_candidates,
+           CAST(tc.n_truth AS BIGINT)      AS n_truth,
+           CAST(p.n_hits AS BIGINT)        AS n_hits,
+           round(p.n_hits / CAST(greatest(tc.n_truth, 1) AS DOUBLE)
+                 + 1e-9, 6)                AS recall
+    FROM per p, tc
+    """,
+    "LSH band-configuration tuning gauge — the dedup twin of ann_recall: "
+    "three band layouts (2x8 / 4x4 / 8x2) sliced from the SAME 16-hash "
+    "signatures, each scored for candidate count and recall against "
+    "brute-force exact shingle-Jaccard >= 0.5 truth (capped to doc_id < "
+    "500: the truth is quadratic BY DEFINITION — that cost is the whole "
+    "reason LSH exists, and the gauge pays it once on a slice to pick "
+    "the config the full corpus then runs bucketed).  More rows per "
+    "band -> fewer, more precise candidates; more bands -> higher "
+    "recall, more candidates — the measured curve IS the tuning "
+    "decision.  All three configs ride one signature stage",
+)
+def lsh_recall_docs(spark, sf_dir):
+    from .ops.dedup import candidate_pairs_from_buckets, lsh_buckets
+
+    sigs = _dedup_stage(spark, sf_dir).filter(
+        F.col("id") < _LSH_GAUGE_CAP
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    union = F.greatest(
+        F.col("a.nsh") + F.col("b.nsh") - inter, F.lit(1)
+    )
+    truth = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(inter.cast("double") / union >= _LSH_GAUGE_THRESH)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cands = None
+    for nb, rpb in _LSH_GAUGE_CONFIGS:
+        c = candidate_pairs_from_buckets(lsh_buckets(sigs, nb, rpb)).select(
+            F.lit(nb).alias("bands"), F.lit(rpb).alias("rows_per_band"),
+            "id_a", "id_b",
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    hit = truth.withColumn("hit", F.lit(1))
+    per = (
+        cands.join(F.broadcast(hit), ["id_a", "id_b"], "left")
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    tc = truth.agg(F.count("*").alias("n_truth"))
+    return per.crossJoin(F.broadcast(tc)).select(
+        F.col("bands").cast("long").alias("bands"),
+        F.col("rows_per_band").cast("long").alias("rows_per_band"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(
+            F.col("n_hits")
+            / F.greatest(F.col("n_truth"), F.lit(1)).cast("double")
+            + F.lit(1e-9), 6,
+        ).alias("recall"),
     )
 
 

@@ -508,3 +508,123 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(every_n - 1))).alias("frame_idx"),
     )
     return frames.withColumn("sampled", (F.col("frame_idx") % every_n) == 0)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing: the bridge from the multimodal family to the dedup
+# family — near-duplicate IMAGES found the same way near-duplicate text is
+# (integer signatures, banded buckets, bit_count verify).
+# --------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def phash_from_pixels(pixels: DataFrame, hash_size: int = 8) -> DataFrame:
+    """64-bit perceptual average-hash from decoded pixel buffers
+    (PIXEL_SCHEMA rows, i.e. the output of :func:`decode_image_pixels`) —
+    composable with either decode backend, like the video->image chain.
+
+    Per image: integer luma (299r + 587g + 114b) // 1000 at an 8x8
+    nearest-neighbor sample grid (reads exactly 64 pixels regardless of
+    image size), then mean-threshold each sample with the integer
+    cross-multiplication ``luma * 64 > total`` — no float ever enters, so
+    the hash is bit-reproducible everywhere.  A near-duplicate image
+    (small edits, re-encode) flips few samples past the corpus-relative
+    mean, so Hamming distance stays small; unrelated images land ~32 bits
+    apart.
+    """
+    n = hash_size * hash_size
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, w, h, c, px, valid in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["channels"], pdf["pixels"], pdf["valid"],
+            ):
+                if not valid or px is None or not w or not h:
+                    out.append((mid, None, False))
+                    continue
+                buf = bytes(px)
+                lumas = []
+                for gy in range(hash_size):
+                    sy = gy * h // hash_size
+                    for gx in range(hash_size):
+                        sx = gx * w // hash_size
+                        o = (sy * w + sx) * c
+                        if c >= 3:
+                            lum = (299 * buf[o] + 587 * buf[o + 1]
+                                   + 114 * buf[o + 2]) // 1000
+                        else:
+                            lum = buf[o]
+                        lumas.append(lum)
+                total = sum(lumas)
+                bits = 0
+                for i, lum in enumerate(lumas):
+                    if lum * n > total:
+                        bits |= 1 << i
+                # two's-complement into a signed 64-bit long
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                out.append((mid, bits, True))
+            yield pd.DataFrame(out, columns=["media_id", "phash", "valid"])
+
+    return pixels.mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+def phash_neardup(
+    hashes: DataFrame, max_dist: int = 6, bands: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join over 64-bit
+    perceptual hashes — the simhash recipe applied to pixels: split each
+    hash into ``bands`` equal bit-bands; by pigeonhole, two hashes within
+    ``max_dist < bands`` differing bits share at least one identical
+    band, so the self-join on (band index, band value) is a lossless
+    candidate generator; ``bit_count(xor)`` verifies exactly.  Returns
+    (id_a, id_b, hamming) with id_a < id_b, distinct.
+    """
+    if max_dist >= bands:
+        raise ValueError(
+            f"pigeonhole soundness needs max_dist < bands "
+            f"(got {max_dist} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col("valid")).select("media_id", "phash")
+    banded = h.select(
+        "media_id", "phash",
+        F.explode(F.lit(list(range(bands)))).alias("b"),
+    ).select(
+        "media_id", "phash", "b",
+        # shiftrightunsigned() takes a literal count in the Python API —
+        # the per-row band shift needs the SQL form
+        F.expr(
+            f"shiftrightunsigned(phash, CAST(b AS INT) * {width}) "
+            f"& CAST({mask} AS BIGINT)"
+        ).alias("bv"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+             .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+        .distinct()
+    )
+    return pairs

@@ -86,6 +86,7 @@ DOC_QUERIES = [
     "k_anonymity_docs",
     "containment_pairs_docs",
     "zipf_slope_docs",
+    "lsh_recall_docs",
 ]
 
 _WORDS = (

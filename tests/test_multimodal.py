@@ -156,3 +156,69 @@ def test_resize_strict_png_codecless(spark):
 def test_frame_sample_plan_explodes(media):
     out = frame_sample_plan(media, every_n=4)
     assert out.count() == 32 * 4
+
+
+def test_phash_neardup_finds_planted_pairs_only(spark):
+    """The composed decode -> phash -> banded-Hamming DAG: exactly the 8
+    planted perturbation pairs, nonzero distances (the verify arm, not
+    just band equality), and no cross-image false positives on
+    md5-independent content."""
+    from dagger_spark.catalog import QUERIES
+
+    rows = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in QUERIES["multimodal_phash"].fn(
+            spark, "/root/testdata/sf0.001").collect()
+    )
+    assert [(a, b) for a, b, _ in rows] == [(i, 100 + i) for i in range(8)]
+    assert all(1 <= d <= 6 for _, _, d in rows), rows
+
+
+def test_phash_matches_pure_python_reference(spark):
+    """The executor-side hash is recomputed here in pure Python from the
+    same decoded pixels — integer luma, nearest 8x8 grid, cross-multiplied
+    mean threshold — and must agree bit-for-bit."""
+    import hashlib
+
+    from dagger_spark.ops.multimodal import (
+        MEDIA_SCHEMA, decode_image_pixels, decode_png, encode_png,
+        phash_from_pixels,
+    )
+
+    w = h = 16
+    base = b"".join(hashlib.md5(f"ref:{k}".encode()).digest()
+                    for k in range(w * h * 3 // 16))
+    blob = encode_png(w, h, 3, base)
+    media = spark.createDataFrame(
+        [(0, "image/png", bytearray(blob), ("png", 0))], MEDIA_SCHEMA)
+    got = phash_from_pixels(decode_image_pixels(media)).collect()[0]
+    assert got.valid
+
+    dw, dh, dc, px = decode_png(blob)
+    lumas = []
+    for gy in range(8):
+        sy = gy * dh // 8
+        for gx in range(8):
+            sx = gx * dw // 8
+            o = (sy * dw + sx) * dc
+            lumas.append(
+                (299 * px[o] + 587 * px[o + 1] + 114 * px[o + 2]) // 1000)
+    total = sum(lumas)
+    bits = 0
+    for i, lum in enumerate(lumas):
+        if lum * 64 > total:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    assert got.phash == bits
+
+
+def test_phash_neardup_pigeonhole_guard():
+    """max_dist >= bands breaks the pigeonhole soundness argument and must
+    refuse loudly instead of silently missing pairs."""
+    import pytest
+
+    from dagger_spark.ops.multimodal import phash_neardup
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_neardup(None, max_dist=8, bands=8)

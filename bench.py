@@ -138,6 +138,9 @@ HEADLINE = [
     "zipf_slope_docs",
     "multimodal_phash",
     "lsh_recall_docs",
+    "kcore_docs",
+    "events_assoc_rules",
+    "events_cusum_shift",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -6711,6 +6711,236 @@ def lsh_recall_docs(spark, sf_dir):
     )
 
 
+_KCORE_K, _KCORE_ROUNDS = 2, 12
+
+
+def _kcore_oracle() -> str:
+    """Unrolled simultaneous-peel rounds (the PageRank-oracle precedent:
+    standard SQL forbids aggregation in a recursive member, so a bounded
+    loop unrolls literally)."""
+    cte = _DUCK_MINHASH_CTE + """
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), e0 AS (
+      SELECT id_a AS x, id_b AS y FROM cand
+      UNION ALL SELECT id_b, id_a FROM cand
+    )"""
+    # each e{i} is referenced three times per round (degree agg + both
+    # semi-join sides); without MATERIALIZED DuckDB inlines the chain and
+    # the expansion grows 3^rounds — "Too many open files" on the base
+    # parquet was the symptom
+    for i in range(_KCORE_ROUNDS):
+        cte += f"""
+    , d{i} AS (SELECT x, count(*) AS c FROM e{i} GROUP BY x)
+    , k{i} AS (SELECT x FROM d{i} WHERE c >= {_KCORE_K})
+    , e{i + 1} AS MATERIALIZED (
+      SELECT e.x, e.y FROM e{i} e
+      JOIN k{i} a ON e.x = a.x JOIN k{i} b ON e.y = b.x
+    )"""
+    n = _KCORE_ROUNDS
+    return cte + f"""
+    SELECT d.x AS doc_id,
+           CAST(d.c AS BIGINT) AS core_degree,
+           ((SELECT count(*) FROM e{n}) = (SELECT count(*) FROM e{n - 1}))
+             AS converged
+    FROM (SELECT x, count(*) AS c FROM e{n} GROUP BY x) d
+    """
+
+
+@register(
+    "kcore_docs",
+    _kcore_oracle(),
+    f"2-core decomposition of the LSH near-dup graph — the noise filter "
+    f"above connected components: a chain of borderline pairwise matches "
+    f"is one 'cluster' to CC but has NO 2-core, while a genuine duplicate "
+    f"clique survives peeling; membership separates them.  Simultaneous "
+    f"peeling (drop every degree<{_KCORE_K} vertex each round) is "
+    f"order-free, so both engines run the identical BOUNDED "
+    f"{_KCORE_ROUNDS}-round loop — Spark as a DataFrame loop with "
+    f"per-round checkpoint lineage truncation, the oracle unrolled as "
+    f"chained CTEs (PageRank precedent) — and a 'converged' column "
+    f"compares the last two rounds' edge counts so an instance needing "
+    f"more rounds FLAGS itself instead of silently truncating.  Each "
+    f"round is one degree aggregate + one semi-join pair, vertex-keyed at "
+    f"any scale",
+)
+def kcore_docs(spark, sf_dir):
+    docs = _load_wide(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
+    )
+    e = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    e = e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    has_dir = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+
+    def _chk(df):
+        return (df.checkpoint(eager=True) if has_dir
+                else df.localCheckpoint(eager=True))
+
+    e = _chk(e)
+    prev_edges = None
+    for _ in range(_KCORE_ROUNDS):
+        prev_edges = e
+        deg = e.groupBy("x").agg(F.count("*").alias("c"))
+        keep = deg.filter(F.col("c") >= _KCORE_K).select("x")
+        e = _chk(
+            e.join(keep.hint("shuffle_hash"), "x")
+            .join(
+                keep.select(F.col("x").alias("y")).hint("shuffle_hash"),
+                "y",
+            )
+            .select("x", "y")
+        )
+    converged = e.count() == prev_edges.count()
+    return (
+        e.groupBy("x")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .select(
+            F.col("x").alias("doc_id"), "core_degree",
+            F.lit(converged).alias("converged"),
+        )
+    )
+
+
+_shared_sql(
+    "events_assoc_rules",
+    """
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ), tot AS (
+      SELECT count(DISTINCT user_id) AS n_users FROM ue
+    ), item AS (
+      SELECT event_type, count(*) AS n FROM ue GROUP BY event_type
+    ), pair AS (
+      SELECT a.event_type AS lhs, b.event_type AS rhs, count(*) AS n_both
+      FROM ue a JOIN ue b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.lhs, p.rhs,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           round(p.n_both / CAST(t.n_users AS DOUBLE) + 1e-9, 6)
+             AS support,
+           round(p.n_both / CAST(la.n AS DOUBLE) + 1e-9, 6)
+             AS confidence,
+           round((p.n_both * t.n_users)
+                 / CAST(la.n * rb.n AS DOUBLE) + 1e-9, 6) AS lift
+    FROM pair p
+    JOIN item la ON p.lhs = la.event_type
+    JOIN item rb ON p.rhs = rb.event_type
+    CROSS JOIN tot t
+    """,
+    "Association rules over per-user behavior (market-basket on event "
+    "types): support / confidence / lift for every directed type pair, "
+    "all ratios derived from exact integer counts in one final "
+    "projection (lift cross-multiplied before the single division).  "
+    "The distinct (user, type) reduction is the only corpus-sized pass; "
+    "pair counting self-joins the user-keyed distinct table and the "
+    "item/total tables broadcast.  Lift > 1 = behavioral affinity, the "
+    "recommender/cross-sell primitive",
+)
+
+
+_CUSUM_H_NUM, _CUSUM_H_DEN = 1, 2  # alarm threshold h = mean/2
+
+
+@register(
+    "events_cusum_shift",
+    f"""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 1e6) AS BIGINT) AS vm
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), ref AS (
+      SELECT CAST(sum(vm) AS BIGINT) // count(*) AS k_micro FROM v
+    ), p AS (
+      SELECT event_type, ts, event_id,
+             sum(vm - k_micro) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM v, ref
+    ), p2 AS (
+      -- nested window functions are illegal in both engines: the running
+      -- min over the prefix column needs its own stage
+      SELECT event_type, ts, prefix,
+             min(prefix) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_min
+      FROM p
+    ), s AS (
+      SELECT event_type, ts,
+             prefix - least(run_min, 0) AS cusum,
+             (SELECT k_micro * {_CUSUM_H_NUM} // {_CUSUM_H_DEN} FROM ref)
+               AS h
+      FROM p2
+    )
+    SELECT event_type,
+           count(*)                                   AS n_events,
+           CAST(max(cusum) AS BIGINT)                 AS cusum_max,
+           CAST(sum(CASE WHEN cusum > h THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_alarms,
+           date_trunc('second', min(CASE WHEN cusum > h THEN ts END))
+                                                      AS first_alarm_ts
+    FROM s GROUP BY event_type
+    """,
+    "CUSUM mean-shift detection per event type — the sequential "
+    "change-point detector behind drift alarms: S_i = max(0, S_i-1 + "
+    "(x_i - k)) rewritten as prefix_i - min(0, running_min(prefix)) so "
+    "the RECURSION becomes two window functions over one ordered "
+    "partition — and everything is INTEGER micro-units (reference k = "
+    "integer-floor corpus mean, threshold h = k/2 in integer division), "
+    "so the running extremes are exact in both engines where a float "
+    "recursion could never hash-match.  Planted-shift test proves the "
+    "alarm fires and localizes the change; uniform corpus yields its "
+    "honest baseline alarm rate.  One corpus pass + one type-keyed "
+    "window",
+)
+def events_cusum_shift(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 1e6).cast("long").alias("vm"),
+    )
+    # floor division (matching DuckDB's //), not cast-truncation — they
+    # differ on negative sums (possible in fuzz corpora)
+    ref = v.agg(
+        F.floor(F.sum("vm").cast("long") / F.count("*")).cast("long")
+        .alias("k_micro")
+    )
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    p = (
+        v.crossJoin(F.broadcast(ref))
+        .withColumn("prefix", F.sum(F.col("vm") - F.col("k_micro")).over(w))
+        .withColumn("run_min", F.min("prefix").over(w))
+        .withColumn(
+            "h",
+            F.floor(F.col("k_micro") * _CUSUM_H_NUM / _CUSUM_H_DEN)
+             .cast("long"),
+        )
+    )
+    s = p.withColumn(
+        "cusum", F.col("prefix") - F.least(F.col("run_min"), F.lit(0))
+    )
+    return s.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("cusum").cast("long").alias("cusum_max"),
+        F.sum(F.when(F.col("cusum") > F.col("h"), 1).otherwise(0))
+         .cast("long").alias("n_alarms"),
+        F.date_trunc(
+            "second",
+            F.min(F.when(F.col("cusum") > F.col("h"), F.col("ts"))),
+        ).alias("first_alarm_ts"),
+    )
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -354,3 +354,82 @@ def test_observe_metrics_on_pipeline_pass(spark, sf_dir):
     assert m["rows_seen"] >= kept
     assert m["empty_docs"] >= 0
     assert m["max_chars"] == docs.agg(F.max("n_chars")).first()[0]
+
+
+def test_cusum_fires_on_planted_level_shift(spark, tmp_path):
+    """CUSUM must detect and LOCALIZE a mean shift: type 'shift' runs 100
+    events at value 10 then 100 at value 100 — the alarm fires after the
+    change point, never before it; flat control type stays silent (its
+    drift against the global reference is negative, which the max(0,..)
+    floor absorbs)."""
+    import os
+    import shutil
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from dagger_spark.catalog import QUERIES
+    from dagger_spark.sources.files import ALL_TABLES
+
+    d = str(tmp_path / "sf_shift")
+    os.makedirs(d)
+    for t in ALL_TABLES:
+        if t != "events":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                        f"{d}/{t}.parquet")
+    t0 = datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for i in range(200):
+        val = 10.0 if i < 100 else 100.0
+        rows.append(Row(event_id=eid, ts=t0 + timedelta(minutes=i),
+                        user_id=1, event_type="shift", value=val,
+                        props="{}"))
+        eid += 1
+    for i in range(200):  # flat control
+        rows.append(Row(event_id=eid, ts=t0 + timedelta(minutes=i),
+                        user_id=2, event_type="flat", value=10.0,
+                        props="{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(d + "/events.parquet")
+
+    out = {r["event_type"]: r for r in
+           QUERIES["events_cusum_shift"].fn(spark, d).collect()}
+    shift_t = t0 + timedelta(minutes=100)
+    assert out["flat"]["n_alarms"] == 0
+    assert out["shift"]["n_alarms"] > 0
+    # localization: first alarm at/after the true change point, within a
+    # handful of post-shift events (k ~ 32.5, h ~ 16.25, each post-shift
+    # event adds ~67.5 -> alarm on the first post-shift event)
+    assert out["shift"]["first_alarm_ts"] >= shift_t
+    assert out["shift"]["first_alarm_ts"] <= shift_t + timedelta(minutes=5)
+
+
+def test_kcore_matches_python_fixpoint_peel(spark, sf_dir):
+    """The bounded 12-round simultaneous peel must equal the true fixpoint
+    on this corpus (converged=True backs it): recompute with a pure-Python
+    peel over the same LSH pair graph."""
+    from dagger_spark.catalog import QUERIES
+
+    pairs = [(r.id_a, r.id_b) for r in
+             QUERIES["minhash_pairs_docs"].fn(spark, sf_dir).collect()]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive
+                if len(adj[v] & alive) < 2}
+        if not drop:
+            break
+        alive -= drop
+    want = {v: len(adj[v] & alive) for v in alive}
+
+    got = {r.doc_id: r for r in
+           QUERIES["kcore_docs"].fn(spark, sf_dir).collect()}
+    assert all(r.converged for r in got.values())
+    assert {k: r.core_degree for k, r in got.items()} == want

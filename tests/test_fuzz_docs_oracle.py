@@ -87,6 +87,7 @@ DOC_QUERIES = [
     "containment_pairs_docs",
     "zipf_slope_docs",
     "lsh_recall_docs",
+    "kcore_docs",
 ]
 
 _WORDS = (

@@ -59,6 +59,8 @@ EVENT_QUERIES = [
     "events_markov_transitions",
     "events_conversion_lag",
     "trimmed_mean_pandas",
+    "events_assoc_rules",
+    "events_cusum_shift",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

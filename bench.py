@@ -141,6 +141,9 @@ HEADLINE = [
     "kcore_docs",
     "events_assoc_rules",
     "events_cusum_shift",
+    "keywords_per_doc",
+    "events_seasonal_decompose",
+    "quantile_normalize_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -6941,6 +6941,196 @@ def events_cusum_shift(spark, sf_dir):
     )
 
 
+@register(
+    "keywords_per_doc",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+    ), n_docs AS (
+      SELECT count(*) AS n FROM toks WHERE len(t) > 0
+    ), df AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w
+    ), idf AS (
+      SELECT w, CAST(round(ln(n / CAST(df AS DOUBLE)) * 1e6) AS BIGINT)
+               AS idf_micro
+      FROM df, n_docs
+    ), scored AS (
+      SELECT t.doc_id, t.w, t.tf * i.idf_micro AS score_micro,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf * i.idf_micro DESC, t.w)
+               AS rank
+      FROM tf t JOIN idf i ON t.w = i.w
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, w AS term,
+           CAST(score_micro AS BIGINT) AS score_micro
+    FROM scored WHERE rank <= 3
+    """,
+    "Per-document keyword extraction: top-3 terms by tf*idf where idf is "
+    "rounded to integer micro-nats FIRST so the score is an exact "
+    "integer product and the (score desc, term) ranking is bit-stable in "
+    "both engines — float tf-idf ties break differently per engine and "
+    "cannot gate.  The corpus-level tfidf_top_terms answers 'what is "
+    "this corpus about'; this answers 'what is each DOC about' — the "
+    "tagging/routing primitive.  One tf aggregate + broadcast idf + one "
+    "doc-keyed window",
+)
+def keywords_per_doc(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    tok = staged.select("doc_id", F.explode("t").alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    n_docs = staged.filter(F.size("t") > 0).agg(F.count("*").alias("n"))
+    df = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df.crossJoin(F.broadcast(n_docs)).select(
+        "w",
+        F.round(F.log(F.col("n") / F.col("df").cast("double")) * 1e6)
+         .cast("long").alias("idf_micro"),
+    )
+    scored = tf.join(F.broadcast(idf), "w").select(
+        "doc_id", "w",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("score_micro").desc(), F.col("w"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", F.col("rank").cast("long").alias("rank"),
+            F.col("w").alias("term"),
+            F.col("score_micro").cast("long").alias("score_micro"),
+        )
+    )
+
+
+_shared_sql(
+    "events_seasonal_decompose",
+    """
+    WITH v AS (
+      -- MILLI-units, not micro: the variance moments square vm and sum
+      -- over the corpus; micro^2 sums overflow int64 (Spark ANSI errors,
+      -- DuckDB silently widens to HUGEINT) — milli keeps n*sum(vm^2)
+      -- comfortably inside both engines' exact integer range
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(round(value * 1e3) AS BIGINT) AS vm
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), season AS (
+      SELECT event_type, hr, vm,
+             count(*) OVER w AS sn,
+             sum(vm)  OVER w AS ss
+      FROM v
+      WINDOW w AS (PARTITION BY event_type, hr)
+    ), resid AS (
+      SELECT event_type,
+             vm,
+             vm - CAST(floor(ss / CAST(sn AS DOUBLE)) AS BIGINT) AS r
+      FROM season
+    )
+    SELECT event_type,
+           count(*)                                        AS n,
+           CAST(sum(vm) AS BIGINT)                         AS sum_milli,
+           CAST(sum(r) AS BIGINT)                          AS resid_sum,
+           round(1.0
+                 - (count(*) * sum(r * r) - sum(r) * sum(r))
+                   / CAST(greatest(count(*) * sum(vm * vm)
+                                   - sum(vm) * sum(vm), 1) AS DOUBLE)
+                 + 1e-9, 6)                                AS var_explained
+    FROM resid GROUP BY event_type
+    """,
+    "Seasonal decomposition (the hour-of-day component): subtract each "
+    "(type, hour)'s integer-floor mean and report the variance the "
+    "seasonal profile explains — computed from exact integer moments "
+    "(n*sum(r^2) - sum(r)^2 over n*sum(v^2) - sum(v)^2, one double "
+    "division at the end), so the whole decomposition is order-free.  "
+    "Hourly means ride one (type,hr) window; a synthetic uniform corpus "
+    "honestly explains ~0.  The model-residual shape UEBA baselining "
+    "(events_rate_anomaly) thresholdss on counts; this decomposes "
+    "values",
+)
+
+
+_QNORM_K = 16  # map each source onto the pooled distribution at 16 ranks
+
+
+@register(
+    "quantile_normalize_docs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE n_chars IS NOT NULL
+    ), ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*)    OVER (PARTITION BY source)        AS ns
+      FROM s
+    ), pooled AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS pr
+      FROM s
+    ), np AS (SELECT count(*) AS n FROM s)
+    SELECT k.doc_id, k.source, k.n_chars,
+           CAST(k.r AS BIGINT) AS src_rank,
+           p.n_chars AS normalized
+    FROM ranked k
+    JOIN np ON true
+    JOIN pooled p
+      ON p.pr = ((2 * k.r - 1) * np.n + k.ns) // (2 * k.ns)
+    """,
+    "Quantile normalization across sources — the batch-effect correction "
+    "training mixtures need when one source's quality/length scores run "
+    "systematically hot: each document's value is replaced by the POOLED "
+    "distribution's value at the same relative rank.  The rank mapping "
+    "is pure integer arithmetic (midpoint rule (2r-1)n_pool/(2n_src) "
+    "rounded via integer +den/2 trick), so engine parity is exact — no "
+    "interpolated quantiles anywhere.  Unique (value, doc_id) orderings "
+    "make both row_number()s deterministic.  Scale note: the pooled "
+    "row_number is a GLOBAL rank — fine at gauge scale, but at 100 TB "
+    "it becomes the standard two-pass range-partitioned rank (sample "
+    "split points, rank within ranges, add per-range offsets); the "
+    "mapping formula and parity argument carry over unchanged",
+)
+def quantile_normalize_docs(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    ).select("doc_id", "source", "n_chars")
+    ranked = docs.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        ).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    pooled = docs.select(
+        F.col("n_chars").alias("p_chars"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("pr"),
+    )
+    np_ = docs.agg(F.count("*").alias("n"))
+    j = ranked.crossJoin(F.broadcast(np_)).withColumn(
+        "target",
+        ((2 * F.col("r") - 1) * F.col("n") + F.col("ns"))
+        / (2 * F.col("ns")),
+    ).withColumn("target", F.floor(F.col("target")).cast("long"))
+    return (
+        j.join(pooled.hint("shuffle_hash"), j["target"] == pooled["pr"])
+        .select(
+            "doc_id", "source", "n_chars",
+            F.col("r").cast("long").alias("src_rank"),
+            F.col("p_chars").alias("normalized"),
+        )
+    )
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -88,6 +88,8 @@ DOC_QUERIES = [
     "zipf_slope_docs",
     "lsh_recall_docs",
     "kcore_docs",
+    "keywords_per_doc",
+    "quantile_normalize_docs",
 ]
 
 _WORDS = (

@@ -61,6 +61,7 @@ EVENT_QUERIES = [
     "trimmed_mean_pandas",
     "events_assoc_rules",
     "events_cusum_shift",
+    "events_seasonal_decompose",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -144,6 +144,10 @@ HEADLINE = [
     "keywords_per_doc",
     "events_seasonal_decompose",
     "quantile_normalize_docs",
+    "hll_scratch_events",
+    "compress_ratio_docs",
+    "events_theilsen_trend",
+    "multimodal_phash_clusters",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

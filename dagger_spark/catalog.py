@@ -7131,6 +7131,241 @@ def quantile_normalize_docs(spark, sf_dir):
     )
 
 
+def _rho_case_sql(col: str) -> str:
+    """rho (HLL leading-zero rank) of a 32-bit hash as a CASE chain of
+    integer comparisons — bit-exact in any engine, no log2 float whose
+    rounding at exact powers of two could flip a bucket."""
+    branches = "\n             ".join(
+        f"WHEN {col} >= {1 << (31 - i)} THEN {i + 1}" for i in range(32)
+    )
+    return f"(CASE {branches} ELSE 33 END)"
+
+
+_HLL_M = 256  # 2^8 buckets
+
+
+@register(
+    "hll_scratch_events",
+    f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT AS bucket,
+             ('0x' || substr(md5(user_id::VARCHAR), 3, 8))::BIGINT AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ), rho AS (
+      SELECT bucket, max({_rho_case_sql('hv')}) AS r FROM h GROUP BY bucket
+    ), s AS (
+      -- EMPTY registers hold value 0 and contribute 2^0 = 1 each to the
+      -- indicator sum (scaled: 2^33) — summing only hit buckets inflated
+      -- the estimate 8.5x (1281 vs 150 true), caught by the honesty cols
+      SELECT CAST(sum(CAST(2 AS BIGINT) ** (33 - r)) AS BIGINT)
+             + (256 - count(*)) * 8589934592 AS ssum,
+             count(*) AS nz
+      FROM rho
+    ), est AS (
+      -- alpha*m^2*2^33 precomputed in one double literal: DuckDB types a
+      -- 0.718365 * 256 * ... chain as DECIMAL and overflows its product
+      SELECT ssum, nz,
+             round(404403543289500.8 / ssum) AS raw_est,
+             {_HLL_M} - nz AS v
+      FROM s
+    ), final AS (
+      SELECT CAST(CASE WHEN raw_est < 2.5 * {_HLL_M} AND v > 0
+                  THEN round({_HLL_M} * ln({_HLL_M} / CAST(v AS DOUBLE)))
+                  ELSE raw_est END AS BIGINT) AS hll_estimate,
+             CAST(ssum AS BIGINT) AS s_scaled,
+             CAST(nz AS BIGINT) AS n_buckets_hit
+      FROM est
+    )
+    SELECT f.hll_estimate, f.s_scaled, f.n_buckets_hit,
+           t.true_distinct,
+           round(abs(f.hll_estimate - t.true_distinct)
+                 / CAST(greatest(t.true_distinct, 1) AS DOUBLE)
+                 + 1e-9, 6) AS rel_error
+    FROM final f,
+         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+          FROM events WHERE user_id IS NOT NULL) t
+    """,
+    "HyperLogLog built FROM SCRATCH relationally — the sketch INTERNALS "
+    "under an EXACT differential gate, which no library HLL can offer: "
+    "because the hash is deterministic md5, bucket (first md5 byte), "
+    "rank (leading-zero CASE chain — no log2() float whose rounding at "
+    "exact powers of two could flip a bucket), the integer-scaled "
+    "indicator sum Σ2^(33-ρ), the bias-corrected estimate AND the "
+    "small-range linear-counting branch (exercised here: 150 users << "
+    "2.5m) are all bit-identical across engines — the gate hash-matches "
+    "the whole sketch, not a tolerance band (contrast "
+    "events_hll_rollup's bounded oracle over Spark's opaque library "
+    "sketch).  True count and relative error emitted for honesty.  One "
+    "hash pass + a 256-row rollup; the rho table IS the mergeable "
+    "partial a 100 TB store persists",
+)
+def hll_scratch_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    md5 = F.md5(F.col("user_id").cast("string"))
+    h = ev.select(
+        F.conv(F.substring(md5, 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.conv(F.substring(md5, 3, 8), 16, 10).cast("long").alias("hv"),
+    )
+    rho_expr = "CASE " + " ".join(
+        f"WHEN hv >= {1 << (31 - i)} THEN {i + 1}" for i in range(32)
+    ) + " ELSE 33 END"
+    rho = h.groupBy("bucket").agg(
+        F.max(F.expr(rho_expr)).alias("r")
+    )
+    s = rho.agg(
+        F.sum(F.expr("CAST(pow(2, 33 - r) AS BIGINT)")).cast("long")
+         .alias("__hit"),
+        F.count("*").alias("nz"),
+    ).select(
+        # empty registers contribute 2^(33-0) each — see oracle comment
+        (F.col("__hit")
+         + (F.lit(_HLL_M) - F.col("nz")) * F.lit(8589934592).cast("long"))
+        .cast("long").alias("ssum"),
+        "nz",
+    )
+    est = s.select(
+        "ssum", "nz",
+        F.round(F.lit(404403543289500.8) / F.col("ssum")).alias("raw_est"),
+        (F.lit(_HLL_M) - F.col("nz")).alias("v"),
+    )
+    final = est.select(
+        F.when(
+            (F.col("raw_est") < 2.5 * _HLL_M) & (F.col("v") > 0),
+            F.round(
+                F.lit(float(_HLL_M))
+                * F.log(F.lit(float(_HLL_M)) / F.col("v").cast("double"))
+            ),
+        ).otherwise(F.col("raw_est")).cast("long").alias("hll_estimate"),
+        F.col("ssum").cast("long").alias("s_scaled"),
+        F.col("nz").cast("long").alias("n_buckets_hit"),
+    )
+    truth = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    )
+    return final.crossJoin(F.broadcast(truth)).select(
+        "hll_estimate", "s_scaled", "n_buckets_hit", "true_distinct",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("true_distinct"))
+            / F.greatest(F.col("true_distinct"), F.lit(1)).cast("double")
+            + F.lit(1e-9), 6,
+        ).alias("rel_error"),
+    )
+
+
+@register(
+    "compress_ratio_docs",
+    None,  # zlib has no SQL twin; rows-only (values pinned by a local test)
+    "Compression-ratio quality signal — the cheap repetition detector "
+    "production filters use beside Gopher stats (boilerplate and spam "
+    "compress far better than natural text): zlib level-6 deflate per "
+    "document in an Arrow-batched pandas UDF, emitting raw/compressed "
+    "lengths and the ratio.  The corpus-level twin of what "
+    "repetition_docs measures structurally; a doc compressing below "
+    "~0.3 is near-certainly templated.  Scale: pure map work, no "
+    "shuffle; bytes stay on executors, only two ints and a ratio return",
+)
+def compress_ratio_docs(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def comp_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), 6))
+        )
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+         .alias("raw_len"),
+        comp_len(F.col("text")).alias("comp_len"),
+    )
+    return out.select(
+        "doc_id", "raw_len", "comp_len",
+        F.round(
+            F.col("comp_len")
+            / F.greatest(F.col("raw_len"), F.lit(1)).cast("double")
+            + F.lit(1e-9), 6,
+        ).alias("ratio"),
+    )
+
+
+_shared_sql(
+    "events_theilsen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)
+    ), idx AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS d
+      FROM daily
+    ), slopes AS (
+      SELECT a.event_type,
+             CAST(round((b.c - a.c) * 1e6
+                        / CAST(b.d - a.d AS DOUBLE)) AS BIGINT)
+               AS slope_micro
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.d < b.d
+    )
+    SELECT event_type,
+           count(*) AS n_pairs,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope_micro)
+                 / 1e6 + 1e-9, 6) AS theilsen_slope,
+           CAST(min(slope_micro) AS BIGINT) AS min_slope_micro,
+           CAST(max(slope_micro) AS BIGINT) AS max_slope_micro
+    FROM slopes GROUP BY event_type
+    """,
+    "Theil-Sen robust trend per event type — the median of all pairwise "
+    "day-slopes, immune to the outlier days that wreck OLS: each slope "
+    "is micro-rounded to an INTEGER before the median, whose "
+    "interpolation sits at the exactly-representable 0.5 (the dyadic "
+    "rule), so the whole estimator gates exactly.  Day pairs are "
+    "days-squared per type (~400 here) — the classic bound; at longer "
+    "horizons the repeated-median or sampled variant bounds it, same "
+    "shape.  One daily rollup + one within-type pair join",
+)
+
+
+@register(
+    "multimodal_phash_clusters",
+    None,  # composed Pandas-UDF decode; rows-only (pinned by phash tests)
+    "The image-dedup ENDGAME as one DAG: decode -> perceptual hash -> "
+    "banded Hamming pairs -> connected components -> cluster sizes.  "
+    "Composes multimodal_phash's planted fixture with the same "
+    "large-star/small-star CC the text dedup family uses — proving the "
+    "clustering layer is modality-agnostic: it consumes (id_a, id_b) "
+    "pairs and never knows pixels produced them.  Output: one row per "
+    "multi-image cluster with its size (the 8 planted pairs -> 8 "
+    "clusters of 2)",
+)
+def multimodal_phash_clusters(spark, sf_dir):
+    from .ops.dedup import connected_components
+
+    pairs = multimodal_phash(spark, sf_dir)
+    verts = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(
+        verts, pairs.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst")),
+    )
+    return (
+        cc.groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+        .select(F.col("cluster").alias("cluster_id"), "cluster_size")
+    )
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

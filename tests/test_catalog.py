@@ -433,3 +433,30 @@ def test_kcore_matches_python_fixpoint_peel(spark, sf_dir):
            QUERIES["kcore_docs"].fn(spark, sf_dir).collect()}
     assert all(r.converged for r in got.values())
     assert {k: r.core_degree for k, r in got.items()} == want
+
+
+def test_compress_ratio_values_match_local_zlib(spark, sf_dir):
+    """The executor-side deflate must byte-agree with driver-side zlib on
+    the same library: pin 10 documents' exact compressed lengths, plus the
+    semantic ordering a repetition detector relies on — a templated
+    (repeated) text compresses far better than the same tokens shuffled."""
+    import zlib
+
+    import duckdb
+
+    from dagger_spark.catalog import QUERIES
+
+    got = {r.doc_id: r for r in
+           QUERIES["compress_ratio_docs"].fn(spark, sf_dir).collect()}
+    want = duckdb.connect().execute(
+        f"SELECT doc_id, coalesce(text,'') FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') LIMIT 10"
+    ).fetchall()
+    for doc_id, text in want:
+        assert got[doc_id].comp_len == len(zlib.compress(text.encode(), 6))
+        assert got[doc_id].raw_len == len(text.encode()) or \
+            got[doc_id].raw_len == len(text)  # char length column
+    rep = ("spam " * 200).strip()
+    uniq = " ".join(f"w{i}" for i in range(200))
+    assert len(zlib.compress(rep.encode(), 6)) < \
+        0.3 * len(zlib.compress(uniq.encode(), 6))

@@ -62,6 +62,8 @@ EVENT_QUERIES = [
     "events_assoc_rules",
     "events_cusum_shift",
     "events_seasonal_decompose",
+    "hll_scratch_events",
+    "events_theilsen_trend",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -174,3 +174,137 @@ def running_totals_tws(
             timeMode="ProcessingTime" if ttl_ms else "None",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CUSUM: the change-point detector as O(1)-per-key custom state
+# --------------------------------------------------------------------------
+
+CUSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("cusum_micro", T.LongType(), False),
+        T.StructField("n_alarms", T.LongType(), False),
+        T.StructField("max_cusum", T.LongType(), False),
+    ]
+)
+
+_CUSUM_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("s", T.LongType(), False),
+        T.StructField("n_alarms", T.LongType(), False),
+        T.StructField("max_s", T.LongType(), False),
+    ]
+)
+
+
+def cusum_alarms(
+    events: DataFrame,
+    k_micro: int,
+    h_micro: int,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    order_cols: Tuple[str, str] = ("ts", "event_id"),
+    idle_timeout_ms: int = 0,
+) -> DataFrame:
+    """Per-key CUSUM S = max(0, S + (v_micro - k)) with alarms at S > h —
+    the events_cusum_shift detector as a STREAMING operator whose state is
+    four integers per key, O(1) regardless of stream length (the state a
+    100 TB SIEM can actually afford per entity).
+
+    The two paths deliberately use DIFFERENT formulations of the same
+    math, and the batch==stream test is therefore a proof of the identity
+    itself: streaming folds the literal recursion inside
+    ``applyInPandasWithState`` (rows sorted by ``order_cols`` within each
+    micro-batch; cross-batch order is arrival order, the standard
+    stateful-streaming caveat — replay in order to reproduce batch), while
+    batch evaluates the closed form prefix − min(0, running_min(prefix))
+    with two window functions (catalog `events_cusum_shift`'s shape).
+    Everything integer micro-units, so both paths are exact.
+    """
+    from pyspark.sql import functions as F
+
+    if not events.isStreaming:
+        from pyspark.sql.window import Window
+
+        w = (Window.partitionBy(key_col).orderBy(*order_cols)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        v = events.filter(F.col(value_col).isNotNull()).select(
+            F.col(key_col).cast("string").alias("key"),
+            *[F.col(c) for c in order_cols],
+            (F.round(F.col(value_col) * 1e6).cast("long") - F.lit(k_micro))
+            .alias("y"),
+        )
+        w2 = (Window.partitionBy("key").orderBy(*order_cols)
+              .rowsBetween(Window.unboundedPreceding, 0))
+        p = v.withColumn("prefix", F.sum("y").over(w2))
+        p = p.withColumn("run_min", F.min("prefix").over(w2))
+        s = p.withColumn(
+            "cusum", F.col("prefix") - F.least(F.col("run_min"), F.lit(0))
+        )
+        final_at = ", ".join(order_cols)
+        return s.groupBy("key").agg(
+            F.count("*").alias("n_events"),
+            # last() under groupBy is order-nondeterministic — take the
+            # value at the maximum (ts, event_id) explicitly
+            F.expr(f"max_by(cusum, struct({final_at}))")
+             .alias("cusum_micro"),
+            F.sum(F.when(F.col("cusum") > h_micro, 1).otherwise(0))
+             .cast("long").alias("n_alarms"),
+            F.max("cusum").alias("max_cusum"),
+        )
+
+    def fold(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s, n_alarms, max_s = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=[value_col]).sort_values(
+                list(order_cols)
+            )
+            for v in pdf[value_col]:
+                s = s + (int(round(float(v) * 1e6)) - k_micro)
+                if s < 0:
+                    s = 0
+                if s > max_s:
+                    max_s = s
+                if s > h_micro:
+                    n_alarms += 1
+                n += 1
+        state.update((n, s, n_alarms, max_s))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [(key[0], n, s, n_alarms, max_s)],
+            columns=["key", "n_events", "cusum_micro", "n_alarms",
+                     "max_cusum"],
+        )
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).cast("string").alias("__k"),
+            *[F.col(c) for c in order_cols],
+            F.col(value_col),
+        )
+        .groupBy("__k")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=_CUSUM_STATE,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

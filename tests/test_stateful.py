@@ -122,3 +122,85 @@ def test_running_totals_tws_matches_apply_in_pandas_and_batch(
 
     got = {r["key"]: (r["n_events"], round(r["total_value"], 6)) for r in rows}
     assert got == expected
+
+
+def test_cusum_stream_equals_batch_closed_form(spark, sf_dir, tmp_path):
+    """The streaming CUSUM folds the literal recursion max(0, S+(v-k));
+    the batch path evaluates the closed form prefix - min(0,
+    running_min(prefix)).  Their agreement on an in-order replay is a
+    machine-checked proof of the identity — and of the state carrying
+    correctly across micro-batches.  Replay order: four ts-range slices,
+    one file per trigger, mtimes forced increasing so the file source
+    replays chronologically (CUSUM is order-sensitive, unlike
+    running_totals)."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dagger_spark.streaming.stateful import cusum_alarms
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    k_micro = 40_000_000   # ~mean value is ~40; fixed reference parameter
+    h_micro = 20_000_000
+
+    expected = {
+        r["key"]: (r["n_events"], r["cusum_micro"], r["n_alarms"],
+                   r["max_cusum"])
+        for r in cusum_alarms(ev, k_micro, h_micro).collect()
+    }
+
+    # time-ordered slices: quartile boundaries on ts
+    src = str(tmp_path / "slices")
+    os.makedirs(src)
+    bounds = sorted(r["ts"] for r in ev.select("ts").collect())
+    cuts = [bounds[len(bounds) // 4], bounds[len(bounds) // 2],
+            bounds[3 * len(bounds) // 4]]
+    lo = None
+    for i, hi in enumerate(cuts + [None]):
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("ts") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") < hi)
+        part.coalesce(1).write.parquet(f"{src}/slice={i}")
+        lo = hi
+    # one data file per slice dir; force strictly increasing mtimes so the
+    # file source's oldest-first ordering equals chronological order
+    files = sorted(glob.glob(f"{src}/slice=*/part-*.parquet"))
+    assert len(files) == 4
+    t0 = time.time() - 100
+    for i, f in enumerate(files):
+        os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{src}/slice=*")
+    )
+    out = cusum_alarms(stream, k_micro, h_micro)
+    q = (
+        out.writeStream.format("memory").queryName("cusum_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            """SELECT key, n_events, cusum_micro, n_alarms, max_cusum FROM (
+                 SELECT *, row_number() OVER (PARTITION BY key
+                                              ORDER BY n_events DESC) rn
+                 FROM cusum_stream) WHERE rn = 1"""
+        ).collect()
+    finally:
+        q.stop()
+
+    got = {r["key"]: (r["n_events"], r["cusum_micro"], r["n_alarms"],
+                      r["max_cusum"]) for r in rows}
+    assert got == expected
+    assert len(got) >= 5

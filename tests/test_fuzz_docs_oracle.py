@@ -106,6 +106,10 @@ _EDGE_TEXTS = [
     "ünïcödé tökens ünïcödé tökens",
     "cafe\u0301 decomposed e\u0301 combining ü\u0308 marks",  # non-NFC input
     "punct!!! ??? ... ;;; :::",
+    # astral-plane (non-BMP) codepoints: Java strings are UTF-16, so any
+    # operator counting code UNITS instead of codepoints (length, substr,
+    # '.' regex, char split) diverges from DuckDB's UTF-8 codepoints here
+    "emoji 😀 pair 👍🏽 astral 𝕊𝕡𝕒𝕣𝕜 mixed a😀b done",
     "12345 67890 12345",
     ("repeat " * 40).strip(),
     # gopher line-stat branches: bullets, ellipsis line-ends, blank lines

@@ -33,6 +33,13 @@ DEFAULT_QUERIES = [
     "unigram_logprob_docs",
     "text_stats_docs",
     "token_entropy_docs",
+    # round-3 continuation wave
+    "cdc_chunk_docs",
+    "line_scrub_docs",
+    "bpe_encode_docs",
+    "keywords_per_doc",
+    "bigram_logprob_docs",
+    "compress_ratio_docs",
 ]
 
 

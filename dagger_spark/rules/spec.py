@@ -169,3 +169,52 @@ def rules_metadata_df(spark: SparkSession, rules: Sequence[RuleSpec]) -> DataFra
         for i, r in enumerate(rules)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def mitre_coverage(spark: SparkSession, rules: Sequence[RuleSpec]) -> DataFrame:
+    """The ATT&CK coverage matrix a SOC publishes from its rule inventory:
+    one row per (tactic, technique) with the rules covering it — enabled
+    and disabled counted separately, so coverage that exists only on
+    paper (disabled rules) is visible.  Tags are exploded from the same
+    normalized metadata the alert enrichment uses; techniques carrying no
+    tactic land under '(untagged)' rather than silently dropping."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [
+            (
+                r.name,
+                bool(r.enabled),
+                [t.strip() for t in r.tactic if t and t.strip()],
+                [t.strip() for t in r.technique if t and t.strip()],
+            )
+            for r in rules
+        ],
+        "name string, enabled boolean, tactics array<string>, "
+        "techniques array<string>",
+    )
+    md = base.select(
+        "name", "enabled",
+        F.explode_outer(
+            F.when(F.size("techniques") > 0, F.col("techniques"))
+             .otherwise(F.array(F.lit("(untagged)")))
+        ).alias("technique"),
+        "tactics",
+    ).select(
+        "name", "enabled", "technique",
+        F.explode_outer(
+            F.when(F.size("tactics") > 0, F.col("tactics"))
+             .otherwise(F.array(F.lit("(untagged)")))
+        ).alias("tactic"),
+    )
+    return (
+        md.groupBy("tactic", "technique")
+        .agg(
+            F.sum(F.when(F.col("enabled"), 1).otherwise(0)).cast("long")
+             .alias("n_enabled"),
+            F.sum(F.when(~F.col("enabled"), 1).otherwise(0)).cast("long")
+             .alias("n_disabled"),
+            F.sort_array(F.collect_set("name")).alias("rules"),
+        )
+        .orderBy("tactic", "technique")
+    )

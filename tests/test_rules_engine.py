@@ -103,3 +103,29 @@ def test_null_event_data_never_crashes_or_matches(spark, sysmon_df):
     rules = [r for r in active_rules() if r.predicate_sql.startswith("event_id = 10") is False or True]
     alerts = apply_rules_single_pass(nulls, active_rules())
     assert alerts.count() == 0
+
+
+def test_mitre_coverage_matrix(spark):
+    """The ATT&CK coverage map: every (tactic, technique) pair tagged on
+    any registry rule appears exactly once, enabled/disabled are counted
+    separately (paper-only coverage visible), and untagged rules land
+    under '(untagged)' instead of dropping."""
+    from dagger_spark.rules.builtin import REFERENCE_RULES
+    from dagger_spark.rules.spec import RuleSpec, mitre_coverage
+
+    rows = mitre_coverage(spark, REFERENCE_RULES).collect()
+    key = {(r["tactic"], r["technique"]): r for r in rows}
+    assert len(key) == len(rows)  # one row per pair
+    n_en = sum(r["n_enabled"] for r in rows)
+    n_dis = sum(r["n_disabled"] for r in rows)
+    assert n_en > 0 and n_dis > 0  # registry has both
+    # cross-check one concrete rule's tags land where they should
+    tagged = [r for r in REFERENCE_RULES if r.tactic and r.technique][0]
+    ta = tagged.tactic[0].strip()
+    te = tagged.technique[0].strip()
+    assert tagged.name in key[(ta, te)]["rules"]
+    # untagged handling: a rule with no tags shows up under (untagged)
+    extra = RuleSpec(name="untagged-probe", predicate_sql="event_id = 1")
+    rows2 = mitre_coverage(spark, list(REFERENCE_RULES) + [extra]).collect()
+    k2 = {(r["tactic"], r["technique"]): r for r in rows2}
+    assert "untagged-probe" in k2[("(untagged)", "(untagged)")]["rules"]

@@ -148,6 +148,7 @@ HEADLINE = [
     "compress_ratio_docs",
     "events_theilsen_trend",
     "multimodal_phash_clusters",
+    "window_rank_showcase",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

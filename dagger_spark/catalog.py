@@ -7366,6 +7366,41 @@ def multimodal_phash_clusters(spark, sf_dir):
     )
 
 
+_shared_sql(
+    "window_rank_showcase",
+    """
+    WITH r AS (
+      SELECT o_orderpriority,
+             o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ntile(4) OVER w                          AS quartile,
+             round(percent_rank() OVER w + 1e-9, 6)   AS pct_rank,
+             round(cume_dist() OVER w + 1e-9, 6)      AS cume,
+             dense_rank() OVER w                      AS drank
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY round(o_totalprice * 100), o_orderkey)
+    )
+    SELECT o_orderpriority,
+           CAST(quartile AS BIGINT)       AS quartile,
+           count(*)                       AS n,
+           CAST(sum(cents) AS BIGINT)     AS cents_total,
+           round(min(pct_rank), 6)        AS min_pct_rank,
+           round(max(cume), 6)            AS max_cume,
+           CAST(max(drank) AS BIGINT)     AS max_dense_rank
+    FROM r GROUP BY o_orderpriority, quartile
+    """,
+    "The ranking-function family not exercised elsewhere — ntile, "
+    "percent_rank, cume_dist, dense_rank over one named window — rolled "
+    "to per-(priority, quartile) aggregates.  Rank-derived ratios are "
+    "exact rationals ((rank-1)/(n-1), rank/n) so the doubles are "
+    "deterministic; the (cents, orderkey) ordering is unique, making "
+    "ntile's boundary assignment identical in both engines; money "
+    "aggregated in integer cents.  One window + one rollup on the same "
+    "partitioning",
+)
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -353,3 +353,81 @@ def test_docs_classifier_stream_equals_batch(spark, tmp_path, sf_dir):
         for r in classify(spark.read.parquet(str(src))).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Streaming session_window aggregation (Spark's native gap-session
+    operator) must agree with the batch evaluation: watermarked append
+    mode only finalizes a session once the watermark passes its gap, so
+    the replay appends ONE far-future sentinel event in the last file to
+    push the global watermark past every real session — the standard
+    close-out trick for bounded replays of an unbounded operator."""
+    import glob
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for user in range(1, 6):
+        # two sessions per user: a burst, a >30min quiet gap, a burst
+        for burst_start in (0, 120):
+            for i in range(4):
+                rows.append(Row(
+                    event_id=eid,
+                    ts=t0 + timedelta(minutes=burst_start + user + i * 5),
+                    user_id=user, event_type="click", value=1.0, props="{}"))
+                eid += 1
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+
+    def sessions(frame):
+        return frame.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        ).agg(F.count("*").alias("n")).select(
+            "user_id", F.col("w.start").alias("start"),
+            F.col("w.end").alias("end"), "n",
+        )
+
+    expected = {(r["user_id"], r["start"], r["end"], r["n"])
+                for r in sessions(df).collect()}
+    assert len(expected) == 10  # 2 sessions x 5 users
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    half = len(rows) // 2
+    sentinel = Row(event_id=999999, ts=t0 + timedelta(days=30),
+                   user_id=-1, event_type="click", value=1.0, props="{}")
+    spark.createDataFrame(rows[:half], schema) \
+        .coalesce(1).write.parquet(src + "/f0")
+    spark.createDataFrame(rows[half:] + [sentinel], schema) \
+        .coalesce(1).write.parquet(src + "/f1")
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    now = time.time() - 60
+    for i, f in enumerate(files):
+        os.utime(f, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/f*")
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        sessions(stream)
+        .writeStream.format("memory").queryName("sess_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["user_id"], r["start"], r["end"], r["n"])
+               for r in spark.sql(
+                   "SELECT * FROM sess_stream WHERE user_id >= 0").collect()}
+    finally:
+        q.stop()
+    assert got == expected

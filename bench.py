@@ -149,6 +149,8 @@ HEADLINE = [
     "events_theilsen_trend",
     "multimodal_phash_clusters",
     "window_rank_showcase",
+    "events_mad_outliers",
+    "events_benford_check",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -7401,6 +7401,102 @@ _shared_sql(
 )
 
 
+_shared_sql(
+    "events_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ), med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY vm) AS m
+      FROM v GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_type, v.vm,
+             CAST(abs(v.vm - CAST(med.m AS BIGINT)) AS BIGINT) AS ad,
+             CAST(med.m AS BIGINT) AS m
+      FROM v JOIN med ON v.event_type = med.event_type
+    ), mad AS (
+      SELECT event_type, m,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+      FROM dev GROUP BY event_type, m
+    )
+    SELECT d.event_type,
+           count(*)                         AS n,
+           CAST(d.m AS BIGINT)              AS median_micro,
+           CAST(a.mad AS BIGINT)            AS mad_micro,
+           CAST(sum(CASE WHEN abs(d.vm - d.m) * 10000
+                          > 3 * 14826 * CAST(a.mad AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a ON d.event_type = a.event_type
+    GROUP BY d.event_type, d.m, a.mad
+    """,
+    "MAD (median absolute deviation) robust outlier flagging — the "
+    "third member of the robust-stats family beside winsorized means "
+    "and Theil-Sen: a point is an outlier when |x - median| > 3 * "
+    "1.4826 * MAD, and the test is CROSS-MULTIPLIED to integers "
+    "(|x-m| * 10000 > 3 * 14826 * MAD) so the sigma-equivalence "
+    "constant never becomes a float in the decision.  Both medians sit "
+    "at the dyadic 0.5; values in integer micro-units.  Note the "
+    "deliberate subtlety: percentile_cont interpolates between two "
+    "integers, so m can be *.5 — casting to BIGINT floors it "
+    "IDENTICALLY in both engines before the comparison (pinned here "
+    "rather than hidden).  Two group-keyed aggregates + one broadcast "
+    "join back",
+)
+
+
+_shared_sql(
+    "events_benford_check",
+    """
+    WITH digits AS (
+      SELECT substr(CAST(CAST(round(value * 100) AS BIGINT) AS STRING),
+                    1, 1) AS d
+      FROM events
+      WHERE value IS NOT NULL AND value >= 1
+    ), obs AS (
+      SELECT d, count(*) AS n FROM digits GROUP BY d
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
+    expected AS (
+      -- log10(1+1/d) in integer TEN-THOUSANDTHS: the chi-square numerator
+      -- (n*1e4 - pe4*t)^2 is then an EXACT integer and the term is ONE
+      -- double division — a float p*t recomputed under different engine
+      -- type promotions diverged by 1 ulp at sf0.001 (0.063840 vs
+      -- 0.063841), caught by the gate.  Exact up to ~1M rows (then the
+      -- squared numerator would need the next unit down).
+      SELECT * FROM (VALUES
+        ('1', 3010), ('2', 1761), ('3', 1249),
+        ('4', 969),  ('5', 792),  ('6', 669),
+        ('7', 580),  ('8', 512),  ('9', 458)
+      ) AS e(d, pe4)
+    )
+    SELECT e.d AS digit,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+           round(coalesce(o.n, 0) / CAST(t.t AS DOUBLE) + 1e-9, 6)
+             AS observed_p,
+           round(e.pe4 / 10000.0 + 1e-9, 6) AS benford_p,
+           round((coalesce(o.n, 0) * 10000 - e.pe4 * t.t)
+                 * (coalesce(o.n, 0) * 10000 - e.pe4 * t.t)
+                 / (CAST(e.pe4 AS DOUBLE) * t.t * 10000) + 1e-9, 6)
+             AS chi2_term
+    FROM expected e
+    LEFT JOIN obs o ON e.d = o.d
+    CROSS JOIN tot t
+    """,
+    "Benford's-law first-digit audit — the classic fraud/fabrication "
+    "screen for financial and count data: observed first-digit "
+    "frequencies against log10(1+1/d) expectations with per-digit "
+    "chi-square contributions (sum them and compare to the chi2(8) "
+    "critical value; a uniform synthetic corpus fails Benford loudly, "
+    "which is itself the honest result here).  The first digit comes "
+    "from the INTEGER-CENTS string, not float formatting — engines "
+    "render doubles differently but render BIGINTs identically — and "
+    "values < 1 are excluded (their cents first-digit is not their "
+    "value's first significant digit; documented boundary).  One "
+    "digit aggregate; expectation table is 9 literal rows",
+)
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -64,6 +64,8 @@ EVENT_QUERIES = [
     "events_seasonal_decompose",
     "hll_scratch_events",
     "events_theilsen_trend",
+    "events_mad_outliers",
+    "events_benford_check",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -151,6 +151,7 @@ HEADLINE = [
     "window_rank_showcase",
     "events_mad_outliers",
     "events_benford_check",
+    "customer_abc_analysis",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -7497,6 +7497,49 @@ _shared_sql(
 )
 
 
+_shared_sql(
+    "customer_abc_analysis",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS cust,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cust, cents,
+             sum(cents) OVER (ORDER BY cents DESC, cust
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(cents) OVER ()                          AS total_cents
+      FROM rev
+    ), classed AS (
+      SELECT cust, cents,
+             CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                  WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           count(*)                     AS n_customers,
+           CAST(sum(cents) AS BIGINT)   AS cents,
+           round(sum(cents) / CAST(max(total) AS DOUBLE) + 1e-9, 6)
+             AS revenue_share
+    FROM (SELECT c.*, r.total_cents AS total
+          FROM classed c, (SELECT DISTINCT total_cents FROM ranked) r)
+    GROUP BY abc
+    """,
+    "ABC / Pareto revenue classification — the inventory-and-account "
+    "management classic: customers ranked by revenue, class A = the head "
+    "covering 80% of cumulative revenue, B to 95%, C the tail.  Class "
+    "boundaries are CROSS-MULTIPLIED integer comparisons "
+    "(cum*100 <= total*80) on exact cent sums, so classification never "
+    "touches a float; the (cents desc, cust) ordering is unique so the "
+    "running sum is identical in both engines.  Scale note: the global "
+    "ordered window is customer-cardinality-sized (not order-sized); at "
+    "100 TB it becomes the same two-pass range-partitioned rank as "
+    "quantile normalization",
+)
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

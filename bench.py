@@ -152,6 +152,8 @@ HEADLINE = [
     "events_mad_outliers",
     "events_benford_check",
     "customer_abc_analysis",
+    "events_wau_stickiness",
+    "customer_rfm_segments",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

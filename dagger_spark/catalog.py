@@ -7540,6 +7540,78 @@ _shared_sql(
 )
 
 
+_shared_sql(
+    "events_wau_stickiness",
+    """
+    WITH d AS (
+      SELECT date_trunc('week', ts) AS wk, date_trunc('day', ts) AS day,
+             user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), dau AS (
+      SELECT wk, day, count(DISTINCT user_id) AS dau
+      FROM d GROUP BY wk, day
+    ), wau AS (
+      SELECT wk, count(DISTINCT user_id) AS wau FROM d GROUP BY wk
+    )
+    SELECT w.wk AS wk,
+           CAST(w.wau AS BIGINT)                        AS wau,
+           CAST(count(*) AS BIGINT)                     AS n_days,
+           CAST(sum(a.dau) AS BIGINT)                   AS dau_sum,
+           round(sum(a.dau) / CAST(count(*) AS DOUBLE) + 1e-9, 6)
+             AS avg_dau,
+           round(sum(a.dau)
+                 / CAST(count(*) * w.wau AS DOUBLE) + 1e-9, 6)
+             AS stickiness
+    FROM wau w JOIN dau a ON w.wk = a.wk
+    GROUP BY w.wk, w.wau
+    """,
+    "DAU/WAU engagement and the stickiness ratio (avg daily actives over "
+    "weekly actives — the product-analytics health metric): exact "
+    "distinct counts per day and week, ratios derived from integer sums "
+    "with single final divisions.  Two distinct aggregates on the same "
+    "(week)-aligned partitioning; at 100 TB this is the query the "
+    "persisted HLL partials (events_hll_rollup / events_partial_merge) "
+    "answer without rescanning raw events — the exact form here IS the "
+    "oracle for that approximation",
+)
+
+
+_shared_sql(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS cust,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT cust, frequency, cents,
+             ntile(4) OVER (ORDER BY last_order DESC, cust) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, cust)  AS f,
+             ntile(4) OVER (ORDER BY cents DESC, cust)      AS m
+      FROM base
+    )
+    SELECT r, f, m,
+           count(*)                    AS n_customers,
+           CAST(sum(cents) AS BIGINT)  AS cents,
+           CAST(min(frequency) AS BIGINT) AS min_freq,
+           CAST(max(frequency) AS BIGINT) AS max_freq
+    FROM scored
+    GROUP BY r, f, m
+    """,
+    "RFM segmentation — the CRM workhorse: every customer quartile-scored "
+    "on Recency (latest order first), Frequency, and Monetary value "
+    "(exact cents), rolled to the 4x4x4 segment grid with per-segment "
+    "counts and revenue.  Each ntile ordering carries the unique cust "
+    "tiebreak, so quartile boundaries are engine-identical "
+    "(window_rank_showcase pinned that property); money never leaves "
+    "integer cents.  Three windows over one customer-sized table + one "
+    "rollup — the fact-table pass is just the per-customer aggregate",
+)
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -66,6 +66,7 @@ EVENT_QUERIES = [
     "events_theilsen_trend",
     "events_mad_outliers",
     "events_benford_check",
+    "events_wau_stickiness",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

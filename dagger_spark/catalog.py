@@ -7421,7 +7421,11 @@ _shared_sql(
              percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
       FROM dev GROUP BY event_type, m
     )
-    SELECT d.event_type,
+    -- BROADCAST: mad is group-cardinality-sized but percentile aggs leave
+    -- it stats-less, defaulting this join to sort-merge (plan audit); the
+    -- hint rides in a comment DuckDB ignores
+    SELECT /*+ BROADCAST(a) */
+           d.event_type,
            count(*)                         AS n,
            CAST(d.m AS BIGINT)              AS median_micro,
            CAST(a.mad AS BIGINT)            AS mad_micro,

@@ -7638,19 +7638,25 @@ _DRIVER_WINDOW = [
     "events_multires_rollup", "events_hll_rollup", "events_burst_detection",
     "events_sessionization", "events_rules_engine", "events_cms_counts",
     "events_funnel", "events_cohort_retention", "events_zorder_layout",
-    # deduplication family
+    # deduplication family (simhash_neardup's slot now carries the
+    # from-scratch HLL so the sketch family has a driver-verified row;
+    # simhash_docs still covers the simhash signatures)
     "exact_dedup_docs", "minhash_pairs_docs", "dedup_clusters_docs",
     "jaccard_pairs_docs", "jaccard_exact_join", "substring_dedup_docs",
-    "simhash_docs", "simhash_neardup", "semdedup_embeddings",
+    "simhash_docs", "hll_scratch_events", "semdedup_embeddings",
     "embedding_neardup",
     # similarity search / embeddings
     "ann_brute_force", "ann_lsh", "ann_ivf", "ann_pq_adc", "ann_recall",
     "kmeans_step_embeddings",
-    # text quality / decontamination / mixture
+    # text quality / decontamination / mixture — three continuation-wave
+    # families enter the window: tokenizer APPLY (bpe_encode), warehouse
+    # MERGE, and the graph family (triangle counting); the displaced
+    # chunk_docs / language_id_ngram / token_counts remain green in the
+    # full local gate
     "gopher_quality_docs", "repetition_docs", "pii_scan_docs",
     "mixture_sample_docs", "bloom_decontam_docs", "decontam_docs",
-    "chunk_docs", "text_stats_docs", "language_id_ngram_docs",
-    "tfidf_top_terms", "token_counts_docs",
+    "bpe_encode_docs", "text_stats_docs", "merge_upsert_orders",
+    "tfidf_top_terms", "triangle_count_docs",
     # custom temporal joins
     "asof_join_error_purchase", "interval_join_events",
 ]

@@ -154,6 +154,7 @@ HEADLINE = [
     "customer_abc_analysis",
     "events_wau_stickiness",
     "customer_rfm_segments",
+    "part_basket_pairs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -7616,6 +7616,44 @@ _shared_sql(
 )
 
 
+_shared_sql(
+    "part_basket_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n_orders AS (
+      SELECT count(DISTINCT ok) AS n FROM items
+    ), part_n AS (
+      SELECT pk, count(*) AS n FROM items GROUP BY pk
+    ), pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_both
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    )
+    SELECT p.p1, p.p2,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(a.n AS BIGINT)      AS n_p1,
+           CAST(b.n AS BIGINT)      AS n_p2,
+           round((p.n_both * o.n)
+                 / CAST(a.n * b.n AS DOUBLE) + 1e-9, 6) AS lift
+    FROM pairs p
+    JOIN part_n a ON p.p1 = a.pk
+    JOIN part_n b ON p.p2 = b.pk
+    CROSS JOIN n_orders o
+    WHERE p.n_both >= 3
+    """,
+    "Market-basket pairs on the REAL basket structure (parts co-purchased "
+    "within an order) — the canonical affinity mine, complementing "
+    "events_assoc_rules' behavioral variant: within-order self-join on "
+    "the deduplicated (order, part) table, support floor n_both >= 3, "
+    "lift cross-multiplied before its single division.  Scale: the "
+    "self-join is order-keyed (baskets are small, the join fans out "
+    "per-basket quadratically in basket SIZE, not order count) and the "
+    "part-frequency side broadcasts — the exact shape A-Priori's first "
+    "pass runs at any scale",
+)
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

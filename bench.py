@@ -353,21 +353,45 @@ def main() -> None:
             sf = float(base[2:])
         except ValueError:
             pass
+    detail = {
+        "sysmon_rules_events_per_sec": round(SYSMON_BENCH_ROWS / dt),
+        "sysmon_rules_stream_events_per_sec": round(SYSMON_BENCH_ROWS / dt_stream),
+        "sysmon_alerts": n_alerts,
+        "sysmon_stream_alerts": stream_alerts["n"],
+        "cpus": CPUS,
+    }
+    # FULL per-query dicts go to a repo file: the single stdout line with
+    # all ~130 queries outgrew the driver's tail-capture window in round 3
+    # (BENCH_r03.json recorded "parsed": null), losing the round's official
+    # bench artifact.  Stdout carries a compact line — suite wall, counts,
+    # throughput detail, and only the TOP-10 slowest queries (~1 KB) — while
+    # bench_full.json keeps first-run + best-of-N for every workload so
+    # round-over-round regression diffs stay possible.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump({
+            "metric": "suite_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_best": best,
+            "bench_runs": n_runs,
+            "sf": sf,
+            "detail": detail,
+        }, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
         "metric": "suite_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "queries_best": best,
+        "queries": slowest,       # top-10 slowest; full dict in bench_full.json
+        "n_queries": len(timings),
         "bench_runs": n_runs,
         "sf": sf,
-        "detail": {
-            "sysmon_rules_events_per_sec": round(SYSMON_BENCH_ROWS / dt),
-            "sysmon_rules_stream_events_per_sec": round(SYSMON_BENCH_ROWS / dt_stream),
-            "sysmon_alerts": n_alerts,
-            "sysmon_stream_alerts": stream_alerts["n"],
-            "cpus": CPUS,
-        },
+        "detail": detail,
+        "full": "bench_full.json",
     }))
     spark.stop()
 

@@ -4834,31 +4834,48 @@ def customer_hierarchy(spark, sf_dir):
 _shared_sql(
     "events_winsorized_stats",
     """
-    WITH b AS (
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ), b AS (
       SELECT event_type,
-             percentile_cont(0.0625) WITHIN GROUP (ORDER BY value) AS lo,
-             percentile_cont(0.9375) WITHIN GROUP (ORDER BY value) AS hi
-      FROM events WHERE value IS NOT NULL GROUP BY event_type
+             percentile_cont(0.0625) WITHIN GROUP (ORDER BY vm) AS lo,
+             percentile_cont(0.9375) WITHIN GROUP (ORDER BY vm) AS hi
+      FROM v GROUP BY event_type
+    ), bi AS (
+      -- the bounds interpolate integer micro-units at dyadic 1/16
+      -- fractions, so lo*16 and hi*16 are EXACT integers — everything
+      -- downstream is integer arithmetic and the means are each ONE
+      -- double division (a float avg() sums in engine-specific order and
+      -- diverged by 1 ulp on a 6-decimal fuzz corpus)
+      SELECT event_type,
+             CAST(round(lo * 16) AS BIGINT) AS lo16,
+             CAST(round(hi * 16) AS BIGINT) AS hi16
+      FROM b
     )
     SELECT e.event_type,
            count(*) AS n,
-           round(avg(e.value), 6) AS raw_mean,
-           round(avg(least(greatest(e.value, b.lo), b.hi)), 6)
+           round(CAST(sum(e.vm) AS BIGINT) / (count(*) * 1e6) + 1e-9, 6)
+             AS raw_mean,
+           round(CAST(sum(least(greatest(e.vm * 16, b.lo16), b.hi16))
+                      AS BIGINT) / (count(*) * 16e6) + 1e-9, 6)
              AS winsorized_mean,
-           round(b.lo, 6) AS p_lo, round(b.hi, 6) AS p_hi
-    FROM events e JOIN b ON e.event_type = b.event_type
-    WHERE e.value IS NOT NULL
-    GROUP BY e.event_type, b.lo, b.hi
+           round(b.lo16 / 16e6 + 1e-9, 6) AS p_lo,
+           round(b.hi16 / 16e6 + 1e-9, 6) AS p_hi
+    FROM v e JOIN bi b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.lo16, b.hi16
     """,
     "winsorized robust statistics per group — the outlier-resistant "
     "aggregate metrics pipelines report next to raw means: exact "
-    "percentile bounds (DYADIC fractions 1/16 and 15/16, the "
-    "percentile_prices rule — both engines interpolate lo + (hi-lo)*f "
-    "identically only when f is exactly representable), values clipped "
-    "into [p_lo, p_hi] via least/greatest, then averaged.  Two passes "
-    "over the group (bounds agg + clipped agg), both riding the same "
-    "group-key partitioning; the bounds side is group-cardinality-sized "
-    "and broadcasts at scale",
+    "percentile bounds over integer micro-units (DYADIC fractions 1/16 "
+    "and 15/16, the percentile_prices rule — the interpolation "
+    "x + (y-x)*k/16 over integers is exactly representable, so bound*16 "
+    "is an exact integer), values clipped into [lo, hi] via "
+    "least/greatest in 16ths-of-micro units, then each mean is one "
+    "integer sum + one double division — order-free where a float avg() "
+    "diverges by summation order.  Two passes over the group (bounds agg "
+    "+ clipped agg), both riding the same group-key partitioning; the "
+    "bounds side is group-cardinality-sized and broadcasts at scale",
 )
 
 
@@ -6471,9 +6488,14 @@ def trimmed_mean_pandas(spark, sf_dir):
       SELECT tok, count(*) AS c
       FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
     ), ranked AS (
-      SELECT CAST(round(ln(row_number() OVER (ORDER BY c DESC, tok)) * 1e6)
+      -- MILLI-units, not micro: the OLS moment sum(x*x) is ~(28e3)^2 = 8e8
+      -- per row, safe in int64 to ~10^10 vocabulary terms; micro-units
+      -- (~28e6 -> 8e14/row) overflow int64 near 1e4 terms, where ANSI
+      -- Spark errors while DuckDB silently widens to HUGEINT — the same
+      -- unit reduction events_seasonal_decompose documents
+      SELECT CAST(round(ln(row_number() OVER (ORDER BY c DESC, tok)) * 1e3)
                   AS BIGINT) AS x,
-             CAST(round(ln(c) * 1e6) AS BIGINT) AS y
+             CAST(round(ln(c) * 1e3) AS BIGINT) AS y
       FROM vocab
     ), sums AS (
       SELECT count(*) AS n,
@@ -6487,19 +6509,21 @@ def trimmed_mean_pandas(spark, sf_dir):
                  / CAST(n * sxx - sx * sx AS DOUBLE) + 1e-9, 6) AS zipf_slope,
            round((CAST(sy AS DOUBLE) / n
                   - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
-                    * sx / n) / 1e6 + 1e-9, 6) AS ln_intercept
+                    * sx / n) / 1e3 + 1e-9, 6) AS ln_intercept
     FROM sums
     """,
     "Zipf-slope corpus diagnostic: OLS fit of ln(freq) on ln(rank) over "
     "the vocabulary — natural text sits near slope -1, and a corpus that "
     "doesn't is synthetic, truncated, or template-spammed (this one fits "
     "~-0.3: flat shared vocab, honestly reported).  Parity design: each "
-    "ln() is rounded to integer micro-units FIRST, all OLS moments are "
-    "then exact integer sums (order-free), and the slope is one double "
-    "division at the end — the naive float Σln accumulation cannot "
-    "hash-match across engines.  Rank ties break on the word itself, so "
-    "both engines rank identically.  One token aggregate + one "
-    "vocab-sized window",
+    "ln() is rounded to integer MILLI-units first (milli, not micro: the "
+    "x*x moments must stay inside int64 out to ~1e10 vocabulary terms — "
+    "micro-units overflow near 1e4, where ANSI Spark errors but DuckDB "
+    "silently widens to HUGEINT), all OLS moments are then exact integer "
+    "sums (order-free), and the slope is one double division at the end "
+    "— the naive float Σln accumulation cannot hash-match across "
+    "engines.  Rank ties break on the word itself, so both engines rank "
+    "identically.  One token aggregate + one vocab-sized window",
 )
 def zipf_slope_docs(spark, sf_dir):
     from pyspark.sql.window import Window
@@ -6512,9 +6536,11 @@ def zipf_slope_docs(spark, sf_dir):
     rn = F.row_number().over(
         Window.orderBy(F.col("c").desc(), F.col("tok"))
     )
+    # milli-units (see oracle comment): keeps sum(x*x) inside int64 at any
+    # realistic vocabulary size under ANSI mode
     ranked = vocab.select(
-        F.round(F.log(rn.cast("double")) * 1e6).cast("long").alias("x"),
-        F.round(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+        F.round(F.log(rn.cast("double")) * 1e3).cast("long").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1e3).cast("long")
          .alias("y"),
     )
     s = ranked.agg(
@@ -6532,7 +6558,7 @@ def zipf_slope_docs(spark, sf_dir):
         F.round(slope + F.lit(1e-9), 6).alias("zipf_slope"),
         F.round(
             (F.col("sy").cast("double") / F.col("n")
-             - slope * F.col("sx") / F.col("n")) / F.lit(1e6)
+             - slope * F.col("sx") / F.col("n")) / F.lit(1e3)
             + F.lit(1e-9), 6,
         ).alias("ln_intercept"),
     )
@@ -6855,7 +6881,15 @@ _CUSUM_H_NUM, _CUSUM_H_DEN = 1, 2  # alarm threshold h = mean/2
              CAST(round(value * 1e6) AS BIGINT) AS vm
       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     ), ref AS (
-      SELECT CAST(sum(vm) AS BIGINT) // count(*) AS k_micro FROM v
+      -- exact integer FLOOR division: DuckDB's // truncates toward zero
+      -- (-7 // 2 = -3) while the detector's k is defined as floor(mean)
+      -- (-7/2 -> -4).  (s - pmod(s, c)) is exactly divisible by c, so the
+      -- truncating // on the adjusted numerator IS floor division — no
+      -- doubles involved, exact at any corpus size.
+      SELECT (CAST(sum(vm) AS BIGINT)
+              - ((CAST(sum(vm) AS BIGINT) % count(*)) + count(*)) % count(*))
+             // count(*) AS k_micro
+      FROM v
     ), p AS (
       SELECT event_type, ts, event_id,
              sum(vm - k_micro) OVER (PARTITION BY event_type
@@ -6873,7 +6907,10 @@ _CUSUM_H_NUM, _CUSUM_H_DEN = 1, 2  # alarm threshold h = mean/2
     ), s AS (
       SELECT event_type, ts,
              prefix - least(run_min, 0) AS cusum,
-             (SELECT k_micro * {_CUSUM_H_NUM} // {_CUSUM_H_DEN} FROM ref)
+             (SELECT (k_micro * {_CUSUM_H_NUM}
+                      - ((k_micro * {_CUSUM_H_NUM} % {_CUSUM_H_DEN})
+                         + {_CUSUM_H_DEN}) % {_CUSUM_H_DEN})
+                     // {_CUSUM_H_DEN} FROM ref)
                AS h
       FROM p2
     )
@@ -6908,11 +6945,15 @@ def events_cusum_shift(spark, sf_dir):
         "event_type", "ts", "event_id",
         F.round(F.col("value") * 1e6).cast("long").alias("vm"),
     )
-    # floor division (matching DuckDB's //), not cast-truncation — they
-    # differ on negative sums (possible in fuzz corpora)
+    # exact integer FLOOR division (k = floor(mean)): (s - pmod(s, c)) is
+    # exactly divisible by c, so truncating `div` on it IS floor — matches
+    # the oracle's pmod-adjusted // form bit-for-bit, including negative
+    # corpus means, with no double rounding at any corpus size
     ref = v.agg(
-        F.floor(F.sum("vm").cast("long") / F.count("*")).cast("long")
-        .alias("k_micro")
+        F.expr(
+            "(CAST(sum(vm) AS BIGINT)"
+            " - pmod(CAST(sum(vm) AS BIGINT), count(*))) div count(*)"
+        ).alias("k_micro")
     )
     w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
@@ -6922,8 +6963,11 @@ def events_cusum_shift(spark, sf_dir):
         .withColumn("run_min", F.min("prefix").over(w))
         .withColumn(
             "h",
-            F.floor(F.col("k_micro") * _CUSUM_H_NUM / _CUSUM_H_DEN)
-             .cast("long"),
+            F.expr(
+                f"(k_micro * {_CUSUM_H_NUM}"
+                f" - pmod(k_micro * {_CUSUM_H_NUM}, {_CUSUM_H_DEN}))"
+                f" div {_CUSUM_H_DEN}"
+            ),
         )
     )
     s = p.withColumn(
@@ -7412,9 +7456,13 @@ _shared_sql(
              percentile_cont(0.5) WITHIN GROUP (ORDER BY vm) AS m
       FROM v GROUP BY event_type
     ), dev AS (
+      -- floor() BEFORE the BIGINT cast: percentile_cont interpolates, so m
+      -- can be *.5, and a bare double->BIGINT cast diverges across engines
+      -- (DuckDB rounds half away from zero, Spark truncates).  floor() is
+      -- identical in both; the cast of an integral double is then exact.
       SELECT v.event_type, v.vm,
-             CAST(abs(v.vm - CAST(med.m AS BIGINT)) AS BIGINT) AS ad,
-             CAST(med.m AS BIGINT) AS m
+             CAST(abs(v.vm - CAST(floor(med.m) AS BIGINT)) AS BIGINT) AS ad,
+             CAST(floor(med.m) AS BIGINT) AS m
       FROM v JOIN med ON v.event_type = med.event_type
     ), mad AS (
       SELECT event_type, m,
@@ -7428,9 +7476,9 @@ _shared_sql(
            d.event_type,
            count(*)                         AS n,
            CAST(d.m AS BIGINT)              AS median_micro,
-           CAST(a.mad AS BIGINT)            AS mad_micro,
+           CAST(floor(a.mad) AS BIGINT)     AS mad_micro,
            CAST(sum(CASE WHEN abs(d.vm - d.m) * 10000
-                          > 3 * 14826 * CAST(a.mad AS BIGINT)
+                          > 3 * 14826 * CAST(floor(a.mad) AS BIGINT)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad a ON d.event_type = a.event_type
     GROUP BY d.event_type, d.m, a.mad
@@ -7443,10 +7491,11 @@ _shared_sql(
     "constant never becomes a float in the decision.  Both medians sit "
     "at the dyadic 0.5; values in integer micro-units.  Note the "
     "deliberate subtlety: percentile_cont interpolates between two "
-    "integers, so m can be *.5 — casting to BIGINT floors it "
-    "IDENTICALLY in both engines before the comparison (pinned here "
-    "rather than hidden).  Two group-keyed aggregates + one broadcast "
-    "join back",
+    "integers, so the median can be *.5 — and a bare double->BIGINT "
+    "cast is ENGINE-DIVERGENT on halves (DuckDB rounds half away from "
+    "zero, Spark truncates), so both m and MAD go through an explicit "
+    "floor() first, which is identical everywhere.  Two group-keyed "
+    "aggregates + one broadcast join back",
 )
 
 

@@ -93,6 +93,15 @@ class MappedRule:
         object.__setattr__(self, "_pred", pred)
 
     def __getattr__(self, name):
+        if name == "predicate_sql":
+            # fail LOUDLY: delegating would hand back the UNMAPPED field
+            # paths, silently contradicting .predicate for any consumer
+            # that re-parses the SQL text (rules_metadata_df etc.)
+            raise AttributeError(
+                "MappedRule deliberately has no predicate_sql: the mapped "
+                "IR (.predicate) is the source of truth; re-render from it "
+                "if a SQL text is required"
+            )
         return getattr(object.__getattribute__(self, "_base"), name)
 
     @property

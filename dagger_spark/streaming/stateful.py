@@ -16,6 +16,7 @@ key-space is the thing that kills you, not the row count).
 
 from __future__ import annotations
 
+import math
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -270,7 +271,15 @@ def cusum_alarms(
                 list(order_cols)
             )
             for v in pdf[value_col]:
-                s = s + (int(round(float(v) * 1e6)) - k_micro)
+                # HALF-AWAY-FROM-ZERO to match the batch twin's F.round
+                # (Spark HALF_UP): Python's round() is banker's
+                # (half-to-even) and disagrees by 1 micro-unit whenever
+                # v*1e6 lands exactly on *.5, silently breaking the
+                # batch==stream identity
+                fv = float(v) * 1e6
+                vm = (int(math.floor(fv + 0.5)) if fv >= 0
+                      else -int(math.floor(-fv + 0.5)))
+                s = s + (vm - k_micro)
                 if s < 0:
                     s = 0
                 if s > max_s:

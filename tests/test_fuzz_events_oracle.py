@@ -73,7 +73,12 @@ _TYPES = ["error", "purchase", "click", "view", "signup"]
 
 
 def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
-    rng = random.Random(seed)
+    # negative seed = NEGATIVE-MEAN corpus: background values in
+    # [-200, 5] so sum(vm) < 0, exercising the floor-vs-truncate edge in
+    # integer divisions (cusum's k = floor(mean) with negative mean —
+    # DuckDB's bare // truncates toward zero and would diverge)
+    neg = seed < 0
+    rng = random.Random(abs(seed))
     t0 = datetime(2024, 3, 1)
     rows = []
 
@@ -83,12 +88,19 @@ def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
         )
 
     # background traffic
-    for _ in range(n - 60):
+    lo, hi = (-200, 5) if neg else (-5, 200)
+    for i in range(n - 60):
         ts = t0 + timedelta(
             seconds=rng.randint(0, 3 * 86400), microseconds=rng.randint(0, 999999)
         )
+        # every 5th value keeps FULL 6-decimal precision: vm = round(v*1e6)
+        # is then odd-capable, so percentile interpolation can land on *.5
+        # medians/MADs — the exact case where a bare double->BIGINT cast
+        # diverges across engines (events_mad_outliers pins floor())
+        v = rng.uniform(lo, hi)
         add(ts, rng.randint(1, 8), rng.choice(_TYPES),
-            round(rng.uniform(-5, 200), 2), rng.choice([1, 2, 10, 15, 91, 100]))
+            round(v, 6) if i % 5 == 0 else round(v, 2),
+            rng.choice([1, 2, 10, 15, 91, 100]))
     # exact 30-minute session-gap boundaries (strict-merge edge) + just-under
     base = t0 + timedelta(hours=50)
     for i, gap in enumerate([1800, 1800, 1799, 1801]):
@@ -127,10 +139,10 @@ def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
     df = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
-    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+    return df.sample(frac=1.0, random_state=abs(seed)).reset_index(drop=True)
 
 
-@pytest.fixture(scope="module", params=[11, 4242])
+@pytest.fixture(scope="module", params=[11, 4242, -77])
 def fuzz_events_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzzevents{request.param}")
     pdf = _random_events(request.param)

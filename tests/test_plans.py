@@ -93,6 +93,87 @@ def test_jaccard_verify_runs_on_hashed_arrays(spark, sf_dir):
     assert "md5" not in post_join, "string hashing leaked into the pair loop"
 
 
+def _walk_physical(jnode):
+    """Yield every physical node, descending through AQE wrappers (the
+    adaptive root re-plans behind ``executedPlan()``; materialized query
+    stages hide their subtree behind ``plan()``)."""
+    yield jnode
+    name = jnode.nodeName()
+    if name == "AdaptiveSparkPlan":
+        yield from _walk_physical(jnode.executedPlan())
+        return
+    if "QueryStage" in name:
+        yield from _walk_physical(jnode.plan())
+        return
+    ch = jnode.children()
+    for i in range(ch.size()):
+        yield from _walk_physical(ch.apply(i))
+
+
+def _is_literal_class(jnode) -> bool:
+    """A subtree is literal-class (safe to broadcast into a nested-loop
+    join at ANY corpus scale) when its row count is bounded by construction:
+    a grand-total aggregate (1 row), an in-plan literal batch, an explicit
+    limit/top-k cap, or a literal range/IN cap on a unique id column (the
+    query-batch and tuning-gauge patterns: ``vec_id < 8``, ``id < 500``)."""
+    import re
+
+    for n in _walk_physical(jnode):
+        name = n.nodeName()
+        if name == "HashAggregate" and n.groupingExpressions().isEmpty():
+            return True
+        if name in ("LocalTableScan", "TakeOrderedAndProject"):
+            return True
+        if name.endswith("Limit") or name == "CollectLimit":
+            return True
+        if name == "Filter":
+            cond = n.condition().toString()
+            if re.search(r"\b\w*id#\d+L? (?:<|<=|=) \d+\b", cond) or re.search(
+                r"\b\w*id#\d+L? IN \(", cond
+            ):
+                return True
+    return False
+
+
+# BNLJ-bearing representatives across the three intentional patterns:
+# crossJoin(broadcast(1-row aggregate)) [cusum, zipf slope], broadcast
+# literal query batch [ann_brute_force's 3-row query terms], and the
+# capped tuning-gauge truth side [lsh_recall_docs, <=500 docs].
+_BNLJ_QUERIES = [
+    "events_cusum_shift",
+    "zipf_slope_docs",
+    "ann_brute_force",
+    "lsh_recall_docs",
+]
+
+
+@pytest.mark.parametrize("name", _BNLJ_QUERIES)
+def test_bnlj_build_side_is_literal_class(spark, sf_dir, name):
+    """Round-3 audit blind spot, now pinned: BroadcastNestedLoopJoin is the
+    one join shape that degenerates at scale unless its broadcast side is a
+    literal-class frame.  Every BNLJ in the catalog must broadcast a
+    1-row/limited/literal subtree — and CartesianProduct must never appear."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    df.collect()  # finalize AQE: runtime stats decide the actual join shapes
+    root = df._jdf.queryExecution().executedPlan()
+    n_cartesian = 0
+    bnljs = []
+    for n in _walk_physical(root):
+        nm = n.nodeName()
+        if nm == "CartesianProduct":
+            n_cartesian += 1
+        elif nm == "BroadcastNestedLoopJoin":
+            bnljs.append(n)
+    assert n_cartesian == 0, f"{name}: cartesian product in final plan"
+    for j in bnljs:
+        ch = j.children()
+        sides = [ch.apply(i) for i in range(ch.size())]
+        assert any(_is_literal_class(s) for s in sides), (
+            f"{name}: BNLJ broadcasts an UNBOUNDED side:\n"
+            + j.toString()[:1200]
+        )
+
+
 def test_pairwise_cosine_norms_are_staged(spark, sf_dir):
     """Pairwise similarity joins must stage each side's norm in a per-row
     projection: above the join there is exactly one aggregate fold per score

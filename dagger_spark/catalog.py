@@ -6504,11 +6504,19 @@ def trimmed_mean_pandas(spark, sf_dir):
              CAST(sum(x * x) AS BIGINT) AS sxx
       FROM ranked
     )
+    -- final cross-products in DOUBLE, not BIGINT: sx*sx and n*sxx pass
+    -- int64 near 2.7e5 vocabulary terms (sx ~ 1e3*(n ln n - n) ~ 3.1e9 ->
+    -- sx^2 ~ 9.7e18 > 2^63-1), a realistic corpus size where ANSI Spark /
+    -- DuckDB overflow-error.  The int64 SUMS are exactly double-
+    -- representable far past that scale and IEEE multiply/subtract/divide
+    -- are engine-deterministic, so parity survives the widening.
     SELECT CAST(n AS BIGINT) AS n_vocab,
-           round((n * sxy - sx * sy)
-                 / CAST(n * sxx - sx * sx AS DOUBLE) + 1e-9, 6) AS zipf_slope,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 + 1e-9, 6) AS zipf_slope,
            round((CAST(sy AS DOUBLE) / n
-                  - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
                     * sx / n) / 1e3 + 1e-9, 6) AS ln_intercept
     FROM sums
     """,
@@ -6550,9 +6558,16 @@ def zipf_slope_docs(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    ).cast("double")
+    # cross-products in DOUBLE (mirrors the oracle comment above): sx*sx
+    # overflows int64 near 2.7e5 vocab terms; the int64 sums themselves are
+    # exactly double-representable far beyond that, and IEEE arithmetic is
+    # engine-deterministic, so widening keeps parity AND removes the
+    # ANSI-overflow ceiling
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
     return s.select(
         F.col("n").cast("long").alias("n_vocab"),
         F.round(slope + F.lit(1e-9), 6).alias("zipf_slope"),

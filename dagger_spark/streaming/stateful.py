@@ -17,6 +17,7 @@ key-space is the thing that kills you, not the row count).
 from __future__ import annotations
 
 import math
+from decimal import Decimal, ROUND_HALF_UP
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -274,11 +275,14 @@ def cusum_alarms(
                 # HALF-AWAY-FROM-ZERO to match the batch twin's F.round
                 # (Spark HALF_UP): Python's round() is banker's
                 # (half-to-even) and disagrees by 1 micro-unit whenever
-                # v*1e6 lands exactly on *.5, silently breaking the
-                # batch==stream identity
+                # v*1e6 lands exactly on *.5.  Decimal(fv) quantized with
+                # ROUND_HALF_UP reproduces Java's BigDecimal(double)
+                # HALF_UP bit-for-bit — the floor(fv+0.5) shortcut has a
+                # hole at values 1 ulp below an exact .5 boundary, where
+                # the addition rounds up across the integer
                 fv = float(v) * 1e6
-                vm = (int(math.floor(fv + 0.5)) if fv >= 0
-                      else -int(math.floor(-fv + 0.5)))
+                vm = int(Decimal(fv).quantize(Decimal(1),
+                                              rounding=ROUND_HALF_UP))
                 s = s + (vm - k_micro)
                 if s < 0:
                     s = 0

@@ -4793,6 +4793,71 @@ def events_pattern_match(spark, sf_dir):
     )
 
 
+def _pattern_sessions_sql(agg: str, count_matches: str) -> str:
+    """One text, two dialect holes: ordered string aggregation is
+    ``string_agg(c, '') WITHIN GROUP (ORDER BY ...)`` in Spark 4 but
+    ``string_agg(c, '' ORDER BY ...)`` in DuckDB, and list length is
+    ``size`` vs ``len``."""
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS i,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts, i,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, event_id, ts, i,
+             cast(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ), seq AS (
+      SELECT user_id, session_id,
+             {agg} AS s,
+             date_trunc('second', min(ts)) AS session_start
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_id, session_start,
+           cast(length(s) AS BIGINT) AS n_events,
+           cast({count_matches} AS BIGINT) AS n_patterns
+    FROM seq
+    WHERE {count_matches} > 0
+    """
+
+
+@register(
+    "events_pattern_match_sessions",
+    _pattern_sessions_sql(
+        "string_agg(i, '' ORDER BY ts, event_id)",
+        "len(regexp_extract_all(s, 'vc*p'))",
+    ),
+    "the 100 TB form of events_pattern_match, previously only documented "
+    "in its docstring: the row-pattern 'view, then clicks, then "
+    "purchase' (vc*p: the session variant relaxes clicks to zero-or-"
+    "more — gap sessions in this corpus are minutes long, so the "
+    "conversion often skips the click) matched WITHIN each 30-min gap "
+    "session instead of over a "
+    "user's whole history, so the per-group sequence string is bounded by "
+    "session length (minutes of activity) rather than corpus lifetime — "
+    "the difference between O(session) and O(years-of-events) state per "
+    "key.  Reuses events_sessionization's gaps-and-islands session ids "
+    "(lag + running sum, ONE user-keyed shuffle shared by both windows "
+    "and the final group), then string_agg WITHIN GROUP orders initials "
+    "per session and the regex counts non-overlapping matches.  Emits "
+    "only matched sessions — the alert shape",
+)
+def events_pattern_match_sessions(spark, sf_dir):
+    load_tables(spark, sf_dir, names=("events",))
+    return spark.sql(_pattern_sessions_sql(
+        "string_agg(i, '') WITHIN GROUP (ORDER BY ts, event_id)",
+        "size(regexp_extract_all(s, 'vc*p', 0))",
+    ))
+
+
 def _hierarchy_sql(intdiv: str) -> str:
     """One text, one dialect hole: integer division is ``DIV`` in Spark
     SQL, ``//`` in DuckDB."""

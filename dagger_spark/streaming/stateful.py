@@ -16,7 +16,6 @@ key-space is the thing that kills you, not the row count).
 
 from __future__ import annotations
 
-import math
 from decimal import Decimal, ROUND_HALF_UP
 from typing import Iterator, Tuple
 

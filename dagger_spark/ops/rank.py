@@ -1,0 +1,252 @@
+"""Distributed global-ordering primitives: two-pass range-partitioned
+``row_number`` / ``ntile`` / running sum.
+
+A bare ``Window.orderBy(...)`` with no ``partitionBy`` funnels the entire
+input through ONE partition (Spark logs ``WindowExec: No Partition Defined
+for Window operation! Moving all data to a single partition``) — correct at
+gauge scale and a guaranteed OOM/stall at 100 TB.  These helpers compute the
+IDENTICAL result with the classic two-pass recipe:
+
+1. **Sample split points** — one ``percentile_approx`` aggregate over the
+   partitioning key (a mergeable sketch: map-side partials, one tiny
+   reduce) yields ≤ ``num_ranges - 1`` boundary VALUES, collected to the
+   driver and baked into the plan as literals.  The collect is bounded by
+   cluster configuration (#ranges), never by data — the same
+   plan-time-literal discipline as the IVF centroids and LSH planes.
+2. **Bucket deterministically** — each row's range id is a pure expression
+   over its own values (a chain of literal comparisons), so ANY
+   recomputation of the input assigns identical buckets.  This is the
+   load-bearing design decision: the obvious alternative —
+   ``repartitionByRange`` + ``monotonically_increasing_id`` — leaves rank
+   consistency at the mercy of ReusedExchange, because the local-rank
+   branch and the per-range-counts branch each re-sample split points
+   (``RangePartitioner`` seeds by RDD id) when column pruning makes their
+   exchange subtrees differ.  That exact failure showed up as ±1 ntile
+   drift when two ranks were composed in one plan; literal boundaries make
+   it structurally impossible.
+3. **Rank locally, then add offsets** — ``Window.partitionBy(bucket)``
+   computes local ranks / running sums (a skew-bounded hash shuffle:
+   every bucket is ~N/num_ranges rows by construction of the split
+   points), while a bucket-keyed aggregate (≤ ``num_ranges`` rows) turns
+   per-bucket counts/sums into prefix offsets that broadcast-join back.
+   ``global rank = local rank + offset``.
+
+Exact and deterministic whenever the ordering is TOTAL — callers must
+include a unique tiebreak column, the same requirement the
+single-partition window form already had — so DuckDB oracle parity is
+unchanged (pinned by tests/test_rank.py's differential tests and the
+catalog gate).
+
+The offsets prefix-sum itself is an unpartitioned window — over the
+bucket-keyed aggregate, i.e. ≤ ``num_ranges`` rows by construction.  The
+``_gr_pid`` grouping column is the structural marker tests/test_plans.py
+uses to prove that window's input is bounded.
+
+Caveats (documented, not silent):
+  * ``part_key`` must be a NUMERIC column ascending-aligned with the total
+    order (pass the negated column for a descending primary sort).  All
+    rows sharing one part_key value land in one bucket, so a single
+    mega-frequent value bounds parallelism for its bucket — the classic
+    skew caveat of exact global ranking (salting cannot apply: equal keys
+    must meet one rank counter).
+  * rows with NULL part_key fall into bucket 0; callers whose ordering
+    places nulls elsewhere must coalesce first (every catalog use has a
+    non-null key by construction).
+  * the literal comparison chain is linear in ``num_ranges`` — right for
+    the 32–2048 ranges a real cluster uses; a 10^5-range layout would
+    swap step 2 for a broadcast range join.
+
+The reference has no window functions at all (SURVEY.md §2.7 absence list;
+rules/sigma/*.sql are filter+project only); this operator backs the
+catalog's global-ordering queries (ABC/Pareto, RFM quartiles, quantile
+normalization, Zipf ranks, Z-order layout) at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ColumnOrName = Union[Column, str]
+
+
+def _num_ranges(df: DataFrame, num_ranges: Optional[int]) -> int:
+    if num_ranges is not None:
+        return num_ranges
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _part_key(
+    order_by: Sequence[ColumnOrName], part_key: Optional[ColumnOrName]
+) -> Column:
+    if part_key is not None:
+        return F.col(part_key) if isinstance(part_key, str) else part_key
+    lead = order_by[0]
+    if isinstance(lead, str):
+        return F.col(lead)
+    raise ValueError(
+        "order_by leads with a Column expression; pass part_key= explicitly "
+        "(ascending-aligned numeric, e.g. -col for a descending sort)"
+    )
+
+
+def _boundaries(df: DataFrame, key: Column, n: int) -> list:
+    """≤ n-1 split-point literals from one percentile_approx pass (empty
+    when the input is empty or has a single distinct key)."""
+    if n <= 1:
+        return []
+    pcts = [i / n for i in range(1, n)]
+    row = df.select(key.alias("_gr_k")).agg(
+        F.percentile_approx("_gr_k", pcts, 10_000).alias("b")
+    ).head()
+    vals = row["b"] if row is not None and row["b"] is not None else []
+    return sorted({v for v in vals if v is not None})
+
+
+def _bucket(key: Column, boundaries: list) -> Column:
+    """Deterministic range id: how many boundaries this row's key exceeds.
+    Equal keys always share a bucket; NULL keys land in bucket 0."""
+    b = F.lit(0)
+    for v in boundaries:
+        b = b + F.when(key > F.lit(v), 1).otherwise(0)
+    return b.cast("int")
+
+
+def _offsets(per_bucket: DataFrame, agg_col: str) -> DataFrame:
+    """Prefix-sum a bucket-keyed aggregate into join-back offsets.
+
+    One row per non-empty bucket; the unpartitioned window here runs over
+    ≤ num_ranges rows — bounded by configuration, which
+    tests/test_plans.py recognizes by the ``_gr_pid`` grouping marker.
+    Also emits the grand total (constant across rows), which ntile and
+    Pareto-style consumers need."""
+    w = Window.orderBy("_gr_pid")
+    return per_bucket.select(
+        "_gr_pid",
+        (F.sum(agg_col).over(w) - F.col(agg_col)).alias("_gr_off"),
+        F.sum(agg_col)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_gr_total"),
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[ColumnOrName],
+    rank_col: str = "rn",
+    *,
+    part_key: Optional[ColumnOrName] = None,
+    num_ranges: Optional[int] = None,
+    keep_total: bool = False,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY ...)`` without the single partition.
+
+    One boundary-sketch pass + one bucket-partitioned window shuffle + a
+    broadcast join of the ≤ num_ranges offset rows.  ``order_by`` must be
+    a total order (include a unique tiebreak).  With ``keep_total`` the
+    constant ``_gr_total`` row-count column survives for consumers that
+    need N (ntile, percent_rank)."""
+    n = _num_ranges(df, num_ranges)
+    key = _part_key(order_by, part_key)
+    bdf = df.withColumn("_gr_b", _bucket(key, _boundaries(df, key, n)))
+    local = bdf.withColumn(
+        "_gr_lrn",
+        F.row_number().over(Window.partitionBy("_gr_b").orderBy(*order_by)),
+    )
+    counts = bdf.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
+        F.count(F.lit(1)).alias("_gr_cnt")
+    )
+    out = (
+        local.join(
+            F.broadcast(_offsets(counts, "_gr_cnt")),
+            local["_gr_b"] == F.col("_gr_pid"),
+        )
+        .withColumn(rank_col, (F.col("_gr_lrn") + F.col("_gr_off")).cast("long"))
+        .drop("_gr_b", "_gr_lrn", "_gr_pid", "_gr_off")
+    )
+    return out if keep_total else out.drop("_gr_total")
+
+
+def ntile_from_rank(rn: Column, total: Column, k: int) -> Column:
+    """Standard-SQL ``ntile(k)`` from a 1-based global rank and the total
+    row count, in exact integer arithmetic: with ``base = N div k`` and
+    ``rem = N mod k``, the first ``rem`` buckets hold ``base + 1`` rows.
+    Matches Spark's and DuckDB's ntile bit-for-bit (differential-tested in
+    test_rank.py).  All intermediates stay well inside the exact-double
+    range, so the floor divisions are exact."""
+    base = F.floor(total / k).cast("long")
+    rem = (total % k).cast("long")
+    big = rem * (base + F.lit(1))
+    in_big = F.floor((rn - F.lit(1)) / (base + F.lit(1))) + F.lit(1)
+    in_small = rem + F.floor((rn - big - F.lit(1)) / base) + F.lit(1)
+    return F.when(rn <= big, in_big).otherwise(in_small).cast("int")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: Sequence[ColumnOrName],
+    k: int,
+    tile_col: str = "tile",
+    *,
+    part_key: Optional[ColumnOrName] = None,
+    num_ranges: Optional[int] = None,
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY ...)`` as global_row_number + the exact
+    bucket formula (the total row count rides the broadcast offsets row,
+    so no extra pass).  For multi-score quartiling (RFM), compute each
+    tile from the BASE table and join on the entity key rather than
+    chaining — chaining makes each call's boundary-sketch pass recompute
+    its predecessors."""
+    ranked = global_row_number(
+        df, order_by, "_gr_rn",
+        part_key=part_key, num_ranges=num_ranges, keep_total=True,
+    )
+    return ranked.withColumn(
+        tile_col, ntile_from_rank(F.col("_gr_rn"), F.col("_gr_total"), k)
+    ).drop("_gr_rn", "_gr_total")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: Sequence[ColumnOrName],
+    value: ColumnOrName,
+    cum_col: str = "cum",
+    *,
+    part_key: Optional[ColumnOrName] = None,
+    total_col: Optional[str] = None,
+    num_ranges: Optional[int] = None,
+) -> DataFrame:
+    """``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``: running
+    sum WITHIN each range bucket, plus the broadcast prefix offset of the
+    preceding buckets' sums.  ``total_col`` optionally exposes the grand
+    total (Pareto / revenue-share consumers) without a separate global
+    aggregate."""
+    n = _num_ranges(df, num_ranges)
+    key = _part_key(order_by, part_key)
+    vcol = F.col(value) if isinstance(value, str) else value
+    bdf = df.withColumn("_gr_b", _bucket(key, _boundaries(df, key, n)))
+    w = (
+        Window.partitionBy("_gr_b")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bdf.withColumn("_gr_lcum", F.sum(vcol).over(w))
+    sums = bdf.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
+        F.sum(vcol).alias("_gr_psum")
+    )
+    out = (
+        local.join(
+            F.broadcast(_offsets(sums, "_gr_psum")),
+            local["_gr_b"] == F.col("_gr_pid"),
+        )
+        .withColumn(cum_col, F.col("_gr_lcum") + F.col("_gr_off"))
+        .drop("_gr_b", "_gr_pid", "_gr_lcum", "_gr_off")
+    )
+    if total_col is not None:
+        out = out.withColumnRenamed("_gr_total", total_col)
+    else:
+        out = out.drop("_gr_total")
+    return out

@@ -221,11 +221,16 @@ def _bnlj_violations(df, allow_domain_bounded: bool = False) -> list:
 def _keyed_aggregate_build(jnode) -> bool:
     """True when the build side's row count is capped by an aggregate's
     grouping-key cardinality (the _DOMAIN_BOUNDED_BUILD shape) — with no
-    row-multiplying node between the BNLJ and that aggregate."""
+    row-multiplying node between the BNLJ and that aggregate.  The
+    grouping must reference the column each allowlist entry's
+    justification names (event_type for events_hll_intersect): a future
+    rewrite that silently regroups by a high-cardinality key (per-user,
+    per-event) must NOT slip through on the allowlist's name alone
+    (round-5 advice)."""
     for n in _walk_physical(jnode):
         nm = n.nodeName()
         if nm.endswith("Aggregate"):
-            return True
+            return "event_type" in n.groupingExpressions().toString()
         if nm in ("Generate", "Expand") or "Join" in nm:
             return False
     return False
@@ -302,6 +307,99 @@ def test_bnlj_checker_rejects_unbounded_build_side(spark, sf_dir):
         "checker passed an unbounded BNLJ build side — the invariant is "
         "no longer guarding anything"
     )
+
+
+# Unpartitioned windows whose input is bounded by a closed VALUE DOMAIN
+# rather than by plan structure — same contract as _DOMAIN_BOUNDED_BUILD:
+# each entry is named and justified, and bare additions are a review smell.
+_DOMAIN_BOUNDED_WINDOW = {
+    # avg(revenue) OVER (ORDER BY ship_day ROWS 6 PRECEDING) runs over the
+    # per-DAY aggregate: rows bounded by the calendar domain (~decades =
+    # 10^4 rows), not by corpus size
+    "revenue_moving_avg",
+}
+
+
+def _bounded_window_input(jnode) -> bool:
+    """True when the subtree feeding an UNPARTITIONED window is bounded by
+    construction: the first aggregate on the path down is either a grand
+    total (1 row at any scale) or keyed by ops/rank's range-bucket id
+    (``_gr_b``/``_gr_pid`` — ≤ num_ranges rows, bounded by cluster
+    configuration); any row-multiplying node (join, generate, expand,
+    another window) before that aggregate disqualifies."""
+    walker = _walk_physical(jnode)
+    next(walker)  # skip the window node itself
+    for n in walker:
+        nm = n.nodeName()
+        if nm.endswith("Aggregate"):
+            ge = n.groupingExpressions()
+            if ge.isEmpty():
+                return True
+            s = ge.toString()
+            return "_gr_b" in s or "_gr_pid" in s
+        if nm in ("Generate", "Expand", "Window") or "Join" in nm:
+            return False
+    return False
+
+
+def _unpartitioned_window_violations(df, allow_domain_bounded=False) -> list:
+    """Collect Window nodes with NO partition spec over unbounded input —
+    the `WindowExec: No Partition Defined ... moving all data to a single
+    partition` shape that melts at 100 TB (round-5 verdict's last
+    scale-killer family, rewritten onto ops/rank in round 6)."""
+    bad = []
+    for n in _walk_physical(df._jdf.queryExecution().executedPlan()):
+        if n.nodeName() not in ("Window", "WindowGroupLimit"):
+            continue
+        if not n.partitionSpec().isEmpty():
+            continue
+        if allow_domain_bounded or _bounded_window_input(n):
+            continue
+        bad.append(n)
+    return bad
+
+
+def test_no_single_partition_window_catalog_wide(spark, sf_dir):
+    """Round-5 verdict item 1: five queries (events_zorder_layout,
+    quantile_normalize_docs, customer_abc_analysis, customer_rfm_segments,
+    zipf_slope_docs) computed global ranks through one partition.  All now
+    run on ops/rank's two-pass range-partitioned primitives; this pins the
+    invariant CATALOG-WIDE the way the BNLJ check is pinned: no query may
+    plan an unpartitioned window over unbounded input.  Initial plans are a
+    sound discovery surface — window placement is static; AQE never
+    introduces a window."""
+    failures = []
+    for name, q in QUERIES.items():
+        df = q.fn(spark, sf_dir)
+        allow = name in _DOMAIN_BOUNDED_WINDOW
+        for node in _unpartitioned_window_violations(df, allow):
+            failures.append(f"{name}:\n{node.toString()[:400]}")
+    assert not failures, "\n\n".join(failures)
+
+
+def test_window_checker_rejects_single_partition_window(spark, sf_dir):
+    """The guard must actually guard (same discipline as the BNLJ negative
+    test): a bare Window.orderBy over the full documents table — exactly
+    the shape the five rewritten queries used to plan — must be flagged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from dagger_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n_chars", "doc_id"))
+    )
+    assert _unpartitioned_window_violations(ranked), (
+        "checker passed a single-partition window over a full scan — the "
+        "invariant is no longer guarding anything"
+    )
+    # and the rank operator's own plan is clean (its one unpartitioned
+    # window sits over the _gr_pid-keyed aggregate, which the checker
+    # must recognize as bounded)
+    from dagger_spark.ops.rank import global_row_number
+
+    clean = global_row_number(docs, ["n_chars", "doc_id"], "rn", num_ranges=8)
+    assert not _unpartitioned_window_violations(clean)
 
 
 def test_pairwise_cosine_norms_are_staged(spark, sf_dir):

@@ -1,0 +1,160 @@
+"""Differential + determinism tests for ops/rank — the two-pass
+range-partitioned global ordering primitives that replaced the catalog's
+single-partition `Window.orderBy(...)` family (round-6 verdict item 1).
+
+The operators must be EXACT vs the single-partition window forms (the
+catalog's DuckDB oracles were written against those), and — the failure
+mode that killed the first implementation — must stay self-consistent when
+several ranks are composed in ONE plan, where column pruning can defeat
+exchange reuse and any sampling-dependent partitioning diverges between
+branches."""
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dagger_spark.ops.rank import (
+    global_cumsum, global_ntile, global_row_number, ntile_from_rank,
+)
+
+
+def _rand_df(spark, n=5000, seed=7, partitions=16):
+    rng = random.Random(seed)
+    # heavy ties in v (only 40 distinct values) so bucket-boundary tie
+    # handling is actually exercised; id is the unique tiebreak
+    rows = [(i, rng.randrange(40), rng.randrange(1000)) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, v long, w long").repartition(
+        partitions
+    )
+
+
+def test_global_row_number_matches_window(spark):
+    df = _rand_df(spark)
+    ref = df.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn_ref")
+    )
+    got = global_row_number(df, ["v", "id"], "rn", num_ranges=8)
+    j = ref.join(got.select("id", "rn"), "id")
+    assert j.filter(F.col("rn") != F.col("rn_ref")).count() == 0
+
+
+def test_global_row_number_desc_matches_window(spark):
+    df = _rand_df(spark, seed=11)
+    ref = df.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), F.col("id")))
+        .alias("rn_ref"),
+    )
+    got = global_row_number(
+        df, [F.col("v").desc(), F.col("id")], "rn",
+        part_key=-F.col("v"), num_ranges=8,
+    )
+    j = ref.join(got.select("id", "rn"), "id")
+    assert j.filter(F.col("rn") != F.col("rn_ref")).count() == 0
+
+
+def test_global_ntile_matches_window_uneven(spark):
+    # 5003 rows, k=7: N % k != 0 exercises the first-rem-buckets-one-larger
+    # branch of the exact formula
+    df = _rand_df(spark, n=5003, seed=3)
+    for k in (7, 64):
+        ref = df.select(
+            "id", F.ntile(k).over(Window.orderBy("v", "id")).alias("t_ref")
+        )
+        got = global_ntile(df, ["v", "id"], k, "t", num_ranges=8)
+        j = ref.join(got.select("id", "t"), "id")
+        assert j.filter(F.col("t") != F.col("t_ref")).count() == 0, k
+
+
+def test_ntile_from_rank_formula_exact(spark):
+    # every (N, k) shape in a grid, checked against Spark's own ntile
+    for n, k in [(1, 4), (3, 4), (4, 4), (10, 4), (11, 3), (100, 7)]:
+        df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+        ref = df.select(
+            "rn", F.ntile(k).over(Window.orderBy("rn")).alias("t_ref")
+        )
+        got = df.select(
+            "rn", ntile_from_rank(F.col("rn"), F.lit(n), k).alias("t")
+        )
+        j = ref.join(got, "rn")
+        assert j.filter(F.col("t") != F.col("t_ref")).count() == 0, (n, k)
+
+
+def test_global_cumsum_matches_window(spark):
+    df = _rand_df(spark, seed=23)
+    ref = df.select(
+        "id",
+        F.sum("w")
+        .over(
+            Window.orderBy(F.col("v").desc(), F.col("id")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("c_ref"),
+    )
+    got = global_cumsum(
+        df, [F.col("v").desc(), F.col("id")], "w", "c",
+        part_key=-F.col("v"), total_col="tot", num_ranges=8,
+    )
+    j = ref.join(got.select("id", "c", "tot"), "id")
+    assert j.filter(F.col("c") != F.col("c_ref")).count() == 0
+    total = df.agg(F.sum("w")).head()[0]
+    assert got.select("tot").distinct().collect() == [(total,)]
+
+
+def test_composed_ranks_stay_consistent_in_one_plan(spark):
+    """The regression that sank the repartitionByRange+monotonic-id design:
+    two global ntiles composed in one plan (one joined against the other)
+    drifted by ±1-2 buckets because the local-rank and offsets branches
+    stopped sharing an exchange and re-sampled split points independently.
+    With literal boundaries the bucket id is a pure function of the row, so
+    composition cannot drift."""
+    df = _rand_df(spark, seed=5)
+    a = global_ntile(df, ["v", "id"], 64, "ta", num_ranges=8)
+    b = global_ntile(df, ["w", "id"], 64, "tb", num_ranges=8)
+    joined = a.select("id", "ta").join(b.select("id", "tb"), "id")
+    ref = df.select(
+        "id",
+        F.ntile(64).over(Window.orderBy("v", "id")).alias("ra"),
+        F.ntile(64).over(Window.orderBy("w", "id")).alias("rb"),
+    )
+    j = joined.join(ref, "id")
+    assert j.filter(
+        (F.col("ta") != F.col("ra")) | (F.col("tb") != F.col("rb"))
+    ).count() == 0
+    # and the same result twice from one composed df — run-to-run stability
+    p1 = joined.toPandas().sort_values("id").reset_index(drop=True)
+    p2 = joined.toPandas().sort_values("id").reset_index(drop=True)
+    assert p1.equals(p2)
+
+
+def test_no_single_partition_window_in_plan(spark):
+    """The whole point of the operator: the data-sized window must be
+    partitioned (by the range bucket); the only unpartitioned window
+    allowed is the prefix-sum over the bucket-keyed aggregate (≤ num_ranges
+    rows by construction)."""
+    df = _rand_df(spark)
+    got = global_row_number(df, ["v", "id"], "rn", num_ranges=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    windows = [l for l in plan.splitlines() if "Window " in l or l.strip().startswith("Window")]
+    unpart = [l for l in windows if "windowspecdefinition(" in l
+              and "_gr_b#" not in l.split("windowspecdefinition(", 1)[1][:80]]
+    # every unpartitioned spec must be the offsets window (ordered by
+    # _gr_pid over the tiny aggregate)
+    for l in unpart:
+        assert "_gr_pid" in l, f"unexpected unpartitioned window: {l}"
+
+
+def test_empty_and_tiny_inputs(spark):
+    empty = spark.createDataFrame([], "id long, v long")
+    assert global_row_number(empty, ["v", "id"], "rn", num_ranges=8).count() == 0
+    one = spark.createDataFrame([(1, 5)], "id long, v long")
+    assert global_row_number(one, ["v", "id"], "rn", num_ranges=8).select(
+        "rn"
+    ).collect() == [(1,)]
+    # all-identical part keys degenerate to one bucket but stay correct
+    same = spark.createDataFrame([(i, 9) for i in range(50)], "id long, v long")
+    rn = global_row_number(same, ["v", "id"], "rn", num_ranges=8)
+    assert [r["rn"] for r in rn.orderBy("id").collect()] == list(range(1, 51))

@@ -24,22 +24,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 
-# Driver-window rotation (round 5): the correctness gate verifies the FIRST
-# ~50 queries, and rounds 3-4 re-proved the same 50 names while 122 catalog
-# queries never got a driver-verified row.  This ordering front-loads 15
-# family anchors (one per operator family, keeping round-over-round
-# continuity) followed by 35 queries that have never appeared in a
-# CORRECTNESS_r*.json — all replay-green at sf0.01 — so round 5 converts
-# judge-verified evidence into driver-verified evidence.  Everything else
-# follows in catalog registration order; nothing is dropped.
+# Driver-window rotation (round 6): the correctness gate verifies the FIRST
+# ~50 queries.  Round 5's rotation converted 35 never-verified names; the
+# union of driver-verified names across r1-r5 is 110 of 173, leaving 52
+# oracle-paired queries never driver-checked.  This window keeps 13 family
+# anchors, adds zipf_slope_docs + events_zorder_layout as anchors because
+# both were REWRITTEN this round onto ops/rank's range-partitioned global
+# rank (re-verification of changed code beats re-proving two five-times-green
+# joins — semi_join_high_value / skew_salted_join stand down, both r1-r5
+# verified and pinned in tests), then 35 of the 52 never-checked names —
+# including the other three ops/rank rewrites (quantile_normalize_docs,
+# customer_abc_analysis, customer_rfm_segments).  The remaining 17 queue
+# first for round 7, which completes full-catalog driver coverage.  The
+# rotation-advances invariant is pinned in tests/test_rotation.py.
+# The round this window was authored in: tests/test_rotation.py checks the
+# rotation against the CORRECTNESS artifacts of STRICTLY EARLIER rounds
+# (this round's own artifact lands after the code is frozen), and fails the
+# suite if a later round's artifact exists without the window having been
+# re-authored — the mechanical stall guard.
+_WINDOW_ROUND = 6
+
 _DRIVER_WINDOW = [
-    # -- anchors (previously driver-verified, one per family) --
+    # -- anchors (one per family; two slots given to this round's rewrites) --
     "q1_pricing_summary",        # TPC-H aggregate
     "q9_profit_by_nation",       # multi-way join
     "top_customers_per_nation",  # window functions
     "grouping_sets_orders",      # grouping sets
-    "semi_join_high_value",      # semi/anti joins
-    "skew_salted_join",          # skew handling
     "events_rules_engine",       # SIEM rule fan-in (the reference's core)
     "events_burst_detection",    # timeframe rules (reference's skipped gap)
     "events_sessionization",     # gaps-and-islands
@@ -49,42 +59,51 @@ _DRIVER_WINDOW = [
     "ann_recall",                # ANN family gauge
     "merge_upsert_orders",       # MERGE
     "asof_join_error_purchase",  # as-of join
-    # -- never driver-checked before round 5 --
-    "customer_hierarchy",            # recursive CTE
-    "scd2_customer_priority",        # SCD2
-    "events_gapfill",                # gap fill + forward fill
-    "events_pattern_match",          # whole-history row-pattern match
-    "events_pattern_match_sessions", # NEW round 5: session-windowed form
-    "events_alert_debounce",         # alert noise control
-    "pagerank_docs",                 # Pregel PageRank
-    "kcore_docs",                    # k-core decomposition
-    "events_cusum_shift",            # CUSUM level-shift
-    "events_mad_outliers",           # robust MAD outliers
-    "events_winsorized_stats",       # winsorized stats
-    "zipf_slope_docs",               # Zipf OLS (round-5 double widening)
-    "lsh_recall_docs",               # LSH recall gauge
-    "classifier_calibration_docs",   # classifier calibration
-    "pipeline_verdict_docs",         # CorpusPipeline composition
-    "jaccard_zipf_join",             # exact Jaccard AllPairs join
-    "q2_min_cost_supplier",          # correlated scalar subquery
-    "q8_market_share",               # 8-way join + conditional agg
-    "q13_order_distribution",        # outer join + histogram
-    "q21_waiting_supplier",          # exists/not-exists stacking
-    "q22_idle_customers",            # anti-join + avg subquery
-    "cube_orders",                   # CUBE
-    "events_burst_sliding",          # sliding timeframe windows
-    "events_burst_exact",            # exact any-T-span timeframe
-    "events_session_window",         # built-in session_window
-    "events_median_sketch",          # histogram median sketch
-    "events_rolling_7d",             # range-frame rolling window
-    "simhash_neardup",               # SimHash near-dup
-    "bm25_topk_docs",                # BM25 ranking
-    "winnowing_docs",                # winnowing fingerprints
-    "token_entropy_docs",            # token entropy
-    "heavy_hitters_docs",            # misra-gries heavy hitters
-    "events_seasonal_decompose",     # seasonal decomposition
-    "events_theilsen_trend",         # Theil-Sen robust trend
-    "unigram_logprob_docs",          # unigram LM scoring
+    "zipf_slope_docs",           # REWRITTEN r6: rank via ops/rank
+    "events_zorder_layout",      # REWRITTEN r6: ntile via ops/rank
+    # -- never driver-checked before round 6 --
+    "quantile_normalize_docs",   # REWRITTEN r6: pooled rank via ops/rank
+    "customer_abc_analysis",     # REWRITTEN r6: cumsum via ops/rank
+    "customer_rfm_segments",     # REWRITTEN r6: 3x ntile via ops/rank
+    "simhash_multiprobe",        # multiprobe simhash buckets
+    "docs_stratified_sample",    # per-source stratified sampling
+    "training_manifest",         # manifest aggregation
+    "skew_resistant_agg",        # two-level salted aggregate
+    "chunk_dedup_docs",          # chunk-level dedup
+    "dedup_canonical_docs",      # canonical survivorship
+    "weighted_sample_docs",      # weighted sampling (A-ExpJ)
+    "pack_sequences_docs",       # sequence packing
+    "incremental_dedup_docs",    # incremental (bloom) dedup
+    "ann_rp",                    # random-projection ANN
+    "bpe_pair_counts_docs",      # BPE pair statistics
+    "corpus_diff_docs",          # corpus A/B diff
+    "dq_checks_orders",          # data-quality assertion suite
+    "quality_policy_docs",       # composable quality policy
+    "events_hll_intersect",      # HLL intersection (inclusion-exclusion)
+    "contrastive_triplets",      # contrastive triplet mining
+    "profile_documents",         # column profiling
+    "quality_classifier_docs",   # quality classifier features
+    "cdc_chunk_docs",            # content-defined chunking
+    "unpivot_lineitem_metrics",  # UNPIVOT
+    "events_rate_anomaly",       # rate anomaly detection
+    "events_partial_merge",      # mergeable partial aggregates
+    "editdist_neardup_docs",     # edit-distance near-dup
+    "events_markov_transitions", # Markov transition matrix
+    "events_conversion_lag",     # conversion lag distribution
+    "k_anonymity_docs",          # k-anonymity audit
+    "containment_pairs_docs",    # containment (subset) pairs
+    "events_assoc_rules",        # association rules
+    "events_benford_check",      # Benford first-digit audit
+    "events_wau_stickiness",     # DAU/WAU stickiness
+    "part_basket_pairs",         # market-basket lift
+    "language_id_ngram_docs",    # n-gram language ID
+    # -- the 17 still-unverified names queue first for round 7 --
+    "window_rank_showcase", "array_funcs_docs", "sentences_docs",
+    "normalize_docs", "docs_hash_sample", "language_id_docs", "chunk_docs",
+    "token_counts_docs", "fingerprint_docs", "html_strip_docs",
+    "line_scrub_docs", "phrase_search_docs", "keywords_per_doc",
+    "bigram_logprob_docs", "events_decayed_score", "docs_pack_bins",
+    "trimmed_mean_pandas",
 ]
 
 

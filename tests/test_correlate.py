@@ -87,6 +87,79 @@ def test_correlation_window_and_order_semantics(spark):
     assert got == {("a1", "b1", 100)}
 
 
+def test_correlation_stream_through_kafka_sim(spark, tmp_path):
+    """The stream leg through the DataSource-V2 kafka simulator (wire
+    schema, real per-partition offsets, 2-record micro-batches) — not just
+    file sources: correlate_alerts_stream over
+    format('kafka_sim') == correlate_alerts over the same wire records
+    batch-loaded.  Event time is the transport timestamp (base_ts + line
+    index seconds), exactly the reference's METADATA column semantics
+    (windows-process-access.sql:24), so the pair lags are crafted by line
+    order: window_s=2 admits (a1,b1 lag 1) and (a2,b2 lag 2), excludes the
+    cross-host b3 and the lag-5 b4."""
+    import json
+
+    from dagger_spark.sources.kafka import kafka_events_from_records
+    from dagger_spark.sources.kafka_sim import register_kafka_sim
+
+    register_kafka_sim(spark)
+    ra, rb = _pair()
+
+    def payload(uuid, host, kind):
+        trace = ("UNKNOWN(0000000000000000)|x" if kind == "a"
+                 else "z|cmlua.dll|w")
+        return json.dumps({
+            "computer_name": host, "event_id": 10, "host": "h",
+            "uuid": uuid, "event_data": {"CallTrace": trace},
+        })
+
+    lines = [  # line index == transport-timestamp offset in seconds
+        payload("a1", "H1", "a"),   # t=0
+        payload("b1", "H1", "b"),   # t=1 -> pair, lag 1
+        payload("a2", "H2", "a"),   # t=2
+        payload("b3", "H3", "b"),   # t=3: other host -> no pair
+        payload("b2", "H2", "b"),   # t=4 -> pair, lag 2
+        payload("b4", "H1", "b"),   # t=5: lag 5 > window 2 -> no pair
+    ]
+    src = tmp_path / "ksim_corr.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+
+    stream = (
+        spark.readStream.format("kafka_sim")
+        .option("path", str(src)).option("topic", "events")
+        .option("batch_size", 2)
+        .load()
+    )
+    q = (
+        # watermark=None at the source: correlate_alerts_stream owns the
+        # per-side watermarks, and Spark forbids redefining one downstream
+        correlate_alerts_stream(
+            kafka_events_from_records(stream, watermark=None),
+            ra, rb, window_s=2,
+        )
+        .writeStream.format("memory").queryName("ksim_corr_out")
+        .option("checkpointLocation", str(tmp_path / "ksim_corr_ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql(
+            "SELECT entity, a_uuid, b_uuid, lag_s FROM ksim_corr_out"
+        ).collect()}
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.format("kafka_sim")
+        .option("path", str(src)).option("topic", "events")
+        .load()
+    )
+    want = {tuple(r) for r in correlate_alerts(
+        kafka_events_from_records(batch), ra, rb, window_s=2
+    ).collect()}
+    assert got == want == {("H1", "a1", "b1", 1), ("H2", "a2", "b2", 2)}
+
+
 def test_correlation_batch_equals_stream(spark, tmp_path):
     ra, rb = _pair()
     events = _mk_events(spark, [

@@ -274,14 +274,20 @@ def cusum_alarms(
                 # HALF-AWAY-FROM-ZERO to match the batch twin's F.round
                 # (Spark HALF_UP): Python's round() is banker's
                 # (half-to-even) and disagrees by 1 micro-unit whenever
-                # v*1e6 lands exactly on *.5.  Decimal(fv) quantized with
-                # ROUND_HALF_UP reproduces Java's BigDecimal(double)
-                # HALF_UP bit-for-bit — the floor(fv+0.5) shortcut has a
-                # hole at values 1 ulp below an exact .5 boundary, where
-                # the addition rounds up across the integer
+                # v*1e6 lands exactly on *.5.  Spark's round on doubles
+                # goes through BigDecimal.valueOf(double) — the SHORTEST
+                # decimal repr (Double.toString), not the exact binary
+                # expansion — so the Python mirror is Decimal(repr(fv)),
+                # which is that same shortest repr.  (Decimal(fv) agrees
+                # only while every .5 boundary is exactly representable,
+                # i.e. |fv| < 2^52 — true in the micro-unit domain, but
+                # repr() is the equivalence that needs no domain caveat.)
+                # The floor(fv+0.5) shortcut has a hole at values 1 ulp
+                # below an exact .5 boundary, where the addition rounds up
+                # across the integer.
                 fv = float(v) * 1e6
-                vm = int(Decimal(fv).quantize(Decimal(1),
-                                              rounding=ROUND_HALF_UP))
+                vm = int(Decimal(repr(fv)).quantize(Decimal(1),
+                                                    rounding=ROUND_HALF_UP))
                 s = s + (vm - k_micro)
                 if s < 0:
                     s = 0

@@ -189,9 +189,14 @@ def test_events_pattern_match_sessions_semantics(spark, tmp_path):
     ).write.parquet(d + "/events.parquet")
     out = {(r["user_id"], r["session_id"]): r for r in
            QUERIES["events_pattern_match_sessions"].fn(spark, d).collect()}
-    # whole-history twin sees u2's v..p; the session form must not
+    # the whole-history twin uses vc+p (a click is REQUIRED), so u2's
+    # clickless v..p yields 0 there too — its exclusion from the session
+    # output below is the gap-straddling evidence, and u3's session 1
+    # (same-session v..p, no gap) proves the session form's vc*p DOES
+    # match a clickless pair when no gap intervenes: the 31-min gap is
+    # the only reason u2 is absent
     assert QUERIES["events_pattern_match"].fn(spark, d).where(
-        "user_id = 2").collect()[0]["n_patterns"] == 0  # vc+p needs a click
+        "user_id = 2").collect()[0]["n_patterns"] == 0
     assert set(out) == {(1, 1), (3, 1), (3, 2)}
     assert out[(1, 1)]["n_patterns"] == 1 and out[(1, 1)]["n_events"] == 3
     assert out[(3, 1)]["n_patterns"] == 1 and out[(3, 1)]["n_events"] == 2

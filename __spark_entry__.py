@@ -95,9 +95,10 @@ _DRIVER_WINDOW = [
     "events_assoc_rules",        # association rules
     "events_benford_check",      # Benford first-digit audit
     "events_wau_stickiness",     # DAU/WAU stickiness
-    "part_basket_pairs",         # market-basket lift
-    "language_id_ngram_docs",    # n-gram language ID
-    # -- the 17 still-unverified names queue first for round 7 --
+    "events_exact_quantiles",    # NEW r6: exact global percentile_cont
+    "curriculum_stages_docs",    # NEW r6: curriculum staging on ops/rank
+    # -- the 19 still-unverified names queue first for round 7 --
+    "part_basket_pairs", "language_id_ngram_docs",
     "window_rank_showcase", "array_funcs_docs", "sentences_docs",
     "normalize_docs", "docs_hash_sample", "language_id_docs", "chunk_docs",
     "token_counts_docs", "fingerprint_docs", "html_strip_docs",

@@ -155,6 +155,10 @@ HEADLINE = [
     "events_wau_stickiness",
     "customer_rfm_segments",
     "part_basket_pairs",
+    # round-5/6 additions
+    "events_pattern_match_sessions",
+    "events_exact_quantiles",
+    "curriculum_stages_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

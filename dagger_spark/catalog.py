@@ -1886,9 +1886,15 @@ def events_zorder_layout(spark, sf_dir):
         )
 
     # the two orderings feed two DISJOINT aggregates, so each gets its own
-    # independent range-partitioned ntile over keyed (no join, no chain)
-    zbuck = global_ntile(keyed, ["zkey", "tie"], 64, "zb")
-    xbuck = global_ntile(keyed, ["x", "y", "tie"], 64, "xb")
+    # independent range-partitioned ntile over keyed (no join, no chain);
+    # one combined boundaries pass serves both
+    from .ops.rank import boundaries_for
+
+    bnds = boundaries_for(keyed, {"zb": F.col("zkey"), "xb": F.col("x")})
+    zbuck = global_ntile(keyed, ["zkey", "tie"], 64, "zb",
+                         boundaries=bnds["zb"])
+    xbuck = global_ntile(keyed, ["x", "y", "tie"], 64, "xb",
+                         boundaries=bnds["xb"])
     return extents(zbuck, "zb", "zorder").unionByName(
         extents(xbuck, "xb", "xorder")
     )
@@ -7810,22 +7816,31 @@ def customer_rfm_segments(spark, sf_dir):
     )
     # three tiles each computed from BASE and joined on cust (not chained:
     # chaining would make each boundary-sketch pass recompute its
-    # predecessors — see ops/rank.global_ntile docstring)
-    def tile(col, pk, name):
+    # predecessors), with ONE combined boundaries_for pass instead of
+    # three per-tile sketch jobs over the orders aggregate
+    from .ops.rank import boundaries_for
+
+    part_keys = {
+        # ntz has no numeric cast; ltz->double is monotone in the
+        # timestamp, which is all bucketing needs
+        "r": -F.col("last_order").cast("timestamp_ltz").cast("double"),
+        "f": -F.col("frequency").cast("double"),
+        "m": -F.col("cents").cast("double"),
+    }
+    bnds = boundaries_for(base, part_keys)
+
+    def tile(col, name):
         return global_ntile(
             base.select("cust", col),
             [F.col(col).desc(), F.col("cust")],
-            4, name, part_key=pk,
+            4, name, part_key=part_keys[name], boundaries=bnds[name],
         ).select("cust", name)
 
     scored = (
         base
-        .join(tile("last_order",  # ntz has no numeric cast; ltz->double is
-                   # monotone in the timestamp, which is all bucketing needs
-                   -F.col("last_order").cast("timestamp_ltz").cast("double"),
-                   "r"), "cust")
-        .join(tile("frequency", -F.col("frequency"), "f"), "cust")
-        .join(tile("cents", -F.col("cents"), "m"), "cust")
+        .join(tile("last_order", "r"), "cust")
+        .join(tile("frequency", "f"), "cust")
+        .join(tile("cents", "m"), "cust")
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -7871,6 +7886,96 @@ _shared_sql(
     "part-frequency side broadcasts — the exact shape A-Priori's first "
     "pass runs at any scale",
 )
+
+
+@register(
+    "events_exact_quantiles",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 1e6) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY vm) / 1e6
+                 + 1e-9, 6) AS p25,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY vm) / 1e6
+                 + 1e-9, 6) AS p50,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY vm) / 1e6
+                 + 1e-9, 6) AS p75
+    FROM v
+    """,
+    "EXACT global percentile_cont over the full corpus — the ground-truth "
+    "complement to the approximate sketches (events_median_sketch's "
+    "histogram, percentile_approx): ops/rank.global_quantiles_exact ranks "
+    "every row with the two-pass range-partitioned rank, then one "
+    "conditional grand aggregate picks the straddling positions and "
+    "interpolates.  Values in integer micro-units and dyadic q make the "
+    "interpolation exactly double-representable, so DuckDB "
+    "percentile_cont parity is bit-exact — an EXACT distributed global "
+    "quantile, hash-gated, with no single-partition sort anywhere (the "
+    "shape a naive sort-then-index implementation gets wrong at scale)",
+)
+def events_exact_quantiles(spark, sf_dir):
+    from .ops.rank import global_quantiles_exact
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round(F.col("value") * 1e6).cast("long").alias("vm"),
+            "event_id",
+        )
+    )
+    qx = global_quantiles_exact(ev, "vm", "event_id", [0.25, 0.5, 0.75])
+    return qx.select(
+        "n",
+        F.round(F.col("p25") / 1e6 + F.lit(1e-9), 6).alias("p25"),
+        F.round(F.col("p50") / 1e6 + F.lit(1e-9), 6).alias("p50"),
+        F.round(F.col("p75") / 1e6 + F.lit(1e-9), 6).alias("p75"),
+    )
+
+
+@register(
+    "curriculum_stages_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS n_toks FROM documents
+    ), staged AS (
+      SELECT doc_id, n_toks,
+             ntile(4) OVER (ORDER BY n_toks, doc_id) AS stage
+      FROM t
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_toks) AS BIGINT) AS min_toks,
+           CAST(max(n_toks) AS BIGINT) AS max_toks,
+           CAST(sum(n_toks) AS BIGINT) AS total_toks
+    FROM staged GROUP BY stage
+    """,
+    "Curriculum staging — order the corpus easiest-first (token count "
+    "ascending, the classic length-based curriculum proxy) and cut it "
+    "into 4 equal training stages with per-stage token budgets: the "
+    "corpus-ordering pass a curriculum-learning pipeline runs before "
+    "writing stage manifests.  The global ordering runs on "
+    "ops/rank.global_ntile (range-partitioned two-pass, no "
+    "single-partition window), with the unique doc_id tiebreak making "
+    "stage boundaries engine-identical; token counts share "
+    "token_counts_docs' whitespace parity rules.  One rank pass + one "
+    "4-group rollup",
+)
+def curriculum_stages_docs(spark, sf_dir):
+    from .ops.rank import global_ntile
+
+    docs = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    staged = global_ntile(docs, ["n_toks", "doc_id"], 4, "stage")
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_toks").cast("long").alias("min_toks"),
+        F.max("n_toks").cast("long").alias("max_toks"),
+        F.sum("n_toks").cast("long").alias("total_toks"),
+    )
 
 
 # ===========================================================================

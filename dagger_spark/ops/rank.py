@@ -96,14 +96,39 @@ def _part_key(
 def _boundaries(df: DataFrame, key: Column, n: int) -> list:
     """≤ n-1 split-point literals from one percentile_approx pass (empty
     when the input is empty or has a single distinct key)."""
-    if n <= 1:
-        return []
+    return boundaries_for(df, {"k": key}, num_ranges=n)["k"]
+
+
+def boundaries_for(
+    df: DataFrame,
+    keys: dict,
+    *,
+    num_ranges: Optional[int] = None,
+) -> dict:
+    """Split points for SEVERAL partition keys in ONE aggregation pass —
+    for queries that rank the same table on multiple orderings (RFM's
+    three quartiles, Z-order's two layouts), this collapses N
+    boundary-sketch jobs (each a full input pass) into one.  Pass the
+    result lists to the rank functions via their ``boundaries=`` option.
+
+    ``keys`` maps a label to the ascending-aligned numeric partition-key
+    Column; returns label -> sorted deduped boundary values."""
+    n = _num_ranges(df, num_ranges)
+    if n <= 1 or not keys:
+        return {k: [] for k in keys}
     pcts = [i / n for i in range(1, n)]
-    row = df.select(key.alias("_gr_k")).agg(
-        F.percentile_approx("_gr_k", pcts, 10_000).alias("b")
+    row = df.select(
+        *[(F.col(c) if isinstance(c, str) else c).alias(f"_gk_{k}")
+          for k, c in keys.items()]
+    ).agg(
+        *[F.percentile_approx(f"_gk_{k}", pcts, 10_000).alias(k)
+          for k in keys]
     ).head()
-    vals = row["b"] if row is not None and row["b"] is not None else []
-    return sorted({v for v in vals if v is not None})
+    out = {}
+    for k in keys:
+        vals = row[k] if row is not None and row[k] is not None else []
+        out[k] = sorted({v for v in vals if v is not None})
+    return out
 
 
 def _bucket(key: Column, boundaries: list) -> Column:
@@ -118,12 +143,18 @@ def _bucket(key: Column, boundaries: list) -> Column:
 def _offsets(per_bucket: DataFrame, agg_col: str) -> DataFrame:
     """Prefix-sum a bucket-keyed aggregate into join-back offsets.
 
-    One row per non-empty bucket; the unpartitioned window here runs over
-    ≤ num_ranges rows — bounded by configuration, which
-    tests/test_plans.py recognizes by the ``_gr_pid`` grouping marker.
-    Also emits the grand total (constant across rows), which ntile and
-    Pareto-style consumers need."""
-    w = Window.orderBy("_gr_pid")
+    One row per non-empty bucket, so this window runs over ≤ num_ranges
+    rows — bounded by configuration (tests/test_plans.py also recognizes
+    the ``_gr_pid`` grouping marker structurally).  The partition spec is
+    ``pmod(_gr_pid, 1)``: constant 0 for every row (one partition, which
+    is exactly right at ≤ num_ranges rows) but NOT statically foldable,
+    so Catalyst keeps the spec and WindowExec doesn't emit its scary
+    `No Partition Defined ... single partition` warning for a window
+    that is single-partition BY DESIGN — a bare lit(0) gets constant-
+    folded away and warns identically to no spec at all.  If a future
+    optimizer folds pmod too, semantics are unchanged; only the log
+    line returns."""
+    w = Window.partitionBy(F.pmod(F.col("_gr_pid"), F.lit(1))).orderBy("_gr_pid")
     return per_bucket.select(
         "_gr_pid",
         (F.sum(agg_col).over(w) - F.col(agg_col)).alias("_gr_off"),
@@ -141,6 +172,7 @@ def global_row_number(
     part_key: Optional[ColumnOrName] = None,
     num_ranges: Optional[int] = None,
     keep_total: bool = False,
+    boundaries: Optional[list] = None,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY ...)`` without the single partition.
 
@@ -148,10 +180,13 @@ def global_row_number(
     broadcast join of the ≤ num_ranges offset rows.  ``order_by`` must be
     a total order (include a unique tiebreak).  With ``keep_total`` the
     constant ``_gr_total`` row-count column survives for consumers that
-    need N (ntile, percent_rank)."""
-    n = _num_ranges(df, num_ranges)
+    need N (ntile, percent_rank).  ``boundaries`` (from
+    :func:`boundaries_for`) skips the sketch pass — use it when ranking
+    one table on several orderings."""
     key = _part_key(order_by, part_key)
-    bdf = df.withColumn("_gr_b", _bucket(key, _boundaries(df, key, n)))
+    if boundaries is None:
+        boundaries = _boundaries(df, key, _num_ranges(df, num_ranges))
+    bdf = df.withColumn("_gr_b", _bucket(key, boundaries))
     local = bdf.withColumn(
         "_gr_lrn",
         F.row_number().over(Window.partitionBy("_gr_b").orderBy(*order_by)),
@@ -193,20 +228,68 @@ def global_ntile(
     *,
     part_key: Optional[ColumnOrName] = None,
     num_ranges: Optional[int] = None,
+    boundaries: Optional[list] = None,
 ) -> DataFrame:
     """``ntile(k) OVER (ORDER BY ...)`` as global_row_number + the exact
     bucket formula (the total row count rides the broadcast offsets row,
     so no extra pass).  For multi-score quartiling (RFM), compute each
-    tile from the BASE table and join on the entity key rather than
-    chaining — chaining makes each call's boundary-sketch pass recompute
-    its predecessors."""
+    tile from the BASE table with ONE :func:`boundaries_for` pass and
+    join on the entity key rather than chaining — chaining makes each
+    call's boundary-sketch pass recompute its predecessors."""
     ranked = global_row_number(
         df, order_by, "_gr_rn",
         part_key=part_key, num_ranges=num_ranges, keep_total=True,
+        boundaries=boundaries,
     )
     return ranked.withColumn(
         tile_col, ntile_from_rank(F.col("_gr_rn"), F.col("_gr_total"), k)
     ).drop("_gr_rn", "_gr_total")
+
+
+def global_quantiles_exact(
+    df: DataFrame,
+    value: ColumnOrName,
+    tie: ColumnOrName,
+    probs: Sequence[float],
+    *,
+    num_ranges: Optional[int] = None,
+) -> DataFrame:
+    """EXACT ``percentile_cont`` over the whole table, distributed: rank
+    every row with :func:`global_row_number`, then for each probability q
+    pick the rows at positions ``floor((n-1)q)+1`` and ``+2`` and linearly
+    interpolate — the standard continuous-percentile definition, computed
+    with conditional aggregates against the broadcast total (1 output
+    row).  Complements the approximate sketches (events_median_sketch /
+    percentile_approx): this is the ground-truth path, exact at any scale,
+    for the cost of one full rank.
+
+    With integer (micro-unit) values and dyadic q the interpolation is
+    exactly representable in a double, so DuckDB ``percentile_cont``
+    parity is bit-exact — the catalog gate hashes it.  Returns columns
+    ``n`` and ``p{int(q*100)}`` (raw value units, as double)."""
+    vcol = F.col(value) if isinstance(value, str) else value
+    tcol = F.col(tie) if isinstance(tie, str) else tie
+    ranked = global_row_number(
+        df.select(vcol.alias("_gq_v"), tcol.alias("_gq_t")),
+        ["_gq_v", "_gq_t"],
+        "_gq_rn", num_ranges=num_ranges, keep_total=True,
+    )
+    n = F.col("_gr_total")  # keep_total's broadcast row count (per-row constant)
+    rn = F.col("_gq_rn")
+    aggs = [F.max(n).cast("long").alias("n")]
+    for q in probs:
+        pos = (n - 1) * F.lit(float(q))  # exact double for dyadic q
+        lo = (F.floor(pos) + 1).cast("long")
+        frac = pos - F.floor(pos)
+        v_lo = F.min(F.when(rn == lo, F.col("_gq_v")))
+        v_hi = F.coalesce(F.min(F.when(rn == lo + 1, F.col("_gq_v"))), v_lo)
+        # every term must be aggregate-valued: frac/pos depend only on the
+        # per-row-constant total, so max() extracts them losslessly
+        aggs.append(
+            (v_lo + (v_hi - v_lo) * F.max(frac))
+            .alias(f"p{int(round(q * 100))}")
+        )
+    return ranked.agg(*aggs)
 
 
 def global_cumsum(
@@ -218,16 +301,18 @@ def global_cumsum(
     part_key: Optional[ColumnOrName] = None,
     total_col: Optional[str] = None,
     num_ranges: Optional[int] = None,
+    boundaries: Optional[list] = None,
 ) -> DataFrame:
     """``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``: running
     sum WITHIN each range bucket, plus the broadcast prefix offset of the
     preceding buckets' sums.  ``total_col`` optionally exposes the grand
     total (Pareto / revenue-share consumers) without a separate global
     aggregate."""
-    n = _num_ranges(df, num_ranges)
     key = _part_key(order_by, part_key)
     vcol = F.col(value) if isinstance(value, str) else value
-    bdf = df.withColumn("_gr_b", _bucket(key, _boundaries(df, key, n)))
+    if boundaries is None:
+        boundaries = _boundaries(df, key, _num_ranges(df, num_ranges))
+    bdf = df.withColumn("_gr_b", _bucket(key, boundaries))
     w = (
         Window.partitionBy("_gr_b")
         .orderBy(*order_by)

@@ -381,15 +381,25 @@ _shared_sql(
       GROUP BY date_trunc('day', l_shipdate)
     )
     SELECT ship_day, revenue,
-           round(avg(revenue) OVER (ORDER BY ship_day
+           -- PARTITION BY (ship_day = ship_day): constant true over the
+           -- non-null days (a null day would already be engine-divergent
+           -- in the ORDER BY), so semantics are the single global frame —
+           -- but the spec is non-foldable, which keeps WindowExec from
+           -- logging its `No Partition Defined` warning for a window that
+           -- is single-partition BY DESIGN (per-day rollup: one row per
+           -- calendar day at any corpus size).  Same trick as
+           -- ops/rank._offsets; valid in both dialects.
+           round(avg(revenue) OVER (PARTITION BY (ship_day = ship_day)
+                                    ORDER BY ship_day
                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
              AS ma7
     FROM daily
     """,
     "window frames: 7-day moving average over daily revenue (ROWS BETWEEN); "
-    "the unpartitioned window runs over per-DAY aggregates — bounded rows "
-    "(one per calendar day) at any corpus size, so the single-partition "
-    "WindowExec is safe by construction",
+    "the window runs over per-DAY aggregates — bounded rows (one per "
+    "calendar day) at any corpus size, so the single-partition frame is "
+    "safe by construction (named in tests/test_plans.py's "
+    "_DOMAIN_BOUNDED_WINDOW)",
 )
 
 _shared_sql(

@@ -311,22 +311,26 @@ def test_bnlj_checker_rejects_unbounded_build_side(spark, sf_dir):
 
 # Unpartitioned windows whose input is bounded by a closed VALUE DOMAIN
 # rather than by plan structure — same contract as _DOMAIN_BOUNDED_BUILD:
-# each entry is named and justified, and bare additions are a review smell.
+# each entry is named and justified, maps to the grouping column its
+# justification rests on (the checker verifies the column, so a rewrite
+# that regroups by a high-cardinality key can't ride the allowlist), and
+# bare additions are a review smell.
 _DOMAIN_BOUNDED_WINDOW = {
     # avg(revenue) OVER (ORDER BY ship_day ROWS 6 PRECEDING) runs over the
     # per-DAY aggregate: rows bounded by the calendar domain (~decades =
     # 10^4 rows), not by corpus size
-    "revenue_moving_avg",
+    "revenue_moving_avg": "ship_day",
 }
 
 
-def _bounded_window_input(jnode) -> bool:
+def _bounded_window_input(jnode, domain_key=None) -> bool:
     """True when the subtree feeding an UNPARTITIONED window is bounded by
     construction: the first aggregate on the path down is either a grand
-    total (1 row at any scale) or keyed by ops/rank's range-bucket id
+    total (1 row at any scale), keyed by ops/rank's range-bucket id
     (``_gr_b``/``_gr_pid`` — ≤ num_ranges rows, bounded by cluster
-    configuration); any row-multiplying node (join, generate, expand,
-    another window) before that aggregate disqualifies."""
+    configuration), or — for allowlisted queries — keyed by the named
+    closed-domain column; any row-multiplying node (join, generate,
+    expand, another window) before that aggregate disqualifies."""
     walker = _walk_physical(jnode)
     next(walker)  # skip the window node itself
     for n in walker:
@@ -336,13 +340,15 @@ def _bounded_window_input(jnode) -> bool:
             if ge.isEmpty():
                 return True
             s = ge.toString()
-            return "_gr_b" in s or "_gr_pid" in s
+            if "_gr_b" in s or "_gr_pid" in s:
+                return True
+            return domain_key is not None and domain_key in s
         if nm in ("Generate", "Expand", "Window") or "Join" in nm:
             return False
     return False
 
 
-def _unpartitioned_window_violations(df, allow_domain_bounded=False) -> list:
+def _unpartitioned_window_violations(df, domain_key=None) -> list:
     """Collect Window nodes with NO partition spec over unbounded input —
     the `WindowExec: No Partition Defined ... moving all data to a single
     partition` shape that melts at 100 TB (round-5 verdict's last
@@ -353,7 +359,7 @@ def _unpartitioned_window_violations(df, allow_domain_bounded=False) -> list:
             continue
         if not n.partitionSpec().isEmpty():
             continue
-        if allow_domain_bounded or _bounded_window_input(n):
+        if _bounded_window_input(n, domain_key):
             continue
         bad.append(n)
     return bad
@@ -371,8 +377,8 @@ def test_no_single_partition_window_catalog_wide(spark, sf_dir):
     failures = []
     for name, q in QUERIES.items():
         df = q.fn(spark, sf_dir)
-        allow = name in _DOMAIN_BOUNDED_WINDOW
-        for node in _unpartitioned_window_violations(df, allow):
+        key = _DOMAIN_BOUNDED_WINDOW.get(name)
+        for node in _unpartitioned_window_violations(df, key):
             failures.append(f"{name}:\n{node.toString()[:400]}")
     assert not failures, "\n\n".join(failures)
 

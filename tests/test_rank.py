@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dagger_spark.ops.rank import (
-    global_cumsum, global_ntile, global_row_number, ntile_from_rank,
+    boundaries_for, global_cumsum, global_ntile, global_quantiles_exact,
+    global_row_number, ntile_from_rank,
 )
 
 
@@ -151,6 +152,41 @@ def test_no_single_partition_window_in_plan(spark):
     # rank and the offsets prefix-sum (whose non-foldable constant spec is
     # projected to an alias below the Window node)
     assert len(re.findall(r"windowspecdefinition\(", plan)) >= 2
+
+
+def test_global_quantiles_exact_vs_sorted_list(spark):
+    """percentile_cont ground truth computed driver-side over the sorted
+    values (lo + (hi-lo)*frac at position (n-1)q) — odd and even n, dyadic
+    and non-dyadic q, exact to double arithmetic."""
+    for n_rows, seed in ((999, 13), (1000, 17)):
+        df = _rand_df(spark, n=n_rows, seed=seed)
+        vals = sorted(r["w"] for r in df.select("w").collect())
+        got = global_quantiles_exact(
+            df, "w", "id", [0.25, 0.5, 0.75], num_ranges=8
+        ).head()
+        assert got["n"] == n_rows
+        for q in (0.25, 0.5, 0.75):
+            pos = (n_rows - 1) * q
+            lo = int(pos)
+            frac = pos - lo
+            want = vals[lo] + (vals[min(lo + 1, n_rows - 1)] - vals[lo]) * frac
+            assert got[f"p{int(q*100)}"] == want, (n_rows, q)
+
+
+def test_boundaries_for_matches_per_call_result(spark):
+    """Precomputed boundaries must yield the identical ranks as the
+    per-call sketch (they run the same percentile_approx), so callers can
+    batch several orderings into one pass safely."""
+    from pyspark.sql import functions as F
+
+    df = _rand_df(spark, seed=31)
+    bnds = boundaries_for(df, {"v": F.col("v"), "w": F.col("w")},
+                          num_ranges=8)
+    a = global_row_number(df, ["v", "id"], "rn", num_ranges=8)
+    b = global_row_number(df, ["v", "id"], "rn", boundaries=bnds["v"])
+    j = a.select("id", "rn").join(
+        b.select("id", F.col("rn").alias("rn2")), "id")
+    assert j.filter(F.col("rn") != F.col("rn2")).count() == 0
 
 
 def test_empty_and_tiny_inputs(spark):

@@ -90,6 +90,8 @@ DOC_QUERIES = [
     "kcore_docs",
     "keywords_per_doc",
     "quantile_normalize_docs",
+    # round 6: curriculum staging on the range-partitioned global ntile
+    "curriculum_stages_docs",
 ]
 
 _WORDS = (

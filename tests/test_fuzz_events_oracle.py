@@ -67,6 +67,10 @@ EVENT_QUERIES = [
     "events_mad_outliers",
     "events_benford_check",
     "events_wau_stickiness",
+    # round 6: exact global percentile_cont on the two-pass rank — the
+    # fuzz corpus's 6-decimal values make micro-unit interpolation land
+    # on *.5 boundaries, exactly the cross-engine hazard it must survive
+    "events_exact_quantiles",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -159,6 +159,7 @@ HEADLINE = [
     "events_pattern_match_sessions",
     "events_exact_quantiles",
     "curriculum_stages_docs",
+    "customer_frequency_ranks",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -7988,6 +7988,54 @@ def curriculum_stages_docs(spark, sf_dir):
     )
 
 
+@register(
+    "customer_frequency_ranks",
+    """
+    WITH base AS (
+      SELECT o_custkey AS cust, count(*) AS freq
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT freq,
+             rank()       OVER (ORDER BY freq DESC) AS rnk,
+             dense_rank() OVER (ORDER BY freq DESC) AS drnk
+      FROM base
+    )
+    SELECT freq, rnk, drnk, CAST(count(*) AS BIGINT) AS n_customers
+    FROM ranked GROUP BY freq, rnk, drnk
+    """,
+    "Tie-aware global leaderboard: every customer ranked by order count "
+    "with BOTH rank() (gaps after tie groups) and dense_rank() — order "
+    "counts are heavily tied (a few dozen distinct values over all "
+    "customers), so this pins ops/rank.global_rank's tie semantics "
+    "end-to-end against the SQL window functions: tie groups never span "
+    "range buckets (equal part keys share a bucket), making "
+    "local-rank + prior-bucket row count (rank) / prior-bucket DISTINCT "
+    "count (dense) exact.  Output rolled to one row per tie group",
+)
+def customer_frequency_ranks(spark, sf_dir):
+    from .ops.rank import boundaries_for, global_rank
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pk = -F.col("freq").cast("double")
+    bnds = boundaries_for(base, {"k": pk})["k"]
+    order = [F.col("freq").desc()]
+    rk = global_rank(base, order, "rnk", part_key=pk, boundaries=bnds)
+    dr = global_rank(
+        base, order, "drnk", dense=True, tie_cols=["freq"],
+        part_key=pk, boundaries=bnds,
+    )
+    return (
+        rk.select("cust", "freq", "rnk")
+        .join(dr.select("cust", "drnk"), "cust")
+        .groupBy("freq", "rnk", "drnk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -205,6 +205,64 @@ def global_row_number(
     return out if keep_total else out.drop("_gr_total")
 
 
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[ColumnOrName],
+    rank_col: str = "rnk",
+    *,
+    dense: bool = False,
+    tie_cols: Optional[Sequence[ColumnOrName]] = None,
+    part_key: Optional[ColumnOrName] = None,
+    num_ranges: Optional[int] = None,
+    boundaries: Optional[list] = None,
+) -> DataFrame:
+    """``rank()`` / ``dense_rank() OVER (ORDER BY ...)`` distributed.
+
+    Unlike row_number, these are TIE-AWARE, and the two-pass recipe stays
+    exact because a tie group can never span a bucket boundary: rows with
+    equal order keys share a part_key value, and :func:`_bucket` sends
+    equal part_keys to one bucket.  So ``global rank = local rank + (count
+    of rows in prior buckets)`` and ``global dense_rank = local dense_rank
+    + (count of DISTINCT order keys in prior buckets)`` — the offsets
+    aggregate just counts the right thing per bucket."""
+    key = _part_key(order_by, part_key)
+    if boundaries is None:
+        boundaries = _boundaries(df, key, _num_ranges(df, num_ranges))
+    bdf = df.withColumn("_gr_b", _bucket(key, boundaries))
+    w = Window.partitionBy("_gr_b").orderBy(*order_by)
+    fn = F.dense_rank() if dense else F.rank()
+    local = bdf.withColumn("_gr_lrk", fn.over(w))
+    if dense:
+        # the per-bucket DISTINCT count needs the tie-identity VALUES; a
+        # desc() entry in order_by is a SortOrder, not a value, so callers
+        # using descending sorts must name the underlying columns
+        if tie_cols is None:
+            if any(not isinstance(c, str) for c in order_by):
+                raise ValueError(
+                    "dense=True with Column order_by entries: pass "
+                    "tie_cols= naming the value columns that define tie "
+                    "identity"
+                )
+            tie_cols = order_by
+        vals = [F.col(c) if isinstance(c, str) else c for c in tie_cols]
+        counts = bdf.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
+            F.count_distinct(F.struct(*vals)).alias("_gr_cnt")
+        )
+    else:
+        counts = bdf.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
+            F.count(F.lit(1)).alias("_gr_cnt")
+        )
+    out = (
+        local.join(
+            F.broadcast(_offsets(counts, "_gr_cnt")),
+            local["_gr_b"] == F.col("_gr_pid"),
+        )
+        .withColumn(rank_col, (F.col("_gr_lrk") + F.col("_gr_off")).cast("long"))
+        .drop("_gr_b", "_gr_lrk", "_gr_pid", "_gr_off", "_gr_total")
+    )
+    return out
+
+
 def ntile_from_rank(rn: Column, total: Column, k: int) -> Column:
     """Standard-SQL ``ntile(k)`` from a 1-based global rank and the total
     row count, in exact integer arithmetic: with ``base = N div k`` and

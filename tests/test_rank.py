@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from dagger_spark.ops.rank import (
     boundaries_for, global_cumsum, global_ntile, global_quantiles_exact,
-    global_row_number, ntile_from_rank,
+    global_rank, global_row_number, ntile_from_rank,
 )
 
 
@@ -152,6 +152,42 @@ def test_no_single_partition_window_in_plan(spark):
     # rank and the offsets prefix-sum (whose non-foldable constant spec is
     # projected to an alias below the Window node)
     assert len(re.findall(r"windowspecdefinition\(", plan)) >= 2
+
+
+def test_global_rank_and_dense_rank_match_window(spark):
+    """Tie-aware ranks: rank() keeps gaps after tie groups, dense_rank()
+    doesn't — both must match the single-partition window forms on data
+    with HEAVY ties (40 distinct v over 5000 rows), including ties that
+    sit on range-bucket boundaries (equal keys never split buckets)."""
+    df = _rand_df(spark, seed=41)
+    ref = df.select(
+        "id",
+        F.rank().over(Window.orderBy("v")).alias("rk_ref"),
+        F.dense_rank().over(Window.orderBy("v")).alias("dr_ref"),
+    )
+    rk = global_rank(df, ["v"], "rk", num_ranges=8)
+    dr = global_rank(df, ["v"], "dr", dense=True, num_ranges=8)
+    j = (
+        ref.join(rk.select("id", "rk"), "id")
+        .join(dr.select("id", "dr"), "id")
+    )
+    assert j.filter(
+        (F.col("rk") != F.col("rk_ref")) | (F.col("dr") != F.col("dr_ref"))
+    ).count() == 0
+
+
+def test_global_dense_rank_desc_with_tie_cols(spark):
+    df = _rand_df(spark, seed=43)
+    ref = df.select(
+        "id",
+        F.dense_rank().over(Window.orderBy(F.col("v").desc())).alias("d_ref"),
+    )
+    got = global_rank(
+        df, [F.col("v").desc()], "d", dense=True, tie_cols=["v"],
+        part_key=-F.col("v"), num_ranges=8,
+    )
+    j = ref.join(got.select("id", "d"), "id")
+    assert j.filter(F.col("d") != F.col("d_ref")).count() == 0
 
 
 def test_global_quantiles_exact_vs_sorted_list(spark):

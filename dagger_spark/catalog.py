@@ -8025,8 +8025,7 @@ def customer_frequency_ranks(spark, sf_dir):
     order = [F.col("freq").desc()]
     rk = global_rank(base, order, "rnk", part_key=pk, boundaries=bnds)
     dr = global_rank(
-        base, order, "drnk", dense=True, tie_cols=["freq"],
-        part_key=pk, boundaries=bnds,
+        base, order, "drnk", dense=True, part_key=pk, boundaries=bnds,
     )
     return (
         rk.select("cust", "freq", "rnk")

@@ -191,8 +191,15 @@ def global_row_number(
         "_gr_lrn",
         F.row_number().over(Window.partitionBy("_gr_b").orderBy(*order_by)),
     )
-    counts = bdf.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
-        F.count(F.lit(1)).alias("_gr_cnt")
+    # per-bucket size = max local row_number, read off the WINDOW OUTPUT
+    # rather than a separate aggregate over the input: the counts subtree
+    # then contains the window branch verbatim, so Catalyst reuses its
+    # shuffle (one scan + one exchange per rank, not two of each).  The
+    # reuse is a pure perf bonus — bucket ids are literal-deterministic,
+    # so even independently recomputed branches agree (unlike the
+    # rejected repartitionByRange design, where reuse was load-bearing).
+    counts = local.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
+        F.max("_gr_lrn").cast("long").alias("_gr_cnt")
     )
     out = (
         local.join(
@@ -211,7 +218,6 @@ def global_rank(
     rank_col: str = "rnk",
     *,
     dense: bool = False,
-    tie_cols: Optional[Sequence[ColumnOrName]] = None,
     part_key: Optional[ColumnOrName] = None,
     num_ranges: Optional[int] = None,
     boundaries: Optional[list] = None,
@@ -223,42 +229,34 @@ def global_rank(
     equal order keys share a part_key value, and :func:`_bucket` sends
     equal part_keys to one bucket.  So ``global rank = local rank + (count
     of rows in prior buckets)`` and ``global dense_rank = local dense_rank
-    + (count of DISTINCT order keys in prior buckets)`` — the offsets
-    aggregate just counts the right thing per bucket."""
+    + (count of DISTINCT order keys in prior buckets)``.
+
+    Both offsets come off the window output itself (same shuffle-reuse
+    shape as global_row_number): bucket row count = max local row_number
+    (computed in the same WindowExec), and bucket distinct-key count =
+    max local dense_rank — dense_rank's final value IS the number of
+    distinct order keys, which also spares the caller naming tie
+    columns for descending sorts."""
     key = _part_key(order_by, part_key)
     if boundaries is None:
         boundaries = _boundaries(df, key, _num_ranges(df, num_ranges))
     bdf = df.withColumn("_gr_b", _bucket(key, boundaries))
     w = Window.partitionBy("_gr_b").orderBy(*order_by)
     fn = F.dense_rank() if dense else F.rank()
-    local = bdf.withColumn("_gr_lrk", fn.over(w))
-    if dense:
-        # the per-bucket DISTINCT count needs the tie-identity VALUES; a
-        # desc() entry in order_by is a SortOrder, not a value, so callers
-        # using descending sorts must name the underlying columns
-        if tie_cols is None:
-            if any(not isinstance(c, str) for c in order_by):
-                raise ValueError(
-                    "dense=True with Column order_by entries: pass "
-                    "tie_cols= naming the value columns that define tie "
-                    "identity"
-                )
-            tie_cols = order_by
-        vals = [F.col(c) if isinstance(c, str) else c for c in tie_cols]
-        counts = bdf.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
-            F.count_distinct(F.struct(*vals)).alias("_gr_cnt")
-        )
-    else:
-        counts = bdf.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
-            F.count(F.lit(1)).alias("_gr_cnt")
-        )
+    local = bdf.withColumn("_gr_lrk", fn.over(w)).withColumn(
+        "_gr_lct",
+        (F.dense_rank() if dense else F.row_number()).over(w),
+    )
+    counts = local.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
+        F.max("_gr_lct").cast("long").alias("_gr_cnt")
+    )
     out = (
         local.join(
             F.broadcast(_offsets(counts, "_gr_cnt")),
             local["_gr_b"] == F.col("_gr_pid"),
         )
         .withColumn(rank_col, (F.col("_gr_lrk") + F.col("_gr_off")).cast("long"))
-        .drop("_gr_b", "_gr_lrk", "_gr_pid", "_gr_off", "_gr_total")
+        .drop("_gr_b", "_gr_lrk", "_gr_lct", "_gr_pid", "_gr_off", "_gr_total")
     )
     return out
 
@@ -376,9 +374,16 @@ def global_cumsum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = bdf.withColumn("_gr_lcum", F.sum(vcol).over(w))
-    sums = bdf.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
-        F.sum(vcol).alias("_gr_psum")
+    local = bdf.withColumn("_gr_lcum", F.sum(vcol).over(w)).withColumn(
+        "_gr_lrn",
+        F.row_number().over(Window.partitionBy("_gr_b").orderBy(*order_by)),
+    )
+    # bucket sum = the running sum at the bucket's LAST row (max_by on the
+    # local row_number, works for negative values where max(cum) would
+    # not) — read off the window output so the shuffle is reused, as in
+    # global_row_number
+    sums = local.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
+        F.max_by("_gr_lcum", "_gr_lrn").alias("_gr_psum")
     )
     out = (
         local.join(
@@ -386,7 +391,7 @@ def global_cumsum(
             local["_gr_b"] == F.col("_gr_pid"),
         )
         .withColumn(cum_col, F.col("_gr_lcum") + F.col("_gr_off"))
-        .drop("_gr_b", "_gr_pid", "_gr_lcum", "_gr_off")
+        .drop("_gr_b", "_gr_pid", "_gr_lcum", "_gr_lrn", "_gr_off")
     )
     if total_col is not None:
         out = out.withColumnRenamed("_gr_total", total_col)

@@ -176,14 +176,14 @@ def test_global_rank_and_dense_rank_match_window(spark):
     ).count() == 0
 
 
-def test_global_dense_rank_desc_with_tie_cols(spark):
+def test_global_dense_rank_desc(spark):
     df = _rand_df(spark, seed=43)
     ref = df.select(
         "id",
         F.dense_rank().over(Window.orderBy(F.col("v").desc())).alias("d_ref"),
     )
     got = global_rank(
-        df, [F.col("v").desc()], "d", dense=True, tie_cols=["v"],
+        df, [F.col("v").desc()], "d", dense=True,
         part_key=-F.col("v"), num_ranges=8,
     )
     j = ref.join(got.select("id", "d"), "id")

@@ -162,10 +162,32 @@ def compile_correlation(
     spec: CorrelationSpec,
     registry: Dict[str, object],
     ts_col: str = "timestamp",
+    watermark: str = "30 seconds",
 ) -> Callable[[DataFrame], DataFrame]:
-    """Spec -> events-DataFrame function.  ``registry`` maps rule NAME ->
-    RuleSpec (e.g. ``{r.name: r for r in active_rules()}``)."""
+    """Spec -> events-DataFrame function, BATCH AND STREAMING from one
+    compile: the returned callable branches on ``events.isStreaming``.
+
+    * counts: the windowed aggregate is stream-legal as-is (watermarked,
+      append emission at window close); ``value_count``'s exact DISTINCT
+      is not, so the streaming leg dedupes (window, group, field) first
+      — ``dropDuplicates`` state is window-scoped and watermark-expired,
+      then the same windowed ``count(*)`` counts distinct survivors.
+    * temporal pairs: ``correlate_alerts_stream`` (the watermarked
+      stream-stream join with the time-range predicate both sides need
+      for state GC); the unordered form unions both directions.
+    * temporal 3+: the same dedup-then-count trick on (window, group,
+      rule-index).
+
+    ``registry`` maps rule NAME -> RuleSpec (e.g. ``{r.name: r for r in
+    active_rules()}``)."""
     base_rules = _resolve(spec, registry)
+    span = f"{spec.timespan_seconds} seconds"
+
+    def _wm(events: DataFrame) -> DataFrame:
+        return (
+            events.withWatermark(ts_col, watermark)
+            if events.isStreaming and watermark else events
+        )
 
     if spec.ctype in ("event_count", "value_count"):
         cmp_sql = _OPS[spec.condition_op]
@@ -174,20 +196,42 @@ def compile_correlation(
             any_rule = base_rules[0].condition()
             for r in base_rules[1:]:
                 any_rule = any_rule | r.condition()
-            matched = events.filter(any_rule)
-            agg = (
-                F.count_distinct(F.col(spec.field))
-                if spec.ctype == "value_count"
-                else F.count(F.lit(1))
-            )
-            grouped = matched.groupBy(
-                F.window(F.col(ts_col), f"{spec.timespan_seconds} seconds"),
-                *[F.col(c) for c in spec.group_by],
-            ).agg(
-                agg.cast("long").alias("value"),
-                F.min(ts_col).alias("first_seen"),
-                F.max(ts_col).alias("last_seen"),
-            )
+            matched = _wm(events).filter(any_rule)
+            w = F.window(F.col(ts_col), span)
+            if spec.ctype == "value_count" and events.isStreaming:
+                # exact windowed DISTINCT, streaming: dedup survivors per
+                # (window, group, field) — the window struct carries the
+                # event time, so state expires with the watermark — then
+                # plain count(*).  first/last_seen are of the SURVIVORS
+                # (deterministic: the first arrival per distinct value).
+                # the raw ts is carried as MICROS (a plain long): keeping
+                # the watermarked column beside the window struct would
+                # leave two event-time columns in one stream, which Spark
+                # rejects
+                dedup = matched.select(
+                    w.alias("window"),
+                    *[F.col(c) for c in spec.group_by],
+                    F.col(spec.field).alias("__v"),
+                    F.unix_micros(F.col(ts_col)).alias("__us"),
+                ).dropDuplicates(["window", *spec.group_by, "__v"])
+                grouped = dedup.groupBy("window", *spec.group_by).agg(
+                    F.count(F.lit(1)).cast("long").alias("value"),
+                    F.timestamp_micros(F.min("__us")).alias("first_seen"),
+                    F.timestamp_micros(F.max("__us")).alias("last_seen"),
+                )
+            else:
+                agg = (
+                    F.count_distinct(F.col(spec.field))
+                    if spec.ctype == "value_count"
+                    else F.count(F.lit(1))
+                )
+                grouped = matched.groupBy(
+                    w, *[F.col(c) for c in spec.group_by]
+                ).agg(
+                    agg.cast("long").alias("value"),
+                    F.min(ts_col).alias("first_seen"),
+                    F.max(ts_col).alias("last_seen"),
+                )
             return grouped.filter(
                 F.expr(f"value {cmp_sql} {spec.condition_value}")
             ).select(
@@ -203,21 +247,26 @@ def compile_correlation(
     if spec.ctype == "temporal_ordered" or (
         spec.ctype == "temporal" and len(spec.rules) == 2
     ):
-        from ..rules.correlate import correlate_alerts
+        from ..rules.correlate import correlate_alerts, correlate_alerts_stream
 
         ordered = spec.ctype == "temporal_ordered"
         key = spec.group_by[0]
 
         def run_pair(events: DataFrame) -> DataFrame:
-            out = correlate_alerts(
-                events, base_rules[0], base_rules[1],
-                key=key, ts_col=ts_col, window_s=spec.timespan_seconds,
-            )
+            def one(a, b):
+                if events.isStreaming:
+                    return correlate_alerts_stream(
+                        events, a, b, key=key, ts_col=ts_col,
+                        window_s=spec.timespan_seconds, watermark=watermark,
+                    )
+                return correlate_alerts(
+                    events, a, b, key=key, ts_col=ts_col,
+                    window_s=spec.timespan_seconds,
+                )
+
+            out = one(base_rules[0], base_rules[1])
             if not ordered:
-                rev = correlate_alerts(
-                    events, base_rules[1], base_rules[0],
-                    key=key, ts_col=ts_col, window_s=spec.timespan_seconds,
-                ).select(
+                rev = one(base_rules[1], base_rules[0]).select(
                     "entity",
                     F.col("b_uuid").alias("a_uuid"),
                     F.col("a_uuid").alias("b_uuid"),
@@ -237,21 +286,37 @@ def compile_correlation(
     def run_multi(events: DataFrame) -> DataFrame:
         tagged = None
         for i, r in enumerate(base_rules):
-            part = events.filter(r.condition()).select(
+            part = _wm(events).filter(r.condition()).select(
                 *[F.col(c) for c in spec.group_by],
                 F.col(ts_col).alias("__ts"),
                 F.lit(i).alias("__rule"),
             )
             tagged = part if tagged is None else tagged.unionByName(part)
-        grouped = tagged.groupBy(
-            F.window(F.col("__ts"), f"{spec.timespan_seconds} seconds"),
-            *[F.col(c) for c in spec.group_by],
-        ).agg(
-            F.count_distinct("__rule").alias("n_rules"),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.min("__ts").alias("first_seen"),
-            F.max("__ts").alias("last_seen"),
-        )
+        w = F.window(F.col("__ts"), span)
+        if events.isStreaming:
+            dedup = tagged.select(
+                w.alias("window"),
+                *[F.col(c) for c in spec.group_by],
+                "__rule",
+                F.unix_micros(F.col("__ts")).alias("__us"),
+            ).dropDuplicates(["window", *spec.group_by, "__rule"])
+            grouped = dedup.groupBy("window", *spec.group_by).agg(
+                F.count(F.lit(1)).alias("n_rules"),
+                # per-rule dedup survivors only — n_events is the DISTINCT
+                # rule count's support in streaming mode, documented
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.timestamp_micros(F.min("__us")).alias("first_seen"),
+                F.timestamp_micros(F.max("__us")).alias("last_seen"),
+            )
+        else:
+            grouped = tagged.groupBy(
+                w, *[F.col(c) for c in spec.group_by]
+            ).agg(
+                F.count_distinct("__rule").alias("n_rules"),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.min("__ts").alias("first_seen"),
+                F.max("__ts").alias("last_seen"),
+            )
         return grouped.filter(
             F.col("n_rules") == len(base_rules)
         ).select(

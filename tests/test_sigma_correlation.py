@@ -205,6 +205,75 @@ def test_temporal_unordered_pairs(spark):
     assert got_o == want_o
 
 
+def _stream_replay(spark, rows, tmp_path, tag):
+    """File-replay a crafted event set as a 2-file stream with a
+    far-future sentinel pushing the watermark past every real window."""
+    import glob
+    import os
+    import time
+
+    src = str(tmp_path / f"src_{tag}")
+    os.makedirs(src)
+    half = max(1, len(rows) // 2)
+    sentinel = _ev("zzz", "H-SENTINEL", 10 * 86400)
+    df = _events(spark, rows)
+    _events(spark, rows[:half]).coalesce(1).write.parquet(src + "/f0")
+    _events(spark, rows[half:] + [sentinel]).coalesce(1).write.parquet(
+        src + "/f1")
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    now = time.time() - 60
+    for i, f in enumerate(files):
+        os.utime(f, (now + 10 * i, now + 10 * i))
+    return spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1).parquet(src + "/f*")
+
+
+@pytest.mark.parametrize("ctype,extra", [
+    ("event_count", {"condition": {"gte": 2}}),
+    ("value_count", {"condition": {"gte": 2},
+                     "field": "event_data.TargetImage"}),
+    ("temporal_ordered", {}),
+    ("temporal", {}),
+])
+def test_correlation_stream_equals_batch(spark, tmp_path, ctype, extra):
+    """One compiled callable, both engines: each correlation type replayed
+    as a watermarked stream must emit exactly the batch result (the
+    sentinel closes the final windows; sentinel rows filtered out)."""
+    reg = _registry()
+    corr = {"type": ctype, "rules": [SYSCALL] if "count" in ctype
+            else [SYSCALL, CMSTP],
+            "group-by": ["computer_name"], "timespan": "10m", **extra}
+    spec = parse_correlation({"title": f"s_{ctype}", "correlation": corr})
+    run = compile_correlation(spec, reg, watermark="0 seconds")
+
+    rows = [  # chronological: the file split must not create late arrivals
+        _ev("b2", "H2", 0, trace="z|cmlua.dll|w"),
+        _ev("a1", "H1", 0, target="T1"),
+        _ev("a3", "H2", 30, target="T1"),
+        _ev("a2", "H1", 60, target="T2"),
+        _ev("a4", "H2", 90, target="T1"),      # same target: value_count 1
+        _ev("b1", "H1", 120, trace="z|cmlua.dll|w"),
+        _ev("a5", "H3", 5000, target="T3"),    # lone, other window
+    ]
+    batch = {tuple(r) for r in run(_events(spark, rows)).collect()
+             if "H-SENTINEL" not in tuple(r)}
+
+    q = (
+        run(_stream_replay(spark, rows, tmp_path, ctype))
+        .writeStream.format("memory").queryName(f"corr_{ctype}")
+        .option("checkpointLocation", str(tmp_path / f"ck_{ctype}"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql(
+            f"SELECT * FROM corr_{ctype}").collect()
+            if "H-SENTINEL" not in tuple(r)}
+    finally:
+        q.stop()
+    assert got == batch and len(batch) > 0
+
+
 def test_temporal_multi_rule_cooccurrence(spark):
     """3+ referenced rules: all three must fire for one host inside one
     tumbling window (synthetic single-field rules keep the semantics

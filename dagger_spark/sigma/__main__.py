@@ -48,7 +48,34 @@ def main(argv=None) -> int:
         d = dataclasses.asdict(spec)
         d = {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
         print(json.dumps(d))
-    print(f"compiled {len(specs)} rules", file=sys.stderr)
+
+    # correlation meta-rules living beside the base rules compile too,
+    # with dangling references surfaced loudly (the compile itself checks
+    # them at run-build time; here we lint against the rules just compiled)
+    from .correlation import load_correlations
+
+    try:
+        correlations = load_correlations(args.rules_dir)
+    except SigmaCompileError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    known = {s.name for s in specs}
+    n_dangling = 0
+    for c in correlations:
+        d = dataclasses.asdict(c)
+        d = {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
+        d["kind"] = "correlation"
+        missing = [r for r in c.rules if r not in known]
+        if missing:
+            d["unresolved_rules"] = missing
+            n_dangling += 1
+        print(json.dumps(d))
+    tail = f"compiled {len(specs)} rules"
+    if correlations:
+        tail += f" + {len(correlations)} correlations"
+        if n_dangling:
+            tail += f" ({n_dangling} with unresolved references)"
+    print(tail, file=sys.stderr)
     return 0
 
 

@@ -601,7 +601,13 @@ def compile_sigma(
 
 def compile_sigma_file(path: str, **kw) -> Optional[RuleSpec]:
     with open(path) as f:
-        return compile_sigma(yaml.safe_load(f.read()), **kw)
+        doc = yaml.safe_load(f.read())
+    if isinstance(doc, dict) and "correlation" in doc and "detection" not in doc:
+        # a Sigma CORRELATION document (meta-rule referencing base rules):
+        # not a per-event rule — sigma/correlation.py owns these, and a
+        # mixed rules directory must not trip the base compiler
+        return None
+    return compile_sigma(doc, **kw)
 
 
 def compile_sigma_dir(path: str, **kw) -> list:

@@ -274,6 +274,39 @@ def test_correlation_stream_equals_batch(spark, tmp_path, ctype, extra):
     assert got == batch and len(batch) > 0
 
 
+def test_cli_emits_rules_and_correlations(tmp_path, capsys):
+    """A mixed directory (base rules + correlation meta-rules) compiles in
+    one CLI run: correlation docs don't trip the base compiler, and
+    dangling rule references are surfaced in the JSON, not swallowed."""
+    from dagger_spark.sigma.__main__ import main
+
+    (tmp_path / "base.yml").write_text("""
+title: base rule
+logsource: {category: process_access}
+detection:
+  sel:
+    CallTrace|startswith: 'UNKNOWN'
+  condition: sel
+""")
+    (tmp_path / "corr.yml").write_text("""
+title: burst of base
+correlation:
+  type: event_count
+  rules: ["base rule", "missing rule"]
+  group-by: [computer_name]
+  timespan: 10m
+  condition: {gte: 5}
+""")
+    import json
+
+    assert main([str(tmp_path)]) == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [l.get("kind") for l in lines] == [None, "correlation"]
+    assert lines[1]["unresolved_rules"] == ["missing rule"]
+    assert lines[1]["timespan_seconds"] == 600
+
+
 def test_temporal_multi_rule_cooccurrence(spark):
     """3+ referenced rules: all three must fire for one host inside one
     tumbling window (synthetic single-field rules keep the semantics

@@ -302,6 +302,55 @@ def global_ntile(
     ).drop("_gr_rn", "_gr_total")
 
 
+def global_percent_rank(
+    df: DataFrame,
+    order_by: Sequence[ColumnOrName],
+    out_col: str = "pct",
+    *,
+    cume: bool = False,
+    part_key: Optional[ColumnOrName] = None,
+    num_ranges: Optional[int] = None,
+    boundaries: Optional[list] = None,
+) -> DataFrame:
+    """``percent_rank()`` (``(rank-1)/(N-1)``) or, with ``cume=True``,
+    ``cume_dist()`` (``rows-with-key<=mine / N``), distributed.
+
+    Both fall out of ONE bucket-partitioned window: the tie-aware local
+    numerator (``rank()`` for percent_rank; ``count(*)`` over the default
+    RANGE frame — which includes peers — for cume_dist) plus the same
+    prior-bucket row-count offset and broadcast total as
+    global_row_number.  Tie groups never span buckets, so both stay
+    exact.  SQL's percent_rank of a single-row input is 0 (the 0/0
+    guard), matching Spark and DuckDB."""
+    key = _part_key(order_by, part_key)
+    if boundaries is None:
+        boundaries = _boundaries(df, key, _num_ranges(df, num_ranges))
+    bdf = df.withColumn("_gr_b", _bucket(key, boundaries))
+    w = Window.partitionBy("_gr_b").orderBy(*order_by)
+    local = bdf.withColumn(
+        "_gr_loc",
+        F.count(F.lit(1)).over(w) if cume else F.rank().over(w),
+    ).withColumn("_gr_lrn", F.row_number().over(w))
+    counts = local.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
+        F.max("_gr_lrn").cast("long").alias("_gr_cnt")
+    )
+    out = local.join(
+        F.broadcast(_offsets(counts, "_gr_cnt")),
+        local["_gr_b"] == F.col("_gr_pid"),
+    )
+    num = (F.col("_gr_loc") + F.col("_gr_off")).cast("double")
+    if cume:
+        expr = num / F.col("_gr_total")
+    else:
+        expr = F.when(
+            F.col("_gr_total") > 1,
+            (num - 1) / (F.col("_gr_total") - 1),
+        ).otherwise(F.lit(0.0))
+    return out.withColumn(out_col, expr.cast("double")).drop(
+        "_gr_b", "_gr_loc", "_gr_lrn", "_gr_pid", "_gr_off", "_gr_total"
+    )
+
+
 def global_quantiles_exact(
     df: DataFrame,
     value: ColumnOrName,

@@ -190,6 +190,30 @@ def test_global_dense_rank_desc(spark):
     assert j.filter(F.col("d") != F.col("d_ref")).count() == 0
 
 
+def test_global_percent_rank_and_cume_dist_match_window(spark):
+    from dagger_spark.ops.rank import global_percent_rank
+
+    df = _rand_df(spark, seed=47)
+    ref = df.select(
+        "id",
+        F.percent_rank().over(Window.orderBy("v")).alias("p_ref"),
+        F.cume_dist().over(Window.orderBy("v")).alias("c_ref"),
+    )
+    p = global_percent_rank(df, ["v"], "p", num_ranges=8)
+    c = global_percent_rank(df, ["v"], "c", cume=True, num_ranges=8)
+    j = (
+        ref.join(p.select("id", "p"), "id").join(c.select("id", "c"), "id")
+    )
+    assert j.filter(
+        (F.abs(F.col("p") - F.col("p_ref")) > 1e-12)
+        | (F.abs(F.col("c") - F.col("c_ref")) > 1e-12)
+    ).count() == 0
+    # single-row input: percent_rank is 0 by SQL definition
+    one = spark.createDataFrame([(1, 5)], "id long, v long")
+    assert global_percent_rank(one, ["v", "id"], "p", num_ranges=4).head()[
+        "p"] == 0.0
+
+
 def test_global_quantiles_exact_vs_sorted_list(spark):
     """percentile_cont ground truth computed driver-side over the sorted
     values (lo + (hi-lo)*frac at position (n-1)q) — odd and even n, dyadic

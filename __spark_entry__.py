@@ -105,6 +105,8 @@ _DRIVER_WINDOW = [
     "line_scrub_docs", "phrase_search_docs", "keywords_per_doc",
     "bigram_logprob_docs", "events_decayed_score", "docs_pack_bins",
     "trimmed_mean_pandas",
+    # -- new in r6, never driver-checked: queue with the r7 tail --
+    "events_sigma_corr_counts", "events_sigma_corr_temporal",
 ]
 
 

@@ -1102,6 +1102,118 @@ def events_burst_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sigma_corr_counts",
+    """
+    SELECT 'driver error burst' AS correlation,
+           user_id,
+           date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           cast(count(*) AS bigint) AS value,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2, 3, 4
+    HAVING count(*) >= 2
+    """,
+    "Sigma CORRELATION rule (event_count) end-to-end through the real "
+    "compiler path on the driver table: YAML document -> parse_correlation "
+    "-> compile_correlation -> run over events — the modern SigmaHQ "
+    "meta-rule surface the reference skips entirely (sigma-transf/"
+    "main.py:194-195 drops every aggregation-shaped rule).  The compiled "
+    "plan is one watermark-legal tumbling-window keyed aggregate "
+    "(map-side partials; identical code runs streaming, pinned "
+    "batch==stream in tests/test_sigma_correlation.py); the oracle mirrors "
+    "the epoch-aligned hour windows in plain SQL",
+)
+def events_sigma_corr_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import yaml
+
+    from .rules.spec import RuleSpec
+    from .sigma.correlation import compile_correlation, parse_correlation
+
+    doc = yaml.safe_load(
+        """
+title: driver error burst
+level: high
+correlation:
+  type: event_count
+  rules: [driver_error]
+  group-by: [user_id]
+  timespan: 1h
+  condition:
+    gte: 2
+"""
+    )
+    spec = parse_correlation(doc)
+    registry = {
+        "driver_error": RuleSpec(
+            name="driver_error", predicate_sql="event_type = 'error'"
+        )
+    }
+    run = compile_correlation(spec, registry, ts_col="ts")
+    return run(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sigma_corr_temporal",
+    """
+    SELECT 'error then purchase' AS correlation,
+           a.user_id AS entity,
+           a.event_id AS a_uuid,
+           b.event_id AS b_uuid,
+           cast(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS bigint) AS lag_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 1800 SECONDS
+     AND a.event_id <> b.event_id
+    WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+    """,
+    "Sigma CORRELATION rule (temporal_ordered) through the compiler on the "
+    "driver table: 'error then purchase on the same user within 30 min'.  "
+    "Candidate pairs come from the time-bucketed equi-join of "
+    "ops/asof.interval_join — per-(entity, bucket) pair space, never a "
+    "cartesian — refined by the exact ordered-lag predicate; the oracle is "
+    "the naive theta self-join DuckDB can afford at sf0.01.  lag_s uses "
+    "whole-second truncation on both engines (unix_timestamp parity, see "
+    "events_rolling_7d).  Streaming twin is the watermarked stream-stream "
+    "join, batch==stream pinned in tests",
+)
+def events_sigma_corr_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import yaml
+
+    from .rules.spec import RuleSpec
+    from .sigma.correlation import compile_correlation, parse_correlation
+
+    doc = yaml.safe_load(
+        """
+title: error then purchase
+level: high
+correlation:
+  type: temporal_ordered
+  rules: [driver_error, driver_purchase]
+  group-by: [user_id]
+  timespan: 30m
+"""
+    )
+    spec = parse_correlation(doc)
+    registry = {
+        "driver_error": RuleSpec(
+            name="driver_error", predicate_sql="event_type = 'error'"
+        ),
+        "driver_purchase": RuleSpec(
+            name="driver_purchase", predicate_sql="event_type = 'purchase'"
+        ),
+    }
+    run = compile_correlation(spec, registry, ts_col="ts")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "uuid", F.col("event_id")
+    )
+    return run(ev)
+
+
+@register(
     "events_rolling_7d",
     """
     SELECT user_id, event_id,

@@ -138,8 +138,11 @@ def load_correlations(path: str) -> list:
         for root, _, files in os.walk(path):
             paths += [os.path.join(root, f) for f in sorted(files)
                       if f.endswith((".yml", ".yaml"))]
-    else:
+    elif os.path.isfile(path):
         paths = [path]
+    # a missing path yields no specs — same contract as the base
+    # compiler's os.walk over a missing directory (pinned by
+    # tests/test_cli_and_sinks.py::test_cli_errors_on_missing_dir)
     for p in paths:
         with open(p) as fh:
             for doc in yaml.safe_load_all(fh):

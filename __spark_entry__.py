@@ -107,6 +107,7 @@ _DRIVER_WINDOW = [
     "trimmed_mean_pandas",
     # -- new in r6, never driver-checked: queue with the r7 tail --
     "events_sigma_corr_counts", "events_sigma_corr_temporal",
+    "events_sigma_corr_distinct", "events_sigma_corr_cooccur",
 ]
 
 

@@ -160,6 +160,10 @@ HEADLINE = [
     "events_exact_quantiles",
     "curriculum_stages_docs",
     "customer_frequency_ranks",
+    "events_sigma_corr_counts",
+    "events_sigma_corr_temporal",
+    "events_sigma_corr_distinct",
+    "events_sigma_corr_cooccur",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

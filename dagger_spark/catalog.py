@@ -1214,6 +1214,119 @@ correlation:
 
 
 @register(
+    "events_sigma_corr_distinct",
+    """
+    SELECT 'diverse activity' AS correlation,
+           user_id,
+           date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           cast(count(DISTINCT event_type) AS bigint) AS value,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen
+    FROM events
+    WHERE event_type IN ('click', 'view', 'error', 'purchase', 'signup')
+    GROUP BY 1, 2, 3, 4
+    HAVING count(DISTINCT event_type) >= 5
+    """,
+    "Sigma CORRELATION rule (value_count) through the compiler on the "
+    "driver table: users exercising all 5 event types inside one "
+    "epoch-aligned day — windowed count(DISTINCT field) per group key "
+    "compared against the condition.  Batch is one keyed "
+    "distinct-aggregate; the streaming leg of the same compiled callable "
+    "dedupes (window, key, value) under the watermark then counts "
+    "survivors (exact distinct, state expires with the window), pinned "
+    "batch==stream in tests/test_sigma_correlation.py",
+)
+def events_sigma_corr_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import yaml
+
+    from .rules.spec import RuleSpec
+    from .sigma.correlation import compile_correlation, parse_correlation
+
+    doc = yaml.safe_load(
+        """
+title: diverse activity
+correlation:
+  type: value_count
+  rules: [driver_any]
+  group-by: [user_id]
+  field: event_type
+  timespan: 1d
+  condition:
+    gte: 5
+"""
+    )
+    spec = parse_correlation(doc)
+    registry = {
+        "driver_any": RuleSpec(
+            name="driver_any",
+            predicate_sql=(
+                "event_type IN ('click', 'view', 'error', 'purchase', "
+                "'signup')"
+            ),
+        )
+    }
+    run = compile_correlation(spec, registry, ts_col="ts")
+    return run(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sigma_corr_cooccur",
+    """
+    SELECT 'incident signature' AS correlation,
+           user_id,
+           make_timestamp(cast(floor(epoch(ts) / 10800) AS bigint)
+                          * 10800 * 1000000) AS window_start,
+           make_timestamp((cast(floor(epoch(ts) / 10800) AS bigint) + 1)
+                          * 10800 * 1000000) AS window_end,
+           cast(count(*) AS bigint) AS n_events,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen
+    FROM events
+    WHERE event_type IN ('error', 'purchase', 'signup')
+    GROUP BY 1, 2, 3, 4
+    HAVING count(DISTINCT event_type) = 3
+    """,
+    "Sigma CORRELATION rule (temporal, 3+ referenced rules) through the "
+    "compiler on the driver table: error AND purchase AND signup all "
+    "firing for one user inside one epoch-aligned 3-hour window — the "
+    "tumbling co-occurrence form (count of DISTINCT referenced rules == "
+    "rule count; the discretization trade is documented in "
+    "sigma/correlation.py, same as tumbling timeframe rules).  The oracle "
+    "mirrors the epoch window arithmetic with floor(epoch/10800); "
+    "n_events counts every matched event in the window because the three "
+    "base predicates are disjoint",
+)
+def events_sigma_corr_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import yaml
+
+    from .rules.spec import RuleSpec
+    from .sigma.correlation import compile_correlation, parse_correlation
+
+    doc = yaml.safe_load(
+        """
+title: incident signature
+correlation:
+  type: temporal
+  rules: [driver_error, driver_purchase, driver_signup]
+  group-by: [user_id]
+  timespan: 3h
+"""
+    )
+    spec = parse_correlation(doc)
+    registry = {
+        name: RuleSpec(name=name, predicate_sql=f"event_type = '{etype}'")
+        for name, etype in (
+            ("driver_error", "error"),
+            ("driver_purchase", "purchase"),
+            ("driver_signup", "signup"),
+        )
+    }
+    run = compile_correlation(spec, registry, ts_col="ts")
+    return run(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "events_rolling_7d",
     """
     SELECT user_id, event_id,

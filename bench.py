@@ -164,6 +164,8 @@ HEADLINE = [
     "events_sigma_corr_temporal",
     "events_sigma_corr_distinct",
     "events_sigma_corr_cooccur",
+    "corpus_shuffle_shards",
+    "drift_psi_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -8260,6 +8260,120 @@ def customer_frequency_ranks(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_shuffle_shards",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, shuffle_key,
+             CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                  AS BIGINT) AS pos,
+             CAST(ntile(16) OVER (ORDER BY shuffle_key, doc_id) - 1
+                  AS INT) AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shuffle_key, pos, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY pos)
+                AS BIGINT) AS shard_pos
+    FROM ranked
+    """,
+    "Deterministic global corpus shuffle + contiguous shard split "
+    "(ops/rank.shuffled_shards): md5(seed:id) keys give a replayable "
+    "permutation (identical hex in Spark and DuckDB, so the oracle "
+    "replays the EXACT order), global position via the range-partitioned "
+    "row_number (part key = leading 15 hex digits via conv — monotone in "
+    "the key's byte order, and uniform, so buckets self-balance under any "
+    "id skew), shard id from the exact ntile arithmetic and shard_pos "
+    "from its closed-form inverse — one sketch pass + one bucketed window "
+    "shuffle, no single-partition sort.  This is the 'shuffle the corpus, "
+    "split into n training files' step every LLM pipeline ends with",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.rank import shuffled_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffled_shards(docs, "doc_id", seed=42, n_shards=16)
+
+
+@register(
+    "drift_psi_docs",
+    """
+    WITH tagged AS (
+      SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bin_chars,
+             lang AS bin_lang,
+             substring(md5('7:' || CAST(doc_id AS VARCHAR)), 32, 1) < '8'
+               AS is_ref
+      FROM documents
+    ), nc AS (
+      SELECT bin_chars,
+             sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rn,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cn
+      FROM tagged GROUP BY 1
+    ), nct AS (
+      SELECT rn, cn, sum(rn) OVER () AS tr, sum(cn) OVER () AS tc,
+             count(*) OVER () AS nb
+      FROM nc
+    ), lc AS (
+      SELECT bin_lang,
+             sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rn,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cn
+      FROM tagged GROUP BY 1
+    ), lct AS (
+      SELECT rn, cn, sum(rn) OVER () AS tr, sum(cn) OVER () AS tc,
+             count(*) OVER () AS nb
+      FROM lc
+    ), scored AS (
+      SELECT 'n_chars' AS feature, CAST(max(nb) AS BIGINT) AS n_bins,
+             sum(((cn + 0.5) / (tc + 0.5 * nb)
+                  - (rn + 0.5) / (tr + 0.5 * nb))
+                 * ln(((cn + 0.5) / (tc + 0.5 * nb))
+                      / ((rn + 0.5) / (tr + 0.5 * nb)))) AS raw_psi
+      FROM nct
+      UNION ALL
+      SELECT 'lang', CAST(max(nb) AS BIGINT),
+             sum(((cn + 0.5) / (tc + 0.5 * nb)
+                  - (rn + 0.5) / (tr + 0.5 * nb))
+                 * ln(((cn + 0.5) / (tc + 0.5 * nb))
+                      / ((rn + 0.5) / (tr + 0.5 * nb))))
+      FROM lct
+    )
+    SELECT feature, n_bins, round(raw_psi + 1e-9, 6) AS psi,
+           CASE WHEN raw_psi < 0.1 THEN 'stable'
+                WHEN raw_psi < 0.25 THEN 'moderate'
+                ELSE 'shifted' END AS verdict
+    FROM scored
+    """,
+    "Corpus drift between two snapshots (ops/quality.drift_psi): "
+    "Population Stability Index over a binned doc-length feature and the "
+    "lang categorical, snapshots split by an md5 hash bit (deterministic "
+    "in both engines).  Laplace-smoothed p = (n+0.5)/(N+0.5*bins) keeps "
+    "empty bins defined; conventional <0.1/<0.25 verdict thresholds.  "
+    "Scale shape: ONE map-side-combining aggregate over the corpus per "
+    "feature, then arithmetic over the <= n_bins frame — no joins, no "
+    "data-sized windows.  The pre-mix QA gate for crawl snapshot drift",
+)
+def drift_psi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.quality import drift_psi
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        F.floor(F.col("n_chars") / 64).cast("long").alias("bin_chars"),
+        F.col("lang").alias("bin_lang"),
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("7:"), F.col("doc_id").cast("string"))),
+                32, 1,
+            ) < "8"
+        ).alias("is_ref"),
+    )
+    return drift_psi(tagged, "bin_chars", feature_name="n_chars").unionByName(
+        drift_psi(tagged, "bin_lang", feature_name="lang")
+    )
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

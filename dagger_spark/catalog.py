@@ -8467,6 +8467,100 @@ def events_cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- geo-IP / ASN range enrichment (narrowest-range-wins) ------------------
+# Arbitrary (non-CIDR-aligned) inclusive ranges over the same deterministic
+# knuth_hash(user_id) IP space as events_cidr_enrich, engineered so the
+# overlap semantics fire at every sf (user_ids 0..14 exist at sf0.001):
+#   hash(7)=1401181143  in rir-apnic ⊃ asn-transit ⊃ vpn-exit (3-deep nest,
+#                        none CIDR-aligned — narrowest range must win)
+#   hash(1)=2654435761  in geo-de AND geo-fr (EQUAL span 101 — the start
+#                        tie-break decides)
+#   hash(3)=3668339987  single-address sinkhole (span-1 /32 block edge)
+#   hash(0)=0           bogon-low start-of-space edge
+#   internet [0,2^32-1] catch-all — the /0 single-block edge; every event
+#                        matches it, so it wins exactly when nothing
+#                        narrower does (no NULL row in this query)
+_RANGE_FEED = [  # (ip_start, ip_end, label, kind)
+    (1400000000, 1500000000, "rir-apnic", "rir"),
+    (1401181000, 1401182000, "asn-transit", "asn"),
+    (1401181100, 1401181150, "vpn-exit", "vpn"),
+    (2654435700, 2654435800, "geo-de", "geo"),
+    (2654435711, 2654435811, "geo-fr", "geo"),
+    (3668339987, 3668339987, "sinkhole", "sinkhole"),
+    (0, 100000000, "bogon-low", "bogon"),
+    (147000000, 148000000, "cdn-edge", "cdn"),
+    (387276000, 387277000, "iot-botnet", "botnet"),
+    (0, 4294967295, "internet", "default"),
+]
+
+
+def _range_feed_values_sql() -> str:
+    return ",\n      ".join(
+        f"({s}, {e}, '{lb}', '{k}')" for s, e, lb, k in _RANGE_FEED
+    )
+
+
+@register(
+    "events_ip_range_enrich",
+    f"""
+    WITH feed(s, e, label, kind) AS (VALUES
+      {_range_feed_values_sql()}
+    ),
+    ev AS (
+      SELECT event_id, user_id,
+             (user_id * 2654435761) % 4294967296 AS ip
+      FROM events
+    ),
+    m AS (
+      SELECT e.event_id, e.user_id, f.label, f.kind,
+             f.e - f.s + 1 AS span,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY f.e - f.s + 1, f.s, f.label, f.kind
+             ) AS rn
+      FROM ev e LEFT JOIN feed f ON e.ip BETWEEN f.s AND f.e
+    )
+    SELECT label, kind, span AS matched_span,
+           count(*)                AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM m WHERE rn = 1
+    GROUP BY label, kind, span
+    """,
+    "Geo-IP/ASN-style enrichment via NARROWEST-RANGE-WINS interval join "
+    "(ops/enrich.ip_range_join): event IPs against a feed of arbitrary — "
+    "deliberately non-CIDR-aligned — overlapping [start,end] allocations; "
+    "the smallest span wins, ties broken by start (geo-de vs geo-fr pins "
+    "the tie).  Complements events_cidr_enrich: range-level specificity, "
+    "not block-level — a narrow range must beat a wide range even where "
+    "the wide range's covering block has the longer prefix.  Spark: each "
+    "range decomposes feed-side into its <=62 maximal aligned CIDR blocks "
+    "(Arrow pandas UDF), blocks group per length into per-bucket candidate "
+    "lists, then one one-to-one LEFT broadcast join per distinct block "
+    "length; the winner is picked per event by a codegen'd "
+    "array_sort-by-(span,start,payload) expression — ZERO shuffles on the "
+    "event side, no explode fan-out, no per-event window; the oracle's "
+    "BETWEEN-join + row_number formulation is the semantics spec.  The "
+    "[0,2^32-1] catch-all exercises the /0 single-block edge and makes "
+    "every event resolve",
+)
+def events_ip_range_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.enrich import ip_range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .alias("ip"),
+    )
+    feed = spark.createDataFrame(
+        _RANGE_FEED, "ip_start long, ip_end long, label string, kind string"
+    )
+    enriched = ip_range_join(ev, feed, "ip", ["label", "kind"])
+    return enriched.groupBy("label", "kind", "matched_span").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -32,8 +32,9 @@ broadcasts once per length; the whole chain is one codegen'd map stage.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import List, Sequence, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -105,4 +106,139 @@ def cidr_lpm_join(
         *events.columns,
         *[best[c].alias(c) for c in payload_cols],
         best["__len"].alias(out_len_col),
+    )
+
+
+# --- arbitrary [start, end] range feeds (geo-IP / ASN allocations) ---------
+#
+# Real allocation feeds (geo-IP, RIR delegations, ASN blocks) are arbitrary
+# inclusive integer ranges, NOT CIDR-aligned.  The classic distributed range
+# join (bin both sides to fixed-width buckets, join on bucket, re-filter)
+# forces a bucket-width trade-off: one width cannot serve both a /0-sized
+# default route and single-address sinkholes.  Instead we make the feed
+# multi-resolution: every range decomposes into its <= 62 MAXIMAL ALIGNED
+# CIDR blocks (the textbook decomposition — greedily take the largest
+# aligned block starting at the cursor), so each block registers at its OWN
+# resolution and `ip_range_join` probes once per distinct block length
+# (<= 33 broadcast joins, same bounded literal-class convention as
+# cidr_lpm_join).  A block is fully contained in its source range, so a
+# block hit IS a range hit — no residual start/end re-filter.
+#
+# Unlike longest-prefix-wins, overlapping RANGES resolve by NARROWEST RANGE
+# (smallest span): a /25-block of a wide RIR allocation must lose to a
+# /24-block of a narrower VPN range.  So the per-length slices keep ALL
+# candidate ranges per bucket (collect_list, feed-side shuffle only), the
+# probe joins stay one-to-one, and the winner is picked per event by a
+# codegen'd expression: array_sort over (span, start, payload...) structs,
+# take the head.  The event side is never shuffled and never fanned out.
+
+
+def range_to_blocks(start: int, end: int) -> List[Tuple[int, int]]:
+    """Decompose inclusive IPv4 range [start, end] into maximal aligned
+    CIDR blocks.  Returns [(truncated_prefix, prefix_len)] where
+    ``truncated_prefix = block_address >> (32 - prefix_len)``; empty when
+    the range is invalid (start > end or outside [0, 2^32)).
+
+    Greedy: the block at the cursor is the largest power-of-two size that
+    is both alignment-permitted (``cur & -cur``) and fits in the remaining
+    span.  <= 62 blocks for any range; exactly partitions [start, end].
+    """
+    if start is None or end is None or start > end or start < 0:
+        return []
+    if end >= 1 << 32:
+        return []
+    blocks: List[Tuple[int, int]] = []
+    cur = int(start)
+    end = int(end)
+    while cur <= end:
+        size = cur & -cur if cur else 1 << 32
+        while size > end - cur + 1:
+            size >>= 1
+        plen = 33 - size.bit_length()  # size == 2^(32 - plen)
+        blocks.append((cur >> (32 - plen) if plen else 0, plen))
+        cur += size
+    return blocks
+
+
+def ip_range_join(
+    events: DataFrame,
+    feed: DataFrame,
+    ip_col: str,
+    payload_cols: Sequence[str],
+    start_col: str = "ip_start",
+    end_col: str = "ip_end",
+    out_span_col: str = "matched_span",
+) -> DataFrame:
+    """Narrowest-range-wins left join of ``events`` against an interval feed.
+
+    ``events[ip_col]``: IPv4 as a non-negative integer (< 2^32).
+    ``feed``: one row per range — inclusive ``[start_col, end_col]`` integer
+    bounds plus ``payload_cols``.  Ranges may overlap arbitrarily; the match
+    with the smallest span wins, ties broken by (start, payload...) struct
+    order — deterministic whenever no two feed rows share (span, start).
+
+    Returns all event columns + ``payload_cols`` from the winning range
+    (NULL when none) + ``out_span_col`` (the winning range's size in
+    addresses, NULL when none).  Exactly one output row per input event.
+    """
+    @F.pandas_udf("array<struct<t: long, l: int>>")
+    def _blocks(s: pd.Series, e: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                range_to_blocks(
+                    None if pd.isna(sv) else int(sv),
+                    None if pd.isna(ev) else int(ev),
+                )
+                for sv, ev in zip(s, e)
+            ]
+        )
+
+    s_long = F.col(start_col).cast("long")
+    e_long = F.col(end_col).cast("long")
+    fb = feed.select(
+        (e_long - s_long + F.lit(1)).alias("__span"),
+        s_long.alias("__start"),
+        *[F.col(c) for c in payload_cols],
+        F.explode(_blocks(s_long, e_long)).alias("__b"),
+    )
+    # Bounded driver-side collect: <= 33 distinct block lengths (documented
+    # literal-class convention, see module docstring).
+    lens = sorted((r[0] for r in fb.select("__b.l").distinct().collect()),
+                  reverse=True)
+    if not lens:  # empty/invalid feed: all-NULL payload, one row per event
+        return events.select(
+            *events.columns,
+            *[
+                F.lit(None).cast(feed.schema[c].dataType).alias(c)
+                for c in payload_cols
+            ],
+            F.lit(None).cast("long").alias(out_span_col),
+        )
+    # Candidate struct field order IS the tie-break order: span, start, then
+    # payload — array_sort compares structs lexicographically by field.
+    cand = F.struct(
+        F.col("__span"), F.col("__start"), *[F.col(c) for c in payload_cols]
+    )
+    out = events
+    arrs = []
+    for L in lens:
+        slice_l = (
+            fb.filter(F.col("__b.l") == L)
+            .groupBy(F.col("__b.t").alias("__t"))
+            .agg(F.collect_list(cand).alias(f"__c_{L}"))
+        )
+        out = out.join(
+            F.broadcast(slice_l),
+            F.shiftrightunsigned(F.col(ip_col), 32 - L) == F.col("__t"),
+            "left",
+        ).drop("__t")
+        arrs.append(F.col(f"__c_{L}"))
+    merged = F.array_sort(
+        F.flatten(F.filter(F.array(*arrs), lambda x: x.isNotNull()))
+    )
+    best = F.get(merged, 0)
+    return out.select(
+        *events.columns,
+        *[best[c].alias(c) for c in payload_cols],
+        best["__span"].alias(out_span_col),
     )

@@ -157,3 +157,156 @@ def test_streaming_stateless(spark, tmp_path):
         for r in cidr_lpm_join(ev, feed, "ip", ["label", "severity"]).collect()
     }
     assert got == batch == {0: "wide", 1: None}
+
+
+# --- ip_range_join: arbitrary [start, end] feeds (geo-IP style) ------------
+
+from dagger_spark.ops.enrich import ip_range_join, range_to_blocks  # noqa: E402
+
+RANGE_SCHEMA = "ip_start long, ip_end long, label string, kind string"
+
+
+def test_range_to_blocks_partitions_exactly():
+    # Property over awkward unaligned ranges: the blocks exactly partition
+    # [start, end] — full cover, no overlap, every block aligned & in-range.
+    cases = [(5, 21), (0, 0), (0, (1 << 32) - 1), (1, (1 << 32) - 2),
+             (255, 256), (1401181100, 1401181150), (7, 7)]
+    for s, e in cases:
+        covered = []
+        for t, l in range_to_blocks(s, e):
+            size = 1 << (32 - l)
+            base = t * size
+            assert base % size == 0          # aligned
+            assert s <= base and base + size - 1 <= e  # contained
+            covered.append((base, base + size - 1))
+        covered.sort()
+        assert covered[0][0] == s and covered[-1][1] == e
+        for (a, b), (c, d) in zip(covered, covered[1:]):
+            assert c == b + 1                # gapless, no overlap
+        assert len(covered) <= 62
+
+
+def test_range_to_blocks_invalid():
+    assert range_to_blocks(10, 5) == []
+    assert range_to_blocks(-1, 5) == []
+    assert range_to_blocks(0, 1 << 32) == []
+    assert range_to_blocks(None, 5) == []
+
+
+def test_narrowest_range_wins_over_unaligned_overlaps(spark):
+    # A /25-sized block of the WIDE range must lose to the narrow range even
+    # when the narrow range's covering block is a SHORTER prefix — the
+    # tie-break is range span, not block length (contrast cidr_lpm_join).
+    feed = spark.createDataFrame(
+        [
+            (1000, 3000, "wide", "rir"),
+            (2040, 2060, "narrow", "vpn"),
+        ],
+        RANGE_SCHEMA,
+    )
+    ev = spark.createDataFrame(
+        [(0, 2050), (1, 1500), (2, 5000)], "eid int, ip long"
+    )
+    out = {
+        r["eid"]: (r["label"], r["matched_span"])
+        for r in ip_range_join(ev, feed, "ip", ["label", "kind"]).collect()
+    }
+    assert out[0] == ("narrow", 21)
+    assert out[1] == ("wide", 2001)
+    assert out[2] == (None, None)
+
+
+def test_equal_span_tie_breaks_on_start(spark):
+    feed = spark.createDataFrame(
+        [(100, 200, "b-second", "geo"), (90, 190, "a-first", "geo")],
+        RANGE_SCHEMA,
+    )
+    ev = spark.createDataFrame([(0, 150)], "eid int, ip long")
+    row = ip_range_join(ev, feed, "ip", ["label", "kind"]).collect()[0]
+    assert row["label"] == "a-first"  # same span 101, lower start wins
+
+
+def test_single_address_and_full_space_ranges(spark):
+    feed = spark.createDataFrame(
+        [
+            (0, (1 << 32) - 1, "default", "catchall"),  # one /0 block
+            (42, 42, "pin", "sinkhole"),                # one /32 block
+        ],
+        RANGE_SCHEMA,
+    )
+    ev = spark.createDataFrame([(0, 42), (1, 43)], "eid int, ip long")
+    out = {
+        r["eid"]: (r["label"], r["matched_span"])
+        for r in ip_range_join(ev, feed, "ip", ["label", "kind"]).collect()
+    }
+    assert out[0] == ("pin", 1)
+    assert out[1] == ("default", 1 << 32)
+
+
+def test_range_membership_is_exact_at_block_edges(spark):
+    # [5, 21] decomposes into 5 blocks; membership must be exact at every
+    # boundary — a block hit IS a range hit, no residual filter exists.
+    feed = spark.createDataFrame([(5, 21, "in", "t")], RANGE_SCHEMA)
+    ev = spark.createDataFrame(
+        [(i, i) for i in range(30)], "eid int, ip long"
+    )
+    out = {
+        r["eid"]: r["label"]
+        for r in ip_range_join(ev, feed, "ip", ["label"]).collect()
+    }
+    for i in range(30):
+        assert out[i] == ("in" if 5 <= i <= 21 else None)
+
+
+def test_range_empty_feed(spark):
+    feed = spark.createDataFrame([], RANGE_SCHEMA)
+    rows = ip_range_join(
+        spark.createDataFrame([(0, 7)], "eid int, ip long"),
+        feed, "ip", ["label"],
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["label"] is None and rows[0]["matched_span"] is None
+
+
+def test_range_plan_event_side_never_shuffles(spark):
+    feed = spark.createDataFrame(
+        [(1000, 3000, "wide", "rir"), (2040, 2060, "narrow", "vpn")],
+        RANGE_SCHEMA,
+    )
+    ev = spark.createDataFrame([(i, 2050) for i in range(8)],
+                               "eid int, ip long")
+    df = ip_range_join(ev, feed, "ip", ["label", "kind"])
+    df.collect()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the event-side spine (text before the first BroadcastExchange) is
+    # exchange-free; the only hash Exchanges are the feed-side groupBys
+    spine = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in spine
+
+
+def test_range_streaming_stateless(spark, tmp_path):
+    src = str(tmp_path / "rsrc")
+    ev = spark.createDataFrame([(0, 2050), (1, 5000)], "eid int, ip long")
+    ev.write.parquet(src)
+    feed = spark.createDataFrame(
+        [(1000, 3000, "wide", "rir")], RANGE_SCHEMA
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = ip_range_join(stream, feed, "ip", ["label", "kind"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("range_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["eid"]: r["label"]
+        for r in spark.sql("SELECT * FROM range_stream").collect()
+    }
+    assert got == {0: "wide", 1: None}

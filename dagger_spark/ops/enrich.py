@@ -133,7 +133,9 @@ def cidr_lpm_join(
 # take the head.  The event side is never shuffled and never fanned out.
 
 
-def range_to_blocks(start: int, end: int) -> List[Tuple[int, int]]:
+def range_to_blocks(
+    start: int, end: int, length_step: int = 1
+) -> List[Tuple[int, int]]:
     """Decompose inclusive IPv4 range [start, end] into maximal aligned
     CIDR blocks.  Returns [(truncated_prefix, prefix_len)] where
     ``truncated_prefix = block_address >> (32 - prefix_len)``; empty when
@@ -142,6 +144,13 @@ def range_to_blocks(start: int, end: int) -> List[Tuple[int, int]]:
     Greedy: the block at the cursor is the largest power-of-two size that
     is both alignment-permitted (``cur & -cur``) and fits in the remaining
     span.  <= 62 blocks for any range; exactly partitions [start, end].
+
+    ``length_step`` > 1 snaps every block length UP to the next multiple
+    of the step (splitting the block into <= 2^(step-1) sub-blocks), so
+    the feed occupies at most ``1 + 32/step`` distinct lengths — trading
+    a bounded feed-size blow-up for a hard cap on `ip_range_join`'s
+    probe-join count.  /0 and /32 are multiples of every step, so the
+    edge blocks never split.
     """
     if start is None or end is None or start > end or start < 0:
         return []
@@ -155,7 +164,9 @@ def range_to_blocks(start: int, end: int) -> List[Tuple[int, int]]:
         while size > end - cur + 1:
             size >>= 1
         plen = 33 - size.bit_length()  # size == 2^(32 - plen)
-        blocks.append((cur >> (32 - plen) if plen else 0, plen))
+        q = min(32, -(-plen // length_step) * length_step)
+        base = cur >> (32 - q) if q else 0
+        blocks.extend((base + i, q) for i in range(1 << (q - plen)))
         cur += size
     return blocks
 
@@ -168,6 +179,7 @@ def ip_range_join(
     start_col: str = "ip_start",
     end_col: str = "ip_end",
     out_span_col: str = "matched_span",
+    length_step: int = 4,
 ) -> DataFrame:
     """Narrowest-range-wins left join of ``events`` against an interval feed.
 
@@ -176,6 +188,11 @@ def ip_range_join(
     bounds plus ``payload_cols``.  Ranges may overlap arbitrarily; the match
     with the smallest span wins, ties broken by (start, payload...) struct
     order — deterministic whenever no two feed rows share (span, start).
+
+    ``length_step`` caps the probe-join count at ``1 + 32/step`` (default
+    4 -> at most 9 broadcast joins) by quantizing block lengths to a
+    multiple-of-step grid; see `range_to_blocks`.  Step 1 keeps the
+    minimal feed expansion but may probe up to 33 levels.
 
     Returns all event columns + ``payload_cols`` from the winning range
     (NULL when none) + ``out_span_col`` (the winning range's size in
@@ -188,6 +205,7 @@ def ip_range_join(
                 range_to_blocks(
                     None if pd.isna(sv) else int(sv),
                     None if pd.isna(ev) else int(ev),
+                    length_step,
                 )
                 for sv, ev in zip(s, e)
             ]

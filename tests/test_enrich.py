@@ -310,3 +310,26 @@ def test_range_streaming_stateless(spark, tmp_path):
         for r in spark.sql("SELECT * FROM range_stream").collect()
     }
     assert got == {0: "wide", 1: None}
+
+
+def test_range_to_blocks_quantized_partitions_exactly():
+    # With a length step the blocks still exactly partition the range and
+    # occupy only multiple-of-step lengths (the probe-join cap).
+    cases = [(5, 21), (0, (1 << 32) - 1), (1, (1 << 32) - 2),
+             (1400000000, 1500000000), (42, 42)]
+    for s, e in cases:
+        for step in (4, 8):
+            blocks = range_to_blocks(s, e, length_step=step)
+            covered = []
+            for t, l in blocks:
+                assert l % step == 0 or l == 32
+                size = 1 << (32 - l)
+                base = t * size
+                assert base % size == 0
+                assert s <= base and base + size - 1 <= e
+                covered.append((base, base + size - 1))
+            covered.sort()
+            assert covered[0][0] == s and covered[-1][1] == e
+            for (a, b), (c, d) in zip(covered, covered[1:]):
+                assert c == b + 1
+            assert len({l for _, l in blocks}) <= 1 + 32 // step

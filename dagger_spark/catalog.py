@@ -8561,6 +8561,82 @@ def events_ip_range_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mergeable HDR-histogram quantiles -------------------------------------
+
+
+@register(
+    "lineitem_hdr_quantiles",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    vb AS (
+      SELECT grp, cents,
+             CASE WHEN cents < 64 THEN 0
+                  ELSE length(bin(cents)) - 6 END AS shift
+      FROM v
+    ),
+    sk AS (
+      SELECT grp, shift, (cents >> shift) AS m, count(*) AS cnt
+      FROM vb GROUP BY grp, shift, m
+    ),
+    allsk AS (
+      SELECT grp, shift, m, cnt FROM sk
+      UNION ALL
+      SELECT 'ALL' AS grp, shift, m, SUM(cnt) AS cnt
+      FROM sk GROUP BY shift, m
+    ),
+    cum AS (
+      SELECT grp,
+             (m << shift) + (((CAST(1 AS BIGINT) << shift) - 1) >> 1) AS est,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY (m << shift)) AS c,
+             SUM(cnt) OVER (PARTITION BY grp) AS n
+      FROM allsk
+    ),
+    q(q_pct) AS (VALUES (50), (90), (99))
+    SELECT c.grp, q.q_pct,
+           CAST(min(c.n) AS BIGINT) AS n_rows,
+           min(c.est)               AS est
+    FROM cum c CROSS JOIN q
+    WHERE c.c * 100 >= q.q_pct * c.n
+    GROUP BY c.grp, q.q_pct
+    """,
+    "Per-returnflag p50/p90/p99 of extended price via the MERGEABLE "
+    "HDR-histogram sketch (ops/sketch.py) — exponent + 32-sub-bucket "
+    "integer binning (rel. error <= 1/32), bucketed with "
+    "length(bin(v))-style pure integer arithmetic so the sketch is "
+    "bit-identical in Spark and DuckDB (any float-log binning flips "
+    "boundary buckets on 1-ulp libm differences).  The 'ALL' rows are "
+    "produced by MERGING the per-flag sketches (counts just add — the "
+    "property percentile_approx lacks) while the oracle computes 'ALL' "
+    "directly over the raw rows: the hash-match IS the mergeability "
+    "proof, oracle-checked.  One map-side-combining pass builds the "
+    "sketch (localCheckpoint'd, <= groups x 64 x 32 rows); windows and "
+    "rank extraction run over that bounded frame, never over the data — "
+    "at 100 TB the only data-sized op is the initial aggregate",
+)
+def lineitem_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sketch import hdr_merge, hdr_quantiles, hdr_sketch
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * F.lit(100) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    sk = hdr_sketch(li, "cents", ["grp"], sub_bits=5)
+    has_dir = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    sk = (sk.checkpoint(eager=True) if has_dir
+          else sk.localCheckpoint(eager=True))
+    merged = hdr_merge(sk, []).select(
+        F.lit("ALL").alias("grp"), "shift", "m", "cnt"
+    )
+    both = sk.unionByName(merged)
+    return hdr_quantiles(both, ["grp"], [50, 90, 99])
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -1,0 +1,94 @@
+"""Mergeable HDR-histogram quantile sketch (ops/sketch.py).
+
+Semantics pinned here; the catalog twin (`lineitem_hdr_quantiles`)
+carries the DuckDB differential — including the merge-vs-direct 'ALL'
+row that proves mergeability cross-engine.
+"""
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dagger_spark.ops.sketch import (  # noqa: E402
+    hdr_merge,
+    hdr_quantiles,
+    hdr_sketch,
+)
+
+
+def _df(spark, vals, g="g"):
+    return spark.createDataFrame([(g, v) for v in vals], "grp string, v long")
+
+
+def test_small_values_are_exact(spark):
+    # v < 2^(b+1) buckets are width-1: estimates are EXACT order statistics
+    vals = list(range(64))
+    sk = hdr_sketch(_df(spark, vals), "v", ["grp"], sub_bits=5)
+    out = {
+        r["q_pct"]: r["est"]
+        for r in hdr_quantiles(sk, ["grp"], [50, 90, 99]).collect()
+    }
+    # rank = ceil(q*64/100) over 0..63 -> value rank-1
+    assert out[50] == 31 and out[90] == 57 and out[99] == 63
+
+
+def test_relative_error_bound(spark):
+    # relative error of any estimate <= bucket width / bucket lo = 2^-b
+    random.seed(7)
+    vals = [random.randint(1, 10**12) for _ in range(5000)]
+    sk = hdr_sketch(_df(spark, vals), "v", ["grp"], sub_bits=5)
+    svals = sorted(vals)
+    for r in hdr_quantiles(sk, ["grp"], [10, 50, 90, 99]).collect():
+        rank = -(-r["q_pct"] * len(vals) // 100)  # ceil
+        exact = svals[rank - 1]
+        assert abs(r["est"] - exact) / exact <= 1 / 32 + 1e-12
+        assert r["n_rows"] == len(vals)
+
+
+def test_merge_equals_direct(spark):
+    # sketch(A) ++ sketch(B) merged == sketch(A ++ B): identical frames,
+    # hence identical quantiles — the core mergeability property
+    random.seed(11)
+    a = [random.randint(0, 10**9) for _ in range(2000)]
+    b = [random.randint(10**6, 10**12) for _ in range(3000)]
+    ska = hdr_sketch(_df(spark, a, "x"), "v", ["grp"])
+    skb = hdr_sketch(_df(spark, b, "y"), "v", ["grp"])
+    merged = hdr_merge(ska.unionByName(skb), [])
+    direct = hdr_merge(hdr_sketch(_df(spark, a + b, "z"), "v", []), [])
+    ml = {(r["shift"], r["m"]): r["cnt"] for r in merged.collect()}
+    dl = {(r["shift"], r["m"]): r["cnt"] for r in direct.collect()}
+    assert ml == dl
+
+
+def test_bucket_order_is_value_order(spark):
+    # (m << shift) is a total order consistent with v: quantiles of a
+    # permutation-invariant multiset don't depend on insertion order, and
+    # boundary values 63/64 land in adjacent buckets
+    sk = hdr_sketch(_df(spark, [63, 64]), "v", ["grp"])
+    rows = sorted(
+        (r["shift"], r["m"]) for r in sk.collect()
+    )
+    assert rows == [(0, 63), (1, 32)]  # lo 63 then lo 64 — adjacent
+
+
+def test_negative_values_excluded(spark):
+    sk = hdr_sketch(_df(spark, [-5, 3, 7]), "v", ["grp"])
+    assert sk.agg(F.sum("cnt")).collect()[0][0] == 2
+
+
+def test_quantile_plan_windows_are_partitioned(spark):
+    # the cumulative window must partition by the group columns — state is
+    # bounded by the sketch frame, and no single-partition window appears
+    sk = hdr_sketch(_df(spark, list(range(1000))), "v", ["grp"])
+    df = hdr_quantiles(sk, ["grp"], [50])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    for frag in plan.split("Window ")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "partitionBy" not in head or "grp" in head

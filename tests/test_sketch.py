@@ -92,3 +92,66 @@ def test_quantile_plan_windows_are_partitioned(spark):
     for frag in plan.split("Window ")[1:]:
         head = frag.split("\n", 1)[0]
         assert "partitionBy" not in head or "grp" in head
+
+
+def test_streaming_windowed_sketch_matches_batch(spark, tmp_path):
+    """The sketch aggregate runs under Structured Streaming as-is: group by
+    (time window, shift, m) with a watermark.  Closed windows must carry the
+    byte-identical sketch frame — and therefore identical percentiles — as
+    the batch twin; the final window stays open at availableNow-end (the
+    watermark never passes it), so it is excluded."""
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (base + datetime.timedelta(seconds=(i * 7) % 300),
+         (i * i * 31) % 100000 + 1)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v long")
+    src = str(tmp_path / "hdr_src")
+    df.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema).parquet(src)
+        .withWatermark("ts", "10 seconds")
+        .select(F.window("ts", "1 minute").alias("win"), "v")
+    )
+    sk_stream = hdr_sketch(stream, "v", ["win"])
+    q = (
+        sk_stream.writeStream.format("memory")
+        .queryName("hdr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["win"]["start"], r["shift"], r["m"], r["cnt"])
+        for r in spark.sql("SELECT * FROM hdr_stream").collect()
+    )
+    closed = {w for w, *_ in got}
+    assert len(closed) == 4  # 5 windows of data; the last never closes
+
+    batch_sk = hdr_sketch(
+        df.select(F.window("ts", "1 minute").alias("win"), "v"), "v", ["win"]
+    )
+    want = sorted(
+        (r["win"]["start"], r["shift"], r["m"], r["cnt"])
+        for r in batch_sk.collect()
+        if r["win"]["start"] in closed
+    )
+    assert got == want
+
+    # identical frames -> identical p99s per closed window
+    def _q(sk):
+        flat = sk.select(F.col("win.start").alias("w"), "shift", "m", "cnt")
+        return sorted(
+            map(tuple, hdr_quantiles(flat, ["w"], [99]).collect())
+        )
+
+    stream_sk = spark.sql("SELECT * FROM hdr_stream")
+    assert _q(stream_sk) == [
+        r for r in _q(batch_sk) if r[0] in closed
+    ]

@@ -333,3 +333,54 @@ def test_range_to_blocks_quantized_partitions_exactly():
             for (a, b), (c, d) in zip(covered, covered[1:]):
                 assert c == b + 1
             assert len({l for _, l in blocks}) <= 1 + 32 // step
+
+
+def test_streaming_feed_refresh_between_batches(spark, tmp_path):
+    """The foreachBatch feed-refresh pattern ARCHITECTURE promises: the
+    feed parquet is re-read per micro-batch, so an update between batches
+    changes the enrichment without restarting the stream.  The feed is
+    overwritten from INSIDE batch 0's handler, so the result is
+    deterministic regardless of micro-batch timing; file order within the
+    source is not guaranteed, so the assertion is that the two events got
+    the two different feed versions."""
+    src = tmp_path / "refresh_src"
+    feed_path = str(tmp_path / "refresh_feed")
+    src.mkdir()
+    ev_schema = "eid int, ip long"
+    spark.createDataFrame([(0, _ip("10.1.2.3"))], ev_schema).write.parquet(
+        str(src / "f0")
+    )
+    spark.createDataFrame([(1, _ip("10.1.2.4"))], ev_schema).write.parquet(
+        str(src / "f1")
+    )
+
+    def _write_feed(label):
+        spark.createDataFrame(
+            [(_ip("10.0.0.0"), 8, label, 1)], FEED_SCHEMA
+        ).write.mode("overwrite").parquet(feed_path)
+
+    _write_feed("v1")
+    seen = []
+
+    def _fb(batch, bid):
+        feed = spark.read.parquet(feed_path)  # re-read EVERY batch
+        out = cidr_lpm_join(batch, feed, "ip", ["label"])
+        seen.extend((r["eid"], r["label"]) for r in out.collect())
+        if len(seen) == 1:  # exactly one event processed so far: refresh
+            _write_feed("v2")  # (empty warm-up batches must not trigger it)
+
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(seen) == 2
+    assert {lbl for _, lbl in seen} == {"v1", "v2"}  # refresh took effect
+    assert {eid for eid, _ in seen} == {0, 1}

@@ -166,6 +166,9 @@ HEADLINE = [
     "events_sigma_corr_cooccur",
     "corpus_shuffle_shards",
     "drift_psi_docs",
+    "events_cidr_enrich",
+    "events_ip_range_enrich",
+    "lineitem_hdr_quantiles",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

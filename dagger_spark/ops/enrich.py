@@ -219,9 +219,26 @@ def ip_range_join(
         *[F.col(c) for c in payload_cols],
         F.explode(_blocks(s_long, e_long)).alias("__b"),
     )
+    # Candidate struct field order IS the tie-break order: span, start, then
+    # payload — array_sort compares structs lexicographically by field.
+    cand = F.struct(
+        F.col("__span"), F.col("__start"), *[F.col(c) for c in payload_cols]
+    )
+    # ONE feed-side pass builds every (length, bucket) candidate list;
+    # localCheckpoint materializes the tiny frame (feed side only — the
+    # events side may be a streaming DataFrame) so the per-length probe
+    # slices and the lens collect below are filters over it, not 1 + #lens
+    # recomputations of the decode/explode/aggregate lineage.
+    fbg = (
+        fb.groupBy(
+            F.col("__b.l").alias("__l"), F.col("__b.t").alias("__t")
+        )
+        .agg(F.collect_list(cand).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
     # Bounded driver-side collect: <= 33 distinct block lengths (documented
     # literal-class convention, see module docstring).
-    lens = sorted((r[0] for r in fb.select("__b.l").distinct().collect()),
+    lens = sorted((r[0] for r in fbg.select("__l").distinct().collect()),
                   reverse=True)
     if not lens:  # empty/invalid feed: all-NULL payload, one row per event
         return events.select(
@@ -232,18 +249,12 @@ def ip_range_join(
             ],
             F.lit(None).cast("long").alias(out_span_col),
         )
-    # Candidate struct field order IS the tie-break order: span, start, then
-    # payload — array_sort compares structs lexicographically by field.
-    cand = F.struct(
-        F.col("__span"), F.col("__start"), *[F.col(c) for c in payload_cols]
-    )
     out = events
     arrs = []
     for L in lens:
         slice_l = (
-            fb.filter(F.col("__b.l") == L)
-            .groupBy(F.col("__b.t").alias("__t"))
-            .agg(F.collect_list(cand).alias(f"__c_{L}"))
+            fbg.filter(F.col("__l") == L)
+            .select("__t", F.col("__c").alias(f"__c_{L}"))
         )
         out = out.join(
             F.broadcast(slice_l),

@@ -116,6 +116,45 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert parted.count() == ev.filter(F.col("event_type") == "purchase").count()
 
 
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DYNAMIC partition pruning — the star-join runtime twin of the static
+    PartitionFilters test above: the fact side is partitioned on the join
+    key, the dimension carries the selective filter, and Catalyst must
+    inject a runtime subquery (dynamicpruning) into the fact scan's
+    partition filters so only the dimension-selected partitions are read.
+    At 100 TB this is what keeps `fact JOIN dim WHERE dim.attr = x` from
+    scanning the whole fact table when the filter never mentions the
+    partition column directly."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev_dpp")
+    ev.write.partitionBy("event_type").parquet(path)
+
+    fact = spark.read.parquet(path)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(t, "hot" if t == "purchase" else "cold") for t in types],
+        "event_type string, tier string",
+    )
+    joined = (
+        fact.join(F.broadcast(dim), "event_type")
+        .filter(F.col("tier") == "hot")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = {(r["event_type"], r["n"]) for r in joined.collect()}
+    want = {
+        (r["event_type"], r["n"])
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert rows == want
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "dynamicpruning" in pf
+
+
 def test_connected_components_chain_and_isolated(spark):
     """A 4-chain, a 2-clique and an isolated vertex: labels must converge to
     the component minimum even across multi-hop chains."""

@@ -57,16 +57,41 @@ def cidr_lpm_join(
     matching network (NULL when none) + ``out_len_col`` (the matched mask
     length, NULL when none).  Exactly one output row per input event.
     """
+    # ONE feed-side pass builds every (length, truncated-prefix) slice; the
+    # payload travels as ONE struct (non-NULL for every feed row) so the
+    # length-descending coalesce below picks a matched ROW atomically — a
+    # matched row whose individual field is NULL must surface that NULL,
+    # not fall through to a shorter prefix's value (same trick as
+    # ops/asof.py's __r struct).  A feed listing the same /L network twice
+    # must not duplicate event rows: min(struct) keeps exactly one,
+    # DETERMINISTICALLY (lexicographic struct order — an upgrade over the
+    # arbitrary-row dropDuplicates pick).  localCheckpoint materializes the
+    # tiny frame (feed side only — events may be a streaming DataFrame) so
+    # the per-length probe slices and the lens collect are filters over it,
+    # not 1 + #lens recomputations of the feed lineage.
+    L = F.col(len_col)
+    fbg = (
+        feed.filter(L.isNotNull() & (L >= 0) & (L <= 32))
+        .select(
+            L.cast("int").alias("__l"),
+            F.call_function(
+                "shiftrightunsigned",
+                F.col(prefix_col),
+                F.lit(32) - L.cast("int"),
+            ).alias("__t"),
+            F.struct(
+                L.cast("int").alias("__len"),
+                *[F.col(c) for c in payload_cols],
+            ).alias("__m"),
+        )
+        .groupBy("__l", "__t")
+        .agg(F.min("__m").alias("__m"))
+        .localCheckpoint(eager=True)
+    )
     # Bounded driver-side collect: ≤ 33 distinct mask lengths (documented
     # literal-class convention, see module docstring).
-    lens = sorted(
-        (
-            r[0]
-            for r in feed.select(len_col).distinct().collect()
-            if r[0] is not None and 0 <= r[0] <= 32
-        ),
-        reverse=True,
-    )
+    lens = sorted((r[0] for r in fbg.select("__l").distinct().collect()),
+                  reverse=True)
     if not lens:  # empty feed: all-NULL payload, still one row per event
         return events.select(
             *events.columns,
@@ -78,23 +103,9 @@ def cidr_lpm_join(
         )
     out = events
     for L in lens:
-        # Truncate the feed's network address to L bits and dedup: a feed
-        # listing the same /L network twice must not duplicate event rows.
-        # The payload travels as ONE struct (non-NULL for every feed row) so
-        # the length-descending coalesce below picks a matched ROW atomically
-        # — a matched row whose individual field is NULL must surface that
-        # NULL, not fall through to a shorter prefix's value (same trick as
-        # ops/asof.py's __r struct).
         slice_l = (
-            feed.filter(F.col(len_col) == L)
-            .select(
-                F.shiftrightunsigned(F.col(prefix_col), 32 - L).alias("__t"),
-                F.struct(
-                    F.lit(L).alias("__len"),
-                    *[F.col(c) for c in payload_cols],
-                ).alias(f"__m_{L}"),
-            )
-            .dropDuplicates(["__t"])
+            fbg.filter(F.col("__l") == L)
+            .select("__t", F.col("__m").alias(f"__m_{L}"))
         )
         out = out.join(
             F.broadcast(slice_l),
@@ -146,11 +157,11 @@ def range_to_blocks(
     span.  <= 62 blocks for any range; exactly partitions [start, end].
 
     ``length_step`` > 1 snaps every block length UP to the next multiple
-    of the step (splitting the block into <= 2^(step-1) sub-blocks), so
-    the feed occupies at most ``1 + 32/step`` distinct lengths — trading
-    a bounded feed-size blow-up for a hard cap on `ip_range_join`'s
-    probe-join count.  /0 and /32 are multiples of every step, so the
-    edge blocks never split.
+    of the step, capped at 32 (splitting the block into <= 2^(step-1)
+    sub-blocks), so the feed occupies at most ``2 + 32//step`` distinct
+    lengths (the multiples of the step in range, plus 32, plus 0 for a
+    full-space block) — trading a bounded feed-size blow-up for a hard
+    cap on `ip_range_join`'s probe-join count.
     """
     if start is None or end is None or start > end or start < 0:
         return []

@@ -73,7 +73,11 @@ def test_duplicate_feed_networks_do_not_duplicate_events(spark):
     out = cidr_lpm_join(
         _events(spark, ["10.1.2.3", "10.1.2.4"]), feed, "ip", ["label"]
     )
-    assert out.count() == 2  # exactly one row per event, not a fan-out
+    rows = out.collect()
+    assert len(rows) == 2  # exactly one row per event, not a fan-out
+    # min(struct) pick: the lexicographically smallest payload wins —
+    # deterministic, unlike a dropDuplicates arbitrary-row pick
+    assert {r["label"] for r in rows} == {"a"}
 
 
 def test_len_edges_zero_and_thirtytwo(spark):
@@ -384,3 +388,103 @@ def test_streaming_feed_refresh_between_batches(spark, tmp_path):
     assert len(seen) == 2
     assert {lbl for _, lbl in seen} == {"v1", "v2"}  # refresh took effect
     assert {eid for eid, _ in seen} == {0, 1}
+
+
+# --- randomized differential: both ops vs a brute-force Python oracle ------
+
+def _brute_lpm(ip, feed):
+    """Reference longest-prefix-match: scan every network, keep longest."""
+    best = None
+    for prefix, ln, label, sev in feed:
+        if ln == 0 or (ip >> (32 - ln)) == (prefix >> (32 - ln)):
+            if best is None or ln > best[0]:
+                best = (ln, label, sev)
+    return best
+
+
+def _brute_range(ip, feed):
+    """Reference narrowest-range: scan every range, keep smallest span
+    (ties: lowest start, then label — the op's struct order)."""
+    best = None
+    for s, e, label, kind in feed:
+        if s <= ip <= e:
+            key = (e - s + 1, s, label, kind)
+            if best is None or key < best:
+                best = key
+    return best
+
+
+def test_fuzz_lpm_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        feed = []
+        for _ in range(rng.randint(3, 12)):
+            ln = rng.choice([0, 8, 12, 16, 20, 24, 28, 31, 32])
+            base = rng.getrandbits(32)
+            prefix = (base >> (32 - ln)) << (32 - ln) if ln else 0
+            feed.append((prefix, ln, f"n{rng.randint(0, 4)}",
+                         rng.randint(1, 5)))
+        # half the probes land INSIDE random feed networks, half anywhere
+        ips = []
+        for _ in range(40):
+            if feed and rng.random() < 0.5:
+                p, ln, _, _ = rng.choice(feed)
+                low = rng.getrandbits(32 - ln) if ln < 32 else 0
+                ips.append(p | low)
+            else:
+                ips.append(rng.getrandbits(32))
+        fdf = spark.createDataFrame(feed, FEED_SCHEMA)
+        edf = spark.createDataFrame(
+            list(enumerate(ips)), "eid int, ip long"
+        )
+        got = {
+            r["eid"]: (r["matched_len"], r["label"])
+            for r in cidr_lpm_join(
+                edf, fdf, "ip", ["label", "severity"]
+            ).collect()
+        }
+        for eid, ip in enumerate(ips):
+            want = _brute_lpm(ip, feed)
+            if want is None:
+                assert got[eid] == (None, None), (trial, eid)
+            else:
+                # label ambiguity only when the feed repeats a (prefix,len)
+                assert got[eid][0] == want[0], (trial, eid, ip)
+
+
+def test_fuzz_range_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(99)
+    for trial in range(4):
+        feed = []
+        for _ in range(rng.randint(3, 10)):
+            a = rng.getrandbits(32)
+            b = min((1 << 32) - 1, a + rng.choice(
+                [0, 1, 7, 100, 10**4, 10**7, 10**9]))
+            feed.append((a, b, f"r{len(feed)}", f"k{rng.randint(0, 2)}"))
+        ips = []
+        for _ in range(40):
+            if rng.random() < 0.6:
+                s, e_, _, _ = rng.choice(feed)
+                ips.append(rng.randint(s, e_))
+            else:
+                ips.append(rng.getrandbits(32))
+        fdf = spark.createDataFrame(feed, RANGE_SCHEMA)
+        edf = spark.createDataFrame(
+            list(enumerate(ips)), "eid int, ip long"
+        )
+        got = {
+            r["eid"]: (r["matched_span"], r["label"])
+            for r in ip_range_join(
+                edf, fdf, "ip", ["label", "kind"]
+            ).collect()
+        }
+        for eid, ip in enumerate(ips):
+            want = _brute_range(ip, feed)
+            if want is None:
+                assert got[eid] == (None, None), (trial, eid)
+            else:
+                assert got[eid] == (want[0], want[2]), (trial, eid, ip)

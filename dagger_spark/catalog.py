@@ -8561,6 +8561,97 @@ def events_ip_range_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- domain-suffix enrichment (deepest-zone-wins) --------------------------
+# Deterministic domains derived from user_id residues so both engines build
+# the identical corpus: h{u%7}.s{u%3}.example{u%5}.com.  The feed nests
+# com ⊃ example3.com ⊃ s2.example3.com ⊃ h1.s2.example3.com (u ≡ 8 mod 105
+# hits all four — u=8 exists at every sf, so the full depth chain fires at
+# sf0.001); 'net' never matches (all domains are .com) and the 'com'
+# catch-all makes every event resolve, exercising the depth-1 edge.
+_DOMAIN_FEED = [  # (suffix, label, category)
+    ("com", "tld-generic", "tld"),
+    ("net", "tld-unused", "tld"),
+    ("example3.com", "zone-three", "zone"),
+    ("example1.com", "zone-one", "zone"),
+    ("s2.example3.com", "sub-two", "subzone"),
+    ("h1.s2.example3.com", "host-pin", "host"),
+]
+
+
+def _domain_feed_values_sql() -> str:
+    return ",\n      ".join(
+        f"('{s}', {s.count('.') + 1}, '{lb}', '{k}')"
+        for s, lb, k in _DOMAIN_FEED
+    )
+
+
+@register(
+    "events_domain_enrich",
+    f"""
+    WITH feed(suffix, n_labels, label, category) AS (VALUES
+      {_domain_feed_values_sql()}
+    ),
+    ev AS (
+      SELECT event_id, user_id,
+             'h' || CAST(user_id % 7 AS VARCHAR)
+             || '.s' || CAST(user_id % 3 AS VARCHAR)
+             || '.example' || CAST(user_id % 5 AS VARCHAR)
+             || '.com' AS domain
+      FROM events
+    ),
+    m AS (
+      SELECT e.event_id, e.user_id, f.label, f.category, f.n_labels,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY f.n_labels DESC, f.suffix
+             ) AS rn
+      FROM ev e LEFT JOIN feed f
+        ON e.domain = f.suffix OR e.domain LIKE '%.' || f.suffix
+    )
+    SELECT label, category, n_labels AS matched_labels,
+           count(*)                AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM m WHERE rn = 1
+    GROUP BY label, category, n_labels
+    """,
+    "DNS blocklist/zone-reputation enrichment via DEEPEST-ZONE-WINS "
+    "suffix join (ops/enrich.domain_suffix_join) — the DNS sibling of "
+    "events_cidr_enrich: a feed entry matches its exact domain and every "
+    "subdomain at a dot boundary, overlapping zones resolve by label "
+    "depth (com ⊂ example3.com ⊂ s2.example3.com ⊂ h1.s2.example3.com, "
+    "the full nest firing at every sf).  Spark: one LEFT broadcast join "
+    "per distinct feed depth, probe key = the domain's last-L-labels "
+    "suffix (split/slice/array_join, codegen'd), atomic payload struct, "
+    "depth-descending coalesce; feed slices built in one checkpointed "
+    "pass with the deterministic min(struct) duplicate pick — ZERO "
+    "event-side shuffles, no explode, no per-event window.  The "
+    "oracle's LIKE-'%.suffix' + row_number-by-depth formulation is the "
+    "semantics spec; 'net' pins the never-matching entry and the 'com' "
+    "catch-all the depth-1 edge",
+)
+def events_domain_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.enrich import domain_suffix_join
+
+    u = F.col("user_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.concat(
+            F.lit("h"), (u % 7).cast("string"),
+            F.lit(".s"), (u % 3).cast("string"),
+            F.lit(".example"), (u % 5).cast("string"),
+            F.lit(".com"),
+        ).alias("domain"),
+    )
+    feed = spark.createDataFrame(
+        _DOMAIN_FEED, "suffix string, label string, category string"
+    )
+    enriched = domain_suffix_join(ev, feed, "domain", ["label", "category"])
+    return enriched.groupBy("label", "category", "matched_labels").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # --- mergeable HDR-histogram quantiles -------------------------------------
 
 

@@ -282,3 +282,88 @@ def ip_range_join(
         *[best[c].alias(c) for c in payload_cols],
         best["__span"].alias(out_span_col),
     )
+
+
+# --- domain-suffix feeds (DNS blocklists / zone reputation) ----------------
+#
+# The DNS sibling of cidr_lpm_join: a feed row "ads.example.com" matches the
+# exact domain and every subdomain beneath it; overlapping entries resolve
+# by MOST LABELS (deepest zone) — the DNS hierarchy's longest-prefix-match,
+# read right-to-left.  The same bounded probe discipline applies: one LEFT
+# broadcast join per distinct label depth present in the feed (bounded
+# driver-side collect — real blocklists run 1-6 labels), the probe key is
+# the event domain's last-L-labels suffix (pure split/slice/join
+# expressions, codegen'd), the payload travels as an atomic struct, and the
+# winner is a depth-descending coalesce.  Zero shuffles, no explode, no
+# window on the event side; feed slices are built in one checkpointed pass
+# with the same deterministic min(struct) duplicate pick as the LPM join.
+#
+# Inputs are assumed normalized (lowercase, no trailing dot) — normalize at
+# ingest, not per probe join.
+
+
+def domain_suffix_join(
+    events: DataFrame,
+    feed: DataFrame,
+    domain_col: str,
+    payload_cols: Sequence[str],
+    suffix_col: str = "suffix",
+    out_labels_col: str = "matched_labels",
+) -> DataFrame:
+    """Deepest-zone-wins left join of ``events`` against a domain feed.
+
+    ``events[domain_col]``: normalized dotted domain (``a.b.example.com``).
+    ``feed``: one row per zone — ``suffix_col`` the zone apex (matched
+    exactly or as a ``.``-boundary suffix) plus ``payload_cols``.
+
+    Returns all event columns + ``payload_cols`` from the deepest matching
+    zone (NULL when none) + ``out_labels_col`` (the matched zone's label
+    count, NULL when none).  Exactly one output row per input event.
+    """
+    labels = F.size(F.split(F.col(suffix_col), r"\."))
+    fbg = (
+        feed.filter(F.col(suffix_col).isNotNull() & (F.col(suffix_col) != ""))
+        .select(
+            labels.alias("__l"),
+            F.col(suffix_col).alias("__t"),
+            F.struct(
+                labels.alias("__n"),
+                *[F.col(c) for c in payload_cols],
+            ).alias("__m"),
+        )
+        .groupBy("__l", "__t")
+        .agg(F.min("__m").alias("__m"))
+        .localCheckpoint(eager=True)
+    )
+    lens = sorted((r[0] for r in fbg.select("__l").distinct().collect()),
+                  reverse=True)
+    if not lens:
+        return events.select(
+            *events.columns,
+            *[
+                F.lit(None).cast(feed.schema[c].dataType).alias(c)
+                for c in payload_cols
+            ],
+            F.lit(None).cast("int").alias(out_labels_col),
+        )
+    parts = F.split(F.col(domain_col), r"\.")
+    out = events
+    for L in lens:
+        # last-L-labels probe key; NULL (never-matching) when the domain is
+        # shallower than the zone depth
+        key = F.when(
+            F.size(parts) >= L, F.array_join(F.slice(parts, -L, L), ".")
+        )
+        slice_l = (
+            fbg.filter(F.col("__l") == L)
+            .select("__t", F.col("__m").alias(f"__m_{L}"))
+        )
+        out = out.join(
+            F.broadcast(slice_l), key == F.col("__t"), "left"
+        ).drop("__t")
+    best = F.coalesce(*[F.col(f"__m_{L}") for L in lens])
+    return out.select(
+        *events.columns,
+        *[best[c].alias(c) for c in payload_cols],
+        best["__n"].alias(out_labels_col),
+    )

@@ -488,3 +488,92 @@ def test_fuzz_range_matches_brute_force(spark):
                 assert got[eid] == (None, None), (trial, eid)
             else:
                 assert got[eid] == (want[0], want[2]), (trial, eid, ip)
+
+
+# --- domain_suffix_join: DNS blocklist feeds (deepest zone wins) -----------
+
+from dagger_spark.ops.enrich import domain_suffix_join  # noqa: E402
+
+DOM_SCHEMA = "suffix string, label string, category string"
+
+
+def _doms(spark, domains):
+    return spark.createDataFrame(
+        list(enumerate(domains)), "eid int, domain string"
+    )
+
+
+def test_deepest_zone_wins(spark):
+    feed = spark.createDataFrame(
+        [
+            ("com", "tld", "t"),
+            ("example.com", "zone", "z"),
+            ("ads.example.com", "ads", "a"),
+        ],
+        DOM_SCHEMA,
+    )
+    ev = _doms(spark, [
+        "x.ads.example.com",   # matches all three -> deepest (3 labels)
+        "ads.example.com",     # exact match of the deepest
+        "www.example.com",     # zone
+        "example.org",         # nothing
+        "notexample.com",      # 'com' only — 'example.com' must NOT match
+    ])
+    out = {
+        r["eid"]: (r["label"], r["matched_labels"])
+        for r in domain_suffix_join(
+            ev, feed, "domain", ["label", "category"]
+        ).collect()
+    }
+    assert out[0] == ("ads", 3)
+    assert out[1] == ("ads", 3)
+    assert out[2] == ("zone", 2)
+    assert out[3] == (None, None)
+    assert out[4] == ("tld", 1)  # dot-boundary: no substring false positive
+
+
+def test_domain_shallower_than_zone_depth(spark):
+    # a 2-label domain must not match (or crash on) a 3-label feed entry
+    feed = spark.createDataFrame(
+        [("a.b.c", "deep", "d")], DOM_SCHEMA
+    )
+    rows = domain_suffix_join(
+        _doms(spark, ["b.c"]), feed, "domain", ["label"]
+    ).collect()
+    assert rows[0]["label"] is None
+
+
+def test_domain_duplicate_feed_rows_deterministic(spark):
+    feed = spark.createDataFrame(
+        [("example.com", "b", "x"), ("example.com", "a", "y")], DOM_SCHEMA
+    )
+    rows = domain_suffix_join(
+        _doms(spark, ["w.example.com"]), feed, "domain", ["label", "category"]
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["label"] == "a"  # min(struct): deterministic pick
+
+
+def test_domain_empty_feed(spark):
+    feed = spark.createDataFrame([], DOM_SCHEMA)
+    rows = domain_suffix_join(
+        _doms(spark, ["a.com"]), feed, "domain", ["label"]
+    ).collect()
+    assert rows[0]["label"] is None and rows[0]["matched_labels"] is None
+
+
+def test_domain_plan_event_side_never_shuffles(spark):
+    feed = spark.createDataFrame(
+        [("com", "tld", "t"), ("example.com", "zone", "z")], DOM_SCHEMA
+    )
+    df = domain_suffix_join(
+        _doms(spark, ["a.example.com"] * 4), feed, "domain", ["label"]
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    spine = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in spine

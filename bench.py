@@ -168,6 +168,7 @@ HEADLINE = [
     "drift_psi_docs",
     "events_cidr_enrich",
     "events_ip_range_enrich",
+    "events_domain_enrich",
     "lineitem_hdr_quantiles",
 ]
 

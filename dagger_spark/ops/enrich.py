@@ -137,11 +137,13 @@ def cidr_lpm_join(
 #
 # Unlike longest-prefix-wins, overlapping RANGES resolve by NARROWEST RANGE
 # (smallest span): a /25-block of a wide RIR allocation must lose to a
-# /24-block of a narrower VPN range.  So the per-length slices keep ALL
-# candidate ranges per bucket (collect_list, feed-side shuffle only), the
-# probe joins stay one-to-one, and the winner is picked per event by a
-# codegen'd expression: array_sort over (span, start, payload...) structs,
-# take the head.  The event side is never shuffled and never fanned out.
+# /24-block of a narrower VPN range.  Because a level-L block covers
+# exactly its bucket, every candidate in a bucket matches every event
+# hashing there — so each (level, bucket) keeps only its MINIMUM
+# (span, start, payload) struct, the probe joins stay one-to-one, and the
+# winner is least() over the per-level structs.  The event side is never
+# shuffled and never fanned out; the broadcast holds one struct per bucket
+# however dense the feed.
 
 
 def range_to_blocks(
@@ -182,6 +184,58 @@ def range_to_blocks(
     return blocks
 
 
+def decompose_ranges_np(starts, ends, length_step: int = 1):
+    """Vectorized `range_to_blocks` over row arrays — the Arrow-batch hot
+    path (a 100k-range feed decomposes into millions of blocks; the pure
+    Python loop builds them one tuple at a time, ~30x slower).
+
+    Returns ``(row_idx, trunc, plen)`` numpy int64 arrays: one entry per
+    emitted block, ``row_idx`` pointing back into the input arrays.
+    Exactly equivalent to ``range_to_blocks(s, e, length_step)`` per row
+    (pinned by tests/test_enrich.py's randomized equivalence test).
+    """
+    import numpy as np
+
+    cur = np.asarray(starts, dtype=np.int64).copy()
+    end = np.asarray(ends, dtype=np.int64)
+    idx = np.arange(len(cur), dtype=np.int64)
+    live = (cur >= 0) & (cur <= end) & (end < (1 << 32))
+    cur, end, idx = cur[live], end[live], idx[live]
+    out_i, out_t, out_l = [], [], []
+    while len(cur):
+        # largest aligned size at the cursor (cursor 0 -> full space),
+        # capped to the largest power of two fitting the remaining span
+        align = np.where(cur > 0, cur & -cur, 1 << 32)
+        rem = end - cur + 1
+        # 2^floor(log2(rem)): exact for rem < 2^53 (here < 2^33)
+        fit = np.int64(1) << np.floor(np.log2(rem)).astype(np.int64)
+        size = np.minimum(align, fit)
+        plen = 32 - np.floor(np.log2(size)).astype(np.int64)
+        # quantize UP to the step grid, splitting into 2^(q-plen) sub-blocks
+        q = np.minimum(32, -(-plen // length_step) * length_step)
+        splits = (np.int64(1) << (q - plen)).astype(np.int64)
+        base = np.where(q > 0, cur >> (32 - q).astype(np.int64), 0)
+        reps = np.repeat(np.arange(len(cur)), splits)
+        # within-row 0..splits-1 counter via the repeat-cumsum trick
+        offs = np.arange(len(reps)) - np.repeat(
+            np.concatenate(([0], np.cumsum(splits)[:-1])), splits
+        )
+        out_i.append(idx[reps])
+        out_t.append(base[reps] + offs)
+        out_l.append(np.repeat(q, splits))
+        cur = cur + size
+        still = cur <= end
+        cur, end, idx = cur[still], end[still], idx[still]
+    if not out_i:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(out_i),
+        np.concatenate(out_t),
+        np.concatenate(out_l),
+    )
+
+
 def ip_range_join(
     events: DataFrame,
     feed: DataFrame,
@@ -191,6 +245,7 @@ def ip_range_join(
     end_col: str = "ip_end",
     out_span_col: str = "matched_span",
     length_step: int = 4,
+    broadcast_feed: bool = True,
 ) -> DataFrame:
     """Narrowest-range-wins left join of ``events`` against an interval feed.
 
@@ -205,46 +260,76 @@ def ip_range_join(
     multiple-of-step grid; see `range_to_blocks`.  Step 1 keeps the
     minimal feed expansion but may probe up to 33 levels.
 
+    ``broadcast_feed=False`` drops the broadcast hint for feeds too large
+    to ship to every executor (>~1e6 rows): the per-level joins degrade
+    gracefully to shuffled hash joins — the event side then shuffles once
+    per level, the price of a beyond-broadcast feed.
+
     Returns all event columns + ``payload_cols`` from the winning range
     (NULL when none) + ``out_span_col`` (the winning range's size in
     addresses, NULL when none).  Exactly one output row per input event.
     """
-    @F.pandas_udf("array<struct<t: long, l: int>>")
-    def _blocks(s: pd.Series, e: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                range_to_blocks(
-                    None if pd.isna(sv) else int(sv),
-                    None if pd.isna(ev) else int(ev),
-                    length_step,
-                )
-                for sv, ev in zip(s, e)
-            ]
-        )
+    from pyspark.sql import types as T
 
-    s_long = F.col(start_col).cast("long")
-    e_long = F.col(end_col).cast("long")
-    fb = feed.select(
-        (e_long - s_long + F.lit(1)).alias("__span"),
-        s_long.alias("__start"),
-        *[F.col(c) for c in payload_cols],
-        F.explode(_blocks(s_long, e_long)).alias("__b"),
+    pay_fields = [
+        T.StructField(c, feed.schema[c].dataType) for c in payload_cols
+    ]
+    block_schema = T.StructType(
+        [
+            T.StructField("__span", T.LongType()),
+            T.StructField("__start", T.LongType()),
+            *pay_fields,
+            T.StructField("__l", T.IntegerType()),
+            T.StructField("__t", T.LongType()),
+        ]
+    )
+
+    # Arrow-columnar decomposition: decompose_ranges_np does the bit math
+    # over whole batches and the payload is carried by a vectorized take —
+    # no per-block Python objects anywhere (the array-UDF+explode
+    # formulation built millions of tuples for large feeds, ~30x slower).
+    def _decompose(batches):
+        for pdf in batches:
+            s = pdf[start_col].fillna(-1).astype("int64").to_numpy()
+            e = pdf[end_col].fillna(-1).astype("int64").to_numpy()
+            i, t, ln = decompose_ranges_np(s, e, length_step)
+            out = pdf.iloc[i].reset_index(drop=True)
+            res = pd.DataFrame(
+                {
+                    "__span": out[end_col].astype("int64")
+                    - out[start_col].astype("int64") + 1,
+                    "__start": out[start_col].astype("int64"),
+                }
+            )
+            for c in payload_cols:
+                res[c] = out[c]
+            res["__l"] = ln.astype("int32")
+            res["__t"] = t
+            yield res
+
+    fb = feed.select(start_col, end_col, *payload_cols).mapInPandas(
+        _decompose, block_schema
     )
     # Candidate struct field order IS the tie-break order: span, start, then
-    # payload — array_sort compares structs lexicographically by field.
+    # payload — struct comparison is lexicographic by field.
     cand = F.struct(
         F.col("__span"), F.col("__start"), *[F.col(c) for c in payload_cols]
     )
-    # ONE feed-side pass builds every (length, bucket) candidate list;
-    # localCheckpoint materializes the tiny frame (feed side only — the
-    # events side may be a streaming DataFrame) so the per-length probe
-    # slices and the lens collect below are filters over it, not 1 + #lens
-    # recomputations of the decode/explode/aggregate lineage.
+    # A level-L block covers EXACTLY its bucket, so every candidate in a
+    # bucket matches every event that hashes to the bucket — only the
+    # per-(level, bucket) MINIMUM can ever win.  min(struct), not
+    # collect_list: the broadcast holds one struct per bucket however dense
+    # the feed, and the per-event pick is least() over <= n_levels structs
+    # instead of sorting a candidate array (a 100k-range feed was spending
+    # its time broadcasting and sorting multi-thousand-entry lists at the
+    # coarse levels).  ONE feed-side pass; localCheckpoint materializes it
+    # (feed side only — the events side may be a streaming DataFrame) so
+    # the per-length probe slices and the lens collect below are filters
+    # over it, not 1 + #lens recomputations of the decompose/aggregate
+    # lineage.
     fbg = (
-        fb.groupBy(
-            F.col("__b.l").alias("__l"), F.col("__b.t").alias("__t")
-        )
-        .agg(F.collect_list(cand).alias("__c"))
+        fb.groupBy("__l", "__t")
+        .agg(F.min(cand).alias("__m"))
         .localCheckpoint(eager=True)
     )
     # Bounded driver-side collect: <= 33 distinct block lengths (documented
@@ -261,22 +346,22 @@ def ip_range_join(
             F.lit(None).cast("long").alias(out_span_col),
         )
     out = events
-    arrs = []
+    cols = []
     for L in lens:
         slice_l = (
             fbg.filter(F.col("__l") == L)
-            .select("__t", F.col("__c").alias(f"__c_{L}"))
+            .select("__t", F.col("__m").alias(f"__m_{L}"))
         )
+        if broadcast_feed:
+            slice_l = F.broadcast(slice_l)
         out = out.join(
-            F.broadcast(slice_l),
+            slice_l,
             F.shiftrightunsigned(F.col(ip_col), 32 - L) == F.col("__t"),
             "left",
         ).drop("__t")
-        arrs.append(F.col(f"__c_{L}"))
-    merged = F.array_sort(
-        F.flatten(F.filter(F.array(*arrs), lambda x: x.isNotNull()))
-    )
-    best = F.get(merged, 0)
+        cols.append(F.col(f"__m_{L}"))
+    # least() skips NULLs (unmatched levels) — all-NULL stays NULL
+    best = F.least(*cols) if len(cols) > 1 else cols[0]
     return out.select(
         *events.columns,
         *[best[c].alias(c) for c in payload_cols],

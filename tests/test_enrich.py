@@ -577,3 +577,36 @@ def test_domain_plan_event_side_never_shuffles(spark):
     assert "CartesianProduct" not in plan
     spine = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in spine
+
+
+def test_decompose_np_equivalent_to_reference():
+    # the vectorized batch decomposition must emit exactly the reference
+    # per-row block multiset, for every step, including invalid rows
+    import random
+
+    import numpy as np
+
+    from dagger_spark.ops.enrich import decompose_ranges_np
+
+    rng = random.Random(5)
+    starts, ends = [], []
+    for _ in range(300):
+        a = rng.getrandbits(32)
+        b = a + rng.choice([0, 1, 100, 10**4, 10**7, 10**9])
+        starts.append(a)
+        ends.append(min(b, (1 << 32) - 1))
+    # edge + invalid rows interleaved
+    starts += [0, 0, 5, 10, (1 << 32) - 1]
+    ends += [(1 << 32) - 1, 0, 21, 5, (1 << 32) - 1]
+    for step in (1, 4, 8):
+        i, t, l = decompose_ranges_np(
+            np.array(starts, dtype=np.int64),
+            np.array(ends, dtype=np.int64),
+            step,
+        )
+        got = {}
+        for ri, ti, li in zip(i.tolist(), t.tolist(), l.tolist()):
+            got.setdefault(ri, []).append((ti, li))
+        for ri, (s, e) in enumerate(zip(starts, ends)):
+            want = range_to_blocks(s, e, step)
+            assert sorted(got.get(ri, [])) == sorted(want), (step, ri, s, e)

@@ -6,10 +6,12 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle): sysmon_rules_alerts (the 25 reference rules
-over generated fixtures — the fixture table is not among the driver's DuckDB
-views; per-rule DuckDB parity is covered in tests/test_rules_engine.py) and
-multimodal_meta (mapInPandas plumbing).
+Rows-only entries (no oracle, 11 of 186): the fixture-driven rules engine +
+correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
+the fixture table is not among the driver's DuckDB views), the Pandas-UDF
+multimodal stages including the perceptual-hash dedup chain, and the zlib
+compression filter.  Everything else is oracle-paired; see README.md and
+dagger_spark/catalog.py.
 """
 
 from __future__ import annotations

@@ -112,7 +112,7 @@ _DRIVER_WINDOW = [
     "events_sigma_corr_distinct", "events_sigma_corr_cooccur",
     "corpus_shuffle_shards", "drift_psi_docs", "events_cidr_enrich",
     "events_ip_range_enrich", "lineitem_hdr_quantiles",
-    "events_domain_enrich",
+    "events_domain_enrich", "events_hdr_weekly_rollup",
 ]
 
 

@@ -170,6 +170,7 @@ HEADLINE = [
     "events_ip_range_enrich",
     "events_domain_enrich",
     "lineitem_hdr_quantiles",
+    "events_hdr_weekly_rollup",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

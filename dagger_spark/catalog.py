@@ -8728,6 +8728,70 @@ def lineitem_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_quantiles(both, ["grp"], [50, 90, 99])
 
 
+@register(
+    "events_hdr_weekly_rollup",
+    """
+    WITH v AS (
+      SELECT date_trunc('week', ts) AS wk,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    vb AS (
+      SELECT wk, cents,
+             CASE WHEN cents < 64 THEN 0
+                  ELSE length(bin(cents)) - 6 END AS shift
+      FROM v
+    ),
+    sk AS (
+      SELECT wk, shift, (cents >> shift) AS m, count(*) AS cnt
+      FROM vb GROUP BY wk, shift, m
+    ),
+    cum AS (
+      SELECT wk,
+             (m << shift) + (((CAST(1 AS BIGINT) << shift) - 1) >> 1) AS est,
+             SUM(cnt) OVER (PARTITION BY wk ORDER BY (m << shift)) AS c,
+             SUM(cnt) OVER (PARTITION BY wk) AS n
+      FROM sk
+    ),
+    q(q_pct) AS (VALUES (50), (95))
+    SELECT c.wk, q.q_pct,
+           CAST(min(c.n) AS BIGINT) AS n_rows,
+           min(c.est)               AS est
+    FROM cum c CROSS JOIN q
+    WHERE c.c * 100 >= q.q_pct * c.n
+    GROUP BY c.wk, q.q_pct
+    """,
+    "Weekly p50/p95 of event value via HIERARCHICAL sketch rollup — the "
+    "operational shape mergeability exists for: Spark builds DAILY HDR "
+    "sketches (one map-side-combining pass over the events), then the "
+    "week frames are a plain SUM-merge of the day frames (hdr_merge — "
+    "no second pass over the data), while the oracle computes the "
+    "weekly sketch DIRECTLY from the raw rows.  The hash-match proves "
+    "the day→week merge is lossless at a second granularity beyond "
+    "lineitem_hdr_quantiles' group→ALL roll-up.  At 100 TB this is the "
+    "incremental-percentile pattern: persist tiny per-day frames, "
+    "answer any week/month/quarter percentile by summing frames — the "
+    "raw data is read once per day, ever",
+)
+def events_hdr_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sketch import hdr_merge, hdr_quantiles, hdr_sketch
+
+    daily = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("value") * F.lit(100) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    dsk = hdr_sketch(daily, "cents", ["day"], sub_bits=5)
+    wsk = hdr_merge(
+        dsk.withColumn(
+            "wk", F.date_trunc("week", F.col("day"))
+        ),
+        ["wk"],
+    )
+    return hdr_quantiles(wsk, ["wk"], [50, 95])
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

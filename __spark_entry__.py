@@ -113,6 +113,8 @@ _DRIVER_WINDOW = [
     "corpus_shuffle_shards", "drift_psi_docs", "events_cidr_enrich",
     "events_ip_range_enrich", "lineitem_hdr_quantiles",
     "events_domain_enrich", "events_hdr_weekly_rollup",
+    "events_attribution", "events_ohlc_bars", "events_value_histogram",
+    "corpus_merkle_diff", "cluster_split_docs", "label_prop_docs",
 ]
 
 

@@ -171,6 +171,12 @@ HEADLINE = [
     "events_domain_enrich",
     "lineitem_hdr_quantiles",
     "events_hdr_weekly_rollup",
+    "events_attribution",
+    "events_ohlc_bars",
+    "events_value_histogram",
+    "corpus_merkle_diff",
+    "cluster_split_docs",
+    "label_prop_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

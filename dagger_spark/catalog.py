@@ -8792,6 +8792,391 @@ def events_hdr_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_quantiles(wsk, ["wk"], [50, 95])
 
 
+@register(
+    "events_attribution",
+    """
+    WITH t AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN ts END IGNORE NULLS) OVER w AS t_ts,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS t_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN t_type
+                ELSE 'direct' END AS channel,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM t
+    WHERE event_type = 'purchase'
+    GROUP BY CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN t_type
+                  ELSE 'direct' END
+    """,
+    "last-touch marketing attribution: each purchase's revenue goes to the "
+    "most recent preceding view/click by the same user within a 7-day "
+    "lookback, else 'direct'.  ONE user-keyed window (last ... IGNORE "
+    "NULLS over the preceding frame) finds the touch without a "
+    "self-join — at 100 TB this is a single hash shuffle on user_id with "
+    "O(1) per-row state, where the naive events-x-events as-of self-join "
+    "would shuffle the table twice.  Revenue in integer cents so the "
+    "per-channel sums are order-free; both window columns null together, "
+    "so the 7-day CASE needs no separate presence flag",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    touched = ev.select(
+        "ts", "event_type", "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w).alias("t_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w).alias("t_type"),
+    )
+    pur = touched.filter(F.col("event_type") == "purchase")
+    channel = F.when(
+        F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+        F.col("t_type"),
+    ).otherwise(F.lit("direct"))
+    return pur.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("revenue_cents"),
+    )
+
+
+@register(
+    "events_ohlc_bars",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS bar_hour, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts),
+                                event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts),
+                                event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT bar_hour, event_type,
+           CAST(min(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+             AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           CAST(min(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+             AS close_cents,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b
+    GROUP BY bar_hour, event_type
+    """,
+    "hourly OHLC bars per event type — the time-series downsampling every "
+    "metrics store runs.  Spark computes open/close with min_by/max_by "
+    "over a (ts, event_id) ORDER STRUCT in the SAME single "
+    "hash-aggregate as high/low/count (one map-side-combining shuffle, "
+    "no window, no sort), where the oracle needs two window passes — "
+    "the argmin-in-aggregate form is the one that scales.  Integer "
+    "cents; (ts, event_id) is a total order so open/close are unique",
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.struct("ts", "event_id").alias("ord"),
+    )
+    return ev.groupBy("bar_hour", "event_type").agg(
+        F.min_by("cents", F.col("ord")).cast("long").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", F.col("ord")).cast("long").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), ext AS (
+      SELECT min(cents) AS mn, max(cents) AS mx FROM c
+    ), binned AS (
+      SELECT event_type, mn, mx,
+             CASE WHEN mx > mn
+                  THEN least(15, CAST(floor((cents - mn) * 16.0 / (mx - mn))
+                                      AS BIGINT))
+                  ELSE 0 END AS bin
+      FROM c CROSS JOIN ext
+    )
+    SELECT event_type, CAST(bin AS INT) AS bin,
+           CAST(mn + floor(bin * (mx - mn) / 16.0) AS BIGINT) AS lo_cents,
+           count(*) AS n
+    FROM binned
+    GROUP BY event_type, bin, mn, mx
+    """,
+    "equi-width value histogram per event type: global [min, max] from "
+    "ONE tiny aggregate broadcast back (a 1-row cross join, not a "
+    "window), then bin = floor((v-min)*16/(max-min)) capped at 15 — a "
+    "second map-side-combining aggregate.  Two passes total, both "
+    "full-codegen; this is the profiling histogram a catalog computes "
+    "per column at scale.  All arithmetic on integer cents; the double "
+    "division is exact-floored because numerator and denominator are "
+    "exactly-representable integers (< 2^52), so both engines bin "
+    "identically",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    ext = ev.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(ext)).withColumn(
+        "bin",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(15).cast("long"),
+                F.floor(
+                    (F.col("cents") - F.col("mn")) * F.lit(16.0)
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return binned.groupBy("event_type", "bin", "mn", "mx").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "event_type",
+        F.col("bin").cast("int").alias("bin"),
+        (
+            F.col("mn")
+            + F.floor(F.col("bin") * (F.col("mx") - F.col("mn")) / F.lit(16.0))
+        ).cast("long").alias("lo_cents"),
+        "n",
+    )
+
+
+@register(
+    "corpus_merkle_diff",
+    """
+    WITH a AS (
+      SELECT doc_id % 64 AS bucket,
+             count(*) AS old_n,
+             CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)
+                  AS BIGINT) AS old_xor
+      FROM documents WHERE doc_id % 11 <> 0
+      GROUP BY doc_id % 64
+    ), b AS (
+      SELECT doc_id % 64 AS bucket,
+             count(*) AS new_n,
+             CAST(bit_xor(('0x' || substr(md5(
+                    CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                         ELSE text END), 1, 15))::BIGINT)
+                  AS BIGINT) AS new_xor
+      FROM documents WHERE doc_id % 13 <> 0
+      GROUP BY doc_id % 64
+    )
+    SELECT coalesce(a.bucket, b.bucket) AS bucket,
+           coalesce(a.old_n, 0) AS old_n, coalesce(b.new_n, 0) AS new_n,
+           coalesce(a.old_xor, 0) AS old_xor,
+           coalesce(b.new_xor, 0) AS new_xor,
+           coalesce(a.old_n, 0) <> coalesce(b.new_n, 0)
+             OR coalesce(a.old_xor, 0) <> coalesce(b.new_xor, 0) AS dirty
+    FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    """,
+    "Merkle-bucketed snapshot reconciliation — corpus_diff_docs' scale "
+    "path: instead of full-outer-joining every (id, hash) pair, each "
+    "snapshot folds into 64 bucket digests (count + order-free bit_xor "
+    "of 60-bit content hashes, one map-side-combining aggregate per "
+    "side), and only buckets whose digests differ need a row-level "
+    "rescan.  At 100 TB the compare touches 64 rows, not 10^11 ids; "
+    "dirty buckets bound the expensive pass to changed data.  Same "
+    "synthetic snapshots as corpus_diff_docs (old drops id%11=0, new "
+    "drops %13=0 and edits %7=0), so the bucket verdicts are "
+    "cross-checkable against its row-level statuses",
+)
+def corpus_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_wide(spark, sf_dir, "documents")
+
+    def digest(side: DataFrame, n_col: str, x_col: str) -> DataFrame:
+        h = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        return side.groupBy((F.col("doc_id") % 64).alias("bucket")).agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.bit_xor(h).cast("long").alias(x_col),
+        )
+
+    old = digest(docs.filter(F.col("doc_id") % 11 != 0), "old_n", "old_xor")
+    new = digest(
+        docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        ),
+        "new_n", "new_xor",
+    )
+    j = old.join(new.hint("shuffle_hash"), "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("old_n", F.lit(0)).alias("old_n"),
+        F.coalesce("new_n", F.lit(0)).alias("new_n"),
+        F.coalesce("old_xor", F.lit(0).cast("long")).alias("old_xor"),
+        F.coalesce("new_xor", F.lit(0).cast("long")).alias("new_xor"),
+    )
+    return j.withColumn(
+        "dirty",
+        (F.col("old_n") != F.col("new_n"))
+        | (F.col("old_xor") != F.col("new_xor")),
+    )
+
+
+@register(
+    "cluster_split_docs",
+    _DUCK_MINHASH_CTE.replace("WITH toks", "WITH RECURSIVE toks") + """
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION ALL SELECT id_b, id_a FROM cand
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), clu AS (
+      SELECT d.doc_id,
+             cast(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS bigint)
+               AS cluster
+      FROM documents d
+      LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+        ON d.doc_id = m.a
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 1)
+                     <= 'b' THEN 'train'
+                WHEN substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 1)
+                     IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split
+    FROM clu
+    """,
+    "leakage-free train/val/test split: the split hash is taken over the "
+    "near-dup CLUSTER id (connected components of the LSH pair graph), "
+    "not the document id, so near-duplicates can never straddle the "
+    "train/eval boundary — the contamination mode a doc-level hash split "
+    "invites and eval decontamination then has to patch.  75/12.5/12.5 "
+    "by the first hex char of md5('split:'||cluster) ('0'-'b' / 'c','d' "
+    "/ 'e','f') — deterministic, engine-identical, and stable across "
+    "corpus growth for unchanged clusters.  Cost beyond the CC pass the "
+    "dedup family already runs: one hash projection, zero extra shuffles",
+)
+def cluster_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import dedup_clusters
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
+    )
+    c1 = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("cluster").cast("string"))), 1, 1
+    )
+    return clusters.select(
+        "doc_id", "cluster",
+        F.when(c1 <= F.lit("b"), F.lit("train"))
+        .when(c1.isin("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _label_prop_oracle(rounds: int = 4) -> str:
+    """The same synchronous rounds unrolled as chained CTEs (aggregation is
+    illegal in a recursive member; the unroll mirrors the Spark loop)."""
+    parts = [_DUCK_MINHASH_CTE + """
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), sym AS (
+      SELECT id_a AS node, id_b AS nbr FROM cand
+      UNION ALL SELECT id_b, id_a FROM cand
+    ), l0 AS (
+      SELECT doc_id AS node, CAST(doc_id AS BIGINT) AS lbl FROM documents
+    )"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""", v{k} AS (
+      SELECT s.node, l.lbl, count(*) AS c
+      FROM sym s JOIN l{k - 1} l ON s.nbr = l.node
+      GROUP BY s.node, l.lbl
+    ), w{k} AS (
+      SELECT node, lbl,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY c DESC, lbl ASC) AS rn
+      FROM v{k}
+    ), l{k} AS (
+      SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
+      FROM l{k - 1} p
+      LEFT JOIN (SELECT node, lbl FROM w{k} WHERE rn = 1) w
+        ON p.node = w.node
+    )""")
+    parts.append(f"""
+    SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community
+    FROM l{rounds}
+    """)
+    return "".join(parts)
+
+
+@register(
+    "label_prop_docs",
+    _label_prop_oracle(4),
+    "label-propagation community detection over the document similarity "
+    "graph (ops/graph.label_propagation): four SYNCHRONOUS rounds where "
+    "each node adopts its neighbors' majority label, ties to the "
+    "smallest — deterministic by construction (fixed rounds + total tie "
+    "order) where classic LPA randomizes, which is what lets the "
+    "unrolled-CTE oracle hash-match.  Communities differ from connected "
+    "components: a sparse bridge between two dense near-dup blobs does "
+    "NOT merge them under local majority.  Per round: one nbr-keyed "
+    "join + one (node,label) count + one max_by reduce — three bounded "
+    "shuffles, one label per node of state, lineage truncated on a "
+    "stride like pagerank_int",
+)
+def label_prop_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import minhash_candidate_pairs
+    from .ops.graph import label_propagation
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(
+        docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
+    )
+    sym = cand.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        cand.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return label_propagation(nodes, sym, rounds=4).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

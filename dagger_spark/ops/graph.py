@@ -80,3 +80,61 @@ def pagerank_int(
     )
     e.unpersist()
     return out
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+    id_col: str = "id",
+    label_col: str = "community",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.)
+    made DETERMINISTIC: each round every node adopts the most frequent
+    label among its NEIGHBORS, ties broken by the smallest label, isolated
+    nodes keep their own.  Classic LPA randomizes update order to escape
+    oscillation; this engine instead fixes a bounded round count and a
+    total tie-order, trading convergence guarantees for reproducibility —
+    the same determinism-over-asymptotics choice as the bounded k-core
+    peel, and what makes the unrolled-CTE DuckDB oracle hash-match.
+
+    Differs from connected components (min-label) in that labels move by
+    LOCAL MAJORITY, so a sparse bridge between two dense near-dup blobs
+    does not merge them — community structure, not mere reachability.
+
+    Scale shape per round: one (neighbor)-keyed join to fetch labels + one
+    (node, label) count aggregate + one max_by reduce — three shuffles on
+    the edge list, state is one label per node.  ``max_by(label,
+    struct(cnt, -label))`` picks (max count, then min label) in a single
+    order-free reduce; lineage truncates on a stride like pagerank_int.
+
+    ``edges`` must be SYMMETRIZED (src, dst); ``nodes`` carries every
+    vertex via ``id_col``."""
+    lab = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("lbl")
+    )
+    e = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).persist()
+    for i in range(rounds):
+        nbr_labels = e.join(
+            lab.withColumnRenamed("node", "nbr").hint("shuffle_hash"), "nbr"
+        )
+        votes = nbr_labels.groupBy("node", "lbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # max over (count, -label) == most frequent, smallest label on ties
+        winner = votes.groupBy("node").agg(
+            F.max_by("lbl", F.struct(F.col("c"), (-F.col("lbl")))).alias("w")
+        )
+        lab = lab.join(winner.hint("shuffle_hash"), "node", "left").select(
+            "node", F.coalesce("w", "lbl").alias("lbl")
+        )
+        if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+            lab = lab.localCheckpoint(eager=True)
+    out = lab.select(
+        F.col("node").alias(id_col), F.col("lbl").alias(label_col)
+    )
+    e.unpersist()
+    return out

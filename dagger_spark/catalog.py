@@ -8827,32 +8827,14 @@ def events_hdr_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the 7-day CASE needs no separate presence flag",
 )
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    # the batch leg of the streaming operator (one source of truth for the
+    # window form; batch==stream pinned in tests/test_stateful.py)
+    from .streaming.stateful import attribution_events
 
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    is_touch = F.col("event_type").isin("view", "click")
-    touched = ev.select(
-        "ts", "event_type", "value",
-        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
-        .over(w).alias("t_ts"),
-        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
-        .over(w).alias("t_type"),
-    )
-    pur = touched.filter(F.col("event_type") == "purchase")
-    channel = F.when(
-        F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
-        F.col("t_type"),
-    ).otherwise(F.lit("direct"))
-    return pur.groupBy(channel.alias("channel")).agg(
+    per_purchase = attribution_events(load_table(spark, sf_dir, "events"))
+    return per_purchase.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_purchases"),
-        F.sum(
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        ).cast("long").alias("revenue_cents"),
+        F.sum("value_cents").cast("long").alias("revenue_cents"),
     )
 
 

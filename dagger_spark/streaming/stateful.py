@@ -191,6 +191,133 @@ CUSUM_SCHEMA = T.StructType(
     ]
 )
 
+ATTRIBUTION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("channel", T.StringType(), False),
+        T.StructField("value_cents", T.LongType(), True),
+    ]
+)
+
+_ATTRIBUTION_STATE = T.StructType(
+    [
+        T.StructField("t_us", T.LongType(), False),   # last touch, epoch µs
+        T.StructField("t_type", T.StringType(), False),
+    ]
+)
+
+
+def attribution_events(
+    events: DataFrame,
+    lookback_days: int = 7,
+    touch_types: Tuple[str, ...] = ("view", "click"),
+    idle_timeout_ms: int = 0,
+) -> DataFrame:
+    """Per-purchase last-touch attribution as a STREAMING operator — the
+    catalog's ``events_attribution`` window with its unbounded-preceding
+    frame replaced by O(1) state per user: the (timestamp, type) of the
+    most recent view/click.  That constant footprint is the point: the
+    batch window re-scans a user's whole history per run, while the
+    stream carries 16 bytes per active user and idle users evict on
+    timeout — the only shape that holds on an unbounded clickstream.
+
+    Emits one row per purchase (``update`` mode): channel = the stored
+    touch type when its timestamp is within ``lookback_days`` (inclusive
+    boundary, matching the catalog query's ``>=``), else 'direct'.
+    Batch DataFrames get the identical per-purchase rows via the window
+    form, so batch==stream pins the state machine against the window
+    semantics.  Rows sort by (ts, event_id) within each micro-batch;
+    cross-batch order is arrival order — replay in order, the standard
+    stateful caveat (cusum_alarms).  Cents use the same floor(v*100+0.5)
+    double expression as the batch side, bit-identical in Python and
+    JVM."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    lookback_us = lookback_days * 86_400_000_000
+
+    if not events.isStreaming:
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        is_touch = F.col("event_type").isin(*touch_types)
+        touched = events.select(
+            "user_id", "ts", "event_id", "event_type", "value",
+            F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+            .over(w).alias("t_ts"),
+            F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+            .over(w).alias("t_type"),
+        )
+        return touched.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id",
+            F.when(
+                F.col("t_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {lookback_days} DAYS"),
+                F.col("t_type"),
+            ).otherwise(F.lit("direct")).alias("channel"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            .alias("value_cents"),
+        )
+
+    touch_set = set(touch_types)
+
+    def fold(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        t_us, t_type = state.get if state.exists else (-1, "")
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples(index=False):
+                ts_us = row.ts.value // 1000  # pandas ns -> µs
+                if row.event_type in touch_set:
+                    t_us, t_type = ts_us, row.event_type
+                elif row.event_type == "purchase":
+                    fresh = t_us >= 0 and t_us >= ts_us - lookback_us
+                    cents = (
+                        None if row.value is None or pd.isna(row.value)
+                        else math.floor(float(row.value) * 100 + 0.5)
+                    )
+                    out.append(
+                        (key[0], row.ts, row.event_id,
+                         t_type if fresh else "direct", cents)
+                    )
+        state.update((t_us, t_type))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "ts", "event_id", "channel",
+                         "value_cents"],
+            )
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=ATTRIBUTION_SCHEMA,
+            stateStructType=_ATTRIBUTION_STATE,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 _CUSUM_STATE = T.StructType(
     [
         T.StructField("n", T.LongType(), False),

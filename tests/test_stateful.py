@@ -204,3 +204,76 @@ def test_cusum_stream_equals_batch_closed_form(spark, sf_dir, tmp_path):
                       r["max_cusum"]) for r in rows}
     assert got == expected
     assert len(got) >= 5
+
+
+def test_attribution_stream_equals_batch_window(spark, sf_dir, tmp_path):
+    """The streaming last-touch attributor carries (touch_ts, touch_type)
+    state across micro-batches; the batch path computes the same
+    per-purchase channels with an unbounded-preceding window.  Agreement
+    on an in-order replay proves the O(1) state machine implements the
+    window semantics — including touches and purchases split across
+    micro-batch boundaries (4 chronological slices guarantee many)."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dagger_spark.streaming.stateful import attribution_events
+
+    ev = load_table(spark, sf_dir, "events")
+
+    expected = sorted(
+        (r["user_id"], r["event_id"], r["channel"], r["value_cents"])
+        for r in attribution_events(ev).collect()
+    )
+    assert len(expected) > 100
+    assert {c for _, _, c, _ in expected} >= {"view", "click", "direct"}
+
+    src = str(tmp_path / "slices")
+    os.makedirs(src)
+    bounds = sorted(r["ts"] for r in ev.select("ts").collect())
+    cuts = [bounds[len(bounds) // 4], bounds[len(bounds) // 2],
+            bounds[3 * len(bounds) // 4]]
+    lo = None
+    for i, hi in enumerate(cuts + [None]):
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("ts") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") < hi)
+        part.coalesce(1).write.parquet(f"{src}/slice={i}")
+        lo = hi
+    files = sorted(glob.glob(f"{src}/slice=*/part-*.parquet"))
+    assert len(files) == 4
+    t0 = time.time() - 100
+    for i, f in enumerate(files):
+        os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{src}/slice=*")
+    )
+    out = attribution_events(stream)
+    q = (
+        out.writeStream.format("memory").queryName("attrib_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, event_id, channel, value_cents "
+            "FROM attrib_stream"
+        ).collect()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["user_id"], r["event_id"], r["channel"], r["value_cents"])
+        for r in rows
+    )
+    assert got == expected

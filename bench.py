@@ -177,6 +177,7 @@ HEADLINE = [
     "corpus_merkle_diff",
     "cluster_split_docs",
     "label_prop_docs",
+    "embedding_norms_arrow",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -9159,6 +9159,35 @@ def label_prop_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_norms_arrow",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(list_sum(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                            AS BIGINT)
+                       * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                              AS BIGINT)))
+                AS BIGINT) AS sq_norm_micro
+    FROM embeddings
+    """,
+    "micro-quantized squared L2 norms via mapInArrow "
+    "(ops/arrow.sq_norms_arrow) — the Arrow-native UDF flavor: batches "
+    "stay in Arrow on both edges, the kernel is one flattened numpy pass "
+    "over zero-copy buffers (no per-cell pandas objects).  Elements "
+    "quantize with the engine-shared floor(x*1e6+0.5) double expression "
+    "and sum in int64, so the result is EXACT — this oracle hash-match "
+    "plus the JVM-expression-twin equality in tests/test_arrow_ops.py "
+    "pin the plumbing (schema contract, offsets, zero-length windows) "
+    "that every future Arrow kernel rides on",
+)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.arrow import sq_norms_arrow
+
+    return sq_norms_arrow(_load_wide(spark, sf_dir, "embeddings"))
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

@@ -19,6 +19,15 @@ Options: ``path`` (required), ``topic`` (default ``events``),
 ``n_partitions`` (default 3), ``batch_size`` (streaming: max records per
 micro-batch, default 0 = all at once), ``base_ts`` (ISO datetime, default
 2024-01-01T00:00:00+00:00).
+
+The SINK side (``writer``/``streamWriter``) completes the duplex: a
+produce step on the V2 two-phase commit contract.  Tasks stage their
+records under ``<path>/.staging/`` and report per-task commit messages;
+only the driver's commit publishes files and writes a manifest, so a
+re-executed or aborted task leaves at most an orphaned staging file the
+consumer never sees (``committed_values`` reads in manifest order).  This
+is the same visibility protocol a transactional Kafka producer gives via
+commitTransaction, expressed in the DataSource-V2 writer API.
 """
 
 from __future__ import annotations
@@ -29,7 +38,10 @@ from typing import Iterator, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 KAFKA_WIRE_DDL = (
@@ -106,6 +118,124 @@ class _StreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class _FilesCommitted(WriterCommitMessage):
+    """Per-task commit message: the staged file this task produced (or
+    None for an empty task) and its record count."""
+
+    def __init__(self, filename, n_rows):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+def _value_bytes(row) -> bytes:
+    v = row["value"]
+    if v is None:
+        return b""
+    return v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+
+
+class _SinkWriterBase:
+    """Shared task-side produce step for the batch and streaming sinks:
+    each task stages its records as ONE newline-delimited file under
+    ``<path>/.staging/`` and reports it in the commit message.  Nothing
+    becomes visible until the DRIVER's commit writes the manifest — the
+    V2 two-phase contract that gives a re-executed task idempotence (its
+    orphaned staging file is never referenced)."""
+
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("kafka_sim sink requires option 'path'")
+
+    def write(self, iterator) -> _FilesCommitted:
+        import os
+        import uuid
+
+        staging = os.path.join(self._path, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        tmp = os.path.join(staging, name)
+        with open(tmp, "wb") as fh:
+            for row in iterator:
+                fh.write(_value_bytes(row))
+                fh.write(b"\n")
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return _FilesCommitted(None, 0)
+        return _FilesCommitted(name, n)
+
+    @staticmethod
+    def _publish(path: str, messages, manifest_name: str) -> None:
+        import json
+        import os
+
+        files = [(m.filename, m.n_rows) for m in messages
+                 if m is not None and m.filename]
+        for name, _ in files:
+            os.replace(
+                os.path.join(path, ".staging", name),
+                os.path.join(path, name),
+            )
+        manifest = {
+            "files": [{"file": f, "n_rows": n} for f, n in files],
+            "n_rows": sum(n for _, n in files),
+        }
+        tmp = os.path.join(path, f".{manifest_name}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(path, manifest_name))
+
+    @staticmethod
+    def _discard(path: str, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.filename:
+                try:
+                    os.remove(os.path.join(path, ".staging", m.filename))
+                except FileNotFoundError:
+                    pass
+
+
+class _SinkBatchWriter(_SinkWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._publish(self._path, messages, "manifest-batch.json")
+
+    def abort(self, messages) -> None:
+        self._discard(self._path, messages)
+
+
+class _SinkStreamWriter(_SinkWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        self._publish(self._path, messages, f"manifest-{batchId:08d}.json")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._discard(self._path, messages)
+
+
+def committed_values(path: str) -> list:
+    """Consumer helper: the produced record values in MANIFEST order —
+    staged/orphaned files are invisible by construction (the exactly-once
+    read side of the two-phase commit).  Returns a list of bytes."""
+    import json
+    import os
+
+    out = []
+    for mf in sorted(
+        f for f in os.listdir(path) if f.startswith("manifest-")
+    ):
+        with open(os.path.join(path, mf)) as fh:
+            manifest = json.load(fh)
+        for entry in manifest["files"]:
+            with open(os.path.join(path, entry["file"]), "rb") as fh:
+                lines = fh.read().split(b"\n")[:-1]
+            assert len(lines) == entry["n_rows"]
+            out.extend(lines)
+    return out
+
+
 class KafkaSimDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -119,6 +249,22 @@ class KafkaSimDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> _StreamReader:
         return _StreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "_SinkBatchWriter":
+        names = [f.name for f in schema.fields]
+        if "value" not in names:
+            raise ValueError(
+                f"kafka_sim sink requires a 'value' column, got {names}"
+            )
+        return _SinkBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "_SinkStreamWriter":
+        names = [f.name for f in schema.fields]
+        if "value" not in names:
+            raise ValueError(
+                f"kafka_sim sink requires a 'value' column, got {names}"
+            )
+        return _SinkStreamWriter(self.options)
 
 
 def register_kafka_sim(spark) -> None:

@@ -178,6 +178,7 @@ HEADLINE = [
     "cluster_split_docs",
     "label_prop_docs",
     "embedding_norms_arrow",
+    "events_sql_udf_rollup",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

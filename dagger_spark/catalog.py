@@ -9188,6 +9188,44 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_norms_arrow(_load_wide(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "events_sql_udf_rollup",
+    """
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+    "daily revenue rollup through a SQL-DEFINED FUNCTION (Spark 4 CREATE "
+    "FUNCTION ... RETURN): the shared cents() micro-unit convention as a "
+    "named, reusable SQL UDF.  Catalyst INLINES the body into the plan — "
+    "codegen'd expression, zero UDF-serve cost, no Python boundary "
+    "(asserted in tests/test_sql_surface.py: no BatchEvalPython in the "
+    "plan) — so teams get the abstraction of a function library at the "
+    "price of a macro.  The oracle is the inlined expression, proving "
+    "the UDF changes nothing semantically",
+)
+def events_sql_udf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents(v DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(v * 100 + 0.5) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_trunc('day', ts) AS day,
+               count(*) AS n,
+               CAST(sum(cents(value)) AS BIGINT) AS revenue_cents
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+        """
+    )
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

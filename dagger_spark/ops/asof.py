@@ -128,3 +128,45 @@ def interval_join(
         <= bound_seconds
     )
     return joined.filter(in_range).drop("__cand", "__b")
+
+
+def interval_join_direct(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    bound_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """The direct time-RANGE form of :func:`interval_join` — one join whose
+    condition is the raw ``|l.ts - r.ts| <= bound`` interval, no bucket
+    explosion.
+
+    Why two forms exist: the bucketed form bounds BATCH shuffle fan-out
+    (each row meets only its 3 candidate buckets) but its exploded left
+    side makes outer semantics wrong (each unmatched bucket-candidate
+    would null-emit).  This form is what Structured Streaming's
+    symmetric-hash join manager wants verbatim: with watermarks on both
+    sides, the event-time range condition is how it bounds state and —
+    for ``left_outer``/``right_outer``/``full_outer`` — decides when an
+    unmatched row is safe to null-emit (watermark past the range end).
+    Use the bucketed form for large batch joins, this one for streaming
+    and for any outer interval join; the inner results are identical
+    (pinned in tests/test_stream_stream_join.py).
+
+    Column collisions are suffixed ``_r`` like :func:`interval_join`.
+    """
+    collisions = set(left.columns) & set(right.columns)
+    r_renamed = right
+    for c in collisions:
+        r_renamed = r_renamed.withColumnRenamed(c, f"{c}_r")
+    rkey = f"{key}_r" if key in collisions else key
+    rts = f"{right_ts}_r" if right_ts in collisions else right_ts
+    bound = int(bound_seconds)
+    cond = (
+        (F.col(key) == F.col(rkey))
+        & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {bound} SECONDS"))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {bound} SECONDS"))
+    )
+    return left.join(r_renamed, cond, how)

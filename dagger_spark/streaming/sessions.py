@@ -71,3 +71,40 @@ def session_pattern_counts(
         n.cast("long").alias("n_patterns"),
     )
     return out.filter(F.col("n_patterns") > 0) if matched_only else out
+
+
+def dynamic_gap_sessions(
+    events: DataFrame,
+    gaps: dict,
+    default_gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Gap-sessions where the quiet-gap is PER EVENT (Spark's dynamic
+    ``session_window(ts, gapDuration=Column)``): each event holds its
+    session open for its own type's duration, overlapping extensions
+    merge.  The SIEM use: an error/alert event keeps the incident
+    session alive longer than routine clicks, without a second pass.
+
+    ``gaps`` maps event-type -> interval string; unlisted types get
+    ``default_gap``.  Same batch/stream duality as the static-gap form —
+    one Column tree, watermarked append mode finalizes a session when
+    the watermark clears ITS OWN last gap (pinned batch==stream in
+    tests/test_streaming.py).  Returns (user, start, end, n_events)."""
+    gap_col = None
+    for typ, dur in sorted(gaps.items()):
+        cond = F.col(type_col) == typ
+        gap_col = (F.when(cond, F.lit(dur)) if gap_col is None
+                   else gap_col.when(cond, F.lit(dur)))
+    gap_col = (F.lit(default_gap) if gap_col is None
+               else gap_col.otherwise(F.lit(default_gap)))
+    sw = F.session_window(F.col(ts_col), gap_col)
+    return events.groupBy(F.col(user_col), sw.alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        user_col,
+        F.col("w.start").alias("start"),
+        F.col("w.end").alias("end"),
+        "n_events",
+    )

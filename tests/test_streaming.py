@@ -519,3 +519,78 @@ def test_session_pattern_match_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_dynamic_gap_session_window_stream_equals_batch(spark, tmp_path):
+    """Dynamic per-event session gaps: an 'error' holds its session open
+    60 minutes while clicks hold 30 — so u1's +40min follow-up lands in
+    the SAME session only because the preceding event was an error
+    (u2's identical timing with a click splits).  The same Column tree
+    streams; sentinel close-out as in the static-gap test."""
+    import glob
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dagger_spark.streaming.sessions import dynamic_gap_sessions
+
+    t0 = datetime(2024, 7, 1)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def ev(i, u, typ, minutes):
+        return Row(event_id=i, ts=t0 + timedelta(minutes=minutes),
+                   user_id=u, event_type=typ, value=1.0, props="{}")
+
+    rows = [
+        # u1: error then +40min click -> ONE session (error gap 60m)
+        ev(1, 1, "error", 0), ev(2, 1, "click", 40),
+        # u2: click then +40min click -> TWO sessions (click gap 30m)
+        ev(3, 2, "click", 0), ev(4, 2, "click", 40),
+        # u3: error, +55m click, +25m click -> ONE chained session
+        ev(5, 3, "error", 0), ev(6, 3, "click", 55), ev(7, 3, "click", 80),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    GAPS = {"error": "60 minutes"}
+
+    batch = {(r["user_id"], r["start"], r["end"], r["n_events"])
+             for r in dynamic_gap_sessions(df, GAPS).collect()}
+    per_user = {}
+    for u, *_rest, n in sorted(batch):
+        per_user.setdefault(u, []).append(n)
+    assert per_user == {1: [2], 2: [1, 1], 3: [3]}
+
+    src = str(tmp_path / "dynsess")
+    os.makedirs(src)
+    sentinel = Row(event_id=99, ts=t0 + timedelta(days=30), user_id=-1,
+                   event_type="click", value=1.0, props="{}")
+    spark.createDataFrame(rows[:4], schema).coalesce(1) \
+        .write.parquet(src + "/f0")
+    spark.createDataFrame(rows[4:] + [sentinel], schema).coalesce(1) \
+        .write.parquet(src + "/f1")
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    now = time.time() - 60
+    for i, f in enumerate(files):
+        os.utime(f, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/f*")
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        dynamic_gap_sessions(stream, GAPS)
+        .writeStream.format("memory").queryName("dyn_sess")
+        .option("checkpointLocation", str(tmp_path / "ck_dyn"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["user_id"], r["start"], r["end"], r["n_events"])
+               for r in spark.sql(
+                   "SELECT * FROM dyn_sess WHERE user_id >= 0").collect()}
+    finally:
+        q.stop()
+    assert got == batch

@@ -594,3 +594,91 @@ def test_dynamic_gap_session_window_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_ohlc_bars_stream_equals_batch(spark, tmp_path):
+    """min_by/max_by(cents, struct(ts,event_id)) must fold correctly in
+    STREAMING window state (argmin-in-aggregate across micro-batches) —
+    the streaming leg of catalog events_ohlc_bars.  Two chronological
+    slices split several bars across the batch boundary; the sentinel
+    closes the final window."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dagger_spark.catalog import QUERIES
+    from dagger_spark.sources.files import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    expected = {
+        (r["bar_hour"], r["event_type"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_events"], r["sum_cents"])
+        for r in QUERIES["events_ohlc_bars"].fn(spark, sf_dir).collect()
+    }
+    assert len(expected) > 100
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "ohlc_src")
+    os.makedirs(src)
+    bounds = sorted(r["ts"] for r in ev.select("ts").collect())
+    cut = bounds[len(bounds) // 2]
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src + "/f0")
+    late = ev.filter(F.col("ts") >= cut)
+    sentinel = spark.createDataFrame(
+        [(-1, None, -1, "view", 1.0, "{}")], ev.schema
+    ).withColumn("ts", F.lit("2030-01-01 00:00:00").cast("timestamp"))
+    late.unionByName(sentinel).coalesce(1).write.parquet(src + "/f1")
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    now = time.time() - 60
+    for i, f in enumerate(files):
+        os.utime(f, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/f*")
+        .withWatermark("ts", "0 seconds")
+    )
+    bars = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        F.min_by(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            F.struct("ts", "event_id"),
+        ).cast("long").alias("open_cents"),
+        F.max(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .alias("high_cents"),
+        F.min(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .alias("low_cents"),
+        F.max_by(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            F.struct("ts", "event_id"),
+        ).cast("long").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long").alias("sum_cents"),
+    )
+    q = (
+        bars.select(F.col("w.start").alias("bar_hour"), "event_type",
+                    "open_cents", "high_cents", "low_cents", "close_cents",
+                    "n_events", "sum_cents")
+        .writeStream.format("memory").queryName("ohlc_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_ohlc"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["bar_hour"], r["event_type"]): (
+                r["open_cents"], r["high_cents"], r["low_cents"],
+                r["close_cents"], r["n_events"], r["sum_cents"])
+            for r in spark.sql(
+                "SELECT * FROM ohlc_stream WHERE bar_hour < '2029-01-01'"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected

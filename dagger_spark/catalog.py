@@ -5543,7 +5543,14 @@ def pagerank_docs(spark, sf_dir):
         cand.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     nodes = docs.select(F.col("doc_id").alias("id"))
-    return pagerank_int(nodes, sym, iters=10).withColumnRenamed("id", "doc_id")
+    # stride 5 = two localCheckpoint jobs for the 10 rounds (after r5/r10)
+    # vs stride 3's four; measured at sf0.1/local[32]: 5.4-5.6 s vs
+    # 5.9-9.0 s.  The plan runs ≤5 iterations deep — fine for this
+    # two-shuffle round shape; graphs that pressure executor memory
+    # should drop back toward 1 (see pagerank_int's docstring).
+    return pagerank_int(
+        nodes, sym, iters=10, checkpoint_every=5
+    ).withColumnRenamed("id", "doc_id")
 
 
 def _profile_col_sql(c: str) -> str:

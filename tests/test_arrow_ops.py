@@ -40,10 +40,19 @@ def test_arrow_kernel_edge_vectors(spark):
     assert got[2] == (0, 0)
 
 
-def test_arrow_kernel_rejects_null_vectors(spark):
+def test_arrow_kernel_null_vectors_pass_through_as_null(spark):
+    """NULL vectors yield NULL dim/sum — the same SQL-null discipline as
+    size/aggregate (and DuckDB len/list_sum), so kernel == expression
+    holds on corpora containing nulls too."""
     df = spark.createDataFrame(
-        [Row(vec_id=1, embedding=[1.0]), Row(vec_id=2, embedding=None)],
+        [Row(vec_id=1, embedding=[1.0]), Row(vec_id=2, embedding=None),
+         Row(vec_id=3, embedding=[0.5, 0.5])],
         "vec_id long, embedding array<float>",
     )
-    with pytest.raises(Exception, match="null vectors"):
-        sq_norms_arrow(df).collect()
+    got = {r["vec_id"]: (r["dim"], r["sq_norm_micro"])
+           for r in sq_norms_arrow(df).collect()}
+    want = {r["vec_id"]: (r["dim"], r["sq_norm_micro"])
+            for r in sq_norms_expr(df).collect()}
+    assert got == want
+    assert got[2] == (None, None)
+    assert got[1] == (1, 1_000_000 * 1_000_000)

@@ -92,6 +92,10 @@ DOC_QUERIES = [
     "quantile_normalize_docs",
     # round 6: curriculum staging on the range-partitioned global ntile
     "curriculum_stages_docs",
+    # round-6 continuation
+    "cluster_split_docs",
+    "label_prop_docs",
+    "corpus_merkle_diff",
 ]
 
 _WORDS = (

@@ -36,6 +36,7 @@ EMB_QUERIES = [
     "ann_recall",
     "ann_rp",
     "contrastive_triplets",
+    "embedding_norms_arrow",
 ]
 
 DIM = 64

@@ -71,6 +71,15 @@ EVENT_QUERIES = [
     # fuzz corpus's 6-decimal values make micro-unit interpolation land
     # on *.5 boundaries, exactly the cross-engine hazard it must survive
     "events_exact_quantiles",
+    # round-6 continuation: the fuzz ties/negative values hit exactly the
+    # edges these pin — OHLC open/close ties break on event_id, the
+    # histogram's floor division must hold for negative cents, and the
+    # attribution lookback sees same-timestamp touch/purchase pairs
+    "events_attribution",
+    "events_ohlc_bars",
+    "events_value_histogram",
+    "events_sql_udf_rollup",
+    "events_hdr_weekly_rollup",
 ]
 
 _TYPES = ["error", "purchase", "click", "view", "signup"]

@@ -179,6 +179,8 @@ HEADLINE = [
     "label_prop_docs",
     "embedding_norms_arrow",
     "events_sql_udf_rollup",
+    "orders_pit_priority",
+    "events_ab_test",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -9173,6 +9173,163 @@ def label_prop_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_shared_sql(
+    "orders_pit_priority",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority AS p,
+             date_trunc('second', o_orderdate) AS d, o_orderkey AS k,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), changes AS (
+      SELECT o_custkey, p, d, k FROM ordered
+      WHERE prev IS NULL OR p <> prev
+    ), scd AS (
+      SELECT o_custkey, p AS priority, d AS valid_from,
+             lead(d) OVER (
+               PARTITION BY o_custkey ORDER BY d, k
+             ) AS valid_to
+      FROM changes
+    ), pit AS (
+      SELECT /*+ SHUFFLE_HASH(s) */
+             o.o_custkey, o.o_orderpriority AS actual, s.priority AS pit_p
+      FROM orders o JOIN scd s
+        ON o.o_custkey = s.o_custkey
+       AND date_trunc('second', o.o_orderdate) >= s.valid_from
+       AND (s.valid_to IS NULL
+            OR date_trunc('second', o.o_orderdate) < s.valid_to)
+    )
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN actual = pit_p THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pit_correct
+    FROM pit
+    GROUP BY o_custkey
+    """,
+    "POINT-IN-TIME join against the SCD2 dimension scd2_customer_priority "
+    "builds: each order joins the priority version whose [valid_from, "
+    "valid_to) range covers its date — the as-of lookup every "
+    "slowly-changing-dimension warehouse runs.  Ranges partition each "
+    "customer's timeline (empty [d,d) versions from same-date changes "
+    "match nothing), so every order matches EXACTLY one version; "
+    "n_pit_correct < n_orders precisely where two same-date orders carry "
+    "different priorities — date-granularity PIT cannot distinguish "
+    "intra-date order, and the gate pins that honestly rather than "
+    "papering over it.  Scale shape: the range condition rides the "
+    "custkey EQUI-join (co-partitioned, SHUFFLE_HASH-hinted — a comment "
+    "to DuckDB), never a range-only join",
+)
+
+
+@register(
+    "events_ab_test",
+    """
+    WITH assign AS (
+      SELECT user_id,
+             substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+               AS in_a,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events
+      GROUP BY user_id
+    ), arms AS (
+      SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN in_a THEN converted ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE converted END) AS BIGINT)
+               AS cb
+      FROM assign
+    ), stats AS (
+      SELECT na, nb, ca, cb,
+             CASE WHEN na * nb * (ca + cb)
+                       * ((na + nb) - (ca + cb)) = 0 THEN NULL
+             ELSE ((ca * nb - cb * na) * (ca * nb - cb * na))
+                  * CAST(na + nb AS DOUBLE)
+                  / (CAST(na AS DOUBLE) * nb * (ca + cb)
+                     * ((na + nb) - (ca + cb))) END AS z2_raw,
+             ((na - nb) * (na - nb)) / CAST(na + nb AS DOUBLE) AS srm_raw
+      FROM arms
+    )
+    SELECT na, nb, ca, cb,
+           round(ca / CAST(na AS DOUBLE), 6) AS rate_a,
+           round(cb / CAST(nb AS DOUBLE), 6) AS rate_b,
+           round(z2_raw, 6) AS z2,
+           CASE WHEN z2_raw IS NULL THEN 'undefined'
+                WHEN z2_raw > 3.841459 THEN 'significant'
+                ELSE 'not_significant' END AS verdict,
+           round(srm_raw, 6) AS srm_chi2,
+           CASE WHEN srm_raw > 3.841459 THEN 'srm_suspect'
+                ELSE 'srm_ok' END AS srm_verdict
+    FROM stats
+    """,
+    "A/B experiment readout: users hash-split into arms (md5 first hex "
+    "char — deterministic, engine-identical, the same assignment a "
+    "feature-flag service derives), per-user conversion = any purchase, "
+    "then the two-proportion pooled z² test and the sample-ratio-"
+    "mismatch chi² guard (an SRM hit means the ASSIGNMENT is broken and "
+    "the p-value is meaningless — the first thing a real experiment "
+    "platform checks).  One user-keyed aggregate + one 4-integer frame; "
+    "the test statistics are arithmetic over exact integer counts "
+    "(identical expression text both engines), so determinism holds "
+    "without micro-unit scaffolding.  z²>3.841459 == two-sided p<0.05 "
+    "at 1 df",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))),
+                1, 1,
+            ) < F.lit("8")
+        ).alias("in_a"),
+        # 'power-buyer' conversion (>= 14 purchases, the per-user median):
+        # any-purchase converts EVERY testdata user and the z-test
+        # degenerates; this definition splits ~50/50 at every sf
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ) >= 14, 1,
+        ).otherwise(0).alias("converted"),
+    )
+    arms = assign.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("in_a"), F.col("converted")).otherwise(0))
+        .cast("long").alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(F.col("converted")))
+        .cast("long").alias("cb"),
+    )
+    na, nb, ca, cb = (F.col(c) for c in ("na", "nb", "ca", "cb"))
+    diff = ca * nb - cb * na
+    pooled = ca + cb
+    # degenerate designs (an empty arm, zero or total conversion) have no
+    # defined z²: NULL in both engines, never a division error (ANSI)
+    defined = (na * nb * pooled * ((na + nb) - pooled)) != 0
+    z2 = F.when(
+        defined,
+        (diff * diff) * (na + nb).cast("double")
+        / (na.cast("double") * nb * pooled * ((na + nb) - pooled)),
+    )
+    srm = ((na - nb) * (na - nb)) / (na + nb).cast("double")
+    return arms.select(
+        "na", "nb", "ca", "cb",
+        F.round(ca / na.cast("double"), 6).alias("rate_a"),
+        F.round(cb / nb.cast("double"), 6).alias("rate_b"),
+        F.round(z2, 6).alias("z2"),
+        F.when(z2.isNull(), F.lit("undefined"))
+        .when(z2 > F.lit(3.841459), F.lit("significant"))
+        .otherwise(F.lit("not_significant")).alias("verdict"),
+        F.round(srm, 6).alias("srm_chi2"),
+        F.when(srm > F.lit(3.841459), F.lit("srm_suspect"))
+        .otherwise(F.lit("srm_ok")).alias("srm_verdict"),
+    )
+
+
 @register(
     "embedding_norms_arrow",
     """

@@ -208,3 +208,86 @@ def test_label_propagation_keeps_bridged_communities_apart(spark):
     out2 = {r["id"]: r["community"] for r in
             label_propagation(nodes2, edges, rounds=2).collect()}
     assert out2[99] == 99
+
+
+def _ab_arm(user_id):
+    return hashlib.md5(f"ab1:{user_id}".encode()).hexdigest()[0] < "8"
+
+
+def test_events_ab_test_semantics(spark, tmp_path):
+    """Engineered arms: A users are power-buyers (>=14 purchases), B users
+    are not -> the z-test must call it significant with balanced
+    assignment; a second corpus with wildly unbalanced arms must trip
+    the SRM guard regardless of conversions."""
+    t0 = dt.datetime(2024, 1, 1)
+
+    a_users = [u for u in range(1, 200) if _ab_arm(u)][:30]
+    b_users = [u for u in range(1, 200) if not _ab_arm(u)][:30]
+    rows, eid = [], 0
+
+    def purchases(u, n):
+        nonlocal eid
+        for i in range(n):
+            rows.append(Row(event_id=eid, ts=t0 + dt.timedelta(minutes=eid),
+                            user_id=u, event_type="purchase", value=10.0,
+                            props=None))
+            eid += 1
+
+    for u in a_users:
+        purchases(u, 14)   # converted
+    for u in b_users:
+        purchases(u, 1)    # not converted
+    d = _write_events(spark, tmp_path, rows, "ab1")
+    r = QUERIES["events_ab_test"].fn(spark, d).head()
+    assert (r["na"], r["nb"]) == (30, 30)
+    assert (r["ca"], r["cb"]) == (30, 0)
+    assert r["verdict"] == "significant"
+    assert r["srm_verdict"] == "srm_ok"
+
+    # unbalanced assignment: 30 vs 4 users -> chi2 = 26^2/34 ≈ 19.9 > 3.84
+    rows2, self_eid = [], [0]
+    d2_users = a_users[:30] + b_users[:4]
+    for u in d2_users:
+        rows2.append(Row(event_id=len(rows2), ts=t0, user_id=u,
+                         event_type="view", value=1.0, props=None))
+    d2 = _write_events(spark, tmp_path, rows2, "ab2")
+    r2 = QUERIES["events_ab_test"].fn(spark, d2).head()
+    assert r2["srm_verdict"] == "srm_suspect"
+    assert r2["verdict"] == "undefined"  # zero conversions -> no z-test
+
+
+def test_orders_pit_priority_same_date_caveat(spark, tmp_path):
+    """PIT at date granularity: a customer whose priority changes WITHIN
+    one date gets n_pit_correct = n_orders - 1 (the earlier same-date
+    order reads the later version); a clean customer is fully correct."""
+    import glob
+    import os
+    import shutil
+
+    rows = [
+        # cust 1: two dates, one priority each -> all PIT-correct
+        (101, 1, "1-URGENT", dt.date(2024, 1, 1)),
+        (102, 1, "1-URGENT", dt.date(2024, 1, 1)),
+        (103, 1, "3-MEDIUM", dt.date(2024, 2, 1)),
+        # cust 2: SAME date, different priorities -> one mismatch
+        (201, 2, "1-URGENT", dt.date(2024, 1, 5)),
+        (202, 2, "5-LOW", dt.date(2024, 1, 5)),
+    ]
+    # shared-SQL queries register every testdata view: clone the sf dir,
+    # then swap in the crafted orders table
+    d = str(tmp_path / "pit")
+    os.makedirs(d)
+    for f in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        shutil.copy(f, d)
+    os.remove(d + "/orders.parquet")
+    spark.createDataFrame(
+        [Row(o_orderkey=k, o_custkey=c, o_orderpriority=p,
+             o_orderdate=dt.datetime.combine(od, dt.time()))
+         for k, c, p, od in rows],
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderdate timestamp",
+    ).write.parquet(d + "/orders.parquet")
+    out = {r["o_custkey"]: r for r in
+           QUERIES["orders_pit_priority"].fn(spark, d).collect()}
+    assert out[1]["n_orders"] == 3 and out[1]["n_pit_correct"] == 3
+    assert out[2]["n_orders"] == 2 and out[2]["n_pit_correct"] == 1

@@ -116,7 +116,7 @@ _DRIVER_WINDOW = [
     "events_attribution", "events_ohlc_bars", "events_value_histogram",
     "corpus_merkle_diff", "cluster_split_docs", "label_prop_docs",
     "embedding_norms_arrow", "events_sql_udf_rollup",
-    "orders_pit_priority", "events_ab_test",
+    "orders_pit_priority", "events_ab_test", "hybrid_rrf_docs",
 ]
 
 

@@ -181,6 +181,7 @@ HEADLINE = [
     "events_sql_udf_rollup",
     "orders_pit_priority",
     "events_ab_test",
+    "hybrid_rrf_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -9330,6 +9330,160 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60
+
+
+@register(
+    "hybrid_rrf_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {{_DUCK_TOKS}} AS t FROM documents
+    ), lens AS (
+      SELECT doc_id, t, len(t) AS dl FROM toks WHERE len(t) > 0
+    ), stats AS (
+      SELECT avg(dl) AS avgdl, count(*) AS n FROM lens
+    ), q AS (SELECT unnest(['spark', 'hash', 'window']) AS term),
+    tf AS (
+      SELECT l.doc_id, l.dl, q.term,
+             len(list_filter(l.t, x -> x = q.term)) AS f
+      FROM lens l CROSS JOIN q
+    ), dfq AS (
+      SELECT term, sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS nd
+      FROM tf GROUP BY term
+    ), lex AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((s.n - dfq.nd + 0.5) / (dfq.nd + 0.5) + 1.0)
+               * (tf.f * ({_BM25_K1} + 1.0))
+               / (tf.f + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * tf.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN stats s
+      WHERE tf.f > 0
+      GROUP BY tf.doc_id
+    ), lex_r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM lex
+    ), qv AS (
+      SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0
+    ), sem AS (
+      SELECT e.vec_id AS doc_id,
+             CASE WHEN sqrt(list_dot_product(qv.v, qv.v))
+                       * sqrt(list_dot_product(e.v, e.v)) > 0
+                  THEN round(list_dot_product(qv.v, e.v)
+                       / (sqrt(list_dot_product(qv.v, qv.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 6)
+                  ELSE 0.0 END AS score
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE embedding IS NOT NULL) e
+      CROSS JOIN qv
+      WHERE e.vec_id <> 0
+    ), sem_r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM sem
+    ), fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             coalesce(1000000 // ({_RRF_K} + l.r), 0)
+               + coalesce(1000000 // ({_RRF_K} + s.r), 0) AS rrf_micro,
+             l.r AS lex_rank, s.r AS sem_rank
+      FROM lex_r l FULL OUTER JOIN sem_r s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           lex_rank, sem_rank
+    FROM fused
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT 20
+    """.replace("{_DUCK_TOKS}", _DUCK_TOKS),
+    "HYBRID retrieval via reciprocal-rank fusion — the modern search "
+    "stack's default: the BM25 lexical leg and an embedding-cosine "
+    "semantic leg (query = doc 0's vector) are each ranked GLOBALLY "
+    "with ops/rank.global_row_number (two-pass range-partitioned — a "
+    "corpus-wide ordering with no single-partition window), then fused "
+    "as sum of 1e6 div (60 + rank) — integer floor contributions, so "
+    "the fusion is exact and order-free and the hash gate needs no "
+    "epsilon.  Docs reached by only one leg keep that leg's "
+    "contribution (full outer, SHUFFLE_HASH).  RRF's k=60 is the "
+    "Cormack et al. constant; rank fusion needs no score calibration "
+    "between legs, which is exactly why it is the production default",
+)
+def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.rank import global_row_number
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    # lexical leg: the bm25_topk_docs scoring stage, unlimited
+    lens = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .withColumn("dl", F.size("t"))
+        .filter(F.col("dl") > 0)
+    )
+    stats = lens.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
+    )
+    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    tf = lens.crossJoin(F.broadcast(q)).select(
+        "doc_id", "dl", "term",
+        F.size(F.filter("t", lambda x: x == F.col("term"))).alias("f"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("f") > 0, 1).otherwise(0)).alias("nd")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1.0
+    )
+    contrib = idf * (F.col("f") * (_BM25_K1 + 1.0)) / (
+        F.col("f")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    lex = (
+        tf.filter(F.col("f") > 0)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    lex_r = global_row_number(
+        lex, [F.col("score").desc(), F.col("doc_id")], "lex_rank",
+        part_key=-F.col("score"),
+    ).select("doc_id", "lex_rank")
+
+    # semantic leg: cosine vs doc 0's embedding, corpus-wide
+    from .ops.similarity import cosine_sim
+
+    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    sem_r = global_row_number(
+        sem, [F.col("score").desc(), F.col("doc_id")], "sem_rank",
+        part_key=-F.col("score"),
+    ).select("doc_id", "sem_rank")
+
+    rrf = F.coalesce(
+        F.expr(f"1000000 div ({_RRF_K} + lex_rank)"), F.lit(0).cast("long")
+    ) + F.coalesce(
+        F.expr(f"1000000 div ({_RRF_K} + sem_rank)"), F.lit(0).cast("long")
+    )
+    return (
+        lex_r.join(sem_r.hint("shuffle_hash"), "doc_id", "full_outer")
+        .select(
+            "doc_id", rrf.cast("long").alias("rrf_micro"),
+            "lex_rank", "sem_rank",
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 @register(
     "embedding_norms_arrow",
     """

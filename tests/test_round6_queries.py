@@ -291,3 +291,24 @@ def test_orders_pit_priority_same_date_caveat(spark, tmp_path):
            QUERIES["orders_pit_priority"].fn(spark, d).collect()}
     assert out[1]["n_orders"] == 3 and out[1]["n_pit_correct"] == 3
     assert out[2]["n_orders"] == 2 and out[2]["n_pit_correct"] == 1
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
+    """RRF fusion is the exact integer sum of the per-leg contributions,
+    docs reached by one leg keep that leg only, and both legs'
+    best-ranked docs appear in the fused top-20."""
+    rows = QUERIES["hybrid_rrf_docs"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        want = 0
+        if r["lex_rank"] is not None:
+            want += 1_000_000 // (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            want += 1_000_000 // (60 + r["sem_rank"])
+        assert r["rrf_micro"] == want and want > 0
+    # ordering: non-increasing score, doc_id tiebreak
+    scores = [(-r["rrf_micro"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores)
+    # both modalities contribute to the fused head
+    assert any(r["lex_rank"] is not None for r in rows)
+    assert any(r["sem_rank"] is not None for r in rows)

@@ -682,3 +682,39 @@ def test_ohlc_bars_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_available_now_trigger_backfill_equals_batch(spark, tmp_path):
+    """Trigger.AvailableNow — the backfill/catch-up mode: process every
+    file already present in bounded micro-batches, then STOP on its own
+    (no manual stop; awaitTermination returns).  Totals equal the batch
+    aggregate, and the query self-terminates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dagger_spark.sources.files import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_type", "value")
+    src = str(tmp_path / "an_src")
+    ev.repartition(4).write.parquet(src)
+    truth = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    stream = spark.readStream.schema(ev.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory").queryName("an_agg")
+        .option("checkpointLocation", str(tmp_path / "an_ck"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)  # self-terminates after the backlog
+    got = {r["event_type"]: r["n"]
+           for r in spark.sql("SELECT * FROM an_agg").collect()}
+    assert got == truth

@@ -3967,6 +3967,44 @@ _BM25_TERMS = ("spark", "hash", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
+def _bm25_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-doc BM25 score (k1/b constants above) for the fixed
+    ``_BM25_TERMS`` query — the shared scoring stage of bm25_topk_docs
+    (top-20 cut) and hybrid_rrf_docs (corpus-wide rank): tf via a filter
+    lambda over the token array, df/avgdl as 1-row broadcast aggregates;
+    only matching (doc, term, tf) triples reach the scoring aggregate."""
+    lens = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .withColumn("dl", F.size("t"))
+        .filter(F.col("dl") > 0)
+    )
+    stats = lens.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
+    )
+    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    tf = lens.crossJoin(F.broadcast(q)).select(
+        "doc_id", "dl", "term",
+        F.size(F.filter("t", lambda x: x == F.col("term"))).alias("f"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("f") > 0, 1).otherwise(0)).alias("nd")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1.0
+    )
+    contrib = idf * (F.col("f") * (_BM25_K1 + 1.0)) / (
+        F.col("f")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.filter(F.col("f") > 0)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+
+
 @register(
     "bm25_topk_docs",
     f"""
@@ -4009,35 +4047,9 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 )
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_wide(spark, sf_dir, "documents")
-    lens = (
-        docs.select("doc_id", tokens(F.col("text")).alias("t"))
-        .withColumn("dl", F.size("t"))
-        .filter(F.col("dl") > 0)
-    )
-    stats = lens.agg(
-        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
-    )
-    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
-    tf = lens.crossJoin(F.broadcast(q)).select(
-        "doc_id", "dl", "term",
-        F.size(F.filter("t", lambda x: x == F.col("term"))).alias("f"),
-    )
-    dfreq = tf.groupBy("term").agg(
-        F.sum(F.when(F.col("f") > 0, 1).otherwise(0)).alias("nd")
-    )
-    idf = F.log(
-        (F.col("n") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1.0
-    )
-    contrib = idf * (F.col("f") * (_BM25_K1 + 1.0)) / (
-        F.col("f")
-        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-    )
     return (
-        tf.filter(F.col("f") > 0)
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        _bm25_scores(spark, docs)
+        .withColumnRenamed("score", "bm25")
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
@@ -8910,6 +8922,7 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
+      WHERE value IS NOT NULL
     ), ext AS (
       SELECT min(cents) AS mn, max(cents) AS mx FROM c
     ), binned AS (
@@ -8937,7 +8950,12 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identically",
 )
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    # NULL values are NOT observations: least(15, NULL) would otherwise
+    # count them in the top bin (least skips null operands in BOTH
+    # engines); profile_documents reports null fractions separately
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
@@ -9251,12 +9269,16 @@ _shared_sql(
                   * CAST(na + nb AS DOUBLE)
                   / (CAST(na AS DOUBLE) * nb * (ca + cb)
                      * ((na + nb) - (ca + cb))) END AS z2_raw,
-             ((na - nb) * (na - nb)) / CAST(na + nb AS DOUBLE) AS srm_raw
+             CASE WHEN na + nb = 0 THEN NULL
+                  ELSE ((na - nb) * (na - nb)) / CAST(na + nb AS DOUBLE)
+                  END AS srm_raw
       FROM arms
     )
     SELECT na, nb, ca, cb,
-           round(ca / CAST(na AS DOUBLE), 6) AS rate_a,
-           round(cb / CAST(nb AS DOUBLE), 6) AS rate_b,
+           round(CASE WHEN na = 0 THEN NULL
+                 ELSE ca / CAST(na AS DOUBLE) END, 6) AS rate_a,
+           round(CASE WHEN nb = 0 THEN NULL
+                 ELSE cb / CAST(nb AS DOUBLE) END, 6) AS rate_b,
            round(z2_raw, 6) AS z2,
            CASE WHEN z2_raw IS NULL THEN 'undefined'
                 WHEN z2_raw > 3.841459 THEN 'significant'
@@ -9315,11 +9337,13 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (diff * diff) * (na + nb).cast("double")
         / (na.cast("double") * nb * pooled * ((na + nb) - pooled)),
     )
-    srm = ((na - nb) * (na - nb)) / (na + nb).cast("double")
+    srm = F.when(
+        (na + nb) > 0, ((na - nb) * (na - nb)) / (na + nb).cast("double")
+    )
     return arms.select(
         "na", "nb", "ca", "cb",
-        F.round(ca / na.cast("double"), 6).alias("rate_a"),
-        F.round(cb / nb.cast("double"), 6).alias("rate_b"),
+        F.round(F.when(na > 0, ca / na.cast("double")), 6).alias("rate_a"),
+        F.round(F.when(nb > 0, cb / nb.cast("double")), 6).alias("rate_b"),
         F.round(z2, 6).alias("z2"),
         F.when(z2.isNull(), F.lit("undefined"))
         .when(z2 > F.lit(3.841459), F.lit("significant"))
@@ -9412,37 +9436,7 @@ def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.rank import global_row_number
 
     docs = _load_wide(spark, sf_dir, "documents")
-    # lexical leg: the bm25_topk_docs scoring stage, unlimited
-    lens = (
-        docs.select("doc_id", tokens(F.col("text")).alias("t"))
-        .withColumn("dl", F.size("t"))
-        .filter(F.col("dl") > 0)
-    )
-    stats = lens.agg(
-        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
-    )
-    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
-    tf = lens.crossJoin(F.broadcast(q)).select(
-        "doc_id", "dl", "term",
-        F.size(F.filter("t", lambda x: x == F.col("term"))).alias("f"),
-    )
-    dfreq = tf.groupBy("term").agg(
-        F.sum(F.when(F.col("f") > 0, 1).otherwise(0)).alias("nd")
-    )
-    idf = F.log(
-        (F.col("n") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1.0
-    )
-    contrib = idf * (F.col("f") * (_BM25_K1 + 1.0)) / (
-        F.col("f")
-        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    lex = (
-        tf.filter(F.col("f") > 0)
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("score"))
-    )
+    lex = _bm25_scores(spark, docs)
     lex_r = global_row_number(
         lex, [F.col("score").desc(), F.col("doc_id")], "lex_rank",
         part_key=-F.col("score"),
@@ -9451,8 +9445,12 @@ def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semantic leg: cosine vs doc 0's embedding, corpus-wide
     from .ops.similarity import cosine_sim
 
-    emb = _load_wide(spark, sf_dir, "embeddings").withColumn(
-        "v", F.col("embedding").cast("array<double>")
+    emb = (
+        _load_wide(spark, sf_dir, "embeddings")
+        # mirror the oracle's IS NOT NULL: a null-embedding doc must get
+        # no semantic rank, not a rank at cosine 0.0
+        .filter(F.col("embedding").isNotNull())
+        .withColumn("v", F.col("embedding").cast("array<double>"))
     )
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     sem = (
@@ -9489,12 +9487,15 @@ def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           CAST(list_sum(list_transform(embedding,
-                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
-                            AS BIGINT)
-                       * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
-                              AS BIGINT)))
-                AS BIGINT) AS sq_norm_micro
+           CASE WHEN embedding IS NULL
+                     OR len(list_filter(embedding, x -> x IS NULL)) > 0
+                THEN NULL
+                ELSE CAST(coalesce(list_sum(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                 AS BIGINT)
+                            * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                   AS BIGINT))), 0)
+                     AS BIGINT) END AS sq_norm_micro
     FROM embeddings
     """,
     "micro-quantized squared L2 norms via mapInArrow "

@@ -41,10 +41,13 @@ def sq_norms_arrow(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     """(id, dim, Σ floor(x·1e6+0.5)²) per vector — one flattened numpy pass
-    per Arrow batch.  Zero-length vectors sum to 0 via the cumsum-window
-    form (``reduceat`` would mis-handle them); NULL vectors pass through
-    as NULL dim/sum, matching what ``size``/``aggregate`` (and DuckDB's
-    ``len``/``list_sum``) do — SQL-null discipline, not a guess."""
+    per Arrow batch.  SQL-null discipline, matched to the expression twin
+    exactly: a NULL vector gives NULL dim and NULL sum (``size``/
+    ``aggregate`` on NULL); a non-null vector CONTAINING a null element
+    keeps its dim but sums to NULL (``acc + NULL`` poisons the JVM fold);
+    zero-length vectors sum to 0 via the cumsum-window form (``reduceat``
+    would mis-handle them, and naive NaN-casting of inner nulls would
+    produce int64 garbage)."""
 
     def kernel(batches: Iterator) -> Iterator:
         import numpy as np
@@ -55,24 +58,33 @@ def sq_norms_arrow(
             emb = b.column(b.schema.get_field_index(vec_col))
             ids = b.column(b.schema.get_field_index(id_col))
             null_mask = emb.is_null().to_numpy(zero_copy_only=False)
-            # list_flatten skips null entries, fill_null(0) keeps the
-            # per-row length windows aligned with the flattened values
+            # list_flatten skips null TOP-LEVEL entries (so fill_null(0)
+            # on the lengths keeps the per-row windows aligned) but
+            # keeps null ELEMENTS, which must poison their row's sum —
+            # never be cast (NaN -> int64 is undefined)
             lens = pc.fill_null(
                 pc.list_value_length(emb), 0
             ).to_numpy().astype(np.int64)
-            vals = pc.list_flatten(emb).to_numpy(
+            flat = pc.list_flatten(emb)
+            inner_null = flat.is_null().to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            vals = pc.fill_null(flat, 0.0).to_numpy(
                 zero_copy_only=False
             ).astype(np.float64)
             q = np.floor(vals * 1e6 + 0.5).astype(np.int64)
             csum = np.concatenate([[0], np.cumsum(q * q)])
+            ncsum = np.concatenate([[0], np.cumsum(inner_null)])
             ends = np.cumsum(lens)
-            sums = csum[ends] - csum[ends - lens]
+            starts = ends - lens
+            sums = csum[ends] - csum[starts]
+            sum_mask = null_mask | ((ncsum[ends] - ncsum[starts]) > 0)
             yield pa.RecordBatch.from_arrays(
                 [
                     ids.cast(pa.int64()),
                     pa.array(lens.astype(np.int32), pa.int32(),
                              mask=null_mask),
-                    pa.array(sums, pa.int64(), mask=null_mask),
+                    pa.array(sums, pa.int64(), mask=sum_mask),
                 ],
                 names=["vec_id", "dim", "sq_norm_micro"],
             )

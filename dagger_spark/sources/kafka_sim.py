@@ -128,10 +128,23 @@ class _FilesCommitted(WriterCommitMessage):
 
 
 def _value_bytes(row) -> bytes:
+    """The sink's log is NEWLINE-FRAMED (the same JSON-lines contract the
+    reader consumes), so a value containing a raw newline cannot be
+    represented — reject it loudly instead of silently mis-framing the
+    log (counts would drift from the manifest, or worse, coincide).
+    Null values serialize as an empty payload — a documented collapse of
+    Kafka's tombstone/empty distinction, acceptable because this sink
+    carries JSON alert bodies, never compacted-topic tombstones."""
     v = row["value"]
     if v is None:
         return b""
-    return v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+    b = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+    if b"\n" in b:
+        raise ValueError(
+            "kafka_sim sink is newline-framed: record values must not "
+            "contain raw b'\\n' (serialize payloads as JSON first)"
+        )
+    return bytes(b)
 
 
 class _SinkWriterBase:

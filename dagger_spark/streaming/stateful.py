@@ -276,8 +276,18 @@ def attribution_events(
             return
         t_us, t_type = state.get if state.exists else (-1, "")
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # a key's micro-batch arrives as an ITERATOR of Arrow-sized chunks
+        # (maxRecordsPerBatch): concatenate before sorting — per-chunk
+        # sorts would process a purchase before its earlier-ts touch
+        # whenever the two land in different chunks (timeframe.py's
+        # fold learned the same lesson)
+        chunks = [p for p in pdfs if len(p)]
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["ts", "event_id"])
+            if chunks else None
+        )
+        if pdf is not None:
             for row in pdf.itertuples(index=False):
                 ts_us = row.ts.value // 1000  # pandas ns -> µs
                 if row.event_type in touch_set:
@@ -393,10 +403,15 @@ def cusum_alarms(
         n, s, n_alarms, max_s = (
             state.get if state.exists else (0, 0, 0, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.dropna(subset=[value_col]).sort_values(
-                list(order_cols)
-            )
+        # concatenate the micro-batch's Arrow chunks BEFORE sorting: a
+        # per-chunk sort silently folds out of (ts, event_id) order when
+        # one key's batch spans maxRecordsPerBatch (CUSUM is
+        # order-sensitive; same fix as timeframe.py / attribution)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).dropna(
+                subset=[value_col]
+            ).sort_values(list(order_cols))
             for v in pdf[value_col]:
                 # HALF-AWAY-FROM-ZERO to match the batch twin's F.round
                 # (Spark HALF_UP): Python's round() is banker's

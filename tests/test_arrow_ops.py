@@ -56,3 +56,21 @@ def test_arrow_kernel_null_vectors_pass_through_as_null(spark):
     assert got == want
     assert got[2] == (None, None)
     assert got[1] == (1, 1_000_000 * 1_000_000)
+
+
+def test_arrow_kernel_inner_null_element_poisons_sum_only(spark):
+    """A non-null vector CONTAINING a null element keeps its dim but sums
+    to NULL — the JVM fold's acc + NULL semantics; the kernel must never
+    cast the inner null (NaN -> int64 is undefined garbage)."""
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, None, 2.0]),
+         Row(vec_id=2, embedding=[1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: (r["dim"], r["sq_norm_micro"])
+           for r in sq_norms_arrow(df).collect()}
+    want = {r["vec_id"]: (r["dim"], r["sq_norm_micro"])
+            for r in sq_norms_expr(df).collect()}
+    assert got == want
+    assert got[1] == (3, None)
+    assert got[2] == (2, 5_000_000_000_000)

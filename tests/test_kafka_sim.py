@@ -201,3 +201,14 @@ def test_kafka_sim_sink_streaming_commits_per_batch(spark, tmp_path):
     manifests = glob.glob(os.path.join(out, "manifest-*.json"))
     assert len(manifests) == 3  # one per micro-batch
     assert sorted(committed_values(out)) == sorted(expected)
+
+
+def test_kafka_sim_sink_rejects_newline_values(spark, tmp_path):
+    """The sink's log is newline-framed: a value containing b'\\n' would
+    silently mis-frame the topic, so the produce step must refuse it."""
+    register_kafka_sim(spark)
+    df = spark.createDataFrame([(b"bad\npayload",)], "value binary")
+    out = str(tmp_path / "bad_topic")
+    with pytest.raises(Exception, match="newline-framed"):
+        df.write.format("kafka_sim").option("path", out) \
+            .mode("append").save()

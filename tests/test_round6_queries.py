@@ -312,3 +312,20 @@ def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
     # both modalities contribute to the fused head
     assert any(r["lex_rank"] is not None for r in rows)
     assert any(r["sem_rank"] is not None for r in rows)
+
+
+def test_events_value_histogram_ignores_null_values(spark, tmp_path):
+    """NULL values are non-observations — without the filter they would
+    land in bin 15 via least()'s null-skipping."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=1, ts=t0, user_id=1, event_type="view",
+            value=1.00, props=None),
+        Row(event_id=2, ts=t0, user_id=1, event_type="view",
+            value=17.00, props=None),
+        Row(event_id=3, ts=t0, user_id=1, event_type="view",
+            value=None, props=None),
+    ]
+    d = _write_events(spark, tmp_path, rows, "histnull")
+    out = QUERIES["events_value_histogram"].fn(spark, d).collect()
+    assert sum(r["n"] for r in out) == 2  # the NULL row never counted

@@ -1165,8 +1165,8 @@ correlation:
            cast(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS bigint) AS lag_s
     FROM events a JOIN events b
       ON a.user_id = b.user_id
-     AND b.ts >= a.ts
-     AND b.ts <= a.ts + INTERVAL 1800 SECONDS
+     AND floor(epoch(b.ts)) >= floor(epoch(a.ts))
+     AND floor(epoch(b.ts)) - floor(epoch(a.ts)) <= 1800
      AND a.event_id <> b.event_id
     WHERE a.event_type = 'error' AND b.event_type = 'purchase'
     """,
@@ -1175,10 +1175,14 @@ correlation:
     "Candidate pairs come from the time-bucketed equi-join of "
     "ops/asof.interval_join — per-(entity, bucket) pair space, never a "
     "cartesian — refined by the exact ordered-lag predicate; the oracle is "
-    "the naive theta self-join DuckDB can afford at sf0.01.  lag_s uses "
+    "the naive theta self-join DuckDB can afford at sf0.01.  Correlation "
+    "lag is DEFINED at second resolution: the join bounds AND lag_s use "
     "whole-second truncation on both engines (unix_timestamp parity, see "
-    "events_rolling_7d).  Streaming twin is the watermarked stream-stream "
-    "join, batch==stream pinned in tests",
+    "events_rolling_7d) — full-precision oracle bounds would diverge on "
+    "sub-second pairs like a=.9s before b=.1s (floor lag 0, admitted).  "
+    "Streaming twin is the watermarked stream-stream join with the GC "
+    "range predicate widened 1 s each end and the same floor-second "
+    "refinement after, batch==stream pinned in tests",
 )
 def events_sigma_corr_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     import yaml

@@ -32,10 +32,78 @@ broadcasts once per length; the whole chain is one codegen'd map stage.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _leveled_best_join(
+    events: DataFrame,
+    fbg: DataFrame,
+    probe_key: "Callable[[int], Column]",
+    payload_cols: Sequence[str],
+    payload_types: Sequence,
+    pick: str,
+    out_field: str,
+    out_col: str,
+    out_type: str,
+    broadcast_feed: bool = True,
+) -> DataFrame:
+    """The shared probe scaffold of the three leveled enrichment joins
+    (CIDR longest-prefix, range narrowest-span, domain deepest-zone).
+
+    ``fbg`` is the checkpointed per-level slice frame ``(__l, __t, __m)``
+    — one min-struct candidate per (level, bucket).  This helper collects
+    the bounded level list, handles the empty-feed all-NULL early return,
+    runs one LEFT (by default broadcast) join per level on
+    ``probe_key(L) == __t``, resolves the winner (``pick='coalesce'``:
+    level priority, highest level wins; ``pick='least'``: struct order
+    across levels), and surfaces ``out_field`` from the winning struct as
+    ``out_col``.  Exactly one output row per input event.
+    """
+    collide = [
+        c for c in events.columns if c == "__t" or c.startswith("__m_")
+    ]
+    if collide:
+        raise ValueError(
+            f"event columns collide with probe scratch names: {collide}"
+        )
+    # Bounded driver-side collect: <= 33 distinct levels (documented
+    # literal-class convention, see module docstring).
+    lens = sorted(
+        (r[0] for r in fbg.select("__l").distinct().collect()), reverse=True
+    )
+    if not lens:  # empty/invalid feed: all-NULL payload, one row per event
+        return events.select(
+            *events.columns,
+            *[
+                F.lit(None).cast(t).alias(c)
+                for c, t in zip(payload_cols, payload_types)
+            ],
+            F.lit(None).cast(out_type).alias(out_col),
+        )
+    out = events
+    for L in lens:
+        slice_l = (
+            fbg.filter(F.col("__l") == L)
+            .select("__t", F.col("__m").alias(f"__m_{L}"))
+        )
+        if broadcast_feed:
+            slice_l = F.broadcast(slice_l)
+        out = out.join(slice_l, probe_key(L) == F.col("__t"), "left").drop(
+            "__t"
+        )
+    cols = [F.col(f"__m_{L}") for L in lens]
+    if pick == "coalesce":
+        best = F.coalesce(*cols)
+    else:  # least() skips NULLs (unmatched levels) — all-NULL stays NULL
+        best = F.least(*cols) if len(cols) > 1 else cols[0]
+    return out.select(
+        *events.columns,
+        *[best[c].alias(c) for c in payload_cols],
+        best[out_field].alias(out_col),
+    )
 
 
 def cidr_lpm_join(
@@ -70,13 +138,18 @@ def cidr_lpm_join(
     # the per-length probe slices and the lens collect are filters over it,
     # not 1 + #lens recomputations of the feed lineage.
     L = F.col(len_col)
+    # shiftrightunsigned over LONG on both sides: Java's int >>> masks the
+    # shift amount mod 32, so an IntegerType ip/prefix column shifted by
+    # 32 (the /0 default-route level) would be a NO-OP instead of 0 — the
+    # catch-all entry would then match only ip == prefix.  Long >>>
+    # masks mod 64, so shift-by-32 of any value < 2^32 is exactly 0.
     fbg = (
         feed.filter(L.isNotNull() & (L >= 0) & (L <= 32))
         .select(
             L.cast("int").alias("__l"),
             F.call_function(
                 "shiftrightunsigned",
-                F.col(prefix_col),
+                F.col(prefix_col).cast("long"),
                 F.lit(32) - L.cast("int"),
             ).alias("__t"),
             F.struct(
@@ -88,35 +161,16 @@ def cidr_lpm_join(
         .agg(F.min("__m").alias("__m"))
         .localCheckpoint(eager=True)
     )
-    # Bounded driver-side collect: ≤ 33 distinct mask lengths (documented
-    # literal-class convention, see module docstring).
-    lens = sorted((r[0] for r in fbg.select("__l").distinct().collect()),
-                  reverse=True)
-    if not lens:  # empty feed: all-NULL payload, still one row per event
-        return events.select(
-            *events.columns,
-            *[
-                F.lit(None).cast(feed.schema[c].dataType).alias(c)
-                for c in payload_cols
-            ],
-            F.lit(None).cast("int").alias(out_len_col),
-        )
-    out = events
-    for L in lens:
-        slice_l = (
-            fbg.filter(F.col("__l") == L)
-            .select("__t", F.col("__m").alias(f"__m_{L}"))
-        )
-        out = out.join(
-            F.broadcast(slice_l),
-            F.shiftrightunsigned(F.col(ip_col), 32 - L) == F.col("__t"),
-            "left",
-        ).drop("__t")
-    best = F.coalesce(*[F.col(f"__m_{L}") for L in lens])
-    return out.select(
-        *events.columns,
-        *[best[c].alias(c) for c in payload_cols],
-        best["__len"].alias(out_len_col),
+    return _leveled_best_join(
+        events,
+        fbg,
+        lambda L: F.shiftrightunsigned(F.col(ip_col).cast("long"), 32 - L),
+        payload_cols,
+        [feed.schema[c].dataType for c in payload_cols],
+        pick="coalesce",
+        out_field="__len",
+        out_col=out_len_col,
+        out_type="int",
     )
 
 
@@ -332,40 +386,19 @@ def ip_range_join(
         .agg(F.min(cand).alias("__m"))
         .localCheckpoint(eager=True)
     )
-    # Bounded driver-side collect: <= 33 distinct block lengths (documented
-    # literal-class convention, see module docstring).
-    lens = sorted((r[0] for r in fbg.select("__l").distinct().collect()),
-                  reverse=True)
-    if not lens:  # empty/invalid feed: all-NULL payload, one row per event
-        return events.select(
-            *events.columns,
-            *[
-                F.lit(None).cast(feed.schema[c].dataType).alias(c)
-                for c in payload_cols
-            ],
-            F.lit(None).cast("long").alias(out_span_col),
-        )
-    out = events
-    cols = []
-    for L in lens:
-        slice_l = (
-            fbg.filter(F.col("__l") == L)
-            .select("__t", F.col("__m").alias(f"__m_{L}"))
-        )
-        if broadcast_feed:
-            slice_l = F.broadcast(slice_l)
-        out = out.join(
-            slice_l,
-            F.shiftrightunsigned(F.col(ip_col), 32 - L) == F.col("__t"),
-            "left",
-        ).drop("__t")
-        cols.append(F.col(f"__m_{L}"))
-    # least() skips NULLs (unmatched levels) — all-NULL stays NULL
-    best = F.least(*cols) if len(cols) > 1 else cols[0]
-    return out.select(
-        *events.columns,
-        *[best[c].alias(c) for c in payload_cols],
-        best["__span"].alias(out_span_col),
+    return _leveled_best_join(
+        events,
+        fbg,
+        # long-cast: see cidr_lpm_join — int >>> 32 is a no-op, breaking
+        # the L=0 full-space block for IntegerType ip columns
+        lambda L: F.shiftrightunsigned(F.col(ip_col).cast("long"), 32 - L),
+        payload_cols,
+        [feed.schema[c].dataType for c in payload_cols],
+        pick="least",
+        out_field="__span",
+        out_col=out_span_col,
+        out_type="long",
+        broadcast_feed=broadcast_feed,
     )
 
 
@@ -420,35 +453,19 @@ def domain_suffix_join(
         .agg(F.min("__m").alias("__m"))
         .localCheckpoint(eager=True)
     )
-    lens = sorted((r[0] for r in fbg.select("__l").distinct().collect()),
-                  reverse=True)
-    if not lens:
-        return events.select(
-            *events.columns,
-            *[
-                F.lit(None).cast(feed.schema[c].dataType).alias(c)
-                for c in payload_cols
-            ],
-            F.lit(None).cast("int").alias(out_labels_col),
-        )
     parts = F.split(F.col(domain_col), r"\.")
-    out = events
-    for L in lens:
-        # last-L-labels probe key; NULL (never-matching) when the domain is
-        # shallower than the zone depth
-        key = F.when(
+    return _leveled_best_join(
+        events,
+        fbg,
+        # last-L-labels probe key; NULL (never-matching) when the domain
+        # is shallower than the zone depth
+        lambda L: F.when(
             F.size(parts) >= L, F.array_join(F.slice(parts, -L, L), ".")
-        )
-        slice_l = (
-            fbg.filter(F.col("__l") == L)
-            .select("__t", F.col("__m").alias(f"__m_{L}"))
-        )
-        out = out.join(
-            F.broadcast(slice_l), key == F.col("__t"), "left"
-        ).drop("__t")
-    best = F.coalesce(*[F.col(f"__m_{L}") for L in lens])
-    return out.select(
-        *events.columns,
-        *[best[c].alias(c) for c in payload_cols],
-        best["__n"].alias(out_labels_col),
+        ),
+        payload_cols,
+        [feed.schema[c].dataType for c in payload_cols],
+        pick="coalesce",
+        out_field="__n",
+        out_col=out_labels_col,
+        out_type="int",
     )

@@ -86,13 +86,26 @@ def correlate_alerts_stream(
         F.col("uuid").alias("b_uuid"),
         F.col("ts").alias("b_ts"),
     ).withWatermark("b_ts", watermark)
+    # Correlation lag is defined at SECOND resolution on both engines
+    # (lag_s = unix_timestamp(b) - unix_timestamp(a), i.e. floor-second on
+    # each side — the batch leg's interval_join + lag filter semantics).
+    # The raw-timestamp range predicate below exists for Spark's state GC
+    # and is therefore widened by 1 s on each end so it never excludes a
+    # pair the floor-second definition admits (a_ts=10.9s, b_ts=10.1s has
+    # lag_s = 0 and must correlate); the exact floor-second refinement
+    # runs after the join.
     cond = (
         (F.col("entity") == F.col("entity_b"))
-        & (F.col("b_ts") >= F.col("a_ts"))
-        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 1 SECONDS"))
+        & (
+            F.col("b_ts")
+            <= F.col("a_ts") + F.expr(f"INTERVAL {window_s + 1} SECONDS")
+        )
         & (F.col("a_uuid") != F.col("b_uuid"))
     )
     lag = F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")
-    return a.join(b, cond).select(
-        "entity", "a_uuid", "b_uuid", lag.cast("long").alias("lag_s")
+    return (
+        a.join(b, cond)
+        .filter((lag >= 0) & (lag <= window_s))
+        .select("entity", "a_uuid", "b_uuid", lag.cast("long").alias("lag_s"))
     )

@@ -89,9 +89,27 @@ def parse_correlation(doc: dict, name: str = "") -> CorrelationSpec:
     timespan = corr.get("timespan")
     if timespan is None:
         raise SigmaCompileError("correlation.timespan is required")
-    group_by = corr.get("group-by", corr.get("group_by", ["computer_name"]))
-    if isinstance(group_by, str):
-        group_by = [group_by]
+    group_by = corr.get("group-by")
+    if group_by is None:
+        group_by = corr.get("group_by")
+    if "group-by" in corr or "group_by" in corr:
+        # key present: a null/empty/non-string value is a typo, not a
+        # request for the default — fail loudly (a bare ``group-by:`` line
+        # used to reach tuple(None) and die with a raw TypeError the CLI's
+        # SigmaCompileError handler never caught)
+        if isinstance(group_by, str):
+            group_by = [group_by]
+        if (
+            not isinstance(group_by, (list, tuple))
+            or not group_by
+            or not all(isinstance(g, str) and g for g in group_by)
+        ):
+            raise SigmaCompileError(
+                f"{name or doc.get('title')!r}: correlation.group-by must "
+                "be a field name or a non-empty list of field names"
+            )
+    else:
+        group_by = ["computer_name"]
     cond_op, cond_val = "gte", 1
     if ctype in ("event_count", "value_count"):
         cond = corr.get("condition")
@@ -172,13 +190,14 @@ def compile_correlation(
 
     * counts: the windowed aggregate is stream-legal as-is (watermarked,
       append emission at window close); ``value_count``'s exact DISTINCT
-      is not, so the streaming leg dedupes (window, group, field) first
-      — ``dropDuplicates`` state is window-scoped and watermark-expired,
-      then the same windowed ``count(*)`` counts distinct survivors.
+      is not, so the streaming leg chains two watermarked aggregates
+      (multi-stateful-operator support): (window, group, field) folds
+      each distinct value's min/max event time, then (window, group)
+      counts the survivors — value AND first/last_seen match batch.
     * temporal pairs: ``correlate_alerts_stream`` (the watermarked
       stream-stream join with the time-range predicate both sides need
       for state GC); the unordered form unions both directions.
-    * temporal 3+: the same dedup-then-count trick on (window, group,
+    * temporal 3+: the same two-level aggregate on (window, group,
       rule-index).
 
     ``registry`` maps rule NAME -> RuleSpec (e.g. ``{r.name: r for r in
@@ -200,27 +219,71 @@ def compile_correlation(
             for r in base_rules[1:]:
                 any_rule = any_rule | r.condition()
             matched = _wm(events).filter(any_rule)
+            if spec.ctype == "value_count" and not events.isStreaming:
+                # count(DISTINCT field) ignores NULL field values; rows
+                # carrying a NULL must not contribute to first/last_seen
+                # either (or count as a bogus distinct value on the
+                # streaming leg) — one row set, both legs, both columns.
+                # BATCH ONLY as a row filter: on the streaming leg the
+                # optimizer pushes this predicate below the
+                # EventTimeWatermark node into the scan, so a NULL-field
+                # row could no longer advance the watermark (observed:
+                # a rule-matching sentinel with a NULL field silently
+                # froze every window open).  The streaming leg excludes
+                # NULLs inside the aggregates instead, below.
+                matched = matched.filter(F.col(spec.field).isNotNull())
             w = F.window(F.col(ts_col), span)
             if spec.ctype == "value_count" and events.isStreaming:
-                # exact windowed DISTINCT, streaming: dedup survivors per
-                # (window, group, field) — the window struct carries the
-                # event time, so state expires with the watermark — then
-                # plain count(*).  first/last_seen are of the SURVIVORS
-                # (deterministic: the first arrival per distinct value).
-                # the raw ts is carried as MICROS (a plain long): keeping
-                # the watermarked column beside the window struct would
-                # leave two event-time columns in one stream, which Spark
-                # rejects
-                dedup = matched.select(
+                # exact windowed DISTINCT, streaming: two chained
+                # watermarked aggregates (Spark's multi-stateful-operator
+                # support).  Level 1 keys (window, group, value) and folds
+                # each distinct value's TRUE min/max event time over ALL
+                # its arrivals; level 2 counts the distinct survivors and
+                # folds the per-value extremes — value, first_seen and
+                # last_seen all equal the batch leg exactly (the earlier
+                # dropDuplicates form kept the FIRST arrival per value, so
+                # last_seen could lag batch whenever a window's latest
+                # event repeated an already-seen value).  The raw ts is
+                # carried as MICROS (a plain long): keeping the
+                # watermarked column beside the window struct would leave
+                # two event-time columns in one stream, which Spark
+                # rejects.
+                per_val = matched.select(
                     w.alias("window"),
                     *[F.col(c) for c in spec.group_by],
                     F.col(spec.field).alias("__v"),
                     F.unix_micros(F.col(ts_col)).alias("__us"),
-                ).dropDuplicates(["window", *spec.group_by, "__v"])
-                grouped = dedup.groupBy("window", *spec.group_by).agg(
-                    F.count(F.lit(1)).cast("long").alias("value"),
-                    F.timestamp_micros(F.min("__us")).alias("first_seen"),
-                    F.timestamp_micros(F.max("__us")).alias("last_seen"),
+                ).groupBy("window", *spec.group_by, "__v").agg(
+                    F.min("__us").alias("__min_us"),
+                    F.max("__us").alias("__max_us"),
+                )
+                # re-window via window_time(): grouping by the raw window
+                # struct drops the event-time metadata and the second
+                # aggregate never evicts (emits nothing in append mode);
+                # window_time -> window(same span) reproduces the SAME
+                # tumbling window with watermark tracking intact
+                # NULL field values ride through level 1 as their own
+                # (window, group, NULL) state row — they must reach the
+                # watermark node (see the batch-only filter note above) —
+                # and are excluded HERE, inside the aggregates: count and
+                # first/last_seen consider non-NULL values only, and a
+                # group whose every value is NULL is dropped entirely
+                # (exactly what the batch leg's row filter produces).
+                nn = F.col("__v").isNotNull()
+                grouped = (
+                    per_val.withColumn("__wt", F.window_time("window"))
+                    .drop("window")
+                    .groupBy(F.window("__wt", span), *spec.group_by)
+                    .agg(
+                        F.count(F.when(nn, True)).cast("long").alias("value"),
+                        F.timestamp_micros(
+                            F.min(F.when(nn, F.col("__min_us")))
+                        ).alias("first_seen"),
+                        F.timestamp_micros(
+                            F.max(F.when(nn, F.col("__max_us")))
+                        ).alias("last_seen"),
+                    )
+                    .filter(F.col("value") > 0)
                 )
             else:
                 agg = (
@@ -253,17 +316,29 @@ def compile_correlation(
         from ..rules.correlate import correlate_alerts, correlate_alerts_stream
 
         ordered = spec.ctype == "temporal_ordered"
-        key = spec.group_by[0]
 
         def run_pair(events: DataFrame) -> DataFrame:
+            # multi-field group-by correlates on ALL fields: synthesize a
+            # struct entity key (struct equality joins field-wise; the
+            # output `entity` column is then that struct).  Ignoring
+            # fields past the first would silently pair rule A in one
+            # logon session with rule B in another on the same host.
+            if len(spec.group_by) == 1:
+                key, src = spec.group_by[0], events
+            else:
+                key = "__corr_entity"
+                src = events.withColumn(
+                    key, F.struct(*[F.col(c) for c in spec.group_by])
+                )
+
             def one(a, b):
                 if events.isStreaming:
                     return correlate_alerts_stream(
-                        events, a, b, key=key, ts_col=ts_col,
+                        src, a, b, key=key, ts_col=ts_col,
                         window_s=spec.timespan_seconds, watermark=watermark,
                     )
                 return correlate_alerts(
-                    events, a, b, key=key, ts_col=ts_col,
+                    src, a, b, key=key, ts_col=ts_col,
                     window_s=spec.timespan_seconds,
                 )
 
@@ -287,29 +362,56 @@ def compile_correlation(
     # temporal with 3+ rules: tumbling co-occurrence (documented
     # discretization — same trade as tumbling timeframe rules)
     def run_multi(events: DataFrame) -> DataFrame:
-        tagged = None
-        for i, r in enumerate(base_rules):
-            part = _wm(events).filter(r.condition()).select(
-                *[F.col(c) for c in spec.group_by],
-                F.col(ts_col).alias("__ts"),
-                F.lit(i).alias("__rule"),
+        # ONE scan, ONE watermark node: each event explodes into the
+        # indices of the rules it matches (usually 0 or 1 rows out).  The
+        # union-of-filtered-branches form had a per-branch EventTimeWatermark
+        # behind a pushed-down rule predicate, so the GLOBAL watermark was
+        # the minimum over branches and a rule that never fired stalled
+        # every window forever; a generator cannot be pushed below the
+        # watermark, so here every event's timestamp advances it.
+        tag_arr = F.array_compact(
+            F.array(
+                *[
+                    F.when(r.condition(), F.lit(i))
+                    for i, r in enumerate(base_rules)
+                ]
             )
-            tagged = part if tagged is None else tagged.unionByName(part)
+        )
+        tagged = _wm(events).select(
+            *[F.col(c) for c in spec.group_by],
+            F.col(ts_col).alias("__ts"),
+            F.explode(tag_arr).alias("__rule"),
+        )
         w = F.window(F.col("__ts"), span)
         if events.isStreaming:
-            dedup = tagged.select(
+            # same two-level chained-aggregate shape as streaming
+            # value_count: level 1 per (window, group, rule) folds the
+            # true per-rule event count and time extremes, level 2 counts
+            # distinct rules and sums the counts — n_events / first_seen /
+            # last_seen now equal the batch leg exactly (the earlier
+            # dropDuplicates form could only report the distinct-rule
+            # count as n_events and first-arrival times)
+            per_rule = tagged.select(
                 w.alias("window"),
                 *[F.col(c) for c in spec.group_by],
                 "__rule",
                 F.unix_micros(F.col("__ts")).alias("__us"),
-            ).dropDuplicates(["window", *spec.group_by, "__rule"])
-            grouped = dedup.groupBy("window", *spec.group_by).agg(
-                F.count(F.lit(1)).alias("n_rules"),
-                # per-rule dedup survivors only — n_events is the DISTINCT
-                # rule count's support in streaming mode, documented
-                F.count(F.lit(1)).cast("long").alias("n_events"),
-                F.timestamp_micros(F.min("__us")).alias("first_seen"),
-                F.timestamp_micros(F.max("__us")).alias("last_seen"),
+            ).groupBy("window", *spec.group_by, "__rule").agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min("__us").alias("__min_us"),
+                F.max("__us").alias("__max_us"),
+            )
+            # window_time re-window: see the value_count leg above
+            grouped = (
+                per_rule.withColumn("__wt", F.window_time("window"))
+                .drop("window")
+                .groupBy(F.window("__wt", span), *spec.group_by)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rules"),
+                    F.sum("__n").cast("long").alias("n_events"),
+                    F.timestamp_micros(F.min("__min_us")).alias("first_seen"),
+                    F.timestamp_micros(F.max("__max_us")).alias("last_seen"),
+                )
             )
         else:
             grouped = tagged.groupBy(

@@ -610,3 +610,46 @@ def test_decompose_np_equivalent_to_reference():
         for ri, (s, e) in enumerate(zip(starts, ends)):
             want = range_to_blocks(s, e, step)
             assert sorted(got.get(ri, [])) == sorted(want), (step, ri, s, e)
+
+
+def test_int_typed_ip_column_matches_default_route(spark):
+    """IntegerType event ips through the /0 catch-all level: Java's int
+    >>> masks the shift mod 32, so shift-by-32 on an int column was a
+    NO-OP — only ip == prefix matched the default route.  The probe (and
+    feed build) now cast to long, where >>> 32 of any value < 2^32 is 0."""
+    feed = spark.createDataFrame(
+        [(0, 0, "default", 0), (_ip("10.1.2.0"), 24, "narrow", 3)],
+        FEED_SCHEMA,
+    )
+    ev = spark.createDataFrame(
+        [(0, _ip("10.1.2.3")), (1, _ip("99.88.77.66"))], "eid int, ip int"
+    )
+    out = {
+        r["eid"]: (r["label"], r["matched_len"])
+        for r in cidr_lpm_join(ev, feed, "ip", ["label", "severity"]).collect()
+    }
+    assert out[0] == ("narrow", 24)
+    assert out[1] == ("default", 0)  # was (None, None) with int >>> 32
+
+    from dagger_spark.ops.enrich import ip_range_join
+
+    rfeed = spark.createDataFrame(
+        [(0, (1 << 32) - 1, "all", 1)],
+        "ip_start long, ip_end long, label string, severity int",
+    )
+    got = {
+        r["eid"]: r["label"]
+        for r in ip_range_join(ev, rfeed, "ip", ["label"]).collect()
+    }
+    assert got == {0: "all", 1: "all"}
+
+
+def test_probe_scratch_column_collision_is_loud(spark):
+    """Event columns named __t / __m_* would be clobbered by the probe
+    scaffold — rejected up front instead of silently corrupted."""
+    import pytest
+
+    feed = spark.createDataFrame([(0, 0, "d", 0)], FEED_SCHEMA)
+    ev = spark.createDataFrame([(1, 2)], "ip long, __t long")
+    with pytest.raises(ValueError, match="__t"):
+        cidr_lpm_join(ev, feed, "ip", ["label"])

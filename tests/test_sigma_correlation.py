@@ -332,3 +332,151 @@ def test_temporal_multi_rule_cooccurrence(spark):
     got = [(r["computer_name"], r["n_events"]) for r in
            run(_events(spark, rows)).collect()]
     assert got == [("H1", 3)]
+
+
+# ---------------------------------------------- review-pinned edge cases
+
+def test_group_by_present_but_invalid_rejected():
+    """A bare ``group-by:`` line (explicit null), an empty list, or
+    non-string entries are typos — loud SigmaCompileError, not the silent
+    default (and not the raw TypeError tuple(None) used to raise)."""
+    base = {"type": "event_count", "rules": ["r"], "timespan": "10m",
+            "condition": {"gte": 3}}
+    for bad in (None, [], [1], ["ok", ""], 7):
+        with pytest.raises(SigmaCompileError, match="group-by"):
+            parse_correlation({"title": "t", "correlation":
+                               dict(base, **{"group-by": bad})})
+    # absent key still defaults; bare string still promotes to a list
+    assert parse_correlation({"title": "t", "correlation": dict(base)}
+                             ).group_by == ("computer_name",)
+    assert parse_correlation(
+        {"title": "t", "correlation": dict(base, **{"group-by": "host"})}
+    ).group_by == ("host",)
+
+
+def _run_stream(spark, run, rows, tmp_path, tag):
+    q = (
+        run(_stream_replay(spark, rows, tmp_path, tag))
+        .writeStream.format("memory").queryName(f"rev_{tag}")
+        .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        return {tuple(r) for r in
+                spark.sql(f"SELECT * FROM rev_{tag}").collect()
+                if "H-SENTINEL" not in tuple(r)}
+    finally:
+        q.stop()
+
+
+def test_value_count_null_field_and_repeated_latest(spark, tmp_path):
+    """Two review-found batch/stream divergences, both directions:
+
+    * a NULL field value must not count as a distinct value on the
+      streaming leg (batch count(DISTINCT) ignores NULLs), and rows
+      carrying NULL must not stretch first/last_seen on either leg;
+    * when the window's LATEST event repeats an already-seen value,
+      last_seen must still be that latest time (the old dropDuplicates
+      leg kept first arrivals, so last_seen lagged batch)."""
+    spec = parse_correlation({"title": "vc", "correlation": {
+        "type": "value_count", "rules": [SYSCALL],
+        "group-by": ["computer_name"], "timespan": "1h",
+        "field": "event_data.TargetImage", "condition": {"gte": 1}}})
+    run = compile_correlation(spec, _registry(), watermark="0 seconds")
+    rows = [
+        _ev("n1", "H1", 0, target="T1"),
+        _ev("n2", "H1", 10),                  # NULL target
+        _ev("n3", "H1", 20, target="T1"),
+        _ev("r1", "H2", 0, target="T1"),
+        _ev("r2", "H2", 30, target="T2"),
+        _ev("r3", "H2", 60, target="T1"),     # latest repeats T1
+    ]
+    batch = {tuple(r) for r in run(_events(spark, rows)).collect()}
+    by_host = {t[1]: t for t in batch}
+    # H1: one distinct value; NULL row at +10s contributes nothing
+    assert by_host["H1"][4] == 1
+    assert by_host["H1"][5] == T0 and by_host["H1"][6] == T0 + dt.timedelta(
+        seconds=20)
+    # H2: last_seen is the repeated value's LATEST arrival
+    assert by_host["H2"][4] == 2
+    assert by_host["H2"][6] == T0 + dt.timedelta(seconds=60)
+    assert _run_stream(spark, run, rows, tmp_path, "vcnull") == batch
+
+
+def test_temporal_multi_field_group_by(spark):
+    """group-by with 2+ fields correlates on ALL of them: rule A in one
+    source-image 'session' must not pair with rule B in another on the
+    same host (the old path silently used group_by[0] only)."""
+    regs = {
+        "ra": RuleSpec(name="ra",
+                       predicate_sql="event_data.TargetImage = 'A'"),
+        "rb": RuleSpec(name="rb",
+                       predicate_sql="event_data.TargetImage = 'B'"),
+    }
+
+    def ev2(uuid, host, off, target, source):
+        ed = {f.name: None for f in
+              SYSMON_EVENT_SCHEMA["event_data"].dataType.fields}
+        ed.update(CallTrace="x", TargetImage=target, SourceImage=source)
+        return (host, 10, "h", tuple(ed.values()), uuid,
+                T0 + dt.timedelta(seconds=off))
+
+    spec = parse_correlation({"title": "mf", "correlation": {
+        "type": "temporal_ordered", "rules": ["ra", "rb"],
+        "group-by": ["computer_name", "event_data.SourceImage"],
+        "timespan": "30m"}})
+    run = compile_correlation(spec, regs)
+    rows = [
+        ev2("a1", "H1", 0, "A", "S1"),
+        ev2("b1", "H1", 60, "B", "S1"),   # same (host, source): pair
+        ev2("b2", "H1", 30, "B", "S2"),   # same host, other source: no pair
+    ]
+    got = {(r["entity"]["computer_name"], r["entity"]["SourceImage"],
+            r["a_uuid"], r["b_uuid"], r["lag_s"])
+           for r in run(_events(spark, rows)).collect()}
+    assert got == {("H1", "S1", "a1", "b1", 60)}
+
+
+def test_temporal_subsecond_floor_lag_batch_equals_stream(spark, tmp_path):
+    """Correlation lag is defined at SECOND resolution on both engines:
+    A at 10.9s before B at 10.1s has floor lag 0 and must correlate — the
+    stream leg's raw-timestamp join predicate alone would exclude it, so
+    it is widened 1 s each end and refined on floor seconds after."""
+    spec = parse_correlation({"title": "ss", "correlation": {
+        "type": "temporal_ordered", "rules": [SYSCALL, CMSTP],
+        "group-by": ["computer_name"], "timespan": "10m"}})
+    run = compile_correlation(spec, _registry(), watermark="0 seconds")
+    rows = [
+        _ev("b1", "H1", 10.1, trace="z|cmlua.dll|w"),
+        _ev("a1", "H1", 10.9),
+    ]
+    batch = {tuple(r) for r in run(_events(spark, rows)).collect()}
+    assert batch == {("ss", "H1", "a1", "b1", 0)}
+    assert _run_stream(spark, run, rows, tmp_path, "subsec") == batch
+
+
+def test_temporal_multi_rule_stream_equals_batch(spark, tmp_path):
+    """3+-rule co-occurrence streamed: the two-level chained aggregate
+    reports the TRUE n_events and time extremes, equal to batch (the old
+    dropDuplicates leg could only report the distinct-rule count)."""
+    regs = {
+        f"r{i}": RuleSpec(
+            name=f"r{i}", predicate_sql=f"event_data.TargetImage = 'X{i}'")
+        for i in (1, 2, 3)
+    }
+    spec = parse_correlation({"title": "chain3", "correlation": {
+        "type": "temporal", "rules": ["r1", "r2", "r3"],
+        "group-by": ["computer_name"], "timespan": "10m"}})
+    run = compile_correlation(spec, regs, watermark="0 seconds")
+    rows = [
+        _ev("c1", "H1", 0, target="X1"),
+        _ev("c2", "H1", 30, target="X1"),    # repeat of rule 1
+        _ev("c3", "H1", 60, target="X2"),
+        _ev("c4", "H1", 120, target="X3"),
+        _ev("c5", "H2", 0, target="X1"),
+        _ev("c6", "H2", 60, target="X2"),    # only two rules -> no alert
+    ]
+    batch = {tuple(r) for r in run(_events(spark, rows)).collect()}
+    assert {(t[1], t[4]) for t in batch} == {("H1", 4)}  # true event count
+    assert _run_stream(spark, run, rows, tmp_path, "multi3") == batch

@@ -6,7 +6,7 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle, 11 of 198): the fixture-driven rules engine +
+Rows-only entries (no oracle, 11 of 199): the fixture-driven rules engine +
 correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
 the fixture table is not among the driver's DuckDB views), the Pandas-UDF
 multimodal stages including the perceptual-hash dedup chain, and the zlib
@@ -117,6 +117,7 @@ _DRIVER_WINDOW = [
     "corpus_merkle_diff", "cluster_split_docs", "label_prop_docs",
     "embedding_norms_arrow", "events_sql_udf_rollup",
     "orders_pit_priority", "events_ab_test", "hybrid_rrf_docs",
+    "orders_skyline",
 ]
 
 

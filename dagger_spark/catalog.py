@@ -9556,6 +9556,51 @@ def events_sql_udf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_skyline",
+    """
+    WITH u AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT a.o_orderkey, a.o_orderdate, a.price_cents
+    FROM u a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM u b
+      WHERE b.price_cents <= a.price_cents
+        AND b.o_orderdate >= a.o_orderdate
+        AND (b.price_cents < a.price_cents
+             OR b.o_orderdate > a.o_orderdate)
+    )
+    """,
+    "Pareto frontier (skyline) of urgent orders — cheapest for how "
+    "recent: no other urgent order is both <= price and >= date with one "
+    "strict.  The oracle is the textbook NOT EXISTS all-pairs dominance "
+    "self-join (quadratic, affordable for DuckDB at sf0.01); the Spark "
+    "leg is ops/rank.skyline2d — per-x aggregate + exclusive two-pass "
+    "range-bucketed global prefix max + join-back, no all-pairs join and "
+    "no single-partition window, so the frontier of 10^9 orders costs "
+    "two keyed shuffles.  Prices compare as exact cents (micro-unit "
+    "convention), so dominance ties hash identically in both engines",
+)
+def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.rank import skyline2d
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    return skyline2d(urgent, "price_cents", "o_orderdate")
+
+
 # ===========================================================================
 # Driver-window curation
 # ===========================================================================

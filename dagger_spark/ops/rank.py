@@ -514,3 +514,85 @@ def global_cumsum(
     else:
         out = out.drop("_gr_total")
     return out
+
+
+def skyline2d(
+    df: DataFrame,
+    x: ColumnOrName,
+    y: ColumnOrName,
+    *,
+    num_ranges: Optional[int] = None,
+) -> DataFrame:
+    """Pareto frontier (skyline) under STRICT dominance: keep every row no
+    other row beats — ``b`` dominates ``a`` iff ``b.x <= a.x AND b.y >=
+    a.y`` with at least one strict (x is minimized, y maximized; negate a
+    column for the other orientations).  Duplicate ``(x, y)`` points do
+    not dominate each other, so both survive — ANSI ``NOT EXISTS``
+    dominance semantics exactly (the catalog oracle).
+
+    The naive formulation is an all-pairs self-join; the 2-D structure
+    collapses it to ORDER + PREFIX-MAX: ``a`` is dominated iff
+    ``max(y | x' < a.x) >= a.y`` (a strictly cheaper row at least as
+    good) or ``a.y < max(y | x' = a.x)`` (an equal-x row strictly
+    better).  Both maxima come from ONE per-x aggregate (keyed hash
+    shuffle) — the first via an EXCLUSIVE global prefix max over the
+    distinct-x table in x order, computed with the same two-pass
+    range-bucketed recipe as :func:`global_row_number` (bucket-local
+    ``max() OVER (ROWS ... AND -1)`` plus a broadcast prefix max of the
+    <= ``num_ranges`` per-bucket maxima) — then join back on x.  No
+    all-pairs anywhere, no single-partition window: the per-x table is
+    the only intermediate and it never exceeds the distinct-x count.
+
+    ``x`` must be numeric-castable (bucketing samples quantiles of
+    ``x :: double`` — a monotone non-strict image, so equal x share a
+    bucket and the exclusive frame stays exact); ``y`` any orderable
+    type.  Rows with NULL in either dimension are excluded (NULL never
+    dominates and is never on a frontier).  The reference has no
+    ordering or join operators at all (SURVEY.md §2.7); this is the
+    standard multi-criteria shortlist primitive (cheapest-vs-freshest,
+    quality-vs-length) a corpus pipeline runs before human review.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    base = df.filter(xc.isNotNull() & yc.isNotNull())
+    perx = base.groupBy(xc.alias("_sk_x")).agg(F.max(yc).alias("_sk_my"))
+    key = F.col("_sk_x").cast("double")
+    boundaries = _boundaries(perx, key, _num_ranges(df, num_ranges))
+    b = perx.withColumn("_gr_b", _bucket(key, boundaries))
+    # bucket-local EXCLUSIVE prefix max (NULL on each bucket's first row)
+    w_excl = (
+        Window.partitionBy("_gr_b")
+        .orderBy("_sk_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("_sk_lpm", F.max("_sk_my").over(w_excl))
+    # per-bucket max -> exclusive prefix max across buckets: <= num_ranges
+    # rows, same deliberately-single-partition pmod spec as _offsets
+    bmax = local.groupBy(F.col("_gr_b").alias("_gr_pid")).agg(
+        F.max("_sk_my").alias("_sk_bm")
+    )
+    w_off = (
+        Window.partitionBy(F.pmod(F.col("_gr_pid"), F.lit(1)))
+        .orderBy("_gr_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bmax.select(
+        "_gr_pid", F.max("_sk_bm").over(w_off).alias("_sk_pm")
+    )
+    # greatest() skips NULLs: M<(x) = best y among ALL strictly-smaller x
+    prevmax = (
+        local.join(F.broadcast(offs), local["_gr_b"] == F.col("_gr_pid"))
+        .select(
+            "_sk_x",
+            "_sk_my",
+            F.greatest("_sk_lpm", "_sk_pm").alias("_sk_prev"),
+        )
+    )
+    return (
+        base.join(prevmax, xc == F.col("_sk_x"))
+        .filter(
+            (yc == F.col("_sk_my"))
+            & (F.col("_sk_prev").isNull() | (F.col("_sk_prev") < yc))
+        )
+        .drop("_sk_x", "_sk_my", "_sk_prev")
+    )

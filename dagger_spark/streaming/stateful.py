@@ -468,3 +468,141 @@ def cusum_alarms(
             ),
         )
     )
+
+
+_HH_STATE = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType()), False),
+        T.StructField("counts", T.ArrayType(T.LongType()), False),
+        T.StructField("errs", T.ArrayType(T.LongType()), False),
+        T.StructField("n_seen", T.LongType(), False),
+    ]
+)
+
+_HH_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("item", T.StringType(), False),
+        T.StructField("est", T.LongType(), False),
+        T.StructField("err", T.LongType(), False),
+        T.StructField("n_seen", T.LongType(), False),
+    ]
+)
+
+
+def _space_saving_step(summary: dict, item: str, capacity: int) -> None:
+    """One Space-Saving update (Metwally et al.): increment a tracked
+    item; otherwise insert, evicting the minimum-count entry once at
+    capacity — the evictee's count becomes the newcomer's error floor.
+    Eviction tie-break is deterministic: the lexicographically LARGEST
+    item among the minimum-count entries (any fixed rule works; this one
+    keeps batch and stream byte-identical)."""
+    got = summary.get(item)
+    if got is not None:
+        summary[item] = (got[0] + 1, got[1])
+    elif len(summary) < capacity:
+        summary[item] = (1, 0)
+    else:
+        evict, (mc, _) = max(
+            ((i, ce) for i, ce in summary.items()),
+            key=lambda kv: (-kv[1][0], kv[0]),
+        )
+        del summary[evict]
+        summary[item] = (mc + 1, mc)
+
+
+def heavy_hitters_sketch(
+    events: DataFrame,
+    item_col: str,
+    capacity: int = 32,
+    n_shards: int = 8,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming heavy hitters with HARD-BOUNDED state: Space-Saving
+    summaries of ``capacity`` counters per shard, items hash-sharded so
+    each item lives in exactly ONE shard (no cross-shard merge ambiguity
+    — the global candidate set is the plain union of <= n_shards *
+    capacity rows).  Guarantees, per shard with N_s processed rows:
+    ``est - err <= true <= est`` for tracked items, and every item with
+    true count > N_s / capacity is tracked — the classic frequent-items
+    contract, at ~(capacity * 40 bytes) state per shard regardless of
+    cardinality.  An exact streaming count per item (a keyed aggregate)
+    carries state linear in the DISTINCT-item count — unbounded on an
+    unbounded stream; this is the bounded-memory alternative, the same
+    trade the batch catalog instruments with its sample-then-verify
+    ``heavy_hitters_docs``.
+
+    One function, both engines (running_totals discipline): batch inputs
+    fold the identical summary per shard via ``applyInPandas`` and emit
+    the final snapshot; streams fold through ``applyInPandasWithState``
+    (update mode) and re-emit the shard's full summary each micro-batch
+    — the reader keeps the rows with the highest ``n_seen`` per shard.
+    Rows fold in (ts, id) order within a micro-batch; cross-batch order
+    is arrival order — replay in order, the standard stateful caveat
+    (cusum_alarms).  NULL items are ignored (they are not a value).
+    Eviction ties break deterministically (largest item), so
+    batch==stream is exact, pinned in tests/test_stateful.py."""
+    from pyspark.sql import functions as F
+
+    shard = F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards)).cast("int")
+    src = (
+        events.filter(F.col(item_col).isNotNull())
+        .select(
+            shard.alias("__shard"),
+            F.col(item_col).cast("string").alias("__item"),
+            F.col(ts_col).alias("__ts"),
+            F.col(id_col).alias("__id"),
+        )
+    )
+
+    def _fold_rows(summary: dict, pdf: pd.DataFrame) -> int:
+        pdf = pdf.sort_values(["__ts", "__id"])
+        for item in pdf["__item"]:
+            _space_saving_step(summary, item, capacity)
+        return len(pdf)
+
+    def _emit(shard_id: int, summary: dict, n_seen: int) -> pd.DataFrame:
+        rows = [
+            (shard_id, i, c, e, n_seen) for i, (c, e) in summary.items()
+        ]
+        return pd.DataFrame(
+            rows, columns=["shard", "item", "est", "err", "n_seen"]
+        )
+
+    if not events.isStreaming:
+
+        def fold_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            summary: dict = {}
+            n = _fold_rows(summary, pdf)
+            return _emit(int(pdf["__shard"].iloc[0]), summary, n)
+
+        return src.groupBy("__shard").applyInPandas(fold_batch, _HH_SCHEMA)
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            items, counts, errs, n_seen = state.get
+            summary = dict(zip(items, zip(counts, errs)))
+        else:
+            summary, n_seen = {}, 0
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            n_seen += _fold_rows(
+                summary, pd.concat(chunks, ignore_index=True)
+            )
+        items = list(summary)
+        state.update((
+            items,
+            [summary[i][0] for i in items],
+            [summary[i][1] for i in items],
+            n_seen,
+        ))
+        yield _emit(key[0], summary, n_seen)
+
+    return src.groupBy("__shard").applyInPandasWithState(
+        fold,
+        outputStructType=_HH_SCHEMA,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -306,3 +306,77 @@ def test_shuffled_shards_deterministic_across_recompute(spark):
     pos_a = {r["doc_id"]: r["pos"] for r in a.collect()}
     pos_c = {r["doc_id"]: r["pos"] for r in c.collect()}
     assert pos_a != pos_c
+
+
+# ------------------------------------------------------------- skyline2d
+
+def _brute_skyline(pts):
+    """Reference strict-dominance skyline (minimize x, maximize y)."""
+    out = []
+    for i, (x, y) in enumerate(pts):
+        dominated = any(
+            (bx <= x and by >= y and (bx < x or by > y))
+            for j, (bx, by) in enumerate(pts) if j != i
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+def test_skyline2d_matches_brute_force_fuzz(spark):
+    from dagger_spark.ops.rank import skyline2d
+
+    rng = random.Random(11)
+    for trial, (n, lo, hi) in enumerate(
+        [(1, 0, 5), (2, 0, 0), (40, 0, 9), (300, -50, 50), (500, 0, 14)]
+    ):
+        pts = [(rng.randint(lo, hi), rng.randint(lo, hi)) for _ in range(n)]
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)],
+            "id int, x long, y long",
+        )
+        got = sorted(
+            (r["x"], r["y"])
+            for r in skyline2d(df, "x", "y", num_ranges=7).collect()
+        )
+        assert got == _brute_skyline(pts), (trial, n, lo, hi)
+
+
+def test_skyline2d_duplicates_and_nulls(spark):
+    """Duplicate (x, y) points do not strictly dominate each other — BOTH
+    survive; NULL in either dimension excludes the row entirely."""
+    from dagger_spark.ops.rank import skyline2d
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5), (2, 10, 5),        # duplicate frontier point
+            (3, 10, 4),                    # same x, strictly worse y
+            (4, 5, 5),                     # dominates (10,5)? x<10, y=5 -> yes
+            (5, None, 99), (6, 1, None),   # NULL rows: never frontier
+        ],
+        "id int, x int, y int",
+    )
+    got = sorted(
+        (r["id"], r["x"], r["y"]) for r in skyline2d(df, "x", "y").collect()
+    )
+    assert got == [(4, 5, 5)]
+    # remove the dominator: both duplicates return
+    got2 = sorted(
+        r["id"]
+        for r in skyline2d(df.filter("id <> 4"), "x", "y").collect()
+    )
+    assert got2 == [1, 2]
+
+
+def test_skyline2d_no_unbounded_single_partition_window(spark):
+    """Every window in the plan is bucket-partitioned or the
+    deliberately-bounded <= num_ranges offsets window — never a bare
+    global ORDER BY over unbounded input (the catalog-wide checker from
+    test_plans.py, applied directly to the operator)."""
+    from dagger_spark.ops.rank import skyline2d
+    from tests.test_plans import _unpartitioned_window_violations
+
+    df = spark.createDataFrame(
+        [(i, i % 37, i % 11) for i in range(1000)], "id int, x int, y int"
+    )
+    assert not _unpartitioned_window_violations(skyline2d(df, "x", "y"))

@@ -277,3 +277,118 @@ def test_attribution_stream_equals_batch_window(spark, sf_dir, tmp_path):
         for r in rows
     )
     assert got == expected
+
+
+# ------------------------------------------------- heavy_hitters_sketch
+
+def _hh_snapshot(rows):
+    """Final summary from update-mode emissions: per shard, the rows
+    carrying that shard's highest n_seen."""
+    latest = {}
+    for r in rows:
+        latest.setdefault(r["shard"], []).append(r)
+    out = {}
+    for shard, rs in latest.items():
+        top = max(r["n_seen"] for r in rs)
+        for r in rs:
+            if r["n_seen"] == top:
+                out[(shard, r["item"])] = (r["est"], r["err"])
+    return out
+
+
+def test_heavy_hitters_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Space-Saving folds are order-dependent, so the replay must present
+    rows in the same global (ts, id) order the batch leg sorts into:
+    time-sliced files, one per micro-batch.  With that (documented)
+    replay discipline, stream == batch byte-for-byte, eviction
+    tie-breaks included."""
+    import glob
+    import os
+    import time
+
+    from dagger_spark.streaming.stateful import heavy_hitters_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    batch = {
+        (r["shard"], r["item"]): (r["est"], r["err"])
+        for r in heavy_hitters_sketch(
+            ev, "user_id", capacity=8, n_shards=4
+        ).collect()
+    }
+
+    src = tmp_path / "hh_src"
+    os.makedirs(src)
+    pdf = ev.toPandas().sort_values(["ts", "event_id"])
+    cut = len(pdf) // 3
+    for i, chunk in enumerate((pdf[:cut], pdf[cut:2 * cut], pdf[2 * cut:])):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    now = time.time() - 60
+    for i, f in enumerate(sorted(glob.glob(str(src / "f*/part-*.parquet")))):
+        os.utime(f, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    q = (
+        heavy_hitters_sketch(stream, "user_id", capacity=8, n_shards=4)
+        .writeStream.format("memory").queryName("hh")
+        .option("checkpointLocation", str(tmp_path / "hh_ck"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _hh_snapshot(spark.sql("SELECT * FROM hh").collect())
+    finally:
+        q.stop()
+    assert got == batch and len(batch) > 0
+
+
+def test_heavy_hitters_space_saving_guarantees(spark, sf_dir):
+    """The frequent-items contract, which holds for ANY fold order:
+    est - err <= true <= est for tracked items; every item with true
+    count > N_shard / capacity is tracked; <= capacity rows per shard."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from dagger_spark.streaming.stateful import heavy_hitters_sketch
+
+    cap, shards = 8, 4
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    rows = heavy_hitters_sketch(
+        ev, "user_id", capacity=cap, n_shards=shards
+    ).collect()
+
+    truth = Counter()
+    shard_of, shard_n = {}, Counter()
+    for r in ev.select(
+        F.pmod(F.xxhash64("user_id"), F.lit(shards)).cast("int").alias("s"),
+        F.col("user_id").cast("string").alias("i"),
+    ).collect():
+        truth[r["i"]] += 1
+        shard_of[r["i"]] = r["s"]
+        shard_n[r["s"]] += 1
+
+    per_shard = Counter()
+    tracked = set()
+    for r in rows:
+        per_shard[r["shard"]] += 1
+        tracked.add(r["item"])
+        t = truth[r["item"]]
+        assert r["est"] - r["err"] <= t <= r["est"], r
+    assert all(n <= cap for n in per_shard.values())
+    missed = [
+        i for i, t in truth.items()
+        if t > shard_n[shard_of[i]] / cap and i not in tracked
+    ]
+    assert not missed, missed[:5]
+    assert len(tracked) > 0

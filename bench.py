@@ -182,6 +182,7 @@ HEADLINE = [
     "orders_pit_priority",
     "events_ab_test",
     "hybrid_rrf_docs",
+    "orders_skyline",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -571,13 +571,29 @@ def heavy_hitters_sketch(
         )
 
     if not events.isStreaming:
+        # constant-memory batch fold: hash-shuffle on shard, sort the
+        # partition once (so each shard's rows arrive in (ts, id) order),
+        # then fold Arrow chunk by Arrow chunk via mapInPandas — state is
+        # shards-in-partition * capacity counters, never the shard's rows
+        # (groupBy().applyInPandas would materialize the whole shard in
+        # one pandas frame).  Chunk iteration preserves the partition
+        # sort, and shards never share a summary, so the result is
+        # byte-identical to the per-shard sorted fold the stream runs.
+        def fold_partition(batches):
+            summaries: dict = {}
+            for pdf in batches:
+                for shard, item in zip(pdf["__shard"], pdf["__item"]):
+                    summary, n = summaries.get(shard) or ({}, 0)
+                    _space_saving_step(summary, item, capacity)
+                    summaries[shard] = (summary, n + 1)
+            for shard, (summary, n) in summaries.items():
+                yield _emit(int(shard), summary, n)
 
-        def fold_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-            summary: dict = {}
-            n = _fold_rows(summary, pdf)
-            return _emit(int(pdf["__shard"].iloc[0]), summary, n)
-
-        return src.groupBy("__shard").applyInPandas(fold_batch, _HH_SCHEMA)
+        return (
+            src.repartition("__shard")
+            .sortWithinPartitions("__ts", "__id")
+            .mapInPandas(fold_partition, _HH_SCHEMA)
+        )
 
     def fold(key, pdfs, state: GroupState):
         if state.exists:

@@ -480,3 +480,42 @@ def test_temporal_multi_rule_stream_equals_batch(spark, tmp_path):
     batch = {tuple(r) for r in run(_events(spark, rows)).collect()}
     assert {(t[1], t[4]) for t in batch} == {("H1", 4)}  # true event count
     assert _run_stream(spark, run, rows, tmp_path, "multi3") == batch
+
+
+def test_multi_rule_stream_plans_one_watermark_node(spark, tmp_path):
+    """Regression guard for the starved-watermark shape: compiling a
+    multi-rule correlation as a union of per-rule filtered branches puts
+    one EventTimeWatermark node per branch behind a pushed-down rule
+    predicate, making the global watermark the MINIMUM over branches — a
+    rule that never fires then stalls every window forever.  The explode
+    form must plan exactly ONE watermark node (counts/pair types too:
+    one per watermarked stream leg)."""
+    regs = {
+        f"r{i}": RuleSpec(
+            name=f"r{i}", predicate_sql=f"event_data.TargetImage = 'X{i}'")
+        for i in (1, 2, 3)
+    }
+    rows = [_ev("w1", "H1", 0, target="X1")]
+    d = str(tmp_path / "wm_src")
+    _events(spark, rows).write.parquet(d)
+    stream = spark.readStream.schema(_events(spark, rows).schema).parquet(d)
+
+    def n_watermarks(sdf):
+        plan = sdf._jdf.queryExecution().analyzed().toString()
+        return sum(
+            1 for line in plan.splitlines() if "EventTimeWatermark" in line
+        )
+
+    multi = compile_correlation(parse_correlation({
+        "title": "m", "correlation": {
+            "type": "temporal", "rules": ["r1", "r2", "r3"],
+            "group-by": ["computer_name"], "timespan": "10m"}}), regs)
+    assert n_watermarks(multi(stream)) == 1
+
+    counts = compile_correlation(parse_correlation({
+        "title": "c", "correlation": {
+            "type": "value_count", "rules": ["r1"],
+            "group-by": ["computer_name"], "timespan": "10m",
+            "field": "event_data.TargetImage",
+            "condition": {"gte": 1}}}), regs)
+    assert n_watermarks(counts(stream)) == 1

@@ -381,7 +381,10 @@ def global_quantiles_exact(
     )
     n = F.col("_gr_total")  # keep_total's broadcast row count (per-row constant)
     rn = F.col("_gq_rn")
-    aggs = [F.max(n).cast("long").alias("n")]
+    # empty input: max over zero rows is NULL, but the DuckDB oracle's
+    # count(*) is 0 — coalesce so the one output row says n=0 (the
+    # percentile columns stay NULL, matching percentile_cont over nothing)
+    aggs = [F.coalesce(F.max(n), F.lit(0)).cast("long").alias("n")]
     for q in probs:
         pos = (n - 1) * F.lit(float(q))  # exact double for dyadic q
         lo = (F.floor(pos) + 1).cast("long")

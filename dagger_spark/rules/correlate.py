@@ -77,15 +77,33 @@ def correlate_alerts_stream(
     explicit time-range predicate — the form Structured Streaming requires
     so both sides' state can be garbage-collected (A-side state lives
     window_s + watermark, B-side watermark only).  Same answer as
-    ``correlate_alerts`` on the same data (pinned by test)."""
-    a = rule_matches(events, rule_a, key, ts_col).select(
-        "entity", F.col("uuid").alias("a_uuid"), F.col("ts").alias("a_ts")
-    ).withWatermark("a_ts", watermark)
-    b = rule_matches(events, rule_b, key, ts_col).select(
-        F.col("entity").alias("entity_b"),
-        F.col("uuid").alias("b_uuid"),
-        F.col("ts").alias("b_ts"),
-    ).withWatermark("b_ts", watermark)
+    ``correlate_alerts`` on the same data (pinned by test).
+
+    Each side assigns its watermark BEFORE the rule predicate is applied,
+    with the predicate expressed as an explode-of-a-0/1-element-array (a
+    generator cannot be pushed below the EventTimeWatermark node, unlike a
+    plain filter): every event's timestamp therefore advances BOTH sides'
+    watermarks.  With the old filter-below-watermark shape a rule that
+    stopped firing froze its side's watermark at the last match, so the
+    global (min) watermark stalled and join state for the still-firing
+    side was never garbage-collected — a slow state leak, the same class
+    of trap the correlation count types fix inside their aggregates."""
+
+    def _tagged_side(rule, entity_alias, uuid_alias, ts_alias):
+        tag = F.array_compact(F.array(F.when(rule.condition(), F.lit(1))))
+        return (
+            events.withWatermark(ts_col, watermark)
+            .select(
+                F.col(key).alias(entity_alias),
+                F.col("uuid").alias(uuid_alias),
+                F.col(ts_col).alias(ts_alias),
+                F.explode(tag).alias("__m"),
+            )
+            .drop("__m")
+        )
+
+    a = _tagged_side(rule_a, "entity", "a_uuid", "a_ts")
+    b = _tagged_side(rule_b, "entity_b", "b_uuid", "b_ts")
     # Correlation lag is defined at SECOND resolution on both engines
     # (lag_s = unix_timestamp(b) - unix_timestamp(a), i.e. floor-second on
     # each side — the batch leg's interval_join + lag filter semantics).

@@ -218,7 +218,29 @@ def compile_correlation(
             any_rule = base_rules[0].condition()
             for r in base_rules[1:]:
                 any_rule = any_rule | r.condition()
-            matched = _wm(events).filter(any_rule)
+            if events.isStreaming:
+                # STREAMING: a plain .filter(any_rule) is pushed BELOW the
+                # EventTimeWatermark node (the predicate doesn't reference
+                # the event-time column), so non-matching events never
+                # advance the watermark — a rule that stops firing leaves
+                # its last windows open forever (silent no-alert).  Same
+                # trap run_multi dodges: a generator cannot be pushed below
+                # the watermark, so every event's timestamp advances it and
+                # non-matching events simply explode to zero rows.  Pinned
+                # by test_count_watermark_advances_on_nonmatching_events.
+                keep = [F.col(c) for c in spec.group_by] + [F.col(ts_col)]
+                if spec.ctype == "value_count":
+                    # project the (possibly nested) field to a flat alias
+                    # here; the level-1 aggregate below picks it up as __v
+                    keep.append(F.col(spec.field).alias("__v"))
+                matched = _wm(events).select(
+                    *keep,
+                    F.explode(
+                        F.array_compact(F.array(F.when(any_rule, F.lit(1))))
+                    ).alias("__match"),
+                ).drop("__match")
+            else:
+                matched = events.filter(any_rule)
             if spec.ctype == "value_count" and not events.isStreaming:
                 # count(DISTINCT field) ignores NULL field values; rows
                 # carrying a NULL must not contribute to first/last_seen
@@ -251,7 +273,7 @@ def compile_correlation(
                 per_val = matched.select(
                     w.alias("window"),
                     *[F.col(c) for c in spec.group_by],
-                    F.col(spec.field).alias("__v"),
+                    F.col("__v"),
                     F.unix_micros(F.col(ts_col)).alias("__us"),
                 ).groupBy("window", *spec.group_by, "__v").agg(
                     F.min("__us").alias("__min_us"),
@@ -351,7 +373,33 @@ def compile_correlation(
                     (-F.col("lag_s")).alias("lag_s"),
                 )
                 # a pair at lag 0 appears in both directions; keep one
-                out = out.unionByName(rev.filter(F.col("lag_s") < 0))
+                rev = rev.filter(F.col("lag_s") < 0)
+                if not events.isStreaming:
+                    # when BOTH events of a pair match BOTH base rules, the
+                    # forward leg emits (x, y, +d) and the reverse leg
+                    # emits (y, x, -d) — two rows for ONE unordered pair.
+                    # Drop reverse rows whose mirror already appears in the
+                    # forward output (anti-join over the tiny alert-pair
+                    # set).  STREAMING keeps both orientations: an
+                    # anti-join of two derived stream-stream-join outputs
+                    # would need a second watermark assignment over join
+                    # results, which Structured Streaming does not support
+                    # — the dual-match double-emission is documented
+                    # behavior on that leg (each row still describes a
+                    # real (rule_a-match, rule_b-match) pairing).
+                    fwd = out.select(
+                        F.col("entity").alias("__f_entity"),
+                        F.col("a_uuid").alias("__f_a"),
+                        F.col("b_uuid").alias("__f_b"),
+                    )
+                    rev = rev.join(
+                        fwd,
+                        (F.col("entity") == F.col("__f_entity"))
+                        & (F.col("a_uuid") == F.col("__f_b"))
+                        & (F.col("b_uuid") == F.col("__f_a")),
+                        "left_anti",
+                    )
+                out = out.unionByName(rev)
             return out.select(
                 F.lit(spec.name).alias("correlation"),
                 "entity", "a_uuid", "b_uuid", "lag_s",

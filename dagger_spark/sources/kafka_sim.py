@@ -213,8 +213,46 @@ class _SinkWriterBase:
 
 
 class _SinkBatchWriter(_SinkWriterBase, DataSourceWriter):
+    """Batch produce.  Each commit publishes under a UNIQUE manifest name
+    (zero-padded nanosecond timestamp + random suffix, so lexicographic
+    manifest order == commit order): a second batch write in append mode
+    ADDS records instead of silently replacing the first commit's manifest
+    (the old fixed ``manifest-batch.json`` name hid prior committed rows
+    from ``committed_values``).  ``mode("overwrite")`` is honored at
+    commit time on the driver: prior manifests and the files they
+    reference are removed before the new manifest is published — staged
+    data only, so an aborted overwrite leaves the previous commit
+    intact."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        super().__init__(options)
+        self._overwrite = bool(overwrite)
+
     def commit(self, messages) -> None:
-        self._publish(self._path, messages, "manifest-batch.json")
+        import os
+        import time
+        import uuid
+
+        if self._overwrite:
+            for mf in [
+                f for f in os.listdir(self._path)
+                if f.startswith("manifest-")
+            ]:
+                import json
+
+                with open(os.path.join(self._path, mf)) as fh:
+                    manifest = json.load(fh)
+                for entry in manifest["files"]:
+                    try:
+                        os.remove(os.path.join(self._path, entry["file"]))
+                    except FileNotFoundError:
+                        pass
+                os.remove(os.path.join(self._path, mf))
+        name = (
+            f"manifest-batch-{time.time_ns():020d}-"
+            f"{uuid.uuid4().hex[:8]}.json"
+        )
+        self._publish(self._path, messages, name)
 
     def abort(self, messages) -> None:
         self._discard(self._path, messages)
@@ -269,7 +307,7 @@ class KafkaSimDataSource(DataSource):
             raise ValueError(
                 f"kafka_sim sink requires a 'value' column, got {names}"
             )
-        return _SinkBatchWriter(self.options)
+        return _SinkBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> "_SinkStreamWriter":
         names = [f.name for f in schema.fields]

@@ -212,3 +212,40 @@ def test_kafka_sim_sink_rejects_newline_values(spark, tmp_path):
     with pytest.raises(Exception, match="newline-framed"):
         df.write.format("kafka_sim").option("path", out) \
             .mode("append").save()
+
+
+def test_kafka_sim_sink_batch_append_accumulates_and_overwrite_clears(
+    spark, tmp_path
+):
+    """Batch commits publish UNIQUE, commit-ordered manifest names: a
+    second append-mode write ADDS its records (the old fixed
+    manifest-batch.json name silently replaced the first commit, hiding
+    its rows from committed_values), and mode('overwrite') removes every
+    prior commit's manifest AND the data files it referenced before
+    publishing — the consumer sees exactly the overwriting write."""
+    import os
+
+    from dagger_spark.sources.kafka_sim import committed_values
+
+    register_kafka_sim(spark)
+    out = str(tmp_path / "topic")
+
+    def produce(vals, mode):
+        spark.createDataFrame([(v,) for v in vals], "value binary") \
+            .coalesce(1).write.format("kafka_sim") \
+            .option("path", out).mode(mode).save()
+
+    first = [b'{"i": 1}', b'{"i": 2}']
+    second = [b'{"i": 3}']
+    produce(first, "append")
+    produce(second, "append")
+    got = committed_values(out)
+    # both commits visible, in commit order (manifest names sort by time)
+    assert got == first + second
+
+    produce([b'{"i": 9}'], "overwrite")
+    assert committed_values(out) == [b'{"i": 9}']
+    # the replaced commits' data files are gone too, not just unreferenced
+    leftover = [f for f in os.listdir(out)
+                if not f.startswith((".", "manifest-"))]
+    assert len(leftover) == 1

@@ -260,6 +260,11 @@ def test_empty_and_tiny_inputs(spark):
     same = spark.createDataFrame([(i, 9) for i in range(50)], "id long, v long")
     rn = global_row_number(same, ["v", "id"], "rn", num_ranges=8)
     assert [r["rn"] for r in rn.orderBy("id").collect()] == list(range(1, 51))
+    # exact quantiles over an empty input: the one output row must say
+    # n=0 (NOT NULL — DuckDB's count(*) oracle is 0) with NULL percentiles
+    q = global_quantiles_exact(empty, "v", "id", [0.5], num_ranges=4)
+    row = q.collect()[0]
+    assert row["n"] == 0 and row["p50"] is None
 
 
 def test_shuffled_shards_is_exact_permutation(spark):

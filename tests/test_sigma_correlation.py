@@ -519,3 +519,94 @@ def test_multi_rule_stream_plans_one_watermark_node(spark, tmp_path):
             "field": "event_data.TargetImage",
             "condition": {"gte": 1}}}), regs)
     assert n_watermarks(counts(stream)) == 1
+
+
+def test_temporal_unordered_dual_match_pair_emitted_once(spark):
+    """When BOTH events of a pair match BOTH base rules, the forward and
+    reverse legs each produce an orientation of the SAME unordered pair —
+    the batch leg must emit it once (forward wins); a pair seen only by
+    the reverse leg still survives the dedup anti-join."""
+    regs = {
+        "rA": RuleSpec(
+            name="rA",
+            predicate_sql="event_data.TargetImage IN ('A', 'AB')",
+        ),
+        "rB": RuleSpec(
+            name="rB",
+            predicate_sql="event_data.TargetImage IN ('B', 'AB')",
+        ),
+    }
+    spec = parse_correlation({"title": "dual", "correlation": {
+        "type": "temporal", "rules": ["rA", "rB"],
+        "group-by": ["computer_name"], "timespan": "10m"}})
+    run = compile_correlation(spec, regs)
+    rows = [
+        _ev("d1", "H1", 0, target="AB"),    # matches BOTH rules
+        _ev("d2", "H1", 60, target="AB"),   # matches BOTH rules
+        _ev("e1", "H2", 0, target="B"),     # reverse-only pair: B then A
+        _ev("e2", "H2", 60, target="A"),
+    ]
+    got = {(r["entity"], r["a_uuid"], r["b_uuid"], r["lag_s"]) for r in
+           run(_events(spark, rows)).collect()}
+    assert got == {("H1", "d1", "d2", 60), ("H2", "e2", "e1", -60)}
+
+
+@pytest.mark.parametrize("ctype,extra", [
+    ("event_count", {"condition": {"gte": 2}}),
+    ("value_count", {"condition": {"gte": 2},
+                     "field": "event_data.TargetImage"}),
+])
+def test_count_watermark_advances_on_nonmatching_events(
+    spark, tmp_path, ctype, extra
+):
+    """A micro-batch containing ONLY rule-non-matching events must still
+    advance the watermark and flush pending windows.  The old streaming
+    shape filtered by the rule predicate after withWatermark; Catalyst
+    pushed the (non-event-time) predicate BELOW the EventTimeWatermark
+    node, so a rule that stopped firing left its last windows open forever
+    — the compiled plan now routes EVERY event through the watermark node
+    (explode of a 0/1 array, a generator that cannot be pushed down) and
+    excludes non-matches by the zero-row explode output."""
+    import glob
+    import os
+    import time
+
+    corr = {"type": ctype, "rules": [SYSCALL],
+            "group-by": ["computer_name"], "timespan": "10m", **extra}
+    spec = parse_correlation({"title": f"wm_{ctype}", "correlation": corr})
+    run = compile_correlation(spec, _registry(), watermark="0 seconds")
+
+    matching = [
+        _ev("m1", "H1", 0, target="T1"),
+        _ev("m2", "H1", 60, target="T2"),
+    ]
+    # the closer matches NO rule: trace misses every registry predicate
+    closer = [_ev("zzz", "H-CLOSER", 10 * 86400, trace="benign|clean")]
+
+    src = str(tmp_path / f"wm_src_{ctype}")
+    os.makedirs(src)
+    _events(spark, matching).coalesce(1).write.parquet(src + "/f0")
+    _events(spark, closer).coalesce(1).write.parquet(src + "/f1")
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    now = time.time() - 60
+    for i, f in enumerate(files):
+        os.utime(f, (now + 10 * i, now + 10 * i))
+    stream = spark.readStream.schema(
+        _events(spark, matching).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/f*")
+
+    q = (
+        run(stream)
+        .writeStream.format("memory").queryName(f"wm_{ctype}")
+        .option("checkpointLocation", str(tmp_path / f"wm_ck_{ctype}"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["computer_name"], r["value"]) for r in
+               spark.sql(f"SELECT * FROM wm_{ctype}").collect()}
+    finally:
+        q.stop()
+    # the H1 window flushed solely because the non-matching closer
+    # advanced the watermark; the closer itself produced no alert
+    assert got == {("H1", 2)}

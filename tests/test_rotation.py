@@ -95,14 +95,18 @@ def test_rotation_advances_until_full_coverage():
     )
 
 
-def test_all_changed_rank_queries_in_gate_window():
-    """The five queries rewritten onto ops/rank this round must sit inside
-    the driver-checked window: changed code re-earns its driver row."""
+def test_changed_code_queries_in_gate_window():
+    """Queries whose implementation changed this round must sit inside the
+    driver-checked window: changed code re-earns its driver row.  Round 7:
+    the correlation compiler's streaming-watermark fix (batch plans
+    unchanged but the compiled callable is shared) and ops/rank's
+    empty-input n=0 fix."""
     from __spark_entry__ import _DRIVER_WINDOW
 
     window = set(_DRIVER_WINDOW[:GATE_SIZE])
     for name in (
-        "events_zorder_layout", "quantile_normalize_docs",
-        "customer_abc_analysis", "customer_rfm_segments", "zipf_slope_docs",
+        "events_sigma_corr_counts", "events_sigma_corr_distinct",
+        "events_sigma_corr_temporal", "events_sigma_corr_cooccur",
+        "events_exact_quantiles",
     ):
         assert name in window, name

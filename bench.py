@@ -302,6 +302,21 @@ def main() -> None:
     for t in ALL_TABLES:
         load_table(spark, SF_DIR, t).schema
 
+    # media fixtures: the multimodal catalog fns read deterministic blob
+    # parquet materialized once per machine (catalog._media_fixture).
+    # Building a query's plan triggers that one-time write, so touch each
+    # media query here, BEFORE the timed loop — run-1 timings then measure
+    # decode work against stored blobs, exactly like every parquet workload
+    # reads pre-existing testdata.  (BENCH_r06's media numbers folded
+    # per-run fixture synthesis into every timed run — a ~4x overstatement
+    # that made real regressions in this family undetectable.)
+    for name in (
+        "multimodal_pixels", "multimodal_audio", "multimodal_frames",
+        "multimodal_video_pixels", "multimodal_phash",
+        "multimodal_phash_clusters",
+    ):
+        QUERIES[name].fn(spark, SF_DIR)
+
     timings: dict = {}
     best: dict = {}
     # Each query runs N_RUNS times (default 2).  "queries" keeps the FIRST
@@ -430,6 +445,9 @@ def main() -> None:
         "loadavg_end_1m_5m_15m": loadavg_end,
         "calibration_start_sec": calib_start,
         "calibration_end_sec": calib_end,
+        # media fixtures are pre-materialized to /tmp parquet before the
+        # timed loop (see above): multimodal_* numbers time the query only
+        "media_fixtures_prematerialized": True,
     }
     # FULL per-query dicts go to a repo file: the single stdout line with
     # all ~130 queries outgrew the driver's tail-capture window in round 3

@@ -3418,6 +3418,39 @@ def sysmon_rules_correlated(spark, sf_dir):
     return correlate_alerts(events, ra, rb, window_s=1800)
 
 
+def _media_fixture(spark, key: str, n_rows: int, build_df):
+    """Materialize a deterministic media fixture ONCE per machine as
+    parquet and read it back.  The media queries must time decode work
+    against STORED blobs — the production shape: media arrives as binary
+    columns in parquet files, not driver-side synthesis — and BENCH_r06's
+    media numbers overstated query cost ~4x precisely because per-run
+    fixture synthesis (encode_png/encode_avi loops + createDataFrame)
+    was folded into every timed run.  Idempotent: an existing fixture is
+    reused only when its row count matches (a stale or foreign file at
+    the well-known path is rewritten, same discipline as
+    write_zipf_docs_parquet); the write is atomic via directory rename."""
+    import os
+    import shutil
+
+    path = f"/tmp/dagger_media_{key}_v1.parquet"
+    ok = False
+    if os.path.isdir(path):
+        try:
+            ok = spark.read.parquet(path).count() == n_rows
+        except Exception:
+            ok = False
+    if not ok:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_df().coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    return spark.read.parquet(path)
+
+
 @register(
     "multimodal_meta",
     None,
@@ -3427,7 +3460,9 @@ def sysmon_rules_correlated(spark, sf_dir):
 def multimodal_meta(spark, sf_dir):
     from .ops.multimodal import extract_image_meta, fake_media_df
 
-    media = fake_media_df(spark, 64)
+    media = _media_fixture(
+        spark, "image64", 64, lambda: fake_media_df(spark, 64)
+    )
     meta = extract_image_meta(media)
     return meta.filter(F.col("valid")).select("media_id", "width", "height", "channels")
 
@@ -3441,7 +3476,10 @@ def multimodal_meta(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     from .ops.multimodal import extract_features, fake_media_df
 
-    feats = extract_features(fake_media_df(spark, 64), bins=16)
+    media = _media_fixture(
+        spark, "image64", 64, lambda: fake_media_df(spark, 64)
+    )
+    feats = extract_features(media, bins=16)
     return feats.filter(F.col("valid")).select(
         "media_id", F.round(F.element_at("features", 1), 6).alias("f0"),
         F.size("features").alias("dim"),
@@ -3461,13 +3499,16 @@ def multimodal_features(spark, sf_dir):
 def multimodal_pixels(spark, sf_dir):
     from .ops.multimodal import MEDIA_SCHEMA, decode_image_pixels, encode_png
 
-    rows = []
-    for i in range(32):
-        w, h = 8 + i % 5, 6 + i % 3
-        px = bytes((i * 37 + j) % 256 for j in range(w * h * 3))
-        blob = encode_png(w, h, 3, px, filter_type=i % 5)
-        rows.append((i, "image/png", bytearray(blob), ("png", len(blob))))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    def build():
+        rows = []
+        for i in range(32):
+            w, h = 8 + i % 5, 6 + i % 3
+            px = bytes((i * 37 + j) % 256 for j in range(w * h * 3))
+            blob = encode_png(w, h, 3, px, filter_type=i % 5)
+            rows.append((i, "image/png", bytearray(blob), ("png", len(blob))))
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    df = _media_fixture(spark, "png32", 32, build)
     return decode_image_pixels(df).select(
         "media_id", "width", "height", "channels",
         F.crc32(F.col("pixels")).alias("pixel_crc"), "valid",
@@ -3490,7 +3531,10 @@ def multimodal_pixels(spark, sf_dir):
 def multimodal_audio(spark, sf_dir):
     from .ops.audio import extract_audio_features, fake_audio_df
 
-    return extract_audio_features(fake_audio_df(spark, 48))
+    audio = _media_fixture(
+        spark, "audio48", 48, lambda: fake_audio_df(spark, 48)
+    )
+    return extract_audio_features(audio)
 
 
 @register(
@@ -3508,7 +3552,10 @@ def multimodal_audio(spark, sf_dir):
 def multimodal_frames(spark, sf_dir):
     from .ops.video import fake_video_df, sample_video_frames
 
-    return sample_video_frames(fake_video_df(spark, 32), every_n=4)
+    video = _media_fixture(
+        spark, "avi32", 32, lambda: fake_video_df(spark, 32)
+    )
+    return sample_video_frames(video, every_n=4)
 
 
 @register(
@@ -3527,20 +3574,26 @@ def multimodal_video_pixels(spark, sf_dir):
     from .ops.multimodal import MEDIA_SCHEMA, decode_image_pixels, encode_png
     from .ops.video import encode_avi, sample_video_frames
 
-    rows = []
-    for i in range(12):
-        w, h = 6 + i % 3, 4 + i % 2
-        frames = [
-            encode_png(
-                w, h, 3,
-                bytes((i * 37 + f * 11 + j) % 256 for j in range(w * h * 3)),
-                filter_type=(i + f) % 5,
-            )
-            for f in range(4 + i % 3)
-        ]
-        blob = encode_avi(frames, w, h, fps=10)
-        rows.append((i, "video/avi", bytearray(blob), ("avi", len(blob))))
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    def build():
+        rows = []
+        for i in range(12):
+            w, h = 6 + i % 3, 4 + i % 2
+            frames = [
+                encode_png(
+                    w, h, 3,
+                    bytes(
+                        (i * 37 + f * 11 + j) % 256
+                        for j in range(w * h * 3)
+                    ),
+                    filter_type=(i + f) % 5,
+                )
+                for f in range(4 + i % 3)
+            ]
+            blob = encode_avi(frames, w, h, fps=10)
+            rows.append((i, "video/avi", bytearray(blob), ("avi", len(blob))))
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    media = _media_fixture(spark, "avipng12", 12, build)
     sampled = sample_video_frames(media, every_n=2, payloads=True).filter(
         F.col("valid")
     )
@@ -6938,31 +6991,34 @@ def multimodal_phash(spark, sf_dir):
 
     import hashlib
 
-    rows = []
-    for i in range(24):
-        w = h = 16
-        # md5-expanded content: genuinely independent images (a linear
-        # (i*a + j*b) % m ramp has the SAME slope for every i and its
-        # phashes collide at Hamming ~1 — caught in dev)
-        base = b"".join(
-            hashlib.md5(f"{i}:{k}".encode()).digest()
-            for k in range(w * h * 3 // 16)
-        )
-        rows.append((i, "image/png", bytearray(encode_png(w, h, 3, base)),
-                     ("png", 0)))
-        if i < 8:  # planted near-dup: push 3 SAMPLED pixels across the
-            # mean (grid points of the 8x8 phash sample lattice, sx=2*gx,
-            # sy=2*gy at 16x16) so the pair lands at Hamming 1-4, not 0 —
-            # exercising the verify arm, not just band equality
-            pert = bytearray(base)
-            for gy, gx in ((1, 1), (3, 5), (6, 2)):
-                o = (2 * gy * w + 2 * gx) * 3
-                for ch in range(3):
-                    pert[o + ch] = (pert[o + ch] + 120) % 256
-            rows.append((100 + i, "image/png",
-                         bytearray(encode_png(w, h, 3, bytes(pert))),
+    def build():
+        rows = []
+        for i in range(24):
+            w = h = 16
+            # md5-expanded content: genuinely independent images (a linear
+            # (i*a + j*b) % m ramp has the SAME slope for every i and its
+            # phashes collide at Hamming ~1 — caught in dev)
+            base = b"".join(
+                hashlib.md5(f"{i}:{k}".encode()).digest()
+                for k in range(w * h * 3 // 16)
+            )
+            rows.append((i, "image/png", bytearray(encode_png(w, h, 3, base)),
                          ("png", 0)))
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+            if i < 8:  # planted near-dup: push 3 SAMPLED pixels across the
+                # mean (grid points of the 8x8 phash sample lattice, sx=2*gx,
+                # sy=2*gy at 16x16) so the pair lands at Hamming 1-4, not 0 —
+                # exercising the verify arm, not just band equality
+                pert = bytearray(base)
+                for gy, gx in ((1, 1), (3, 5), (6, 2)):
+                    o = (2 * gy * w + 2 * gx) * 3
+                    for ch in range(3):
+                        pert[o + ch] = (pert[o + ch] + 120) % 256
+                rows.append((100 + i, "image/png",
+                             bytearray(encode_png(w, h, 3, bytes(pert))),
+                             ("png", 0)))
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    media = _media_fixture(spark, "phash32", 32, build)
     hashes = phash_from_pixels(decode_image_pixels(media))
     return phash_neardup(hashes, max_dist=6, bands=8)
 

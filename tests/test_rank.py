@@ -385,3 +385,47 @@ def test_skyline2d_no_unbounded_single_partition_window(spark):
         [(i, i % 37, i % 11) for i in range(1000)], "id int, x int, y int"
     )
     assert not _unpartitioned_window_violations(skyline2d(df, "x", "y"))
+
+
+def test_mega_key_skew_contained_and_exact(spark):
+    """The module docstring's skew caveat pinned (ops/rank.py: 'a single
+    mega-frequent value bounds parallelism for its bucket ... salting
+    cannot apply: equal keys must meet one rank counter').  With ONE
+    part_key value carrying 50% of all rows:
+
+    * ranks stay EXACT vs the single-partition window form,
+    * the hot value is confined to exactly ONE bucket — that bucket is the
+      lone straggler — while every other bucket stays near the
+      N/num_ranges design size (degradation is contained, not cascading),
+    * AQE skew handling is inert here BY DESIGN: skewedPartitionFactor
+      splits join/rebalance reads, never a window's hash exchange, because
+      all rows of one key must meet one rank counter — which is why the
+      caveat documents degraded parallelism instead of promising a rescue.
+    """
+    from dagger_spark.ops.rank import _bucket
+
+    n, hot, ranges = 4000, 7, 16
+    rows = [(i, hot) for i in range(n // 2)] + [
+        (n // 2 + i, 1000 + (i * 37) % 997) for i in range(n // 2)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(16)
+
+    got = global_row_number(df, ["v", "id"], "rn", num_ranges=ranges)
+    want = df.select(
+        "id", "v", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    bounds = boundaries_for(df, {"k": F.col("v")}, num_ranges=ranges)["k"]
+    sizes = {
+        r["b"]: r["count"]
+        for r in df.select(_bucket(F.col("v"), bounds).alias("b"))
+        .groupBy("b").count().collect()
+    }
+    hot_bucket = sum(1 for x in bounds if hot > x)
+    # the straggler: every hot row shares one bucket...
+    assert sizes[hot_bucket] >= n // 2
+    # ...and no other bucket inflates past ~3x the design size
+    rest = [c for b, c in sizes.items() if b != hot_bucket]
+    assert rest and max(rest) <= 3 * (n / ranges), sizes

@@ -47,16 +47,26 @@ def build_probe_corpus() -> str:
     """Tile documents 20x with per-tile doc_id offsets and a tile marker
     token appended to text (so the tiled corpus is 20x DISTINCT docs, not
     20 copies — copies would make dedup-family timings meaningless).
-    Written with 8k-row row groups: many native splits, production-like."""
+    Written with 8k-row row groups: many native splits, production-like.
+
+    Round 7 extends the probe dir to the ops/rank + graph + RRF families:
+    events / orders / embeddings tile 20x with per-tile ID-COLUMN offsets
+    (event_id; o_orderkey AND o_custkey — so rank-over-customers inputs
+    really grow 20x, not just the pre-aggregation scan; vec_id — tile 0
+    keeps the originals so the vec_id=0 query vector survives), values
+    kept verbatim (fine for ordering: ties resolve on the unique id
+    tiebreak, and a 20x-duplicated value still lands in one range
+    bucket).  Every other table hard-links from sf0.1 so load_table works
+    for any catalog query pointed at the probe dir."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    out = os.path.join(PROBE_DIR, "documents.parquet")
-    done = os.path.join(PROBE_DIR, "_DONE")
+    done = os.path.join(PROBE_DIR, "_DONE_v2")
     if os.path.exists(done):
         return PROBE_DIR
     os.makedirs(PROBE_DIR, exist_ok=True)
+
     base = pq.read_table(os.path.join(BASE, "documents.parquet"))
     n = base.num_rows
     tiles = []
@@ -76,7 +86,43 @@ def build_probe_corpus() -> str:
                 }
             )
         )
-    pq.write_table(pa.concat_tables(tiles), out, row_group_size=8192)
+    pq.write_table(
+        pa.concat_tables(tiles),
+        os.path.join(PROBE_DIR, "documents.parquet"),
+        row_group_size=8192,
+    )
+
+    ID_COLS = {
+        "events": ["event_id"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "embeddings": ["vec_id"],
+    }
+    for name, id_cols in ID_COLS.items():
+        tbl = pq.read_table(os.path.join(BASE, f"{name}.parquet"))
+        strides = {
+            c: pc.max(tbl[c]).as_py() + 1 for c in id_cols
+        }
+        parts = []
+        for t in range(TILE):
+            cols = {}
+            for f in tbl.schema.names:
+                cols[f] = (
+                    pc.add(tbl[f], t * strides[f]) if f in id_cols else tbl[f]
+                )
+            parts.append(pa.table(cols))
+        pq.write_table(
+            pa.concat_tables(parts),
+            os.path.join(PROBE_DIR, f"{name}.parquet"),
+            row_group_size=8192,
+        )
+
+    for name in (
+        "region", "nation", "customer", "supplier", "part", "lineitem"
+    ):
+        dst = os.path.join(PROBE_DIR, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.link(os.path.join(BASE, f"{name}.parquet"), dst)
+
     open(done, "w").close()
     return PROBE_DIR
 

@@ -183,6 +183,11 @@ HEADLINE = [
     "events_ab_test",
     "hybrid_rrf_docs",
     "orders_skyline",
+    # round-7 additions
+    "l_diversity_docs",
+    "orders_woe_binning",
+    "kmv_distinct_events",
+    "dsir_weights_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

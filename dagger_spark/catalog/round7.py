@@ -1,0 +1,219 @@
+"""Round-7 additions: governance depth (l-diversity), credit-style WOE
+binning on the distributed rank family, a mergeable KMV distinct sketch
+with hash-proven group→ALL rollup, and DSIR importance weights for
+domain-matched corpus selection.
+
+Same pairing conventions as the rest of the catalog (see ._base): every
+entry oracle-paired, integer arithmetic wherever exactness is cheap, the
+few float ops either single-division (bit-exact cross-engine) or
++1e-9-nudged round(…, 6) sums.
+"""
+
+from __future__ import annotations
+
+from ._base import *  # noqa: F401,F403
+from .docs import _DUCK_TOKS  # noqa: F401
+
+
+_shared_sql(
+    "l_diversity_docs",
+    """
+    WITH cls AS (
+      SELECT lang,
+             CAST(floor(n_chars / 500.0) AS BIGINT) AS size_bucket,
+             source
+      FROM documents
+    ), g AS (
+      SELECT lang, size_bucket,
+             count(*) AS n,
+             count(DISTINCT source) AS l_distinct
+      FROM cls GROUP BY lang, size_bucket
+    )
+    SELECT lang, size_bucket,
+           CAST(n AS BIGINT)          AS n,
+           CAST(l_distinct AS BIGINT) AS l_distinct,
+           (l_distinct < 3)           AS l_violation,
+           (n < 5)                    AS k_violation
+    FROM g
+    """,
+    "l-diversity audit — the governance gate k_anonymity_docs stops short "
+    "of: a quasi-identifier class (lang, 500-char size bucket) can satisfy "
+    "k-anonymity yet expose its members when the SENSITIVE attribute "
+    "(source) is near-constant inside it; distinct-l < 3 flags exactly "
+    "that (Machanavajjhala et al.).  One grouped distinct-aggregate; the "
+    "class table is cardinality-sized.  floor(n/500.0) instead of integer "
+    "division keeps one SQL text (DuckDB's int '/' is float, Spark's is "
+    "not)",
+)
+
+
+@register(
+    "orders_woe_binning",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             (o_orderstatus = 'F') AS bad
+      FROM orders
+    ), b AS (
+      SELECT cents, bad,
+             ntile(10) OVER (ORDER BY cents, o_orderkey) AS bin
+      FROM o
+    ), g AS (
+      SELECT bin,
+             count(*) AS n,
+             sum(CASE WHEN bad THEN 1 ELSE 0 END) AS n_bad
+      FROM b GROUP BY bin
+    ), t AS (
+      SELECT sum(n_bad) AS bad_t, sum(n) - sum(n_bad) AS good_t FROM g
+    )
+    SELECT bin,
+           CAST(g.n AS BIGINT)     AS n,
+           CAST(g.n_bad AS BIGINT) AS n_bad,
+           round(ln(((g.n_bad + 0.5) / (t.bad_t + 5.0))
+                    / ((g.n - g.n_bad + 0.5) / (t.good_t + 5.0))) + 1e-9,
+                 6) AS woe,
+           round((((g.n_bad + 0.5) / (t.bad_t + 5.0))
+                  - ((g.n - g.n_bad + 0.5) / (t.good_t + 5.0)))
+                 * ln(((g.n_bad + 0.5) / (t.bad_t + 5.0))
+                      / ((g.n - g.n_bad + 0.5) / (t.good_t + 5.0)))
+                 + 1e-9,
+                 6) AS iv_term
+    FROM g g, t t
+    """,
+    "Weight-of-evidence feature binning — the credit-scoring / feature-"
+    "engineering staple: o_totalprice deciled into 10 bins (Spark side on "
+    "ops/rank.global_ntile, the two-pass range-partitioned ntile — NO "
+    "single-partition window; the oracle uses SQL ntile over the same "
+    "unique (cents, orderkey) ordering, the equivalence "
+    "window_rank_showcase already pins), each bin scored "
+    "ln(bad%/good%) with the standard +0.5/+5 Laplace smoothing, plus its "
+    "information-value term.  Integer counts; the float tail is two "
+    "divisions and one ln per bin — no long float sums — nudged "
+    "round(…, 6)",
+)
+def orders_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.rank import global_ntile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderstatus") == "F").alias("bad"),
+    )
+    binned = global_ntile(
+        o, ["cents", "o_orderkey"], 10, "bin", part_key="cents"
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+    )
+    t = g.agg(
+        F.sum("n_bad").alias("bad_t"),
+        (F.sum("n") - F.sum("n_bad")).alias("good_t"),
+    )
+    bad_rate = (F.col("n_bad") + 0.5) / (F.col("bad_t") + 5.0)
+    good_rate = (F.col("n") - F.col("n_bad") + 0.5) / (
+        F.col("good_t") + 5.0
+    )
+    woe = F.log(bad_rate / good_rate)
+    return g.join(F.broadcast(t)).select(
+        "bin",
+        "n",
+        "n_bad",
+        F.round(woe + 1e-9, 6).alias("woe"),
+        F.round((bad_rate - good_rate) * woe + 1e-9, 6).alias("iv_term"),
+    )
+
+
+@register(
+    "kmv_distinct_events",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), per AS (
+      SELECT event_type,
+             list_slice(list_sort(list(h)), 1, 64) AS mins
+      FROM h GROUP BY event_type
+      UNION ALL
+      SELECT '__ALL__' AS event_type,
+             list_slice(list_sort(list(DISTINCT h)), 1, 64) AS mins
+      FROM h
+    )
+    SELECT event_type,
+           CAST(len(mins) AS BIGINT)  AS n_kept,
+           mins[len(mins)]            AS kth_min,
+           CASE WHEN len(mins) < 64 THEN CAST(len(mins) AS DOUBLE)
+                ELSE round((63.0 * 1152921504606846976.0) / mins[64], 3)
+           END                        AS est_distinct
+    FROM per
+    """,
+    "KMV (k-minimum-values) distinct sketch, k=64, over distinct users "
+    "per event type — the MERGEABLE cardinality summary "
+    "(ops/sketch.kmv_sketch): k smallest 60-bit md5 hashes per group, "
+    "estimator (k-1)*2^60/h_(k), exact below k.  The '__ALL__' row is "
+    "computed by MERGING the per-type sketches (kmv_merge), while the "
+    "oracle computes ALL directly from the raw distinct hashes — the "
+    "hash gate therefore PROVES merge losslessness (k smallest of a "
+    "union of per-group k-smallest sets == k smallest of the union), "
+    "the same group-to-ALL discipline as the HDR sketch family.  All "
+    "integer except one final division; per-group top-k runs salted "
+    "(ops/sketch docstring) so no cardinality-sized window partition "
+    "exists",
+)
+def kmv_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    merged_all = kmv_merge(
+        per_type.withColumn("event_type", F.lit("__ALL__")),
+        ["event_type"],
+        k=64,
+    )
+    return kmv_estimate(
+        per_type.unionByName(merged_all), ["event_type"], k=64
+    )
+
+
+@register(
+    "dsir_weights_docs",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, (lang = 'en') AS it, unnest({_DUCK_TOKS}) AS tok
+      FROM documents
+    ), st AS (
+      SELECT tok,
+             sum(CASE WHEN it THEN 1 ELSE 0 END) AS ct,
+             count(*) AS cs
+      FROM tk GROUP BY tok
+    ), tot AS (
+      SELECT sum(ct) AS tt, sum(cs) AS ts, count(*) AS v FROM st
+    )
+    SELECT tk.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln((st.ct + 1.0) / (tot.tt + tot.v))
+                     - ln((st.cs + 1.0) / (tot.ts + tot.v))) + 1e-9,
+                 6) AS dsir_weight
+    FROM tk JOIN st USING (tok), tot
+    GROUP BY tk.doc_id
+    """,
+    "DSIR importance weights (Xie et al. 2023) with lang='en' as the "
+    "target domain: per-document log-likelihood ratio of the target vs "
+    "whole-corpus unigram LMs, add-one smoothed over the observed "
+    "vocabulary — the published recipe for resampling a domain-matched "
+    "training subset out of a web corpus.  One explode, one token-keyed "
+    "aggregate, one vocab join back, one doc-keyed sum; totals ride a "
+    "1-row broadcast.  ln-term sums are order-sensitive doubles, so both "
+    "engines nudge +1e-9 before round(…, 6) (the share-rounding "
+    "convention)",
+)
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import dsir_weights
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en")

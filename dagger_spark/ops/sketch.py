@@ -115,3 +115,116 @@ def hdr_quantiles(
         F.min("__n").alias("n_rows"),  # constant per group
         F.min("__est").alias("est"),   # est monotone -> min = first bucket
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------------
+#
+# The distinct-count complement of the HDR frame above: a MERGEABLE
+# cardinality summary whose state is k integers per group.  Each distinct
+# value hashes to a 60-bit integer (first 15 md5 hex chars — the engine's
+# one string-hash convention, ops/dedup.shingle_hashes); a group's sketch
+# is its k SMALLEST distinct hashes, and the classic KMV estimator reads
+# cardinality off the k-th minimum: uniform order statistics give
+# E[h_(k)] ~ k/(D+1) * 2^60, so  D-hat = (k-1) * 2^60 / h_(k)  (the
+# unbiased form; Bar-Yossef et al. 2002).  Exactness property used by the
+# catalog gate: with FEWER than k distinct values the sketch IS the value
+# set and the estimate is exact.
+#
+# Merge is closed and LOSSLESS for the estimator: the k smallest of a
+# union of per-group k-smallest sets equals the k smallest of the union of
+# the full sets (any global top-k member is top-k within its own group) —
+# so group sketches roll up to an ALL sketch identical to one built
+# directly, which the catalog entry hash-proves against a DuckDB oracle
+# computing ALL from raw data.  Everything is integer except the single
+# final division, so cross-engine parity is exact.
+#
+# Scale shape: one distinct-(group, hash) shuffle, then per-group top-k in
+# TWO phases — a salted local top-k (hash % salt_buckets) bounds any one
+# window partition at its salt slice, then the final top-k runs over
+# <= salt_buckets * k survivors per group.  No cardinality-sized window
+# partition anywhere; unlike HLL the sketch also supports set
+# intersection estimates downstream (not exposed yet).
+
+
+def kmv_hash(value: F.Column) -> F.Column:
+    """60-bit md5 hash of a value's string form (NULL -> NULL)."""
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: int = 64,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch rows: ``group_cols + (__h,)`` — the k smallest
+    distinct 60-bit hashes of ``value_col`` (NULL values excluded, as
+    count-distinct semantics require)."""
+    g = list(group_cols)
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, kmv_hash(F.col(value_col)).alias("__h"))
+        .distinct()
+    )
+    # phase 1: top-k per (group, salt) — any mega-cardinality group is
+    # spread over salt_buckets window partitions
+    w1 = Window.partitionBy(
+        *g, F.pmod(F.col("__h"), F.lit(salt_buckets))
+    ).orderBy("__h")
+    survivors = (
+        distinct.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    # phase 2: exact top-k over <= salt_buckets * k rows per group
+    return kmv_merge(survivors, g, k=k)
+
+
+def kmv_merge(
+    sketch: DataFrame, group_cols: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Merge sketch rows under a (possibly coarser) grouping: distinct
+    hashes, keep the k smallest per group.  Input is sketch-sized
+    (<= k rows per pre-merge group), so the window partitions are bounded
+    by construction.  The partition spec carries an extra pmod(__h, 1)
+    term — constant 0, so semantics are untouched — because a roll-up to
+    ONE group (e.g. the '__ALL__' merge) would otherwise partition by a
+    literal that Catalyst constant-folds away, and a window that is
+    single-partition BY DESIGN over a bounded frame must not look like
+    the data-sized unpartitioned-window shape (same idiom as
+    ops/rank._offsets)."""
+    g = list(group_cols)
+    w = Window.partitionBy(*g, F.pmod(F.col("__h"), F.lit(1))).orderBy("__h")
+    return (
+        sketch.select(*g, "__h").distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: Sequence[str], k: int = 64
+) -> DataFrame:
+    """``group_cols + (n_kept, kth_min, est_distinct)``: exact count when
+    the sketch holds fewer than k hashes (every distinct value is in it),
+    else the unbiased (k-1) * 2^60 / h_(k) estimator.  One aggregate over
+    the sketch frame; the only float op is the single final division, so
+    DuckDB replays it bit-exactly."""
+    g = list(group_cols)
+    agg = sketch.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("__h").alias("kth_min"),
+    )
+    space = F.lit(float(k - 1)) * F.lit(1152921504606846976.0)  # (k-1)*2^60
+    return agg.select(
+        *g,
+        "n_kept",
+        "kth_min",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.round(space / F.col("kth_min"), 3))
+        .alias("est_distinct"),
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword banks for the n-gram/stopword language heuristic
@@ -284,3 +284,60 @@ def nfc_normalize_udf():
         return s.str.normalize("NFC")
 
     return _nfc
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of a TARGET unigram LM vs the SOURCE (whole
+    corpus) unigram LM — the hashed-n-gram variant's n=1 core, with
+    add-one smoothing over the observed vocabulary.
+
+        weight(d) = sum over token instances t in d of
+                    ln((ct_t + 1) / (T_target + V)) -
+                    ln((cs_t + 1) / (T_source + V))
+
+    A high weight marks a document that looks like the target domain;
+    resampling by these weights is the published recipe for carving a
+    domain-matched training subset out of a web-scale corpus.
+
+    Scale shape: one explode -> one token-keyed aggregate (map-side
+    combine) -> hash join of the vocabulary stats back to the token
+    stream -> one doc-keyed sum.  The three scalar totals ride a 1-row
+    broadcast cross join; no collect, no vocabulary on the driver.
+
+    Returns ``(id_col, n_tokens, dsir_weight)`` with the weight rounded to
+    6 after a +1e-9 nudge (sum-order-robust; the DuckDB oracle mirrors
+    both).  Zero-token documents produce no row in either engine.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("__it"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    )
+    stats = toks.groupBy("__tok").agg(
+        F.sum(F.when(F.col("__it"), 1).otherwise(0)).alias("__ct"),
+        F.count(F.lit(1)).alias("__cs"),
+    )
+    totals = stats.agg(
+        F.sum("__ct").alias("__tt"),
+        F.sum("__cs").alias("__ts"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    term = F.log(
+        (F.col("__ct") + 1.0) / (F.col("__tt") + F.col("__v"))
+    ) - F.log((F.col("__cs") + 1.0) / (F.col("__ts") + F.col("__v")))
+    return (
+        toks.join(stats, "__tok")
+        .join(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum(term) + 1e-9, 6).alias("dsir_weight"),
+        )
+    )

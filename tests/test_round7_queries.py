@@ -1,0 +1,142 @@
+"""Crafted-fixture semantics tests for the round-7 additions: l-diversity,
+WOE binning, KMV distinct cardinality, and DSIR importance weights.
+
+The DuckDB hash gate proves Spark == oracle on the testdata; these pin
+that both engines compute the INTENDED semantics on inputs built to
+expose each decision point."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from dagger_spark.catalog import QUERIES
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, tmp_path, rows, sub="docs", link_rest=False):
+    d = str(tmp_path / sub)
+    spark.createDataFrame(rows, DOC_SCHEMA).write.parquet(
+        d + "/documents.parquet"
+    )
+    if link_rest:  # _shared_sql queries view EVERY table; borrow sf0.001
+        import os
+
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       f"{d}/{t}.parquet")
+    return d
+
+
+def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
+    """A class can pass k-anonymity (n >= 5) and still fail l-diversity
+    when its sensitive attribute is near-constant — the exact gap the
+    audit exists to close."""
+    rows = (
+        # class (en, 0): 6 members, ALL source 'web' -> k ok, l VIOLATION
+        [(i, "t", "en", "web", 100) for i in range(6)]
+        # class (en, 1): 6 members over 3 sources -> both pass
+        + [(10 + i, "t", "en", ["web", "book", "wiki"][i % 3], 600)
+           for i in range(6)]
+        # class (fr, 0): 2 members, 2 sources -> k violation, l violation
+        + [(20, "t", "fr", "web", 10), (21, "t", "fr", "book", 20)]
+    )
+    d = _write_docs(spark, tmp_path, rows, link_rest=True)
+    got = {
+        (r["lang"], r["size_bucket"]): (
+            r["n"], r["l_distinct"], r["l_violation"], r["k_violation"]
+        )
+        for r in QUERIES["l_diversity_docs"].fn(spark, d).collect()
+    }
+    assert got == {
+        ("en", 0): (6, 1, True, False),
+        ("en", 1): (6, 3, False, False),
+        ("fr", 0): (2, 2, True, True),
+    }
+
+
+def test_woe_binning_known_values(spark, tmp_path):
+    """Two clean deciles of 10 orders each (prices strictly ordered so the
+    ntile split is unambiguous): bin 1 all good, bin 2 all bad — WOE and
+    IV computed by hand with the +0.5/+5 Laplace smoothing."""
+    rows = [
+        (i, 1, "O" if i < 10 else "F", 100.0 + i, None, None)
+        for i in range(20)
+    ]
+    d = str(tmp_path / "woe")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    got = {
+        r["bin"]: (r["n"], r["n_bad"], r["woe"], r["iv_term"])
+        for r in QUERIES["orders_woe_binning"].fn(spark, d).collect()
+    }
+    # 10 bins over 20 rows -> 2 rows per bin; bins 1-5 good, 6-10 bad
+    bad_t, good_t = 10, 10
+    for b, (n, n_bad, woe, iv) in got.items():
+        assert n == 2
+        want_bad = 2 if b > 5 else 0
+        assert n_bad == want_bad
+        br = (want_bad + 0.5) / (bad_t + 5.0)
+        gr = (n - want_bad + 0.5) / (good_t + 5.0)
+        assert abs(woe - math.log(br / gr)) < 1e-5, (b, woe)
+        assert abs(iv - (br - gr) * math.log(br / gr)) < 1e-5, (b, iv)
+
+
+def test_kmv_distinct_events_all_row_consistent(spark, tmp_path):
+    """The __ALL__ row must equal a direct sketch over all users — here
+    with < k distinct users everywhere, every row is EXACT, so the sketch
+    doubles as a count-distinct and the ALL row counts the union (users
+    appearing under several types dedup)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, i % 30, "click", 1.0, None) for i in range(300)
+    ] + [
+        (1000 + i, t0, i % 40, "view", 1.0, None) for i in range(400)
+    ]
+    d = str(tmp_path / "kmv")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    got = {
+        r["event_type"]: (r["n_kept"], r["est_distinct"])
+        for r in QUERIES["kmv_distinct_events"].fn(spark, d).collect()
+    }
+    assert got == {
+        "click": (30, 30.0),
+        "view": (40, 40.0),
+        "__ALL__": (40, 40.0),  # users 0..39: click's 0..29 is a subset
+    }
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
+    """A document made of target-domain-only tokens must outscore one made
+    of source-only tokens, with the mixed doc in between; weights sum
+    per token INSTANCE (repeats count)."""
+    rows = [
+        (0, "alpha alpha beta", "en", "web", 16),   # target doc
+        (1, "gamma delta", "fr", "web", 11),        # source-only doc
+        (2, "alpha gamma", "fr", "web", 11),        # mixed
+        (3, "alpha beta", "en", "web", 10),         # target doc
+    ]
+    d = _write_docs(spark, tmp_path, rows, sub="dsir")
+    got = {r["doc_id"]: (r["n_tokens"], r["dsir_weight"])
+           for r in QUERIES["dsir_weights_docs"].fn(spark, d).collect()}
+    assert got[0][0] == 3 and got[1][0] == 2 and got[2][0] == 2
+    # target-only docs score highest, source-only lowest
+    assert got[0][1] > got[2][1] > got[1][1]
+    assert got[3][1] > got[2][1]
+    # hand-check doc 1: tokens gamma (ct=0, cs=2), delta (ct=0, cs=1);
+    # T_t=5 (alpha x3, beta x2), T_s=9, V=4
+    want = (
+        (math.log(1 / 9.0) - math.log(3 / 13.0))
+        + (math.log(1 / 9.0) - math.log(2 / 13.0))
+    )
+    assert abs(got[1][1] - want) < 1e-5

@@ -155,3 +155,94 @@ def test_streaming_windowed_sketch_matches_batch(spark, tmp_path):
     assert _q(stream_sk) == [
         r for r in _q(batch_sk) if r[0] in closed
     ]
+
+
+# --- KMV distinct sketch -----------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    """With fewer than k distinct values the sketch IS the value set and
+    the estimate is the exact distinct count, as a whole double."""
+    from dagger_spark.ops.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", i % 10) for i in range(200)], "g string, v long"
+    )
+    est = kmv_estimate(kmv_sketch(df, "v", ["g"], k=64), ["g"], k=64)
+    row = est.collect()[0]
+    assert (row["n_kept"], row["est_distinct"]) == (10, 10.0)
+
+
+def test_kmv_merge_equals_direct(spark):
+    """Merge losslessness — the property the catalog's __ALL__ row rests
+    on: k smallest of the union of per-group sketches == the sketch built
+    directly over the ungrouped data (hashes AND estimate identical)."""
+    from dagger_spark.ops.sketch import kmv_estimate, kmv_merge, kmv_sketch
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), i * 37 % 211) for i in range(1000)],
+        "g string, v long",
+    )
+    per = kmv_sketch(df, "v", ["g"], k=16)
+    merged = kmv_merge(
+        per.withColumn("g", F.lit("ALL")), ["g"], k=16
+    )
+    direct = kmv_sketch(
+        df.withColumn("g", F.lit("ALL")), "v", ["g"], k=16
+    )
+    assert sorted(r["__h"] for r in merged.collect()) == sorted(
+        r["__h"] for r in direct.collect()
+    )
+    em = kmv_estimate(merged, ["g"], k=16).collect()[0]
+    ed = kmv_estimate(direct, ["g"], k=16).collect()[0]
+    assert (em["kth_min"], em["est_distinct"]) == (
+        ed["kth_min"], ed["est_distinct"]
+    )
+
+
+def test_kmv_estimate_within_bound(spark):
+    """k=64 gives ~1/sqrt(k-1) ≈ 13% relative standard error; assert a
+    generous 3-sigma band on a 5k-cardinality column so a broken
+    estimator (off by 2x) fails while hash luck never does."""
+    from dagger_spark.ops.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5000)], "g string, v long"
+    )
+    row = kmv_estimate(kmv_sketch(df, "v", ["g"], k=64), ["g"], k=64).collect()[0]
+    assert row["n_kept"] == 64
+    assert 5000 * 0.6 < row["est_distinct"] < 5000 * 1.4
+
+
+def test_kmv_salt_phase_is_transparent(spark):
+    """The salted two-phase top-k must be a pure execution detail: any
+    salt_buckets setting yields the identical sketch."""
+    from dagger_spark.ops.sketch import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("x", i * 13 % 509) for i in range(2000)], "g string, v long"
+    )
+    a = sorted(r["__h"] for r in kmv_sketch(df, "v", ["g"], k=32,
+                                            salt_buckets=1).collect())
+    b = sorted(r["__h"] for r in kmv_sketch(df, "v", ["g"], k=32,
+                                            salt_buckets=64).collect())
+    assert a == b and len(a) == 32
+
+
+def test_kmv_windows_all_partitioned(spark):
+    """Even a roll-up to ONE group (the catalog's __ALL__ merge) must not
+    plan a constant-folded unpartitioned window: the pmod spec survives."""
+    from dagger_spark.ops.sketch import kmv_merge, kmv_sketch
+    from pyspark.sql import functions as F
+    import re
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)], "g string, v long"
+    )
+    merged = kmv_merge(
+        kmv_sketch(df, "v", ["g"], k=8).withColumn("g", F.lit("ALL")),
+        ["g"], k=8,
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"windowspecdefinition\([^,()]*? (?:ASC|DESC)", plan)

@@ -188,6 +188,7 @@ HEADLINE = [
     "orders_woe_binning",
     "kmv_distinct_events",
     "dsir_weights_docs",
+    "maxsim_retrieval_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

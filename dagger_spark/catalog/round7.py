@@ -217,3 +217,131 @@ def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load_wide(spark, sf_dir, "documents")
     return dsir_weights(docs, F.col("lang") == "en")
+
+
+_MAXSIM_TERMS = [("hash", "join"), ("scan",), ("merge", "sort")]
+_MAXSIM_DIM, _MAXSIM_CHUNK = 16, 32
+
+
+def _maxsim_query_rows() -> list:
+    """(qt, j, w) rows of the query-term matrix — driver-side twin of the
+    worker hashing (ops/text.signed_feature_hash_py), deterministic."""
+    from ..ops.text import signed_feature_hash_py
+
+    rows = []
+    for qt, term in enumerate(_MAXSIM_TERMS):
+        acc: dict = {}
+        for tok in term:
+            j, s = signed_feature_hash_py(tok, _MAXSIM_DIM)
+            acc[j] = acc.get(j, 0) + s
+        rows += [(qt, j, w) for j, w in sorted(acc.items()) if w != 0]
+    return rows
+
+
+def _maxsim_oracle() -> str:
+    qvals = ", ".join(f"({qt}, {j}, {w})" for qt, j, w in _maxsim_query_rows())
+    d, c = _MAXSIM_DIM, _MAXSIM_CHUNK
+    return f"""
+    WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    tk AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+      FROM d
+    ),
+    hv AS (
+      SELECT doc_id,
+             CAST(floor((pos - 1) / {c}.0) AS BIGINT) AS chunk_id,
+             (('0x' || substr(md5(tok), 1, 15))::BIGINT % {2 * d}) AS j2
+      FROM tk
+    ),
+    vec AS (
+      SELECT doc_id, chunk_id, j2 % {d} AS j,
+             sum(CASE WHEN j2 < {d} THEN 1 ELSE -1 END) AS v
+      FROM hv GROUP BY doc_id, chunk_id, j2 % {d}
+      HAVING sum(CASE WHEN j2 < {d} THEN 1 ELSE -1 END) != 0
+    ),
+    qm AS (SELECT * FROM (VALUES {qvals}) AS t(qt, j, w)),
+    nch AS (
+      SELECT doc_id, CAST(ceil(len(t) / {c}.0) AS BIGINT) AS nch
+      FROM d WHERE len(t) > 0
+    ),
+    dots AS (
+      SELECT v.doc_id, v.chunk_id, q.qt, sum(v.v * q.w) AS dot
+      FROM vec v JOIN qm q USING (j)
+      GROUP BY v.doc_id, v.chunk_id, q.qt
+    ),
+    perq AS (
+      SELECT dd.doc_id, dd.qt,
+             CASE WHEN count(*) < max(n.nch)
+                  THEN greatest(max(dd.dot), 0)
+                  ELSE max(dd.dot) END AS mx
+      FROM dots dd JOIN nch n USING (doc_id)
+      GROUP BY dd.doc_id, dd.qt
+    )
+    SELECT doc_id, CAST(sum(mx) AS BIGINT) AS score
+    FROM perq GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "maxsim_retrieval_docs",
+    _maxsim_oracle(),
+    "ColBERT-style late-interaction retrieval with a MODEL-FREE embedding "
+    "stage: every 32-token chunk becomes a 16-dim signed feature-hash "
+    "vector (ops/text.feature_hash_chunk_vectors — Weinberger hashing, "
+    "pure integers, stored sparse), query terms hash through the "
+    "identical driver-side twin, and MaxSim scores sum each term's best "
+    "chunk dot product.  The absent-chunk zero is handled EXACTLY: a "
+    "chunk sharing no dimension with a term has dot 0, so when a doc has "
+    "more chunks than dot rows the per-term max clamps at >= 0 (chunk "
+    "counts come from the token stream, not the sparse frame, so a "
+    "fully-cancelled chunk still counts).  Scale: posexplode + keyed "
+    "aggregate for vectors, broadcast query matrix, top-10 via "
+    "TakeOrderedAndProject — no global sort materialized.  Integer "
+    "arithmetic end to end; the oracle replays hashing, sparsity, clamp "
+    "and tie-broken top-k verbatim",
+)
+def maxsim_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import feature_hash_chunk_vectors, token_count
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    vecs = feature_hash_chunk_vectors(
+        docs, dim=_MAXSIM_DIM, chunk_tokens=_MAXSIM_CHUNK
+    ).filter(F.col("v") != 0)
+    qm = spark.createDataFrame(_maxsim_query_rows(), "qt int, j int, w long")
+    nch = docs.select(
+        "doc_id",
+        F.ceil(token_count(F.col("text")) / F.lit(float(_MAXSIM_CHUNK)))
+        .cast("long")
+        .alias("nch"),
+    ).filter(F.col("nch") > 0)
+    dots = (
+        vecs.join(F.broadcast(qm), "j")
+        .groupBy("doc_id", "chunk_id", "qt")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    per_q = (
+        dots.join(nch, "doc_id")
+        .groupBy("doc_id", "qt")
+        .agg(
+            F.max("dot").alias("mx"),
+            F.count(F.lit(1)).alias("nrows"),
+            F.max("nch").alias("nch"),
+        )
+        .select(
+            "doc_id",
+            "qt",
+            F.when(
+                F.col("nrows") < F.col("nch"),
+                F.greatest(F.col("mx"), F.lit(0)),
+            )
+            .otherwise(F.col("mx"))
+            .alias("mx"),
+        )
+    )
+    return (
+        per_q.groupBy("doc_id")
+        .agg(F.sum("mx").cast("long").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

@@ -341,3 +341,59 @@ def dsir_weights(
             F.round(F.sum(term) + 1e-9, 6).alias("dsir_weight"),
         )
     )
+
+
+def feature_hash_chunk_vectors(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Signed feature-hashing ("hashing trick") chunk embeddings with NO
+    model: every ``chunk_tokens``-token window of a document becomes a
+    ``dim``-dimensional integer vector, stored SPARSE as
+    ``(id_col, chunk_id, j, v)`` rows — v = sum over the chunk's tokens
+    of ±1, where the 60-bit md5 hash h of the token gives both the
+    dimension and the sign (j2 = h mod 2*dim; j = j2 mod dim; sign = +1
+    iff j2 < dim — Weinberger et al.'s signed hashing, which keeps the
+    inner product an unbiased kernel estimate).  All integer, so any
+    engine replays it bit-exactly; this is the embedding stage a real
+    pipeline swaps for a model server, with identical schema and
+    partitioning.
+
+    Scale: one posexplode + one (doc, chunk, j)-keyed aggregate with
+    map-side combine; output is at most dim rows per chunk."""
+    from .dedup import shingle_hashes
+
+    tk = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    h = shingle_hashes(F.array(F.col("__tok")))[0]
+    j2 = F.pmod(h, F.lit(2 * dim))
+    sign = F.when(j2 < dim, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        tk.select(
+            F.col(id_col),
+            F.floor(F.col("__pos") / F.lit(chunk_tokens))
+            .cast("long")
+            .alias("chunk_id"),
+            F.pmod(j2, F.lit(dim)).cast("int").alias("j"),
+            sign.alias("__s"),
+        )
+        .groupBy(id_col, "chunk_id", "j")
+        .agg(F.sum("__s").cast("long").alias("v"))
+    )
+
+
+def signed_feature_hash_py(token: str, dim: int = 16) -> tuple:
+    """Driver-side twin of the hashing above for building query-term
+    matrices: returns (j, sign) for one token — same md5-15-hex integer,
+    same j2/sign rule, so query vectors match worker-side chunk vectors
+    exactly."""
+    import hashlib
+
+    h = int(hashlib.md5(token.encode()).hexdigest()[:15], 16)
+    j2 = h % (2 * dim)
+    return j2 % dim, 1 if j2 < dim else -1

@@ -416,3 +416,57 @@ def test_pairwise_cosine_norms_are_staged(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     above_join = plan.split("Join", 1)[0]
     assert above_join.count("aggregate(") == 1, above_join[:800]
+
+
+def test_top_k_per_group_uses_window_group_limit(spark, sf_dir):
+    """Spark 3.5+ rewrites a rank-filter over a window into
+    WindowGroupLimit — a per-partition partial top-k BEFORE the shuffle,
+    so each map task forwards at most k rows per group instead of its
+    whole slice (the window twin of map-side combine).  The catalog's
+    top-k query must keep the shape that qualifies for it: a bare
+    row_number()/rank() over (PARTITION BY .. ORDER BY ..) filtered by a
+    literal bound.  At 100 TB this is the difference between shuffling
+    k rows/group and shuffling the corpus."""
+    df = QUERIES["top_customers_per_nation"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:800]
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_scan(spark, sf_dir):
+    """The production knob for selective fact-dimension SHUFFLE joins
+    (too big to broadcast): Spark's runtime bloom-filter injection builds
+    a bloom over the filtered creation side and pushes might_contain()
+    into the application side's scan, so non-joining fact rows die before
+    the exchange.  The local thresholds are lowered here (the default
+    10 GB application-side gate is sized for real clusters, not 11 MB
+    fixtures) — the assertion pins that the engine's query shapes QUALIFY
+    for the rewrite, which is what matters at scale."""
+    from dagger_spark.sources.files import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_extendedprice"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, (
+            plan[:800]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

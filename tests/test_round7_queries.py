@@ -140,3 +140,22 @@ def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
         + (math.log(1 / 9.0) - math.log(2 / 13.0))
     )
     assert abs(got[1][1] - want) < 1e-5
+
+
+def test_maxsim_ranks_planted_doc_first(spark, tmp_path):
+    """A planted document containing every query term's tokens
+    co-occurring in one chunk must outrank docs with partial or no
+    overlap; docs sharing no hashed dimension with any term score 0 via
+    the absent-chunk clamp (never negative)."""
+    rows = [
+        (0, "hash join scan merge sort", "en", "web", 25),  # all terms
+        (1, "hash join", "en", "web", 9),                   # one term
+        (2, "table window group", "en", "web", 18),         # unrelated
+    ]
+    d = _write_docs(spark, tmp_path, rows, sub="maxsim")
+    got = [(r["doc_id"], r["score"]) for r in
+           QUERIES["maxsim_retrieval_docs"].fn(spark, d).collect()]
+    scores = dict(got)
+    assert got[0][0] == 0                      # full-overlap doc on top
+    assert scores[0] > scores[1]
+    assert scores[2] >= 0                      # clamp: never negative

@@ -345,3 +345,61 @@ def maxsim_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "sq8_error_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             unnest(CAST(embedding AS DOUBLE[])) AS v,
+             generate_subscripts(embedding, 1) AS j1
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), vals AS (
+      SELECT vec_id, j1 - 1 AS j, v FROM e
+    ), st AS (
+      SELECT j, min(v) AS mn, max(v) AS mx FROM vals GROUP BY j
+    ), q AS (
+      SELECT vals.vec_id, vals.j, vals.v, st.mn, st.mx,
+             CASE WHEN st.mx = st.mn THEN 0
+                  ELSE CAST(round((vals.v - st.mn) * 255.0
+                                  / (st.mx - st.mn)) AS BIGINT)
+             END AS code
+      FROM vals JOIN st USING (j)
+    ), r AS (
+      SELECT *, mn + code * (mx - mn) / 255.0 AS recon FROM q
+    )
+    SELECT CAST(j AS INT)                         AS j,
+           CAST(count(*) AS BIGINT)               AS n,
+           CAST(min(code) AS BIGINT)              AS code_min,
+           CAST(max(code) AS BIGINT)              AS code_max,
+           round(avg((v - recon) * (v - recon)) * 1e6 + 1e-9, 6)
+                                                  AS mse_e6,
+           round(max(abs(v - recon)) * 1000 + 1e-9, 6)
+                                                  AS max_abs_err_e3
+    FROM r GROUP BY j
+    """,
+    "int8 scalar quantization error gauge (ops/similarity.sq8_quantize) — "
+    "the 4x-memory ANN lever: per-dimension corpus min/max define a "
+    "256-level grid; this reports per-dimension code range (pinning the "
+    "full 0..255 span is used) and reconstruction error (mse x 1e6, "
+    "max-abs x 1e3 — scaled into the catalog's +1e-9 round(6) "
+    "convention).  Codes are bit-reproducible cross-engine: every float "
+    "op is elementwise with an identical expression tree, and both "
+    "engines round half-away-from-zero on the non-negative grid "
+    "position.  One posexplode + dim-keyed aggregate (dim rows, "
+    "broadcast back) + codegen map + dim-keyed error rollup",
+)
+def sq8_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.similarity import sq8_quantize
+
+    emb = _load_wide(spark, sf_dir, "embeddings")
+    q = sq8_quantize(emb)
+    err = F.col("v") - F.col("recon")
+    return q.groupBy(F.col("j").cast("int").alias("j")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("code").alias("code_min"),
+        F.max("code").alias("code_max"),
+        F.round(F.avg(err * err) * 1e6 + 1e-9, 6).alias("mse_e6"),
+        F.round(F.max(F.abs(err)) * 1000 + 1e-9, 6).alias("max_abs_err_e3"),
+    )

@@ -470,3 +470,39 @@ def test_runtime_bloom_filter_prunes_shuffle_join_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_parquet_footer_aggregate_pushdown(spark, sf_dir):
+    """MIN/MAX/COUNT over a parquet table can be answered from row-group
+    FOOTER STATISTICS without decoding a single data page — at 100 TB the
+    difference between a metadata pass and a full scan.  The V2 parquet
+    reader (spark.sql.parquet.aggregatePushdown) must accept the engine's
+    stat-query shape: the plan shows PushedAggregation and the values
+    match the V1 full-scan answer."""
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        agg = df.selectExpr(
+            "min(l_orderkey) AS mn", "max(l_orderkey) AS mx",
+            "count(*) AS n",
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [MIN(l_orderkey), MAX(l_orderkey), " \
+               "COUNT(*)]" in plan, plan[:600]
+        pushed = agg.collect()[0]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    full = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "min(l_orderkey)", "max(l_orderkey)", "count(*)"
+    ).collect()[0]
+    assert tuple(pushed) == tuple(full)

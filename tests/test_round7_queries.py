@@ -159,3 +159,20 @@ def test_maxsim_ranks_planted_doc_first(spark, tmp_path):
     assert got[0][0] == 0                      # full-overlap doc on top
     assert scores[0] > scores[1]
     assert scores[2] >= 0                      # clamp: never negative
+
+
+def test_sq8_quantize_roundtrip_properties(spark):
+    """Code range, constant-dimension exactness, and the uniform-grid
+    error bound |v - recon| <= span/(2*255) + ulp slack."""
+    from dagger_spark.ops.similarity import sq8_quantize
+
+    rows = [(i, [float(i), 0.5, -1.0 + i * 0.13]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = sq8_quantize(emb).collect()
+    spans = {0: 39.0, 1: 0.0, 2: 39 * 0.13}
+    for r in q:
+        assert 0 <= r["code"] <= 255
+        if r["j"] == 1:          # constant dim: code 0, exact recon
+            assert r["code"] == 0 and r["recon"] == r["v"]
+        else:
+            assert abs(r["v"] - r["recon"]) <= spans[r["j"]] / 510 + 1e-9

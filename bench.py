@@ -189,6 +189,8 @@ HEADLINE = [
     "kmv_distinct_events",
     "dsir_weights_docs",
     "maxsim_retrieval_docs",
+    "sq8_error_embeddings",
+    "t_closeness_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

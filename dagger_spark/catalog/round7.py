@@ -403,3 +403,58 @@ def sq8_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(err * err) * 1e6 + 1e-9, 6).alias("mse_e6"),
         F.round(F.max(F.abs(err)) * 1000 + 1e-9, 6).alias("max_abs_err_e3"),
     )
+
+
+_shared_sql(
+    "t_closeness_docs",
+    """
+    WITH cls AS (
+      SELECT lang, CAST(floor(n_chars / 500.0) AS BIGINT) AS size_bucket,
+             source
+      FROM documents
+    ), cg AS (
+      SELECT lang, size_bucket, source, count(*) AS n
+      FROM cls GROUP BY lang, size_bucket, source
+    ), ct AS (
+      SELECT lang, size_bucket, sum(n) AS class_n
+      FROM cg GROUP BY lang, size_bucket
+    ), gt AS (
+      SELECT source, count(*) AS gn FROM cls GROUP BY source
+    ), tot AS (SELECT count(*) AS t FROM cls)
+    , j AS (
+      SELECT cg.lang, cg.size_bucket,
+             sum(abs(cg.n / CAST(ct.class_n AS DOUBLE)
+                     - gt.gn / CAST(tot.t AS DOUBLE))) AS sum_abs,
+             sum(gt.gn / CAST(tot.t AS DOUBLE))        AS sum_pg,
+             max(ct.class_n)                           AS class_n
+      FROM cg
+      JOIN gt ON cg.source IS NOT DISTINCT FROM gt.source
+      JOIN ct ON cg.lang IS NOT DISTINCT FROM ct.lang
+             AND cg.size_bucket IS NOT DISTINCT FROM ct.size_bucket
+      CROSS JOIN tot
+      GROUP BY cg.lang, cg.size_bucket
+    )
+    SELECT lang, size_bucket,
+           CAST(class_n AS BIGINT) AS n,
+           round((sum_abs + (1 - sum_pg)) / 2 + 1e-9, 6) AS t_distance,
+           (round((sum_abs + (1 - sum_pg)) / 2 + 1e-9, 6) > 0.3)
+             AS t_violation
+    FROM j
+    """,
+    "t-closeness — the third rung of the privacy-audit ladder "
+    "(k_anonymity_docs, l_diversity_docs, here): a class can be large AND "
+    "diverse yet still leak when its sensitive-attribute DISTRIBUTION "
+    "deviates from the corpus-wide one; for categorical attributes the "
+    "earth-mover distance reduces to total variation = L1/2 over the FULL "
+    "source domain.  Sources ABSENT from a class contribute their global "
+    "mass p_g exactly — folded in CLOSED FORM as (1 - sum of present "
+    "p_g), so the plan is two EQUI-joins (class counts x global domain "
+    "on source, x class totals on the QI key) instead of a class x "
+    "domain cross join: the first draft's CROSS JOIN planned a "
+    "BroadcastNestedLoopJoin with a data-derived build side and the "
+    "catalog-wide BNLJ checker rejected it — this is the checker doing "
+    "its job.  Null-safe joins keep NULL-valued quasi-identifiers as "
+    "their own classes, matching GROUP BY; the 1-row grand total is the "
+    "only broadcast.  t > 0.3 flags, evaluated on the rounded value so "
+    "both engines flag identically",
+)

@@ -176,3 +176,26 @@ def test_sq8_quantize_roundtrip_properties(spark):
             assert r["code"] == 0 and r["recon"] == r["v"]
         else:
             assert abs(r["v"] - r["recon"]) <= spans[r["j"]] / 510 + 1e-9
+
+
+def test_t_closeness_flags_skewed_class(spark, tmp_path):
+    """A class whose sensitive distribution diverges from the global one
+    must flag even when it is big (k-anon ok) and diverse (l-div ok):
+    global sources split ~50/50 'web'/'book'; the (en, 0) class is 5/6
+    'web' -> t = |5/6 - global_web| /2 + ... > 0.3."""
+    rows = (
+        # class (en, 0): 6 docs, 5 web + 1 book — skewed but diverse
+        [(i, "t", "en", "web" if i < 5 else "book", 100) for i in range(6)]
+        # class (fr, 0): 6 docs mirroring the OPPOSITE skew
+        + [(10 + i, "t", "fr", "book" if i < 5 else "web", 100)
+           for i in range(6)]
+    )
+    d = _write_docs(spark, tmp_path, rows, sub="tclose", link_rest=True)
+    got = {(r["lang"], r["size_bucket"]): (r["n"], r["t_distance"],
+                                           r["t_violation"])
+           for r in QUERIES["t_closeness_docs"].fn(spark, d).collect()}
+    # global: web 6/12, book 6/12; each class: 5/6 vs 1/6
+    # t = (|5/6-1/2| + |1/6-1/2|)/2 = (1/3 + 1/3)/2 = 1/3 > 0.3
+    for key in (("en", 0), ("fr", 0)):
+        n, t, viol = got[key]
+        assert n == 6 and abs(t - 1 / 3) < 1e-5 and viol is True

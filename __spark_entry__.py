@@ -6,7 +6,7 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle, 11 of 206): the fixture-driven rules engine +
+Rows-only entries (no oracle, 11 of 208): the fixture-driven rules engine +
 correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
 the fixture table is not among the driver's DuckDB views), the Pandas-UDF
 multimodal stages including the perceptual-hash dedup chain, and the zlib

@@ -191,6 +191,8 @@ HEADLINE = [
     "maxsim_retrieval_docs",
     "sq8_error_embeddings",
     "t_closeness_docs",
+    "kmv_source_overlap_docs",
+    "chi2_tokens_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

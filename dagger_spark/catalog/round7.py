@@ -1,7 +1,9 @@
-"""Round-7 additions: governance depth (l-diversity), credit-style WOE
-binning on the distributed rank family, a mergeable KMV distinct sketch
-with hash-proven group→ALL rollup, and DSIR importance weights for
-domain-matched corpus selection.
+"""Round-7 additions: the privacy-audit triad tail (l-diversity,
+t-closeness), credit-style WOE binning on the distributed rank family,
+a mergeable KMV distinct sketch with hash-proven group→ALL rollup and
+pairwise set-operation estimates, DSIR importance weights, MaxSim
+late-interaction retrieval over model-free feature-hash embeddings,
+int8 scalar quantization, and chi-square token selection.
 
 Same pairing conventions as the rest of the catalog (see ._base): every
 entry oracle-paired, integer arithmetic wherever exactness is cheap, the
@@ -458,3 +460,153 @@ _shared_sql(
     "only broadcast.  t > 0.3 flags, evaluated on the rounded value so "
     "both engines flag identically",
 )
+
+
+@register(
+    "kmv_source_overlap_docs",
+    f"""
+    WITH tk AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents)
+    ), sk AS (
+      SELECT source, list_slice(list_sort(list(h)), 1, 128) AS mins
+      FROM tk GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.mins AS ma, b.mins AS mb,
+             list_slice(list_sort(list_distinct(
+               list_concat(a.mins, b.mins))), 1, 128) AS mu
+      FROM sk a JOIN sk b ON a.source < b.source
+    ), m AS (
+      SELECT source_a, source_b,
+             CAST(len(mu) AS BIGINT) AS n_union_kept,
+             CAST(len(list_filter(mu,
+                    h -> list_contains(ma, h) AND list_contains(mb, h)))
+                  AS BIGINT) AS x_common,
+             mu[len(mu)] AS max_u
+      FROM pairs
+    )
+    SELECT source_a, source_b, n_union_kept, x_common,
+           round(x_common / CAST(n_union_kept AS DOUBLE) + 1e-9, 6)
+             AS jaccard_est,
+           CASE WHEN n_union_kept < 128 THEN CAST(n_union_kept AS DOUBLE)
+                ELSE round((127.0 * 1152921504606846976.0) / max_u, 3)
+           END AS union_est,
+           CASE WHEN n_union_kept < 128 THEN CAST(x_common AS DOUBLE)
+                ELSE round(x_common / 128.0 *
+                       round((127.0 * 1152921504606846976.0) / max_u, 3), 3)
+           END AS inter_est
+    FROM m
+    """,
+    "Pairwise cross-source vocabulary overlap from KMV sketches ALONE "
+    "(ops/sketch.kmv_pairwise_overlap, Beyer et al. 2007) — the corpus-"
+    "governance matrix ('how much does crawl B duplicate crawl A's "
+    "vocabulary?') computed WITHOUT touching the raw data again: the k "
+    "smallest of two sketches' union is the union's own KMV sketch "
+    "(merge closure), membership of those minima in both inputs gives "
+    "jaccard ~ x/k, and |A∩B| follows from the union estimator — the "
+    "set-operation capability HLL fundamentally lacks.  Every estimate "
+    "is EXACT below k (this corpus's per-source vocabularies exceed "
+    "k=128, so the estimator arm is the one exercised and hash-gated).  "
+    "Sketches collapse to one k-element array row per source; the pair "
+    "space is sources squared; all set arithmetic is codegen'd array "
+    "functions",
+)
+def kmv_source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sketch import kmv_pairwise_overlap, kmv_sketch
+    from ..ops.text import tokens
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    sk = kmv_sketch(toks, "tok", ["source"], k=128)
+    return kmv_pairwise_overlap(sk, "source", k=128)
+
+
+@register(
+    "chi2_tokens_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, (lang = 'en') AS en,
+             list_distinct({_DUCK_TOKS}) AS t
+      FROM documents
+    ), pres AS (
+      SELECT doc_id, en, unnest(t) AS tok FROM d
+    ), tot AS (
+      SELECT sum(CASE WHEN en THEN 1 ELSE 0 END) AS n_en,
+             sum(CASE WHEN en THEN 0 ELSE 1 END) AS n_non
+      FROM d
+    ), st AS (
+      SELECT tok,
+             sum(CASE WHEN en THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN en THEN 0 ELSE 1 END) AS b
+      FROM pres GROUP BY tok
+    ), y AS (
+      SELECT tok, a, b,
+             (a * (n_non - b) - b * (n_en - a))              AS diff,
+             (a + b) * ((n_en - a) + (n_non - b))
+               * (a + (n_en - a)) * (b + (n_non - b))        AS denom,
+             n_en + n_non                                    AS nt
+      FROM st, tot
+    )
+    SELECT tok,
+           CAST(a AS BIGINT) AS n_target,
+           CAST(b AS BIGINT) AS n_rest,
+           round(CAST(nt AS DOUBLE) * diff * diff
+                 / CAST(denom AS DOUBLE), 6) AS chi2
+    FROM y WHERE denom > 0
+    ORDER BY chi2 DESC, tok LIMIT 30
+    """,
+    "Chi-square token selection for the quality-classifier feature stage "
+    "— the classic 2x2 contingency test per token (document-level "
+    "presence vs the lang='en' label), chi2 = N(ad-bc)^2 / "
+    "((a+b)(c+d)(a+c)(b+d)).  Counts and the (ad-bc) determinant stay "
+    "exact integers (products bounded well inside int64); the only float "
+    "op is the single final division with an identical expression tree "
+    "in both engines, so the top-30 ordering (chi2 desc, token) is "
+    "deterministic.  One explode of DISTINCT tokens per doc, one "
+    "token-keyed aggregate, a 1-row broadcast total, top-30 via "
+    "TakeOrderedAndProject",
+)
+def chi2_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import tokens
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    pres = docs.select(
+        (F.col("lang") == "en").alias("en"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    tot = docs.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("n_non"),
+    )
+    st = pres.groupBy("tok").agg(
+        F.sum(F.when(F.col("en"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("en"), 0).otherwise(1)).alias("b"),
+    )
+    y = st.join(F.broadcast(tot))
+    c = F.col("n_en") - F.col("a")
+    d = F.col("n_non") - F.col("b")
+    diff = F.col("a") * d - F.col("b") * c
+    denom = (
+        (F.col("a") + F.col("b")) * (c + d)
+        * (F.col("a") + c) * (F.col("b") + d)
+    )
+    nt = F.col("n_en") + F.col("n_non")
+    return (
+        y.select(
+            "tok",
+            F.col("a").cast("long").alias("n_target"),
+            F.col("b").cast("long").alias("n_rest"),
+            F.round(
+                nt.cast("double") * diff * diff / denom.cast("double"), 6
+            ).alias("chi2"),
+            denom.alias("__denom"),
+        )
+        .filter(F.col("__denom") > 0)
+        .drop("__denom")
+        .orderBy(F.col("chi2").desc(), "tok")
+        .limit(30)
+    )

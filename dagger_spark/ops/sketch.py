@@ -143,7 +143,7 @@ def hdr_quantiles(
 # window partition at its salt slice, then the final top-k runs over
 # <= salt_buckets * k survivors per group.  No cardinality-sized window
 # partition anywhere; unlike HLL the sketch also supports set
-# intersection estimates downstream (not exposed yet).
+# intersection estimates downstream (kmv_pairwise_overlap below).
 
 
 def kmv_hash(value: F.Column) -> F.Column:
@@ -227,4 +227,68 @@ def kmv_estimate(
         F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
         .otherwise(F.round(space / F.col("kth_min"), 3))
         .alias("est_distinct"),
+    )
+
+
+def kmv_pairwise_overlap(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Set-operation estimates between every PAIR of groups from their
+    KMV sketches alone — the capability HLL lacks and the kmv_sketch
+    docstring promised: for groups A, B the k smallest of
+    ``sketch(A) ∪ sketch(B)`` IS the KMV sketch of A ∪ B (merge
+    closure), and counting how many of those union minima appear in
+    BOTH input sketches gives the standard intersection estimator
+    (Beyer et al. 2007):
+
+        jaccard ≈ x / |U_k|,   |A ∪ B| ≈ (k-1) * 2^60 / max(U_k),
+        |A ∩ B| ≈ jaccard * |A ∪ B|
+
+    with every quantity EXACT when the union keeps fewer than k hashes
+    (the sketches then hold their full sets).  Output per (a < b) pair:
+    ``n_union_kept, x_common, jaccard_est, union_est, inter_est``.
+
+    Scale shape: sketches collapse to ONE array row per group (bounded:
+    k elements), the pair space is groups², and all set arithmetic is
+    codegen'd array functions over ≤k-element arrays — no re-touch of
+    the raw data."""
+    packed = sketch.groupBy(group_col).agg(
+        F.array_sort(F.collect_list("__h")).alias("__mins")
+    )
+    a = packed.select(
+        F.col(group_col).alias("__ga"), F.col("__mins").alias("__ma")
+    )
+    b = packed.select(
+        F.col(group_col).alias("__gb"), F.col("__mins").alias("__mb")
+    )
+    pairs = a.join(b, F.col("__ga") < F.col("__gb"))
+    mu = F.slice(
+        F.array_sort(F.array_union(F.col("__ma"), F.col("__mb"))), 1, k
+    )
+    x = F.size(
+        F.filter(
+            mu,
+            lambda h: F.array_contains(F.col("__ma"), h)
+            & F.array_contains(F.col("__mb"), h),
+        )
+    ).cast("long")
+    n_u = F.size(mu).cast("long")
+    space = F.lit(float(k - 1)) * F.lit(1152921504606846976.0)
+    union_est = F.when(n_u < k, n_u.cast("double")).otherwise(
+        F.round(space / F.element_at(mu, k), 3)
+    )
+    jac = F.round(x / n_u.cast("double") + 1e-9, 6)
+    inter_est = F.when(n_u < k, x.cast("double")).otherwise(
+        F.round(x / F.lit(float(k)) * union_est, 3)
+    )
+    return pairs.select(
+        F.col("__ga").alias("source_a"),
+        F.col("__gb").alias("source_b"),
+        n_u.alias("n_union_kept"),
+        x.alias("x_common"),
+        jac.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        inter_est.alias("inter_est"),
     )

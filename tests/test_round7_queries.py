@@ -199,3 +199,47 @@ def test_t_closeness_flags_skewed_class(spark, tmp_path):
     for key in (("en", 0), ("fr", 0)):
         n, t, viol = got[key]
         assert n == 6 and abs(t - 1 / 3) < 1e-5 and viol is True
+
+
+def test_kmv_pairwise_overlap_exact_below_k(spark):
+    """With vocabularies smaller than k the sketches hold the full sets,
+    so every estimate is EXACT: jaccard, union and intersection equal
+    the true set arithmetic."""
+    from dagger_spark.ops.sketch import kmv_pairwise_overlap, kmv_sketch
+
+    rows = (
+        [("A", f"tok{i}") for i in range(40)]          # A = 0..39
+        + [("B", f"tok{i}") for i in range(30, 70)]    # B = 30..69
+        + [("C", f"other{i}") for i in range(10)]      # C disjoint
+    )
+    df = spark.createDataFrame(rows, "source string, tok string")
+    sk = kmv_sketch(df, "tok", ["source"], k=128)
+    got = {(r["source_a"], r["source_b"]):
+           (r["x_common"], r["union_est"], r["inter_est"], r["jaccard_est"])
+           for r in kmv_pairwise_overlap(sk, "source", k=128).collect()}
+    x, u, i, j = got[("A", "B")]
+    assert (x, u, i) == (10, 70.0, 10.0) and abs(j - 10 / 70) < 1e-5
+    assert got[("A", "C")][0] == 0 and got[("A", "C")][2] == 0.0
+    assert got[("B", "C")][1] == 50.0
+
+
+def test_chi2_tokens_discriminative_token_wins(spark, tmp_path):
+    """A token appearing in every target doc and no other must out-score
+    a token spread evenly across both labels; the even token's chi2 is
+    ~0 and the label-perfect token's equals N."""
+    rows = (
+        [(i, "target common" + (" even" if i < 5 else ""), "en", "web", 12)
+         for i in range(10)]
+        + [(10 + i, "offdomain common" + (" even" if i < 5 else ""),
+            "fr", "web", 15) for i in range(10)]
+    )
+    d = _write_docs(spark, tmp_path, rows, sub="chi2")
+    got = {r["tok"]: (r["n_target"], r["n_rest"], r["chi2"]) for r in
+           QUERIES["chi2_tokens_docs"].fn(spark, d).collect()}
+    # perfect separators: chi2 = N = 20
+    assert got["target"] == (10, 0, 20.0)
+    assert got["offdomain"] == (0, 10, 20.0)
+    # perfectly even token: zero association
+    assert got["even"] == (5, 5, 0.0)
+    # a token in EVERY doc has (c+d)=0 — chi2 undefined, row filtered
+    assert "common" not in got

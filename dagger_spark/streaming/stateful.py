@@ -622,3 +622,108 @@ def heavy_hitters_sketch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming KMV distinct sketch ------------------------------------------
+
+KMV_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("n_kept", T.LongType(), False),
+        T.StructField("kth_min", T.LongType(), True),
+        T.StructField("est_distinct", T.DoubleType(), True),
+    ]
+)
+
+_KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("mins", T.ArrayType(T.LongType()), False)]
+)
+
+
+def kmv_distinct_stream(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Streaming twin of the batch KMV distinct sketch
+    (ops/sketch.kmv_sketch → kmv_estimate): per key, the k smallest
+    distinct 60-bit value hashes fold into ``applyInPandasWithState``
+    state — k longs per key, HARD-BOUNDED regardless of stream
+    cardinality (the unbounded-stream alternative to an exact
+    count-distinct aggregate whose state grows with every new value).
+    Each micro-batch emits the key's current (n_kept, kth_min,
+    est_distinct); because KMV merge is order-insensitive and lossless,
+    the LAST emission per key equals the batch sketch over the same rows
+    exactly — pinned batch==stream in tests/test_stateful.py.
+
+    Hashing runs JVM-SIDE before the stateful op (the same
+    ops/sketch.kmv_hash expression the batch path uses), so the Python
+    worker only merges sorted integer lists — no per-row Python hashing.
+    On a BATCH frame the same call returns the batch sketch estimate
+    with identical columns."""
+    from pyspark.sql import functions as F
+
+    from ..ops.sketch import kmv_estimate, kmv_hash, kmv_sketch
+
+    if not events.isStreaming:
+        sk = kmv_sketch(
+            events.select(
+                F.col(key_col).cast("string").alias("key"), value_col
+            ),
+            value_col,
+            ["key"],
+            k=k,
+        )
+        return kmv_estimate(sk, ["key"], k=k).select(
+            "key", "n_kept", "kth_min", "est_distinct"
+        )
+
+    space = float(k - 1) * 1152921504606846976.0  # (k-1) * 2^60
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        mins = list(state.get[0]) if state.exists else []
+        seen = set(mins)
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["__h"] if h is not None)
+        mins = sorted(seen)[:k]
+        state.update((mins,))
+        n = len(mins)
+        kth = mins[-1] if mins else None
+        # same single-division estimator as the batch/oracle path: exact
+        # below k, (k-1)*2^60/h_(k) at capacity — IEEE-identical division,
+        # rounded HALF_UP via Decimal(repr(..)) like every other float
+        # this module emits (python round() is half-EVEN; Spark's is not)
+        if n < k:
+            est = float(n)
+        else:
+            est = float(
+                Decimal(repr(space / kth)).quantize(
+                    Decimal("0.001"), ROUND_HALF_UP
+                )
+            )
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_kept": [n],
+                "kth_min": pd.array([kth], dtype="Int64"),
+                "est_distinct": [est if mins else None],
+            }
+        )
+
+    hashed = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            kmv_hash(F.col(value_col)).alias("__h"),
+        )
+    )
+    return hashed.groupBy("key").applyInPandasWithState(
+        update,
+        KMV_STREAM_SCHEMA,
+        _KMV_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -545,17 +545,18 @@ def kmv_source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pres GROUP BY tok
     ), y AS (
       SELECT tok, a, b,
-             (a * (n_non - b) - b * (n_en - a))              AS diff,
-             (a + b) * ((n_en - a) + (n_non - b))
-               * (a + (n_en - a)) * (b + (n_non - b))        AS denom,
-             n_en + n_non                                    AS nt
+             CAST(a * (n_non - b) - b * (n_en - a) AS DOUBLE) AS diff,
+             CAST(a + b AS DOUBLE)
+               * CAST((n_en - a) + (n_non - b) AS DOUBLE)
+               * CAST(a + (n_en - a) AS DOUBLE)
+               * CAST(b + (n_non - b) AS DOUBLE)              AS denom,
+             n_en + n_non                                     AS nt
       FROM st, tot
     )
     SELECT tok,
            CAST(a AS BIGINT) AS n_target,
            CAST(b AS BIGINT) AS n_rest,
-           round(CAST(nt AS DOUBLE) * diff * diff
-                 / CAST(denom AS DOUBLE), 6) AS chi2
+           round(CAST(nt AS DOUBLE) * diff * diff / denom, 6) AS chi2
     FROM y WHERE denom > 0
     ORDER BY chi2 DESC, tok LIMIT 30
     """,
@@ -563,9 +564,13 @@ def kmv_source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the classic 2x2 contingency test per token (document-level "
     "presence vs the lang='en' label), chi2 = N(ad-bc)^2 / "
     "((a+b)(c+d)(a+c)(b+d)).  Counts and the (ad-bc) determinant stay "
-    "exact integers (products bounded well inside int64); the only float "
-    "op is the single final division with an identical expression tree "
-    "in both engines, so the top-30 ordering (chi2 desc, token) is "
+    "exact int64 (each a*d product is <= N^2/4, safe to ~6e9 docs); the "
+    "determinant and the four denominator FACTORS are then cast to "
+    "double BEFORE any further product — the 4-factor denominator and "
+    "diff^2 reach N^4/16, which would silently wrap int64 past ~175k "
+    "docs in Spark's non-ANSI mode while DuckDB raises.  Identical "
+    "cast placement in both engines keeps the IEEE expression trees "
+    "bit-equal, so the top-30 ordering (chi2 desc, token) stays "
     "deterministic.  One explode of DISTINCT tokens per doc, one "
     "token-keyed aggregate, a 1-row broadcast total, top-30 via "
     "TakeOrderedAndProject",
@@ -589,10 +594,15 @@ def chi2_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = st.join(F.broadcast(tot))
     c = F.col("n_en") - F.col("a")
     d = F.col("n_non") - F.col("b")
-    diff = F.col("a") * d - F.col("b") * c
+    # (ad - bc) is exact int64 (each product <= N^2/4); everything past it
+    # is double — the 4-factor denominator and diff^2 reach N^4/16, which
+    # wraps int64 silently past ~175k docs under Spark's non-ANSI mode.
+    diff = (F.col("a") * d - F.col("b") * c).cast("double")
     denom = (
-        (F.col("a") + F.col("b")) * (c + d)
-        * (F.col("a") + c) * (F.col("b") + d)
+        (F.col("a") + F.col("b")).cast("double")
+        * (c + d).cast("double")
+        * (F.col("a") + c).cast("double")
+        * (F.col("b") + d).cast("double")
     )
     nt = F.col("n_en") + F.col("n_non")
     return (
@@ -600,9 +610,7 @@ def chi2_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             F.col("a").cast("long").alias("n_target"),
             F.col("b").cast("long").alias("n_rest"),
-            F.round(
-                nt.cast("double") * diff * diff / denom.cast("double"), 6
-            ).alias("chi2"),
+            F.round(nt.cast("double") * diff * diff / denom, 6).alias("chi2"),
             denom.alias("__denom"),
         )
         .filter(F.col("__denom") > 0)

@@ -73,6 +73,31 @@ def sysmon_rules_correlated(spark, sf_dir):
     return correlate_alerts(events, ra, rb, window_s=1800)
 
 
+def _media_src_fingerprint() -> str:
+    """8-hex digest over the source of every module that synthesizes
+    media blobs; cached per process."""
+    global _MEDIA_SRC_FP
+    if _MEDIA_SRC_FP is None:
+        import hashlib
+        import os
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for rel in (
+            "ops/multimodal.py",
+            "ops/audio.py",
+            "ops/video.py",
+            "fixtures.py",
+        ):
+            with open(os.path.join(here, rel), "rb") as f:
+                h.update(f.read())
+        _MEDIA_SRC_FP = h.hexdigest()[:8]
+    return _MEDIA_SRC_FP
+
+
+_MEDIA_SRC_FP = None
+
+
 def _media_fixture(spark, key: str, n_rows: int, build_df):
     """Materialize a deterministic media fixture ONCE per machine as
     parquet and read it back.  The media queries must time decode work
@@ -83,11 +108,16 @@ def _media_fixture(spark, key: str, n_rows: int, build_df):
     was folded into every timed run.  Idempotent: an existing fixture is
     reused only when its row count matches (a stale or foreign file at
     the well-known path is rewritten, same discipline as
-    write_zipf_docs_parquet); the write is atomic via directory rename."""
+    write_zipf_docs_parquet); the write is atomic via directory rename.
+    The path embeds a fingerprint of the synthesis modules' SOURCE
+    (ops/multimodal|audio|video + fixtures), so editing blob contents or
+    encode parameters invalidates already-materialized fixtures
+    automatically — a bare row-count check would silently keep stale
+    blobs on machines that materialized under the old code."""
     import os
     import shutil
 
-    path = f"/tmp/dagger_media_{key}_v1.parquet"
+    path = f"/tmp/dagger_media_{key}_{_media_src_fingerprint()}.parquet"
     ok = False
     if os.path.isdir(path):
         try:

@@ -56,13 +56,15 @@ def build_probe_corpus() -> str:
     keeps the originals so the vec_id=0 query vector survives), values
     kept verbatim (fine for ordering: ties resolve on the unique id
     tiebreak, and a 20x-duplicated value still lands in one range
-    bucket).  Every other table hard-links from sf0.1 so load_table works
-    for any catalog query pointed at the probe dir."""
+    bucket).  customer tiles on the SAME custkey stride as orders so
+    orders->customer joins stay 20x (see comment below); every remaining
+    table hard-links from sf0.1 so load_table works for any catalog query
+    pointed at the probe dir."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    done = os.path.join(PROBE_DIR, "_DONE_v2")
+    done = os.path.join(PROBE_DIR, "_DONE_v3")
     if os.path.exists(done):
         return PROBE_DIR
     os.makedirs(PROBE_DIR, exist_ok=True)
@@ -92,15 +94,32 @@ def build_probe_corpus() -> str:
         row_group_size=8192,
     )
 
+    # customer tiles WITH orders on a SHARED custkey stride: tiled
+    # o_custkey values must land on tiled c_custkey values, otherwise an
+    # orders->customer join probe silently drops 19/20 of the tiled rows
+    # and measures a 1/20-sized join while appearing to run at 20x.
+    orders_tbl = pq.read_table(os.path.join(BASE, "orders.parquet"))
+    cust_tbl = pq.read_table(os.path.join(BASE, "customer.parquet"))
+    cust_stride = (
+        max(
+            pc.max(orders_tbl["o_custkey"]).as_py(),
+            pc.max(cust_tbl["c_custkey"]).as_py(),
+        )
+        + 1
+    )
+
     ID_COLS = {
         "events": ["event_id"],
         "orders": ["o_orderkey", "o_custkey"],
         "embeddings": ["vec_id"],
+        "customer": ["c_custkey"],
     }
+    SHARED_STRIDES = {"o_custkey": cust_stride, "c_custkey": cust_stride}
     for name, id_cols in ID_COLS.items():
         tbl = pq.read_table(os.path.join(BASE, f"{name}.parquet"))
         strides = {
-            c: pc.max(tbl[c]).as_py() + 1 for c in id_cols
+            c: SHARED_STRIDES.get(c, pc.max(tbl[c]).as_py() + 1)
+            for c in id_cols
         }
         parts = []
         for t in range(TILE):
@@ -116,9 +135,7 @@ def build_probe_corpus() -> str:
             row_group_size=8192,
         )
 
-    for name in (
-        "region", "nation", "customer", "supplier", "part", "lineitem"
-    ):
+    for name in ("region", "nation", "supplier", "part", "lineitem"):
         dst = os.path.join(PROBE_DIR, f"{name}.parquet")
         if not os.path.exists(dst):
             os.link(os.path.join(BASE, f"{name}.parquet"), dst)

@@ -167,7 +167,11 @@ def _is_literal_class(jnode) -> bool:
             # createDataFrame over driver-local rows (literal query batches,
             # plane coefficients): bounded by what fit on the driver
             return True
-        if name.endswith("Limit") or name == "CollectLimit":
+        if name in ("GlobalLimit", "LocalLimit", "CollectLimit"):
+            # explicitly NOT endswith("Limit"): WindowGroupLimit is a
+            # per-GROUP top-k — it bounds rows per partition key, not total
+            # rows, so a per-doc/per-user top-k build side is
+            # group-cardinality-sized (round-7 verdict hole)
             return True
         if name == "Filter":
             cond = n.condition().toString()
@@ -181,18 +185,27 @@ def _is_literal_class(jnode) -> bool:
 
 # Keyed-aggregate build sides that are bounded by a closed VALUE DOMAIN
 # rather than by plan structure — a checker cannot prove |event_type| is
-# small, so each exception is named and justified here.  Keep this list
-# minimal: every entry is a judgment call the next reader must be able to
-# re-audit.
+# small, so each exception is named and justified here, mapped to the
+# grouping column its justification rests on: the build-side aggregate
+# MUST group by that column, so a future rewrite that silently regroups
+# by a high-cardinality key (per-user, per-doc) cannot slip through on
+# the allowlist's name alone.  Keep this map minimal: every entry is a
+# judgment call the next reader must be able to re-audit.
 _DOMAIN_BOUNDED_BUILD = {
     # pairs of per-event_type HLL sketches (type_a < type_b self-join):
     # the build side is one fixed-size sketch row per event TYPE — a small
     # closed domain in any telemetry schema — not per user/event
-    "events_hll_intersect",
+    "events_hll_intersect": "event_type",
+    # pairwise KMV overlap (src_a < src_b self-join): one k-element sketch
+    # array row per SOURCE — crawl/corpus provenance is a closed
+    # governance domain (dozens, not millions); the pair space is
+    # sources², fine for that domain.  Was riding the WindowGroupLimit
+    # classifier hole until round 8; now named and justified here.
+    "kmv_source_overlap_docs": "source",
 }
 
 
-def _bnlj_violations(df, allow_domain_bounded: bool = False) -> list:
+def _bnlj_violations(df, domain_col: str | None = None) -> list:
     """Collect BNLJ nodes whose BUILD (broadcast) side is unbounded, plus
     any CartesianProduct, from a FINAL (AQE-finalized) plan.  The build
     side specifically: round 5 found a plan (customer_abc_analysis, since
@@ -212,25 +225,28 @@ def _bnlj_violations(df, allow_domain_bounded: bool = False) -> list:
                 else sides[1]
             if _is_literal_class(build):
                 continue
-            if allow_domain_bounded and _keyed_aggregate_build(build):
+            if domain_col and _keyed_aggregate_build(build, domain_col):
                 continue
             bad.append(("UnboundedBNLJ", n))
     return bad
 
 
-def _keyed_aggregate_build(jnode) -> bool:
+def _keyed_aggregate_build(jnode, grouping_col: str) -> bool:
     """True when the build side's row count is capped by an aggregate's
     grouping-key cardinality (the _DOMAIN_BOUNDED_BUILD shape) — with no
     row-multiplying node between the BNLJ and that aggregate.  The
-    grouping must reference the column each allowlist entry's
-    justification names (event_type for events_hll_intersect): a future
-    rewrite that silently regroups by a high-cardinality key (per-user,
-    per-event) must NOT slip through on the allowlist's name alone
-    (round-5 advice)."""
+    grouping must reference the column the allowlist entry's
+    justification names (per-entry map, round-7 verdict generalization of
+    the old hardcoded event_type check): a future rewrite that silently
+    regroups by a high-cardinality key (per-user, per-doc) must NOT slip
+    through on the allowlist's name alone (round-5 advice).  A
+    WindowGroupLimit/top-k-shaped build with no aggregate at all returns
+    False — per-group limits are group-cardinality-sized, never
+    domain-bounded by themselves."""
     for n in _walk_physical(jnode):
         nm = n.nodeName()
         if nm.endswith("Aggregate"):
-            return "event_type" in n.groupingExpressions().toString()
+            return grouping_col in n.groupingExpressions().toString()
         if nm in ("Generate", "Expand") or "Join" in nm:
             return False
     return False
@@ -274,8 +290,8 @@ def test_bnlj_build_side_is_literal_class_catalog_wide(spark, sf_dir):
     for name in names:
         df = QUERIES[name].fn(spark, sf_dir)
         df.collect()  # finalize AQE: runtime stats decide actual join shapes
-        allow = name in _DOMAIN_BOUNDED_BUILD
-        for kind, node in _bnlj_violations(df, allow_domain_bounded=allow):
+        col = _DOMAIN_BOUNDED_BUILD.get(name)
+        for kind, node in _bnlj_violations(df, domain_col=col):
             failures.append(f"{name}: {kind}:\n{node.toString()[:800]}")
     assert not failures, "\n\n".join(failures)
 
@@ -306,6 +322,50 @@ def test_bnlj_checker_rejects_unbounded_build_side(spark, sf_dir):
     assert _bnlj_violations(joined), (
         "checker passed an unbounded BNLJ build side — the invariant is "
         "no longer guarding anything"
+    )
+
+
+def test_bnlj_checker_rejects_windowgrouplimit_build_side(spark, sf_dir):
+    """Round-7 verdict hole, pinned: _is_literal_class used to accept any
+    node name ending in "Limit", which matched WindowGroupLimit — a
+    per-GROUP top-k whose output is group-cardinality-sized, not bounded.
+    A top-2-tokens-per-doc_id build side (O(docs) rows) broadcast into a
+    non-equi join must be flagged, and must ALSO be flagged when a
+    domain-bounded allowlist column is passed (no aggregate in the build
+    subtree → _keyed_aggregate_build cannot vouch for it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from dagger_spark.ops.text import tokens
+    from dagger_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("tok")
+    topk = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("doc_id").alias("rid"), F.col("tok").alias("rtok"))
+    )
+    joined = docs.join(
+        F.broadcast(topk),
+        on=F.length(F.col("text")) < F.length(F.col("rtok")) + 100,
+        how="inner",
+    ).select("doc_id", "rid")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, (
+        "fixture lost its WindowGroupLimit node — rebuild the top-k shape:\n"
+        + plan[:800]
+    )
+    joined.collect()
+    assert _bnlj_violations(joined), (
+        "per-doc_id WindowGroupLimit build side passed the literal-class "
+        "checker — the round-7 endswith('Limit') hole is back"
+    )
+    assert _bnlj_violations(joined, domain_col="doc_id"), (
+        "an aggregate-free WindowGroupLimit build side must not be "
+        "vouchable by the domain-bounded allowlist path"
     )
 
 

@@ -41,11 +41,18 @@ def correlate_alerts(
     key: str = "computer_name",
     ts_col: str = "timestamp",
     window_s: int = 300,
+    key_b: str = None,
 ) -> DataFrame:
     """Batch correlation: every (A-match, B-match) pair on the same entity
     with ``0 <= t_B - t_A <= window_s`` (ordered: A happened first; an
     event matching both rules correlates with itself excluded).  Output:
     entity, a_uuid, b_uuid, lag_s.
+
+    ``key_b`` (default: ``key``) names the B side's entity column —
+    Sigma-v2 correlation ``aliases`` normalize DIFFERENT per-rule field
+    names onto one join key (rule A's UserName pairs with rule B's
+    TargetUserName); the join itself is unchanged, only each side's key
+    projection differs.
 
     Candidate generation is the time-bucketed equi-join of
     ``ops.asof.interval_join`` — pair space is per-(entity, bucket), no
@@ -53,7 +60,7 @@ def correlate_alerts(
     a = rule_matches(events, rule_a, key, ts_col).select(
         "entity", F.col("uuid").alias("a_uuid"), F.col("ts").alias("a_ts")
     )
-    b = rule_matches(events, rule_b, key, ts_col).select(
+    b = rule_matches(events, rule_b, key_b or key, ts_col).select(
         "entity", F.col("uuid").alias("b_uuid"), F.col("ts").alias("b_ts")
     )
     j = interval_join(a, b, "entity", "a_ts", "b_ts", window_s)
@@ -72,6 +79,7 @@ def correlate_alerts_stream(
     ts_col: str = "timestamp",
     window_s: int = 300,
     watermark: str = "30 seconds",
+    key_b: str = None,
 ) -> DataFrame:
     """Streaming twin: watermarked stream-stream inner join with an
     explicit time-range predicate — the form Structured Streaming requires
@@ -89,12 +97,12 @@ def correlate_alerts_stream(
     side was never garbage-collected — a slow state leak, the same class
     of trap the correlation count types fix inside their aggregates."""
 
-    def _tagged_side(rule, entity_alias, uuid_alias, ts_alias):
+    def _tagged_side(rule, side_key, entity_alias, uuid_alias, ts_alias):
         tag = F.array_compact(F.array(F.when(rule.condition(), F.lit(1))))
         return (
             events.withWatermark(ts_col, watermark)
             .select(
-                F.col(key).alias(entity_alias),
+                F.col(side_key).alias(entity_alias),
                 F.col("uuid").alias(uuid_alias),
                 F.col(ts_col).alias(ts_alias),
                 F.explode(tag).alias("__m"),
@@ -102,8 +110,8 @@ def correlate_alerts_stream(
             .drop("__m")
         )
 
-    a = _tagged_side(rule_a, "entity", "a_uuid", "a_ts")
-    b = _tagged_side(rule_b, "entity_b", "b_uuid", "b_ts")
+    a = _tagged_side(rule_a, key, "entity", "a_uuid", "a_ts")
+    b = _tagged_side(rule_b, key_b or key, "entity_b", "b_uuid", "b_ts")
     # Correlation lag is defined at SECOND resolution on both engines
     # (lag_s = unix_timestamp(b) - unix_timestamp(a), i.e. floor-second on
     # each side — the batch leg's interval_join + lag filter semantics).

@@ -14,6 +14,10 @@ richer *correlation rule* document — a separate YAML object whose
       timespan: 10m
       condition: {gte: 100}      # counts only
       field: TargetUserName      # value_count only
+      aliases:                   # per-rule field normalization
+        user:
+          base_rule_a: UserName
+          base_rule_b: TargetUserName
 
 This module parses those documents and compiles each to a DataFrame
 function over the event stream, reusing the engine's existing scale-shaped
@@ -38,6 +42,11 @@ machinery:
 
 Group-by fields default to ``computer_name`` (the entity every reference
 rule carries); timespan accepts the Sigma ``<int><s|m|h|d>`` forms.
+``aliases:`` (the spec's field-normalization block) compiles to real
+per-rule column resolution: pair types join rule A's aliased field against
+rule B's, count types materialize the alias as a first-matching-rule
+projection before the group-by.  Any OTHER correlation-block key is
+rejected loudly — implement-or-reject, never silently ignore.
 """
 
 from __future__ import annotations
@@ -69,15 +78,43 @@ class CorrelationSpec:
     field: Optional[str] = None           # value_count distinct field
     level: str = "medium"
     description: str = ""
+    # Sigma-v2 ``aliases:`` field normalization — each alias is a virtual
+    # group-by field whose underlying column differs PER BASE RULE
+    # (``aliases: {user: {rule_a: UserName, rule_b: TargetUserName}}``).
+    # Stored as nested tuples (alias, ((rule, field), ...)) so the frozen
+    # dataclass stays hashable; ``alias_map`` rebuilds the dict view.
+    aliases: Tuple[Tuple[str, Tuple[Tuple[str, str], ...]], ...] = ()
+
+    @property
+    def alias_map(self) -> Dict[str, Dict[str, str]]:
+        return {a: dict(m) for a, m in self.aliases}
+
+
+_KNOWN_CORR_KEYS = frozenset(
+    {"type", "rules", "group-by", "group_by", "timespan", "condition",
+     "field", "aliases"}
+)
 
 
 def parse_correlation(doc: dict, name: str = "") -> CorrelationSpec:
     """One YAML document -> spec, with the spec's required-field rules
     enforced loudly (a silently-defaulted condition would change alert
-    semantics)."""
+    semantics).  Unrecognized correlation-block keys are REJECTED, not
+    skipped: the compiler's discipline everywhere is implement-or-reject
+    (cf. unknown rule refs below) — a key like ``generate:`` silently
+    dropped would compile a document whose alerts differ from what its
+    author wrote, with no warning."""
     corr = doc.get("correlation")
     if not isinstance(corr, dict):
         raise SigmaCompileError(f"{name or doc.get('title')!r}: no correlation block")
+    unknown = sorted(set(corr) - _KNOWN_CORR_KEYS)
+    if unknown:
+        raise SigmaCompileError(
+            f"{name or doc.get('title')!r}: unrecognized correlation keys "
+            f"{unknown} — implemented keys are "
+            f"{sorted(_KNOWN_CORR_KEYS)} (implement-or-reject: silently "
+            "ignoring a key would change alert semantics without warning)"
+        )
     ctype = corr.get("type")
     if ctype not in _TYPES:
         raise SigmaCompileError(f"bad correlation type: {ctype!r}")
@@ -124,6 +161,46 @@ def parse_correlation(doc: dict, name: str = "") -> CorrelationSpec:
     fld = corr.get("field")
     if ctype == "value_count" and not fld:
         raise SigmaCompileError("value_count needs correlation.field")
+    rule_names = [str(r) for r in rules]
+    aliases_raw = corr.get("aliases")
+    aliases: Tuple[Tuple[str, Tuple[Tuple[str, str], ...]], ...] = ()
+    if aliases_raw is not None:
+        ctx = name or doc.get("title")
+        if not isinstance(aliases_raw, dict) or not aliases_raw:
+            raise SigmaCompileError(
+                f"{ctx!r}: correlation.aliases must be a non-empty mapping "
+                "of alias -> {rule: field}"
+            )
+        parsed = []
+        for alias, per_rule in aliases_raw.items():
+            if not isinstance(per_rule, dict) or not all(
+                isinstance(k, str) and isinstance(v, str) and v
+                for k, v in per_rule.items()
+            ):
+                raise SigmaCompileError(
+                    f"{ctx!r}: alias {alias!r} must map every referenced "
+                    "rule name to a field name"
+                )
+            extra = sorted(set(per_rule) - set(rule_names))
+            if extra:
+                raise SigmaCompileError(
+                    f"{ctx!r}: alias {alias!r} names rules not in "
+                    f"correlation.rules: {extra}"
+                )
+            missing_rules = [r for r in rule_names if r not in per_rule]
+            if missing_rules:
+                # a partial mapping would leave the alias column NULL for
+                # every event the unmapped rule matches — wrong groups with
+                # no warning; the spec's mapping must be complete
+                raise SigmaCompileError(
+                    f"{ctx!r}: alias {alias!r} has no field mapping for "
+                    f"rules {missing_rules}"
+                )
+            parsed.append(
+                (str(alias),
+                 tuple((r, str(per_rule[r])) for r in rule_names))
+            )
+        aliases = tuple(parsed)
     if ctype.startswith("temporal") and len(rules) < 2:
         raise SigmaCompileError(f"{ctype} needs >= 2 referenced rules")
     if ctype == "temporal_ordered" and len(rules) != 2:
@@ -133,9 +210,10 @@ def parse_correlation(doc: dict, name: str = "") -> CorrelationSpec:
     return CorrelationSpec(
         name=name or str(doc.get("title", "correlation")),
         ctype=ctype,
-        rules=tuple(str(r) for r in rules),
+        rules=tuple(rule_names),
         timespan_seconds=_parse_timeframe(timespan),
         group_by=tuple(group_by),
+        aliases=aliases,
         condition_op=cond_op,
         condition_value=cond_val,
         field=str(fld) if fld else None,
@@ -204,6 +282,7 @@ def compile_correlation(
     active_rules()}``)."""
     base_rules = _resolve(spec, registry)
     span = f"{spec.timespan_seconds} seconds"
+    amap = spec.alias_map
 
     def _wm(events: DataFrame) -> DataFrame:
         return (
@@ -211,10 +290,35 @@ def compile_correlation(
             if events.isStreaming and watermark else events
         )
 
+    def _with_alias_cols(events: DataFrame) -> DataFrame:
+        """Materialize each Sigma ``aliases`` entry as a real column BEFORE
+        the group-by: the alias value is the aliased rule's field for the
+        (first, in rules order) referenced rule the event matches — a pure
+        per-row projection, so on the streaming leg it sits safely above
+        the watermark without the pushdown traps a filter would hit.  For
+        the count/co-occurrence types first-match resolution is exact
+        whenever an event matches one referenced rule (the spec's design
+        case); a dual-matching event contributes its first matching rule's
+        field, pinned by test."""
+        out = events
+        for alias, per_rule in spec.aliases:
+            fields = dict(per_rule)
+            out = out.withColumn(
+                alias,
+                F.coalesce(
+                    *[
+                        F.when(r.condition(), F.col(fields[rn]))
+                        for rn, r in zip(spec.rules, base_rules)
+                    ]
+                ),
+            )
+        return out
+
     if spec.ctype in ("event_count", "value_count"):
         cmp_sql = _OPS[spec.condition_op]
 
         def run_counts(events: DataFrame) -> DataFrame:
+            events = _with_alias_cols(events)
             any_rule = base_rules[0].condition()
             for r in base_rules[1:]:
                 any_rule = any_rule | r.condition()
@@ -345,28 +449,58 @@ def compile_correlation(
             # output `entity` column is then that struct).  Ignoring
             # fields past the first would silently pair rule A in one
             # logon session with rule B in another on the same host.
-            if len(spec.group_by) == 1:
-                key, src = spec.group_by[0], events
-            else:
-                key = "__corr_entity"
-                src = events.withColumn(
-                    key, F.struct(*[F.col(c) for c in spec.group_by])
-                )
+            # ``aliases`` resolve PER SIDE here — exact per-rule field
+            # normalization (rule A's UserName joins rule B's
+            # TargetUserName), not the first-match coalesce the count
+            # types use: each side of the pair join is filtered by ONE
+            # rule, so its key is that rule's aliased field, even for an
+            # event matching both rules.
+            def resolved(rule_name):
+                return [
+                    amap[g][rule_name] if g in amap else g
+                    for g in spec.group_by
+                ]
 
-            def one(a, b):
+            cols_a = resolved(spec.rules[0])
+            cols_b = resolved(spec.rules[1])
+            src = events
+            if len(spec.group_by) == 1:
+                key_a, key_b = cols_a[0], cols_b[0]
+            elif cols_a == cols_b:
+                key_a = key_b = "__corr_entity"
+                src = src.withColumn(
+                    key_a, F.struct(*[F.col(c) for c in cols_a])
+                )
+            else:
+                # aliased multi-field keys: one struct per side, fields
+                # re-aliased to the group-by names so both structs share a
+                # dataType and the equi-join resolves
+                key_a, key_b = "__corr_entity_a", "__corr_entity_b"
+                for k, cols in ((key_a, cols_a), (key_b, cols_b)):
+                    src = src.withColumn(
+                        k,
+                        F.struct(
+                            *[
+                                F.col(c).alias(g)
+                                for g, c in zip(spec.group_by, cols)
+                            ]
+                        ),
+                    )
+
+            def one(a, b, ka, kb):
                 if events.isStreaming:
                     return correlate_alerts_stream(
-                        src, a, b, key=key, ts_col=ts_col,
+                        src, a, b, key=ka, key_b=kb, ts_col=ts_col,
                         window_s=spec.timespan_seconds, watermark=watermark,
                     )
                 return correlate_alerts(
-                    src, a, b, key=key, ts_col=ts_col,
+                    src, a, b, key=ka, key_b=kb, ts_col=ts_col,
                     window_s=spec.timespan_seconds,
                 )
 
-            out = one(base_rules[0], base_rules[1])
+            out = one(base_rules[0], base_rules[1], key_a, key_b)
             if not ordered:
-                rev = one(base_rules[1], base_rules[0]).select(
+                rev = one(base_rules[1], base_rules[0], key_b, key_a).select(
                     "entity",
                     F.col("b_uuid").alias("a_uuid"),
                     F.col("a_uuid").alias("b_uuid"),
@@ -410,6 +544,7 @@ def compile_correlation(
     # temporal with 3+ rules: tumbling co-occurrence (documented
     # discretization — same trade as tumbling timeframe rules)
     def run_multi(events: DataFrame) -> DataFrame:
+        events = _with_alias_cols(events)
         # ONE scan, ONE watermark node: each event explodes into the
         # indices of the rules it matches (usually 0 or 1 rows out).  The
         # union-of-filtered-branches form had a per-branch EventTimeWatermark

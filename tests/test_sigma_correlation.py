@@ -610,3 +610,160 @@ def test_count_watermark_advances_on_nonmatching_events(
     # the H1 window flushed solely because the non-matching closer
     # advanced the watermark; the closer itself produced no alert
     assert got == {("H1", 2)}
+
+
+# ------------------------------------------------------- aliases (Sigma v2)
+
+def _ev_u(uuid, host, off, target, user=None, parent_user=None):
+    ed = {f.name: None for f in
+          SYSMON_EVENT_SCHEMA["event_data"].dataType.fields}
+    ed.update(CallTrace="x", TargetImage=target, User=user,
+              ParentUser=parent_user)
+    return (host, 10, "h", tuple(ed.values()), uuid,
+            T0 + dt.timedelta(seconds=off))
+
+
+_AB_REGS = lambda: {  # noqa: E731
+    "ra": RuleSpec(name="ra", predicate_sql="event_data.TargetImage = 'A'"),
+    "rb": RuleSpec(name="rb", predicate_sql="event_data.TargetImage = 'B'"),
+}
+
+
+def test_unknown_correlation_keys_rejected():
+    """Implement-or-reject (round-6/7 ask): an unrecognized key in the
+    correlation block — ``generate:``, a typo'd ``alises:`` — must raise,
+    never compile a document whose semantics silently differ from what
+    its author wrote."""
+    base = {"type": "event_count", "rules": ["r"], "timespan": "10m",
+            "condition": {"gte": 3}}
+    for key in ("generate", "alises", "groupby"):
+        with pytest.raises(SigmaCompileError,
+                           match="unrecognized correlation keys"):
+            parse_correlation({"title": "t",
+                               "correlation": dict(base, **{key: True})})
+
+
+def test_aliases_parse_validation():
+    """aliases must be a complete alias -> {rule: field} mapping over
+    exactly the referenced rules: partial or dangling mappings would
+    leave NULL group keys / dead normalizations with no warning."""
+    base = {"type": "temporal", "rules": ["ra", "rb"], "timespan": "10m"}
+
+    def with_aliases(a):
+        return {"title": "t", "correlation": dict(base, aliases=a)}
+
+    for bad, msg in (
+        ([], "non-empty mapping"),
+        ({"who": "event_data.User"}, "must map every referenced"),
+        ({"who": {"ra": "f", "rx": "g"}}, "not in correlation.rules"),
+        ({"who": {"ra": "f"}}, "no field mapping"),
+    ):
+        with pytest.raises(SigmaCompileError, match=msg):
+            parse_correlation(with_aliases(bad))
+    spec = parse_correlation(with_aliases(
+        {"who": {"ra": "event_data.User", "rb": "event_data.ParentUser"}}))
+    assert spec.alias_map == {
+        "who": {"ra": "event_data.User", "rb": "event_data.ParentUser"}}
+
+
+def test_event_count_aliases_normalize_groups(spark):
+    """The spec's design case: rule A carries the entity in User, rule B
+    in ParentUser; grouping on the alias counts them TOGETHER.  Without
+    normalization alice's 2 ra-matches and 1 rb-match are separate
+    (NULL-keyed) groups and the gte-3 alert never fires."""
+    spec = parse_correlation({"title": "ac", "correlation": {
+        "type": "event_count", "rules": ["ra", "rb"],
+        "aliases": {"who": {"ra": "event_data.User",
+                            "rb": "event_data.ParentUser"}},
+        "group-by": ["who"], "timespan": "10m", "condition": {"gte": 3}}})
+    run = compile_correlation(spec, _AB_REGS())
+    rows = [
+        _ev_u("u1", "H1", 0, "A", user="alice"),
+        _ev_u("u2", "H1", 30, "A", user="alice", parent_user="decoy"),
+        _ev_u("u3", "H1", 60, "B", parent_user="alice", user="mallory"),
+        _ev_u("u4", "H1", 90, "A", user="bob"),
+        _ev_u("u5", "H1", 120, "B", parent_user="carol"),
+    ]
+    got = {(r["who"], r["value"]) for r in
+           run(_events(spark, rows)).collect()}
+    assert got == {("alice", 3)}
+
+
+def test_temporal_ordered_aliases_per_side_fields(spark):
+    """Pair correlation resolves aliases PER SIDE — rule A's User joins
+    rule B's ParentUser exactly (not the count types' first-match
+    projection): a1(User=alice) then b1(ParentUser=alice) pair even
+    though b1's own User is someone else; b2(ParentUser=bob) does not."""
+    spec = parse_correlation({"title": "ap", "correlation": {
+        "type": "temporal_ordered", "rules": ["ra", "rb"],
+        "aliases": {"who": {"ra": "event_data.User",
+                            "rb": "event_data.ParentUser"}},
+        "group-by": ["who"], "timespan": "30m"}})
+    run = compile_correlation(spec, _AB_REGS())
+    rows = [
+        _ev_u("a1", "H1", 0, "A", user="alice", parent_user="zoe"),
+        _ev_u("b1", "H1", 60, "B", parent_user="alice", user="mallory"),
+        _ev_u("b2", "H1", 90, "B", parent_user="bob"),
+    ]
+    got = {(r["entity"], r["a_uuid"], r["b_uuid"], r["lag_s"]) for r in
+           run(_events(spark, rows)).collect()}
+    assert got == {("alice", "a1", "b1", 60)}
+
+
+def test_temporal_aliases_multi_field_struct_keys(spark, tmp_path):
+    """Aliased MULTI-field group-by: per-side struct keys with re-aliased
+    field names must equi-join field-wise ((computer_name, who) — the
+    same host AND the same normalized user), batch == stream."""
+    spec = parse_correlation({"title": "am", "correlation": {
+        "type": "temporal_ordered", "rules": ["ra", "rb"],
+        "aliases": {"who": {"ra": "event_data.User",
+                            "rb": "event_data.ParentUser"}},
+        "group-by": ["computer_name", "who"], "timespan": "30m"}})
+    run = compile_correlation(spec, _AB_REGS(), watermark="0 seconds")
+    rows = [
+        _ev_u("a1", "H1", 0, "A", user="alice"),
+        _ev_u("a2", "H2", 0, "A", user="alice"),   # other host: no pair
+        _ev_u("b1", "H1", 60, "B", parent_user="alice"),
+    ]
+    batch = {tuple(r) for r in run(_events(spark, rows)).collect()}
+    assert {(r[1]["computer_name"], r[1]["who"], r[2], r[3], r[4])
+            for r in batch} == {("H1", "alice", "a1", "b1", 60)}
+    assert _run_stream(spark, run, rows, tmp_path, "am") == batch
+
+
+def test_temporal_unordered_dual_match_stream_keeps_both_orientations(
+    spark, tmp_path
+):
+    """Documented batch/stream divergence, PINNED (round-7 advice): for a
+    pair whose both events match both base rules, the batch leg anti-joins
+    the mirror away (one row per unordered pair) while the STREAMING leg
+    keeps both orientations — a second watermark assignment over
+    stream-stream join results, which the anti-join would need, is
+    unsupported.  Each streamed row still describes a real
+    (rule_a-match, rule_b-match) pairing; this test freezes both legs'
+    exact output shape so neither can drift silently."""
+    regs = {
+        "rA": RuleSpec(name="rA",
+                       predicate_sql="event_data.TargetImage IN ('A', 'AB')"),
+        "rB": RuleSpec(name="rB",
+                       predicate_sql="event_data.TargetImage IN ('B', 'AB')"),
+    }
+    spec = parse_correlation({"title": "dual2", "correlation": {
+        "type": "temporal", "rules": ["rA", "rB"],
+        "group-by": ["computer_name"], "timespan": "10m"}})
+    run = compile_correlation(spec, regs, watermark="0 seconds")
+    rows = [  # chronological for the 2-file replay
+        _ev("d1", "H1", 0, target="AB"),
+        _ev("e1", "H2", 0, target="B"),
+        _ev("d2", "H1", 60, target="AB"),
+        _ev("e2", "H2", 60, target="A"),
+    ]
+    batch = {tuple(r) for r in run(_events(spark, rows)).collect()}
+    assert batch == {("dual2", "H1", "d1", "d2", 60),
+                     ("dual2", "H2", "e2", "e1", -60)}
+    got = _run_stream(spark, run, rows, tmp_path, "dual2")
+    assert got == {
+        ("dual2", "H1", "d1", "d2", 60),
+        ("dual2", "H1", "d2", "d1", -60),   # the streamed mirror row
+        ("dual2", "H2", "e2", "e1", -60),
+    }

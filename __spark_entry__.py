@@ -6,7 +6,7 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle, 11 of 208): the fixture-driven rules engine +
+Rows-only entries (no oracle, 11 of 215): the fixture-driven rules engine +
 correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
 the fixture table is not among the driver's DuckDB views), the Pandas-UDF
 multimodal stages including the perceptual-hash dedup chain, and the zlib
@@ -26,81 +26,81 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 
-# Driver-window rotation (round 7): the correctness gate verifies the FIRST
-# ~50 queries.  The union of driver-verified names across the committed
-# CORRECTNESS_r1-r6 artifacts is 145 of 188 oracle-paired queries; exactly
-# 43 remain never driver-checked (all replay-green at sf0.01 in the
-# builder's full-catalog oracle runs).  43 + 7 anchors = 50, so THIS window
-# completes full-catalog oracle-paired driver coverage: the anchor set is
-# trimmed to seven (per the round-6 verdict's arithmetic — a 15-anchor
-# window could never finish in one round), keeping one representative per
-# load-bearing family plus events_exact_quantiles, whose ops/rank code took
-# this round's empty-input fix.  The four correlation queries in the tail
-# also re-earn their rows after this round's streaming-watermark fix (their
-# batch plans are unchanged by design; the driver runs batch).  Once this
-# round's artifact lands, tests/test_rotation.py's rotation-advances
-# invariant flips to its "full coverage reached" skip branch and future
-# windows become free rotation among verified names.
-# The round this window was authored in: tests/test_rotation.py checks the
-# rotation against the CORRECTNESS artifacts of STRICTLY EARLIER rounds
-# (this round's own artifact lands after the code is frozen), and fails the
-# suite if a later round's artifact exists without the window having been
-# re-authored — the mechanical stall guard.
-_WINDOW_ROUND = 7
+# Driver-window rotation (round 8): the correctness gate verifies the FIRST
+# ~50 queries.  Round 7 completed full oracle-paired driver coverage of the
+# catalog that existed then, so windows are now free rotation PLUS the
+# standing priorities, in order: (1) every oracle-paired query that has
+# never earned a driver row — the 9 round-7 additions (replay-green at
+# sf0.01 in both the builder's and the judge's runs; round-7 verdict ask
+# #2) and the 7 round-8 additions; (2) queries whose implementation changed
+# this round and must re-earn their rows — the four Sigma correlation types
+# (the aliases feature reworked compile_correlation's shared pair/count
+# paths) and chi2_tokens_docs (the int64-overflow double-cast rewrote its
+# expression tree in both engines); (3) the 7 family anchors; (4) free
+# rotation across families whose driver rows date from the earliest rounds
+# (ANN ladder, graph, sketches, rank, enrichment, quality, TPC-H tails).
+# The round this window was authored in: tests/test_rotation.py fails the
+# suite if a later round's CORRECTNESS artifact exists without the window
+# having been re-authored — the mechanical stall guard.
+_WINDOW_ROUND = 8
 
 _DRIVER_WINDOW = [
-    # -- anchors (seven: one per load-bearing family + changed code) --
+    # -- (1) never-driver-verified: the 9 round-7 additions --
+    "l_diversity_docs",          # privacy triad: l-diversity
+    "t_closeness_docs",          # privacy triad: t-closeness
+    "orders_woe_binning",        # WOE/IV decile binning
+    "kmv_distinct_events",       # KMV distinct sketch + merge rollup
+    "kmv_source_overlap_docs",   # KMV pairwise set-op estimates
+    "dsir_weights_docs",         # DSIR importance weights
+    "maxsim_retrieval_docs",     # MaxSim late-interaction retrieval
+    "sq8_error_embeddings",      # int8 scalar quantization error
+    "chi2_tokens_docs",          # chi-square token selection (+ overflow fix)
+    # -- (1) never-driver-verified: the 7 round-8 additions --
+    "classifier_auc_docs",       # exact ROC-AUC via rank-sum
+    "pmi_collocations_docs",     # PMI bigram collocations
+    "source_kl_divergence_docs", # per-source KL vs corpus blend
+    "matryoshka_recall_embeddings",  # prefix-dim retrieval recall
+    "label_centroid_sim_embeddings", # centroid cosine matrix
+    "novelty_docs",              # per-doc n-gram novelty
+    "classifier_kappa_docs",     # Cohen's kappa between quality raters
+    # -- (2) changed code re-earns its row (aliases rework shares these
+    #    compile paths; batch semantics unchanged by design) --
+    "events_sigma_corr_counts",  # Sigma correlation: event_count
+    "events_sigma_corr_distinct",# Sigma correlation: value_count
+    "events_sigma_corr_temporal",# Sigma correlation: temporal_ordered
+    "events_sigma_corr_cooccur", # Sigma correlation: temporal 3+ rules
+    # -- (3) anchors (one per load-bearing family) --
     "q1_pricing_summary",        # TPC-H aggregate
     "q9_profit_by_nation",       # multi-way join
     "events_rules_engine",       # SIEM rule fan-in (the reference's core)
     "events_burst_detection",    # timeframe rules (reference's skipped gap)
     "exact_dedup_docs",          # exact dedup
     "minhash_pairs_docs",        # MinHash+LSH
-    "events_exact_quantiles",    # ops/rank — empty-input fix this round
-    # -- the final 43 never-driver-verified oracle-paired names --
-    "array_funcs_docs",          # higher-order array functions
-    "bigram_logprob_docs",       # bigram language-model scoring
-    "chunk_docs",                # fixed-size document chunking
-    "cluster_split_docs",        # leakage-free cluster-aware split
-    "corpus_merkle_diff",        # Merkle-tree corpus diff
-    "corpus_shuffle_shards",     # deterministic global shuffle+shard
-    "customer_frequency_ranks",  # frequency ranking
-    "docs_hash_sample",          # deterministic hash sampling
-    "docs_pack_bins",            # bin packing
-    "drift_psi_docs",            # PSI drift detection
-    "embedding_norms_arrow",     # mapInArrow vector kernels
-    "events_ab_test",            # A/B test readout (Welch t)
-    "events_attribution",        # multi-touch attribution
-    "events_cidr_enrich",        # CIDR longest-prefix-match join
-    "events_decayed_score",      # exponential time-decay scoring
-    "events_domain_enrich",      # domain-suffix enrichment join
-    "events_hdr_weekly_rollup",  # mergeable HDR sketch rollup
-    "events_ip_range_enrich",    # IP range join via CIDR decomposition
-    "events_ohlc_bars",          # OHLC bars (first/last by time)
-    "events_sigma_corr_cooccur", # Sigma correlation: temporal 3+ rules
-    "events_sigma_corr_counts",  # Sigma correlation: event_count
-    "events_sigma_corr_distinct",# Sigma correlation: value_count
-    "events_sigma_corr_temporal",# Sigma correlation: temporal_ordered
-    "events_sql_udf_rollup",     # SQL UDF (CREATE FUNCTION) rollup
-    "events_value_histogram",    # equi-width histogram
-    "fingerprint_docs",          # rolling-hash fingerprinting
-    "html_strip_docs",           # HTML tag stripping
-    "hybrid_rrf_docs",           # hybrid BM25+embedding RRF fusion
-    "keywords_per_doc",          # per-doc keyword extraction
-    "label_prop_docs",           # label propagation (LPA)
-    "language_id_docs",          # stopword-overlap language ID
-    "language_id_ngram_docs",    # n-gram profile language ID
-    "line_scrub_docs",           # per-line boilerplate scrubbing
-    "lineitem_hdr_quantiles",    # HDR sketch quantiles
-    "normalize_docs",            # text normalization
-    "orders_pit_priority",       # point-in-time join
-    "orders_skyline",            # 2-D skyline
-    "part_basket_pairs",         # co-occurrence basket pairs
-    "phrase_search_docs",        # positional phrase search
-    "sentences_docs",            # sentence segmentation
-    "token_counts_docs",         # BPE-ish token counting
-    "trimmed_mean_pandas",       # grouped-agg Pandas UDF
-    "window_rank_showcase",      # full window-function surface
+    "events_exact_quantiles",    # ops/rank two-pass exact quantiles
+    # -- (4) free rotation: families whose rows date from rounds 1-2 --
+    "ann_brute_force",           # exact cosine top-k
+    "ann_lsh",                   # sign-LSH bucketed ANN
+    "ann_ivf",                   # IVF partition-pruned ANN
+    "ann_pq_adc",                # product-quantization ADC
+    "ann_recall",                # ANN recall gauge
+    "pagerank_docs",             # distributed Pregel PageRank
+    "triangle_count_docs",       # triangle counting
+    "kcore_docs",                # k-core decomposition
+    "events_hll_rollup",         # HLL sketch rollup
+    "events_cms_counts",         # count-min sketch
+    "hll_scratch_events",        # from-scratch HLL
+    "events_approx_distinct",    # approx_count_distinct twin
+    "customer_abc_analysis",     # Pareto ABC on global_cumsum
+    "customer_rfm_segments",     # RFM segmentation
+    "curriculum_stages_docs",    # curriculum staging on global ranks
+    "asof_join_error_purchase",  # as-of join
+    "interval_join_events",      # interval join
+    "gopher_quality_docs",       # Gopher quality gates
+    "bm25_topk_docs",            # BM25 retrieval
+    "winnowing_docs",            # winnowing fingerprints
+    "bpe_encode_docs",           # BPE tokenizer apply
+    "q18_large_orders",          # TPC-H large-order having-join
+    "q21_waiting_supplier",      # TPC-H multi-exists join
 ]
 
 

@@ -193,6 +193,14 @@ HEADLINE = [
     "t_closeness_docs",
     "kmv_source_overlap_docs",
     "chi2_tokens_docs",
+    # round-8 additions
+    "classifier_auc_docs",
+    "pmi_collocations_docs",
+    "source_kl_divergence_docs",
+    "matryoshka_recall_embeddings",
+    "label_centroid_sim_embeddings",
+    "novelty_docs",
+    "classifier_kappa_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

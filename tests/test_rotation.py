@@ -97,16 +97,28 @@ def test_rotation_advances_until_full_coverage():
 
 def test_changed_code_queries_in_gate_window():
     """Queries whose implementation changed this round must sit inside the
-    driver-checked window: changed code re-earns its driver row.  Round 7:
-    the correlation compiler's streaming-watermark fix (batch plans
-    unchanged but the compiled callable is shared) and ops/rank's
-    empty-input n=0 fix."""
+    driver-checked window: changed code re-earns its driver row.  Round 8:
+    the correlation compiler's aliases rework (the compiled pair/count
+    callables are shared with the batch legs), chi2_tokens_docs' int64-
+    overflow double-cast (new expression tree in both engines), plus every
+    query that has never earned a driver row — the 9 round-7 and 7 round-8
+    additions."""
     from __spark_entry__ import _DRIVER_WINDOW
 
     window = set(_DRIVER_WINDOW[:GATE_SIZE])
     for name in (
         "events_sigma_corr_counts", "events_sigma_corr_distinct",
         "events_sigma_corr_temporal", "events_sigma_corr_cooccur",
-        "events_exact_quantiles",
+        "chi2_tokens_docs",
+        # round-7 never-driver-verified (verdict ask #2)
+        "l_diversity_docs", "t_closeness_docs", "orders_woe_binning",
+        "kmv_distinct_events", "kmv_source_overlap_docs",
+        "dsir_weights_docs", "maxsim_retrieval_docs",
+        "sq8_error_embeddings",
+        # round-8 additions
+        "classifier_auc_docs", "pmi_collocations_docs",
+        "source_kl_divergence_docs", "matryoshka_recall_embeddings",
+        "label_centroid_sim_embeddings", "novelty_docs",
+        "classifier_kappa_docs",
     ):
         assert name in window, name

@@ -201,6 +201,9 @@ HEADLINE = [
     "label_centroid_sim_embeddings",
     "novelty_docs",
     "classifier_kappa_docs",
+    "hard_negatives_embeddings",
+    "source_dup_matrix_docs",
+    "fertility_by_lang_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

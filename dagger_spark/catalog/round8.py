@@ -1,9 +1,11 @@
 """Round-8 additions: classifier evaluation (exact ROC-AUC on the
-distributed rank family), PMI collocation mining, per-source KL
-divergence for corpus governance, Matryoshka prefix-dimension retrieval
-recall, and per-label centroid similarity — the model-quality /
-corpus-composition gauges a training-data pipeline runs beside the
-filters the earlier rounds built.
+distributed rank family, Cohen's kappa between raters), PMI collocation
+mining, per-source KL divergence and the cross-source near-dup matrix
+for corpus governance, Matryoshka prefix-dimension retrieval recall,
+per-label centroid similarity, contrastive hard-negative mining,
+per-doc n-gram novelty, and a tokenizer fertility audit — the
+model-quality / corpus-composition gauges a training-data pipeline runs
+beside the filters the earlier rounds built.
 
 Same pairing conventions as the rest of the catalog (see ._base): every
 entry oracle-paired; counts stay exact integers; products that can reach
@@ -705,3 +707,272 @@ QUERIES["classifier_kappa_docs"] = CatalogQuery(
     _kappa_oracle(),
     QUERIES["classifier_kappa_docs"].description,
 )
+
+
+@register(
+    "hard_negatives_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), q AS (
+      SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+      WHERE vec_id < 8
+    ), s AS (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             e.label AS neighbor_label,
+             CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.v, e.v)) > 0
+                  THEN round(list_dot_product(q.qv, e.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv))
+                                * sqrt(list_dot_product(e.v, e.v))), 6)
+                  ELSE 0.0 END AS score
+      FROM q JOIN e ON e.vec_id <> q.qid AND e.label <> q.qlabel
+    ), r AS (
+      SELECT query_id, neighbor_id, neighbor_label, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, neighbor_label, score, rank
+    FROM r WHERE rank <= 3
+    """,
+    "Hard-negative mining for contrastive embedding training: per query "
+    "vector, the top-3 most-similar corpus vectors carrying a DIFFERENT "
+    "label — the highest-loss negatives InfoNCE batches are built from "
+    "(random negatives are too easy to shape the metric space).  Same "
+    "literal-class broadcast-queries skeleton as ann_brute_force with "
+    "the cross-label predicate riding the join; at corpus scale the "
+    "bucketed ANN variants supply the candidates and this exact form is "
+    "the verify stage.  Scores round(6) before ranking, neighbor_id "
+    "tiebreak — both engines rank identically",
+)
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = (
+        _load_wide(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("v").alias("cv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("cn"),
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("qlabel")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.when(
+            F.col("qn") * F.col("cn") > 0,
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def _source_dup_oracle() -> str:
+    """Composed from minhash_pairs_docs' own registered oracle (nested
+    CTE), so the near-dup pair definition cannot drift between queries."""
+    pairs = QUERIES["minhash_pairs_docs"].oracle
+    return f"""
+    WITH pairs AS ({pairs}),
+    src AS (SELECT doc_id, source FROM documents),
+    tagged AS (
+      SELECT least(a.source, b.source)    AS source_a,
+             greatest(a.source, b.source) AS source_b
+      FROM pairs
+      JOIN src a ON a.doc_id = pairs.id_a
+      JOIN src b ON b.doc_id = pairs.id_b
+    ), pc AS (
+      SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+      FROM tagged GROUP BY source_a, source_b
+    ), sizes AS (
+      SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+    )
+    SELECT pc.source_a, pc.source_b, pc.n_pairs,
+           sa.n AS n_docs_a, sb.n AS n_docs_b,
+           round(CAST(pc.n_pairs AS DOUBLE) * 1000000.0
+                 / (CASE WHEN pc.source_a = pc.source_b
+                         THEN CAST(sa.n AS DOUBLE) * CAST(sa.n - 1 AS DOUBLE)
+                              / 2.0
+                         ELSE CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)
+                    END)
+                 + 1e-9, 6) AS dup_ppm
+    FROM pc
+    JOIN sizes sa ON sa.source = pc.source_a
+    JOIN sizes sb ON sb.source = pc.source_b
+    ORDER BY pc.source_a, pc.source_b
+    """
+
+
+@register(
+    "source_dup_matrix_docs",
+    None,  # oracle attached below: composed from minhash_pairs_docs'
+    "Cross-source duplication matrix at DOCUMENT granularity: verified "
+    "MinHash near-dup pairs rolled up by unordered source pair, "
+    "normalized per candidate-pair space (n_a*n_b across sources, "
+    "n(n-1)/2 within) in parts-per-million — 'which crawl is re-crawling "
+    "which', the doc-level complement of kmv_source_overlap_docs' "
+    "vocabulary view and the governance table dedup budgets are set "
+    "from.  Pure composition: the banded-LSH pair stage is "
+    "minhash_pairs_docs' own (its oracle is embedded verbatim as a "
+    "nested CTE so the pair definition cannot drift), then two doc-keyed "
+    "source joins, a pair-keyed rollup, and broadcast size joins; "
+    "n^2-reaching denominators double-cast before multiplying",
+)
+def source_dup_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = QUERIES["minhash_pairs_docs"].fn(spark, sf_dir)
+    docs = _load_wide(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))
+    tagged = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+    )
+    pc = tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    sizes = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sa = sizes.select(F.col("source").alias("__la"), F.col("n").alias("n_docs_a"))
+    sb = sizes.select(F.col("source").alias("__lb"), F.col("n").alias("n_docs_b"))
+    denom = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("n_docs_a").cast("double")
+        * (F.col("n_docs_a") - 1).cast("double")
+        / F.lit(2.0),
+    ).otherwise(
+        F.col("n_docs_a").cast("double") * F.col("n_docs_b").cast("double")
+    )
+    return (
+        pc.join(F.broadcast(sa), F.col("source_a") == F.col("__la"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("__lb"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            F.round(
+                F.col("n_pairs").cast("double") * F.lit(1000000.0) / denom
+                + F.lit(1e-9),
+                6,
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+QUERIES["source_dup_matrix_docs"] = CatalogQuery(
+    QUERIES["source_dup_matrix_docs"].fn,
+    _source_dup_oracle(),
+    QUERIES["source_dup_matrix_docs"].description,
+)
+
+
+@register(
+    "fertility_by_lang_docs",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             len({_DUCK_TOKS}) AS n_words,
+             length(coalesce(text, '')) AS n_chars_txt,
+             len(regexp_extract_all(coalesce(text, ''),
+                 '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]')) AS n_sub
+      FROM documents
+    )
+    SELECT lang,
+           count(*)::BIGINT        AS n_docs,
+           sum(n_words)::BIGINT    AS n_words,
+           sum(n_sub)::BIGINT      AS n_subtokens,
+           round(CAST(sum(n_sub) AS DOUBLE)
+                 / CAST(greatest(sum(n_words), 1) AS DOUBLE) + 1e-9, 6)
+                                   AS fertility,
+           round(CAST(sum(n_chars_txt) AS DOUBLE)
+                 / CAST(greatest(sum(n_sub), 1) AS DOUBLE) + 1e-9, 6)
+                                   AS chars_per_subtoken
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    "Tokenizer fertility audit by language: subword tokens per "
+    "whitespace word and characters per subword token, aggregated per "
+    "lang over the catalog's deterministic BPE-ish subword proxy "
+    "(ops/text.bpe_ish_token_count's regex) — THE fairness gauge for "
+    "multilingual tokenizers (a high-fertility language pays more "
+    "sequence length per sentence; vocabulary allocation is tuned "
+    "against exactly this table).  Integer sums, two final divisions; "
+    "one narrow projection + one lang-keyed aggregate — no joins, no "
+    "explode",
+)
+def fertility_by_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import bpe_ish_token_count, token_count
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("n_words"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars_txt"),
+        bpe_ish_token_count(F.col("text")).alias("n_sub"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subtokens"),
+            F.round(
+                F.sum("n_sub").cast("double")
+                / F.greatest(F.sum("n_words"), F.lit(1)).cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars_txt").cast("double")
+                / F.greatest(F.sum("n_sub"), F.lit(1)).cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("chars_per_subtoken"),
+        )
+        .orderBy("lang")
+    )

@@ -119,6 +119,7 @@ def test_changed_code_queries_in_gate_window():
         "classifier_auc_docs", "pmi_collocations_docs",
         "source_kl_divergence_docs", "matryoshka_recall_embeddings",
         "label_centroid_sim_embeddings", "novelty_docs",
-        "classifier_kappa_docs",
+        "classifier_kappa_docs", "hard_negatives_embeddings",
+        "source_dup_matrix_docs", "fertility_by_lang_docs",
     ):
         assert name in window, name

@@ -293,3 +293,85 @@ def test_classifier_kappa_matches_bruteforce(spark, tmp_path):
     assert (r["n_docs"], r["classifier_yes"], r["gopher_yes"], r["n_agree"]) \
         == (n, ay, by, agree)
     assert r["kappa"] == _r6(expected)
+
+
+def test_hard_negatives_cross_label_only(spark, tmp_path):
+    """Brute-force differential: per query, the top-3 most-similar
+    OTHER-label vectors — a same-label vector more similar than every
+    cross-label one must NOT appear (that's the point of the miner)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(12):
+        v = (rng.rand(64) * 0.1).tolist()
+        if i % 3 == 0:
+            v[0] = 2.0       # label-0 cluster along e0
+        else:
+            v[1] = 2.0
+        rows.append((i, [float(x) for x in v], 0 if i % 3 == 0 else 1))
+    d = _write_embs(spark, tmp_path, rows)
+    vs = {r[0]: (np.array(r[1], dtype=np.float64), r[2]) for r in rows}
+
+    expected = {}
+    for qid in range(8):
+        qv, ql = vs[qid]
+        scored = []
+        for nid, (v, lbl) in vs.items():
+            if nid == qid or lbl == ql:
+                continue
+            s = _r6(float(qv @ v) / (math.sqrt(qv @ qv) * math.sqrt(v @ v))
+                    - 1e-9)
+            scored.append((-s, nid, lbl, s))
+        for rank, (_, nid, lbl, s) in enumerate(sorted(scored)[:3], 1):
+            expected[(qid, rank)] = (nid, lbl, s)
+    got = {
+        (r["query_id"], r["rank"]):
+            (r["neighbor_id"], r["neighbor_label"], r["score"])
+        for r in QUERIES["hard_negatives_embeddings"].fn(spark, d).collect()
+    }
+    assert got == expected
+    assert all(vs[n][1] != vs[q][1] for (q, _), (n, _, _) in got.items())
+
+
+def test_source_dup_matrix_counts_and_rates(spark, tmp_path):
+    """Identical texts across two sources: within-A pair (denominator
+    n(n-1)/2) and two cross pairs (denominator n_a*n_b); the unrelated
+    doc only widens source B's denominator."""
+    txt = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, txt, "en", "A", len(txt)),
+        (1, txt, "en", "A", len(txt)),
+        (2, txt, "en", "B", len(txt)),
+        (3, "totally different words here now", "en", "B", 31),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["source_a"], r["source_b"]):
+            (r["n_pairs"], r["n_docs_a"], r["n_docs_b"], r["dup_ppm"])
+        for r in QUERIES["source_dup_matrix_docs"].fn(spark, d).collect()
+    }
+    assert got == {
+        ("A", "A"): (1, 2, 2, _r6(1_000_000.0)),
+        ("A", "B"): (2, 2, 2, _r6(2 * 1_000_000.0 / 4)),
+    }
+
+
+def test_fertility_by_lang_known_counts(spark, tmp_path):
+    """Hand-counted subword proxy: 'hello world' -> pieces he|llo wo|rld
+    = 4 subtokens over 2 words (fertility 2.0); digits/punct split
+    singly."""
+    rows = [
+        (0, "hello world", "en", "web", 11),
+        (1, "ab1!", "fr", "web", 4),  # ab, 1, ! -> 3 subtokens, 1 word
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["lang"]: (r["n_docs"], r["n_words"], r["n_subtokens"],
+                    r["fertility"], r["chars_per_subtoken"])
+        for r in QUERIES["fertility_by_lang_docs"].fn(spark, d).collect()
+    }
+    assert got == {
+        "en": (1, 2, 4, _r6(2.0), _r6(11 / 4)),
+        "fr": (1, 1, 3, _r6(3.0), _r6(4 / 3)),
+    }

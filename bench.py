@@ -204,6 +204,7 @@ HEADLINE = [
     "hard_negatives_embeddings",
     "source_dup_matrix_docs",
     "fertility_by_lang_docs",
+    "events_psi_drift_windows",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -976,3 +976,68 @@ def fertility_by_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_PSI_CUTS = (15.0, 35.0, 70.0, 150.0)
+_PSI_REFS = (25, 25, 25, 15, 10)
+
+
+@register(
+    "events_psi_drift_windows",
+    f"""
+    WITH b AS (
+      SELECT date_trunc('day', ts) AS wstart,
+             ((CASE WHEN coalesce(value, 0) >= 15.0  THEN 1 ELSE 0 END)
+            + (CASE WHEN coalesce(value, 0) >= 35.0  THEN 1 ELSE 0 END)
+            + (CASE WHEN coalesce(value, 0) >= 70.0  THEN 1 ELSE 0 END)
+            + (CASE WHEN coalesce(value, 0) >= 150.0 THEN 1 ELSE 0 END))
+               AS bk
+      FROM events
+    ), c AS (
+      SELECT wstart, bk, count(*)::DOUBLE AS c FROM b GROUP BY wstart, bk
+    ), n AS (
+      SELECT wstart, sum(c) AS n FROM c GROUP BY wstart
+    ), ks AS (
+      SELECT unnest(range(0, 5)) AS bk,
+             unnest([{', '.join(str(float(r)) for r in _PSI_REFS)}]) AS r
+    ), g AS (
+      SELECT n.wstart, ks.bk, coalesce(c.c, 0.0) AS c, n.n, ks.r
+      FROM n CROSS JOIN ks
+      LEFT JOIN c ON c.wstart = n.wstart AND c.bk = ks.bk
+    ), s AS (
+      SELECT wstart, any_value(n) AS n,
+             sum(((c + 0.5) / (n + 2.5) - (r + 0.5) / ({float(sum(_PSI_REFS))} + 2.5))
+                 * ln(((c + 0.5) / (n + 2.5))
+                      / ((r + 0.5) / ({float(sum(_PSI_REFS))} + 2.5)))) AS raw
+      FROM g GROUP BY wstart
+    )
+    SELECT wstart                                   AS window_start,
+           wstart + INTERVAL 1 DAY                  AS window_end,
+           CAST(n AS BIGINT)                        AS n,
+           round(raw + 1e-9, 6)                     AS psi,
+           CASE WHEN raw < 0.1 THEN 'stable'
+                WHEN raw < 0.25 THEN 'moderate'
+                ELSE 'shifted' END                  AS verdict
+    FROM s ORDER BY window_start
+    """,
+    "Windowed PSI drift monitor over the live event stream "
+    "(streaming/drift.psi_drift_stream run on the batch frame — the SAME "
+    "code path the streaming twin executes, batch==stream pinned in "
+    "tests/test_drift_stream.py): each event-time day's value "
+    "distribution scored against a FROZEN reference histogram (plan-time "
+    "literal cut points + counts, the training-snapshot shape).  Absent "
+    "buckets fold in closed form — the PSI projection walks all k bucket "
+    "indices over the collect_list'd (bucket, count) map, which is "
+    "BOUNDED at k entries per window (sketch-sized, never data-sized).  "
+    "Laplace p=(c+0.5)/(n+0.5k) matches drift_psi_docs' convention; "
+    "shape: one codegen bucketing projection, one (window, bucket) "
+    "count, one window rollup",
+)
+def events_psi_drift_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.drift import psi_drift_stream
+
+    events = load_table(spark, sf_dir, "events")
+    return psi_drift_stream(
+        events, "value", list(_PSI_CUTS), list(_PSI_REFS),
+        ts_col="ts", window="1 day",
+    ).orderBy("window_start")

@@ -1,9 +1,10 @@
+from .drift import bucket_of, psi_drift_stream
 from .job import (
     build_alert_stream, configure_state_store, file_stream_events,
     run_to_memory,
 )
 
 __all__ = [
-    "build_alert_stream", "configure_state_store", "file_stream_events",
-    "run_to_memory",
+    "bucket_of", "build_alert_stream", "configure_state_store",
+    "file_stream_events", "psi_drift_stream", "run_to_memory",
 ]

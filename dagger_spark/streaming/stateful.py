@@ -667,11 +667,15 @@ def kmv_distinct_stream(
     from ..ops.sketch import kmv_estimate, kmv_hash, kmv_sketch
 
     if not events.isStreaming:
+        # alias the value column: a NESTED value_col ("event_data.Target")
+        # flattens to its leaf name under select, so passing the original
+        # dotted path to kmv_sketch would fail resolution
         sk = kmv_sketch(
             events.select(
-                F.col(key_col).cast("string").alias("key"), value_col
+                F.col(key_col).cast("string").alias("key"),
+                F.col(value_col).alias("__v"),
             ),
-            value_col,
+            "__v",
             ["key"],
             k=k,
         )

@@ -442,3 +442,23 @@ def test_kmv_distinct_stream_equals_batch(spark, events_src, tmp_path):
     assert len(got) > 1
     # the estimator arm really ran: at least one key at capacity
     assert any(v[0] == 4 for v in got.values())
+
+
+def test_kmv_distinct_batch_branch_accepts_nested_value_col(spark):
+    """The batch arm must resolve a NESTED value column (the bench's
+    sysmon shape: event_data.TargetImage) — select() flattens the dotted
+    path to its leaf name, so the arm aliases internally; regression pin
+    for the round-8 fix."""
+    from dagger_spark.streaming.stateful import kmv_distinct_stream
+
+    df = spark.createDataFrame(
+        [("H1", {"TargetImage": f"img{i % 3}"}) for i in range(9)],
+        "computer_name string, event_data map<string,string>",
+    )
+    got = kmv_distinct_stream(
+        df, "computer_name", "event_data.TargetImage", k=8
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # 3 distinct values, below k -> exact arm
+    assert (r["key"], r["n_kept"], r["est_distinct"]) == ("H1", 3, 3.0)

@@ -6,7 +6,7 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle, 11 of 219): the fixture-driven rules engine +
+Rows-only entries (no oracle, 11 of 220): the fixture-driven rules engine +
 correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
 the fixture table is not among the driver's DuckDB views), the Pandas-UDF
 multimodal stages including the perceptual-hash dedup chain, and the zlib
@@ -32,7 +32,7 @@ from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 # standing priorities, in order: (1) every oracle-paired query that has
 # never earned a driver row — the 9 round-7 additions (replay-green at
 # sf0.01 in both the builder's and the judge's runs; round-7 verdict ask
-# #2) and the 11 round-8 additions; (2) queries whose implementation changed
+# #2) and the 12 round-8 additions; (2) queries whose implementation changed
 # this round and must re-earn their rows — the four Sigma correlation types
 # (the aliases feature reworked compile_correlation's shared pair/count
 # paths) and chi2_tokens_docs (the int64-overflow double-cast rewrote its
@@ -55,7 +55,7 @@ _DRIVER_WINDOW = [
     "maxsim_retrieval_docs",     # MaxSim late-interaction retrieval
     "sq8_error_embeddings",      # int8 scalar quantization error
     "chi2_tokens_docs",          # chi-square token selection (+ overflow fix)
-    # -- (1) never-driver-verified: the 11 round-8 additions --
+    # -- (1) never-driver-verified: the 12 round-8 additions --
     "classifier_auc_docs",       # exact ROC-AUC via rank-sum
     "pmi_collocations_docs",     # PMI bigram collocations
     "source_kl_divergence_docs", # per-source KL vs corpus blend
@@ -67,6 +67,7 @@ _DRIVER_WINDOW = [
     "source_dup_matrix_docs",    # cross-source near-dup matrix
     "fertility_by_lang_docs",    # tokenizer fertility audit
     "events_psi_drift_windows",  # windowed PSI vs frozen reference
+    "ann_ivf_sq8",               # IVF over int8-quantized corpus
     # -- (2) changed code re-earns its row (aliases rework shares these
     #    compile paths; batch semantics unchanged by design) --
     "events_sigma_corr_counts",  # Sigma correlation: event_count
@@ -99,7 +100,6 @@ _DRIVER_WINDOW = [
     "interval_join_events",      # interval join
     "gopher_quality_docs",       # Gopher quality gates
     "bm25_topk_docs",            # BM25 retrieval
-    "winnowing_docs",            # winnowing fingerprints
     "bpe_encode_docs",           # BPE tokenizer apply
 ]
 

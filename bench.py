@@ -205,6 +205,7 @@ HEADLINE = [
     "source_dup_matrix_docs",
     "fertility_by_lang_docs",
     "events_psi_drift_windows",
+    "ann_ivf_sq8",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -1041,3 +1041,79 @@ def events_psi_drift_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "value", list(_PSI_CUTS), list(_PSI_REFS),
         ts_col="ts", window="1 day",
     ).orderBy("window_start")
+
+
+def _ivf_sq8_oracle() -> str:
+    """IVF oracle re-based onto the SQ8-reconstructed corpus: the
+    registered ann_ivf oracle minus its own raw `e` CTE, with `e` now
+    the per-dimension-quantized reconstruction (sq8_error_embeddings'
+    arithmetic verbatim) — both building blocks stay single-sourced."""
+    ivf = QUERIES["ann_ivf"].oracle
+    head, _, tail = ivf.partition("), cents AS (")
+    assert "WITH e AS (" in head and tail, "ann_ivf oracle shape changed"
+    return f"""
+    WITH raw AS (
+      SELECT vec_id,
+             unnest(CAST(embedding AS DOUBLE[])) AS v,
+             generate_subscripts(embedding, 1) AS j1
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), vals AS (
+      SELECT vec_id, j1 - 1 AS j, v FROM raw
+    ), st AS (
+      SELECT j, min(v) AS mn, max(v) AS mx FROM vals GROUP BY j
+    ), q8 AS (
+      SELECT vals.vec_id, vals.j, st.mn, st.mx,
+             CASE WHEN st.mx = st.mn THEN 0
+                  ELSE CAST(round((vals.v - st.mn) * 255.0
+                                  / (st.mx - st.mn)) AS BIGINT)
+             END AS code
+      FROM vals JOIN st USING (j)
+    ), e AS (
+      SELECT vec_id,
+             list(mn + code * (mx - mn) / 255.0 ORDER BY j) AS v
+      FROM q8 GROUP BY vec_id
+    ), cents AS ({tail}
+    """
+
+
+@register(
+    "ann_ivf_sq8",
+    None,  # oracle attached below: composed from ann_ivf's
+    "IVF over an int8-quantized corpus — the production ANN memory "
+    "configuration (FAISS IVF,SQ8): sq8_quantize's per-dimension 256-"
+    "level reconstruction replaces the raw vectors for BOTH coarse "
+    "assignment and scoring (queries included, the symmetric-distance "
+    "variant), then ops/similarity.ivf_topk runs unchanged — cell-"
+    "pruned candidate join, plan-time centroid literals, top-5 per "
+    "query.  4x less memory per vector with retrieval quality degraded "
+    "only by the quantization error sq8_error_embeddings gauges.  "
+    "Oracle COMPOSED from ann_ivf's registered SQL with its corpus CTE "
+    "swapped for the reconstruction (single-sourced building blocks).  "
+    "Shape adds one (id)-keyed re-assembly aggregate over the exploded "
+    "code frame; everything else is ann_ivf's plan",
+)
+def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.similarity import ivf_topk, sq8_quantize
+
+    emb = _load_wide(spark, sf_dir, "embeddings")
+    sq = sq8_quantize(emb)
+    recon = sq.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "recon"))),
+            lambda x: x["recon"],
+        ).alias("embedding")
+    )
+    return ivf_topk(
+        recon,
+        recon.filter(F.col("vec_id") < 8),
+        k=5,
+        n_centroids=16,
+        nprobe=2,
+    )
+
+
+QUERIES["ann_ivf_sq8"] = CatalogQuery(
+    QUERIES["ann_ivf_sq8"].fn,
+    _ivf_sq8_oracle(),
+    QUERIES["ann_ivf_sq8"].description,
+)

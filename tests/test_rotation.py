@@ -121,6 +121,6 @@ def test_changed_code_queries_in_gate_window():
         "label_centroid_sim_embeddings", "novelty_docs",
         "classifier_kappa_docs", "hard_negatives_embeddings",
         "source_dup_matrix_docs", "fertility_by_lang_docs",
-        "events_psi_drift_windows",
+        "events_psi_drift_windows", "ann_ivf_sq8",
     ):
         assert name in window, name

@@ -375,3 +375,26 @@ def test_fertility_by_lang_known_counts(spark, tmp_path):
         "en": (1, 2, 4, _r6(2.0), _r6(11 / 4)),
         "fr": (1, 1, 3, _r6(3.0), _r6(4 / 3)),
     }
+
+
+def test_ann_ivf_sq8_exact_on_grid_fixture(spark, tmp_path):
+    """Quantization invariance: when every per-dimension value already
+    sits on the 256-level grid (integer values 0..255, with anchors
+    forcing each dim's min=0/max=255), SQ8 reconstruction is the
+    identity and IVF-over-SQ8 must equal plain IVF row-for-row — any
+    drift in the quantize/reconstruct/re-assemble chain breaks this."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (0, [0.0] * 64, 0),                       # anchor: dim min
+        (1, [255.0] * 64, 0),                     # anchor: dim max
+    ]
+    for i in range(2, 24):
+        rows.append(
+            (i, [float(x) for x in rng.randint(0, 256, 64)], i % 3)
+        )
+    d = _write_embs(spark, tmp_path, rows)
+    plain = {tuple(r) for r in QUERIES["ann_ivf"].fn(spark, d).collect()}
+    sq8 = {tuple(r) for r in QUERIES["ann_ivf_sq8"].fn(spark, d).collect()}
+    assert sq8 == plain and len(plain) > 0

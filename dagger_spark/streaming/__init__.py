@@ -1,4 +1,4 @@
-from .drift import bucket_of, psi_drift_stream
+from .drift import bucket_of, hdr_quantiles_stream, psi_drift_stream
 from .job import (
     build_alert_stream, configure_state_store, file_stream_events,
     run_to_memory,
@@ -6,5 +6,6 @@ from .job import (
 
 __all__ = [
     "bucket_of", "build_alert_stream", "configure_state_store",
-    "file_stream_events", "psi_drift_stream", "run_to_memory",
+    "file_stream_events", "hdr_quantiles_stream", "psi_drift_stream",
+    "run_to_memory",
 ]

@@ -133,3 +133,110 @@ def psi_drift_stream(
         .otherwise("shifted")
         .alias("verdict"),
     )
+
+
+def hdr_quantiles_stream(
+    events: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    q_pcts: Sequence[int] = (50, 95),
+    sub_bits: int = 5,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming windowed HDR quantiles — the latency-percentile monitor
+    (p50/p95 per event-time window) as the quantile sibling of
+    :func:`psi_drift_stream`, built on the SAME mergeable integer-bin
+    sketch as the batch ``events_hdr_weekly_rollup``
+    (ops/sketch.hdr_bucket: bit-length bucketing, SUM-mergeable counts).
+
+    Stream legality, same recipe as the PSI monitor: level 1 is a
+    watermarked (window, shift, m) count — state bounded at ~64·2^sub_bits
+    bucket rows per open window regardless of event volume; level 2
+    re-windows via ``window_time()`` and ``collect_list``s the bucket
+    triples (bounded, sketch-sized); quantile extraction is then a pure
+    PROJECTION — ``array_sort`` by bucket floor + one ``aggregate`` walk
+    per percentile finds the first bucket whose cumulative count reaches
+    ceil(q·n/100) using the integer comparison ``100·cum >= q·n`` (no
+    division), and ``est`` is the bucket midpoint exactly as
+    ops/sketch.hdr_quantiles computes it — pinned equal by test.
+
+    Negative values are excluded (the HDR domain is non-negative
+    integers; declare the metric's domain at the call site).  On a BATCH
+    frame the identical path runs unchanged — batch == stream pinned."""
+    from ..ops.sketch import hdr_bucket
+
+    v = F.col(value_col).cast("long")
+    shift, m = hdr_bucket(v, sub_bits)
+    src = events
+    if src.isStreaming and watermark:
+        src = src.withWatermark(ts_col, watermark)
+    lvl1 = (
+        src.filter(v >= 0)
+        .select(F.col(ts_col), shift.alias("__s"), m.alias("__m"))
+        .groupBy(F.window(F.col(ts_col), window).alias("window"),
+                 "__s", "__m")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    lo = F.call_function("shiftleft", F.col("__m"), F.col("__s"))
+    width = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.col("__s")
+    )
+    est = lo + F.shiftrightunsigned(width - F.lit(1), 1)
+    lvl2 = (
+        lvl1.select(
+            "window",
+            F.struct(lo.alias("lo"), est.alias("est"),
+                     F.col("__c").alias("cnt")).alias("__e"),
+        )
+        .withColumn("__wt", F.window_time("window"))
+        .drop("window")
+        .groupBy(F.window("__wt", window).alias("window"))
+        .agg(
+            F.array_sort(F.collect_list("__e")).alias("__sk"),
+            F.sum("__e.cnt").cast("long").alias("__n"),
+        )
+    )
+
+    def est_for(p: int):
+        acc0 = F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("long").alias("found"),
+        )
+
+        def step(acc, x):
+            cum = acc["cum"] + x["cnt"]
+            return F.struct(
+                cum.alias("cum"),
+                F.coalesce(
+                    acc["found"],
+                    F.when(
+                        cum * F.lit(100) >= F.lit(int(p)) * F.col("__n"),
+                        x["est"],
+                    ),
+                ).alias("found"),
+            )
+
+        return F.aggregate(F.col("__sk"), acc0, step)["found"]
+
+    qrows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(p)).alias("q_pct"),
+                    est_for(p).alias("est"),
+                )
+                for p in q_pcts
+            ]
+        )
+    ).alias("__q")
+    return lvl2.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.col("__n").alias("n_rows"),
+        qrows,
+    ).select(
+        "window_start", "window_end", "n_rows",
+        F.col("__q.q_pct").alias("q_pct"),
+        F.col("__q.est").alias("est"),
+    )

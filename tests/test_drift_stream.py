@@ -120,3 +120,88 @@ def test_psi_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch and len(batch) == 2
+
+
+# ---------------------------------------------------------- HDR quantiles
+
+def _hdr_rows():
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(200):            # window 1: broad magnitudes
+        rows.append((T0 + dt.timedelta(seconds=i), float(rng.randint(0, 10_000))))
+    for i in range(150):            # window 2: shifted up
+        rows.append((T0 + dt.timedelta(hours=1, seconds=i),
+                     float(rng.randint(50_000, 90_000))))
+    return rows
+
+
+def test_hdr_quantiles_stream_matches_batch_extractor(spark):
+    """The projection-based extraction (array_sort + aggregate walk) must
+    equal ops/sketch.hdr_quantiles' window-function extraction on the
+    same sketch — two formulations, one answer."""
+    from dagger_spark.ops.sketch import hdr_quantiles, hdr_sketch
+    from dagger_spark.streaming.drift import hdr_quantiles_stream
+
+    df = spark.createDataFrame(_hdr_rows(), SCHEMA)
+    got = {
+        (r["window_start"], r["q_pct"]): (r["n_rows"], r["est"])
+        for r in hdr_quantiles_stream(
+            df, "v", ts_col="ts", window="1 hour", q_pcts=(50, 95)
+        ).collect()
+    }
+    base = df.select(
+        F.window("ts", "1 hour")["start"].alias("w"),
+        F.col("v").cast("long").alias("cents"),
+    )
+    ref = {
+        (r["w"], r["q_pct"]): (r["n_rows"], r["est"])
+        for r in hdr_quantiles(
+            hdr_sketch(base, "cents", ["w"]), ["w"], [50, 95]
+        ).collect()
+    }
+    assert got == ref and len(got) == 4
+
+
+def test_hdr_quantiles_stream_equals_batch(spark, tmp_path):
+    import glob
+    import os
+    import time
+
+    from dagger_spark.streaming.drift import hdr_quantiles_stream
+
+    rows = _hdr_rows()
+    batch = {tuple(r) for r in hdr_quantiles_stream(
+        spark.createDataFrame(rows, SCHEMA), "v",
+        ts_col="ts", window="1 hour",
+    ).collect()}
+
+    src = str(tmp_path / "hdr_src")
+    os.makedirs(src)
+    sentinel = [(T0 + dt.timedelta(days=30), 1.0)]
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], SCHEMA).coalesce(1).write.parquet(
+        src + "/f0")
+    spark.createDataFrame(rows[half:] + sentinel, SCHEMA).coalesce(1) \
+        .write.parquet(src + "/f1")
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    now = time.time() - 60
+    for i, f in enumerate(files):
+        os.utime(f, (now + 10 * i, now + 10 * i))
+    stream = spark.readStream.schema("ts timestamp, v double").option(
+        "maxFilesPerTrigger", 1).parquet(src + "/f*")
+    q = (
+        hdr_quantiles_stream(stream, "v", ts_col="ts", window="1 hour",
+                             watermark="0 seconds")
+        .writeStream.format("memory").queryName("hdr_q")
+        .option("checkpointLocation", str(tmp_path / "hdr_ck"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM hdr_q").collect()
+               if r["window_start"] < T0 + dt.timedelta(days=1)}
+    finally:
+        q.stop()
+    assert got == batch and len(batch) == 4

@@ -599,13 +599,140 @@ def compile_sigma(
     )
 
 
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class FilterSpec:
+    """A Sigma global FILTER meta-document (the spec's tuning mechanism:
+    exclude known-benign matches from OTHER rules without editing them).
+    ``condition_sql`` is the compiled keep-predicate ANDed onto every
+    referenced rule — the filter document's ``condition`` expresses what
+    to KEEP (typically ``not selection``)."""
+
+    name: str
+    rules: tuple
+    condition_sql: str
+
+
+_KNOWN_FILTER_KEYS = frozenset({"rules", "condition"})
+
+
+def compile_filter(doc: dict, bug_compat: bool = False) -> FilterSpec:
+    """One Sigma filter document -> FilterSpec.
+
+    The ``filter:`` block holds ``rules`` (names of the base rules this
+    filter tunes), one or more named selections (same syntax/modifiers as
+    a detection block, compiled by the same machinery), and a
+    ``condition`` over those selections.  A declared
+    ``logsource.category`` compiles to the same event-id gate base rules
+    get, so a filter can never silently loosen a rule onto other event
+    types.  Unknown structure is rejected loudly (implement-or-reject,
+    same discipline as the correlation parser)."""
+    flt = doc.get("filter")
+    ctx = doc.get("title") or "filter"
+    if not isinstance(flt, dict):
+        raise SigmaCompileError(f"{ctx!r}: no filter block")
+    rules = flt.get("rules")
+    if isinstance(rules, str):
+        rules = [rules]
+    if not isinstance(rules, (list, tuple)) or not rules or not all(
+        isinstance(r, str) and r for r in rules
+    ):
+        raise SigmaCompileError(
+            f"{ctx!r}: filter.rules must name at least one base rule"
+        )
+    condition = flt.get("condition")
+    if not isinstance(condition, str) or not condition.strip():
+        raise SigmaCompileError(f"{ctx!r}: filter.condition is required")
+    selections = {
+        k: v for k, v in flt.items() if k not in _KNOWN_FILTER_KEYS
+    }
+    if not selections:
+        raise SigmaCompileError(
+            f"{ctx!r}: filter needs at least one selection beside "
+            "rules/condition"
+        )
+    bad = [k for k, v in selections.items() if not isinstance(v, (dict, list))]
+    if bad:
+        raise SigmaCompileError(
+            f"{ctx!r}: filter keys {bad} are neither selections "
+            "(mapping/list) nor known filter fields "
+            f"{sorted(_KNOWN_FILTER_KEYS)}"
+        )
+    sel_sql = {
+        name: _selection_sql(sel, bug_compat)
+        for name, sel in selections.items()
+    }
+    body = _condition_sql(condition, sel_sql, bug_compat)
+    category = (doc.get("logsource") or {}).get("category", "")
+    event_id = CATEGORY_EVENT_ID.get(category)
+    cond = f"event_id = {event_id} AND ({body})" if event_id else body
+    parse_predicate(cond)  # loud compile errors, same gate as rules
+    return FilterSpec(
+        name=str(doc.get("title", "filter")),
+        rules=tuple(str(r) for r in rules),
+        condition_sql=cond,
+    )
+
+
+def load_filters(path: str, bug_compat: bool = False) -> list:
+    """Walk a file/directory of YAML documents, returning every filter
+    meta-document found (multi-doc files supported, same loader
+    discipline as load_correlations)."""
+    specs = []
+    paths = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            paths += [os.path.join(root, f) for f in sorted(files)
+                      if f.endswith((".yml", ".yaml"))]
+    elif os.path.isfile(path):
+        paths = [path]
+    for p in paths:
+        with open(p) as fh:
+            for doc in yaml.safe_load_all(fh):
+                if (
+                    isinstance(doc, dict)
+                    and "filter" in doc
+                    and "detection" not in doc
+                ):
+                    specs.append(compile_filter(doc, bug_compat=bug_compat))
+    return specs
+
+
+def apply_filters(rules: list, filters: list) -> list:
+    """Return a new RuleSpec list with every filter's keep-condition ANDed
+    onto the rules it references (order preserved; untouched rules pass
+    through).  A filter naming an unknown rule fails loudly — a typo'd
+    reference would otherwise silently leave the noisy rule untuned, the
+    exact failure mode filters exist to prevent."""
+    import dataclasses
+
+    by_name = {r.name: r for r in rules}
+    for flt in filters:
+        missing = [n for n in flt.rules if n not in by_name]
+        if missing:
+            raise SigmaCompileError(
+                f"filter {flt.name!r} references unknown rules: {missing}"
+            )
+        for n in flt.rules:
+            r = by_name[n]
+            merged = f"({r.predicate_sql}) AND ({flt.condition_sql})"
+            parse_predicate(merged)
+            by_name[n] = dataclasses.replace(r, predicate_sql=merged)
+    return [by_name[r.name] for r in rules]
+
+
 def compile_sigma_file(path: str, **kw) -> Optional[RuleSpec]:
     with open(path) as f:
         doc = yaml.safe_load(f.read())
-    if isinstance(doc, dict) and "correlation" in doc and "detection" not in doc:
-        # a Sigma CORRELATION document (meta-rule referencing base rules):
-        # not a per-event rule — sigma/correlation.py owns these, and a
-        # mixed rules directory must not trip the base compiler
+    if isinstance(doc, dict) and "detection" not in doc and (
+        "correlation" in doc or "filter" in doc
+    ):
+        # a Sigma META-document (correlation or global filter) referencing
+        # base rules: not a per-event rule — sigma/correlation.py and
+        # compile_filter/apply_filters own these, and a mixed rules
+        # directory must not trip the base compiler
         return None
     return compile_sigma(doc, **kw)
 

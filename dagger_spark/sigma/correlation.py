@@ -78,6 +78,13 @@ class CorrelationSpec:
     field: Optional[str] = None           # value_count distinct field
     level: str = "medium"
     description: str = ""
+    # Sigma-v2 ``generate:``: when FALSE (the spec default), a base rule
+    # referenced by this correlation should NOT emit its own standalone
+    # alerts — only the correlation fires; ``generate: true`` keeps both.
+    # The engine applies this via ``suppressed_rule_names`` below (our
+    # rule engine and correlations run as separate queries, so
+    # suppression is a rule-list filter, not a runtime branch).
+    generate: bool = False
     # Sigma-v2 ``aliases:`` field normalization — each alias is a virtual
     # group-by field whose underlying column differs PER BASE RULE
     # (``aliases: {user: {rule_a: UserName, rule_b: TargetUserName}}``).
@@ -92,7 +99,7 @@ class CorrelationSpec:
 
 _KNOWN_CORR_KEYS = frozenset(
     {"type", "rules", "group-by", "group_by", "timespan", "condition",
-     "field", "aliases"}
+     "field", "aliases", "generate"}
 )
 
 
@@ -162,6 +169,12 @@ def parse_correlation(doc: dict, name: str = "") -> CorrelationSpec:
     if ctype == "value_count" and not fld:
         raise SigmaCompileError("value_count needs correlation.field")
     rule_names = [str(r) for r in rules]
+    gen = corr.get("generate", False)
+    if not isinstance(gen, bool):
+        raise SigmaCompileError(
+            f"{name or doc.get('title')!r}: correlation.generate must be "
+            f"a boolean, got {gen!r}"
+        )
     aliases_raw = corr.get("aliases")
     aliases: Tuple[Tuple[str, Tuple[Tuple[str, str], ...]], ...] = ()
     if aliases_raw is not None:
@@ -213,6 +226,7 @@ def parse_correlation(doc: dict, name: str = "") -> CorrelationSpec:
         rules=tuple(rule_names),
         timespan_seconds=_parse_timeframe(timespan),
         group_by=tuple(group_by),
+        generate=gen,
         aliases=aliases,
         condition_op=cond_op,
         condition_value=cond_val,
@@ -246,6 +260,23 @@ def load_correlations(path: str) -> list:
                     specs.append(parse_correlation(doc, name=str(
                         doc.get("title") or os.path.basename(p))))
     return specs
+
+
+def suppressed_rule_names(specs: Sequence[CorrelationSpec]) -> set:
+    """Base rules whose STANDALONE alerts the correlation set suppresses:
+    referenced by at least one correlation and by NO correlation with
+    ``generate: true`` (Sigma v2: generate defaults to false — referencing
+    a rule normally replaces its per-event alerts with the correlation's).
+    Engine callers subtract this set from the rule list they feed
+    ``apply_rules`` while still compiling every correlation against the
+    full registry."""
+    referenced: set = set()
+    generating: set = set()
+    for s in specs:
+        referenced.update(s.rules)
+        if s.generate:
+            generating.update(s.rules)
+    return referenced - generating
 
 
 def _resolve(spec: CorrelationSpec, registry: Dict[str, object]) -> list:

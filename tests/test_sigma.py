@@ -591,3 +591,108 @@ def test_fieldref_cross_engine_differential():
         f"SELECT uuid FROM t WHERE {to_sql(p, 'duckdb', case_insensitive=True)}"
     ).fetchall()}
     assert ci == {1, 3}
+
+
+# ------------------------------------------------- global filters (Sigma v2)
+
+def _flt(rules, condition="not sel", logsource=None, **sels):
+    doc = {"title": "tune", "filter": {"rules": rules,
+                                       "condition": condition, **sels}}
+    if logsource:
+        doc["logsource"] = {"category": logsource}
+    return doc
+
+
+def test_filter_compiles_and_narrows_rule(spark):
+    """The spec's tuning mechanism: a filter's keep-condition ANDs onto
+    every referenced rule — matches the filter excludes stop alerting,
+    untouched rules keep their predicate verbatim."""
+    import datetime as dt
+
+    from dagger_spark.schemas import SYSMON_EVENT_SCHEMA
+    from dagger_spark.sigma.compiler import apply_filters, compile_filter
+
+    ra = compile_sigma(mk({"sel": {"CommandLine|contains": "mimikatz"},
+                           "condition": "sel"}))
+    ra = __import__("dataclasses").replace(ra, name="ra")
+    rb = compile_sigma(mk({"sel": {"CommandLine|contains": "procdump"},
+                           "condition": "sel"}))
+    rb = __import__("dataclasses").replace(rb, name="rb")
+    flt = compile_filter(_flt(
+        ["ra"], sel={"User|startswith": "svc_"}))
+    out = apply_filters([ra, rb], [flt])
+    assert out[1].predicate_sql == rb.predicate_sql  # untouched
+    assert out[0].predicate_sql != ra.predicate_sql
+
+    def ev(uuid, cmd, user):
+        ed = {f.name: None for f in
+              SYSMON_EVENT_SCHEMA["event_data"].dataType.fields}
+        ed.update(CommandLine=cmd, User=user)
+        return ("H", 1, "h", tuple(ed.values()), uuid,
+                dt.datetime(2024, 1, 1))
+
+    events = spark.createDataFrame(
+        [ev("e1", "run mimikatz now", "alice"),
+         ev("e2", "run mimikatz now", "svc_backup"),   # filtered out
+         ev("e3", "benign", "svc_backup")],
+        SYSMON_EVENT_SCHEMA,
+    )
+    got = {r["uuid"] for r in
+           events.filter(out[0].condition()).select("uuid").collect()}
+    assert got == {"e1"}
+    # the unfiltered original still matches both mimikatz events
+    raw = {r["uuid"] for r in
+           events.filter(ra.condition()).select("uuid").collect()}
+    assert raw == {"e1", "e2"}
+
+
+def test_filter_logsource_gate_and_validation():
+    from dagger_spark.sigma.compiler import (
+        FilterSpec, apply_filters, compile_filter,
+    )
+
+    f = compile_filter(_flt(["r"], logsource="process_access",
+                            sel={"User": "x"}))
+    assert f.condition_sql.startswith("event_id = 10 AND")
+    # bad shapes reject loudly
+    for doc in (
+        {"title": "t"},                                      # no filter block
+        _flt([], sel={"User": "x"}),                         # no rules
+        _flt(["r"], condition="", sel={"User": "x"}),        # no condition
+        {"title": "t", "filter": {"rules": ["r"],
+                                  "condition": "not sel"}},  # no selection
+        {"title": "t", "filter": {"rules": ["r"], "condition": "not sel",
+                                  "sel": {"User": "x"},
+                                  "generate": True}},        # scalar typo key
+    ):
+        with pytest.raises(SigmaCompileError):
+            compile_filter(doc)
+    # unknown rule reference fails loudly at apply time
+    ra = compile_sigma(mk({"sel": {"CommandLine": "x"}, "condition": "sel"}))
+    with pytest.raises(SigmaCompileError, match="unknown rules"):
+        apply_filters([ra], [FilterSpec("f", ("nope",), "1 = 1")])
+
+
+def test_filter_docs_skipped_by_base_compiler_and_loaded(tmp_path):
+    from dagger_spark.sigma.compiler import compile_sigma_dir, load_filters
+
+    (tmp_path / "base.yml").write_text("""
+title: base rule
+logsource: {category: process_access}
+detection:
+  sel:
+    CallTrace|startswith: 'UNKNOWN'
+  condition: sel
+""")
+    (tmp_path / "tune.yml").write_text("""
+title: drop svc accounts
+filter:
+  rules: ["base rule"]
+  sel:
+    User|startswith: 'svc_'
+  condition: not sel
+""")
+    specs = compile_sigma_dir(str(tmp_path))
+    assert [s.name for s in specs] == ["base rule"]  # filter doc skipped
+    filters = load_filters(str(tmp_path))
+    assert len(filters) == 1 and filters[0].rules == ("base rule",)

@@ -631,12 +631,13 @@ _AB_REGS = lambda: {  # noqa: E731
 
 def test_unknown_correlation_keys_rejected():
     """Implement-or-reject (round-6/7 ask): an unrecognized key in the
-    correlation block — ``generate:``, a typo'd ``alises:`` — must raise,
-    never compile a document whose semantics silently differ from what
-    its author wrote."""
+    correlation block — a typo'd ``alises:`` or ``groupby:`` — must
+    raise, never compile a document whose semantics silently differ from
+    what its author wrote.  (``generate`` graduated from this list when
+    round 8 implemented it.)"""
     base = {"type": "event_count", "rules": ["r"], "timespan": "10m",
             "condition": {"gte": 3}}
-    for key in ("generate", "alises", "groupby"):
+    for key in ("generat", "alises", "groupby"):
         with pytest.raises(SigmaCompileError,
                            match="unrecognized correlation keys"):
             parse_correlation({"title": "t",
@@ -767,3 +768,27 @@ def test_temporal_unordered_dual_match_stream_keeps_both_orientations(
         ("dual2", "H1", "d2", "d1", -60),   # the streamed mirror row
         ("dual2", "H2", "e2", "e1", -60),
     }
+
+
+def test_generate_flag_and_suppression_set():
+    """Sigma v2 ``generate``: default false — a rule referenced by a
+    correlation stops emitting standalone alerts; ``generate: true``
+    keeps both; a rule referenced by BOTH kinds stays unsuppressed
+    (union semantics).  Non-boolean values reject loudly."""
+    from dagger_spark.sigma.correlation import suppressed_rule_names
+
+    base = {"type": "event_count", "timespan": "10m",
+            "condition": {"gte": 2}}
+
+    def corr(rules, **extra):
+        return parse_correlation({"title": "c", "correlation":
+                                  dict(base, rules=rules, **extra)})
+
+    c1 = corr(["ra", "rb"])                       # default: suppress both
+    c2 = corr(["rb", "rc"], generate=True)        # rb re-allowed, rc kept
+    assert c1.generate is False and c2.generate is True
+    assert suppressed_rule_names([c1, c2]) == {"ra"}
+    assert suppressed_rule_names([c1]) == {"ra", "rb"}
+    assert suppressed_rule_names([]) == set()
+    with pytest.raises(SigmaCompileError, match="generate must be"):
+        corr(["ra"], generate="yes")

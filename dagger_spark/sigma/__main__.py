@@ -44,21 +44,36 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
-    for spec in specs:
-        d = dataclasses.asdict(spec)
-        d = {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
-        print(json.dumps(d))
-
-    # correlation meta-rules living beside the base rules compile too,
-    # with dangling references surfaced loudly (the compile itself checks
-    # them at run-build time; here we lint against the rules just compiled)
-    from .correlation import load_correlations
+    # meta-documents living beside the base rules compile too: global
+    # FILTERS tune the emitted predicates in place (what the engine loads
+    # IS the tuned rule — no separate application step to forget), and
+    # correlation references are linted with dangling refs surfaced loudly
+    from .compiler import apply_filters, load_filters
+    from .correlation import load_correlations, suppressed_rule_names
 
     try:
+        filters = load_filters(args.rules_dir, bug_compat=args.bug_compat)
+        filtered_names = {n for f in filters for n in f.rules}
+        if filters:
+            specs = apply_filters(specs, filters)
         correlations = load_correlations(args.rules_dir)
     except SigmaCompileError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    suppressed = suppressed_rule_names(correlations)
+
+    for spec in specs:
+        d = dataclasses.asdict(spec)
+        d = {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
+        if spec.name in filtered_names:
+            d["tuned_by_filter"] = True
+        if spec.name in suppressed:
+            # Sigma v2 generate:false — the correlation replaces this
+            # rule's standalone alerts; the engine should drop it from
+            # apply_rules while still compiling the correlation
+            d["suppressed_by_correlation"] = True
+        print(json.dumps(d))
+
     known = {s.name for s in specs}
     n_dangling = 0
     for c in correlations:
@@ -71,6 +86,8 @@ def main(argv=None) -> int:
             n_dangling += 1
         print(json.dumps(d))
     tail = f"compiled {len(specs)} rules"
+    if filters:
+        tail += f" + {len(filters)} filters"
     if correlations:
         tail += f" + {len(correlations)} correlations"
         if n_dangling:

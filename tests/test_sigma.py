@@ -696,3 +696,44 @@ filter:
     assert [s.name for s in specs] == ["base rule"]  # filter doc skipped
     filters = load_filters(str(tmp_path))
     assert len(filters) == 1 and filters[0].rules == ("base rule",)
+
+
+def test_cli_applies_filters_and_marks_suppression(tmp_path, capsys):
+    """The CLI emits TUNED predicates (filters applied in place) and marks
+    rules whose standalone alerts a generate:false correlation replaces —
+    the engine loads exactly what it should run."""
+    import json
+
+    from dagger_spark.sigma.__main__ import main
+
+    (tmp_path / "base.yml").write_text("""
+title: base rule
+logsource: {category: process_access}
+detection:
+  sel:
+    CallTrace|startswith: 'UNKNOWN'
+  condition: sel
+""")
+    (tmp_path / "tune.yml").write_text("""
+title: drop svc accounts
+filter:
+  rules: ["base rule"]
+  sel:
+    User|startswith: 'svc_'
+  condition: not sel
+""")
+    (tmp_path / "corr.yml").write_text("""
+title: burst of base
+correlation:
+  type: event_count
+  rules: ["base rule"]
+  timespan: 10m
+  condition: {gte: 5}
+""")
+    assert main([str(tmp_path)]) == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    rule = next(l for l in lines if l.get("name") == "base rule")
+    assert rule["tuned_by_filter"] is True
+    assert rule["suppressed_by_correlation"] is True
+    assert "NOT" in rule["predicate_sql"].upper()   # the ANDed keep-cond

@@ -96,6 +96,29 @@ DOC_QUERIES = [
     "cluster_split_docs",
     "label_prop_docs",
     "corpus_merkle_diff",
+    # round 7 (documents/embeddings-only entries; l_diversity/t_closeness
+    # are _shared_sql over ALL tables and need the full testdata dir)
+    "dsir_weights_docs",
+    "maxsim_retrieval_docs",
+    "chi2_tokens_docs",
+    "kmv_source_overlap_docs",
+    # round 8
+    "classifier_auc_docs",
+    "pmi_collocations_docs",
+    "source_kl_divergence_docs",
+    "novelty_docs",
+    "classifier_kappa_docs",
+    "fertility_by_lang_docs",
+    "source_dup_matrix_docs",
+    # embeddings family on the fuzz corpus's 8-dim vectors: Matryoshka
+    # prefixes past the true dim cap at length in BOTH engines (slice
+    # semantics), so recalls collapse to 1.0 identically — the parity
+    # still exercises slicing/ranking; IVF+SQ8 exercises the quantize/
+    # re-assemble chain on random float32 values
+    "matryoshka_recall_embeddings",
+    "label_centroid_sim_embeddings",
+    "hard_negatives_embeddings",
+    "ann_ivf_sq8",
 ]
 
 _WORDS = (

@@ -45,8 +45,10 @@ from pyspark.sql import functions as F
 def bucket_of(value: Column, cuts: Sequence[float]) -> Column:
     """Bucket index 0..len(cuts) for ``value`` against ascending literal
     cut points: index = #cuts <= value (codegen array filter, no UDF).
-    NULL values land in bucket 0 coalesce — callers filter if NULLs mean
-    'missing' rather than 'lowest'."""
+    NULL values are treated as 0.0 — they land in whichever bucket
+    contains 0.0, which is bucket 0 only when all cuts are positive.
+    Callers filter NULLs out first if they mean 'missing' rather than
+    'zero'."""
     lit_cuts = F.array(*[F.lit(float(c)) for c in cuts])
     return F.size(
         F.filter(lit_cuts, lambda c: F.coalesce(value, F.lit(0.0)) >= c)

@@ -24,6 +24,22 @@ sys.path.insert(0, ROOT)
 TILE = 20
 BASE = "/root/testdata/sf0.1"
 PROBE_DIR = f"/tmp/dagger_scale_probe_{TILE}x"
+DONE_MARKER = "_DONE_v4"
+
+
+def safe_write_table(table, dst, **kwargs) -> None:
+    """Write parquet via a temp file + os.replace, NEVER opening `dst`
+    in place.  pq.write_table(dst) opens with O_TRUNC; if `dst` is a
+    hard link left over from an older probe-dir version, that truncates
+    the shared inode and silently corrupts the canonical table it links
+    to (this bit us in round 8: sf0.1/customer.parquet was replaced by
+    its own 20x tiling through a stale _DONE_v2 hard link).  os.replace
+    swaps in a brand-new inode, so an existing link can never be hit."""
+    import pyarrow.parquet as pq
+
+    tmp = dst + ".tmp"
+    pq.write_table(table, tmp, **kwargs)
+    os.replace(tmp, dst)
 
 DEFAULT_QUERIES = [
     "gopher_quality_docs",
@@ -60,13 +76,20 @@ def build_probe_corpus() -> str:
     orders->customer joins stay 20x (see comment below); every remaining
     table hard-links from sf0.1 so load_table works for any catalog query
     pointed at the probe dir."""
+    import shutil
+
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    done = os.path.join(PROBE_DIR, "_DONE_v3")
+    done = os.path.join(PROBE_DIR, DONE_MARKER)
     if os.path.exists(done):
         return PROBE_DIR
+    # A dir without the CURRENT marker is stale (older version or a
+    # half-finished build): wipe it entirely so leftover files — above
+    # all leftover HARD LINKS into the canonical testdata — can never
+    # survive into a rebuild.
+    shutil.rmtree(PROBE_DIR, ignore_errors=True)
     os.makedirs(PROBE_DIR, exist_ok=True)
 
     base = pq.read_table(os.path.join(BASE, "documents.parquet"))
@@ -88,7 +111,7 @@ def build_probe_corpus() -> str:
                 }
             )
         )
-    pq.write_table(
+    safe_write_table(
         pa.concat_tables(tiles),
         os.path.join(PROBE_DIR, "documents.parquet"),
         row_group_size=8192,
@@ -129,16 +152,21 @@ def build_probe_corpus() -> str:
                     pc.add(tbl[f], t * strides[f]) if f in id_cols else tbl[f]
                 )
             parts.append(pa.table(cols))
-        pq.write_table(
+        safe_write_table(
             pa.concat_tables(parts),
             os.path.join(PROBE_DIR, f"{name}.parquet"),
             row_group_size=8192,
         )
 
+    # COPIES, not hard links: a link into the canonical testdata is the
+    # exact mechanism that corrupted sf0.1/customer.parquet in round 8
+    # (any in-place write through the link truncates the shared inode).
+    # tests/test_testdata_integrity.py pins nlink==1 on every canonical
+    # file, so a reintroduced link fails the suite.
     for name in ("region", "nation", "supplier", "part", "lineitem"):
         dst = os.path.join(PROBE_DIR, f"{name}.parquet")
         if not os.path.exists(dst):
-            os.link(os.path.join(BASE, f"{name}.parquet"), dst)
+            shutil.copyfile(os.path.join(BASE, f"{name}.parquet"), dst)
 
     open(done, "w").close()
     return PROBE_DIR

@@ -531,11 +531,13 @@ def label_centroid_sim_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
     ), sh AS (
       SELECT doc_id,
-             unnest(list_distinct(
-               CASE WHEN len(t) >= 5
-                    THEN list_transform(range(1, len(t) - 3),
-                                        i -> array_to_string(t[i:i+4], ' '))
-                    ELSE []::VARCHAR[] END)) AS g
+             unnest(list_transform(
+               list_distinct(
+                 CASE WHEN len(t) >= 5
+                      THEN list_transform(range(1, len(t) - 3),
+                                          i -> array_to_string(t[i:i+4], ' '))
+                      ELSE []::VARCHAR[] END),
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS g
       FROM toks
     ), firsts AS (
       SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
@@ -563,12 +565,17 @@ def label_centroid_sim_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     "'how much of this document is already in the training set', the "
     "quantity dedup thresholds are tuned against (Lee et al. 2022 "
     "measure the span form; winnowing/substring_dedup here detect spans, "
-    "this scores documents).  Shape: one explode of DISTINCT shingles, "
-    "one shingle-keyed min aggregate, one shingle-keyed join back, one "
-    "doc-keyed rollup — the exact-dedup cost envelope, no pairwise "
-    "anything.  Short docs (< 5 tokens) carry NULL novelty explicitly",
+    "this scores documents).  Shape: one explode of DISTINCT shingles "
+    "HASHED to 60-bit ints BEFORE the shuffle (ops/dedup.shingle_hashes, "
+    "the minhash convention — 8-byte keys instead of ~40-byte strings "
+    "through the groupBy and the join-back; the DuckDB twin hashes with "
+    "the identical md5-15-hex cast), one shingle-keyed min aggregate, "
+    "one shingle-keyed join back, one doc-keyed rollup — the exact-dedup "
+    "cost envelope, no pairwise anything.  Short docs (< 5 tokens) carry "
+    "NULL novelty explicitly",
 )
 def novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.dedup import shingle_hashes
     from ..ops.quality import word_ngrams
     from ..ops.text import tokens
 
@@ -576,7 +583,9 @@ def novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     sh = base.select(
         "doc_id",
-        F.explode(F.array_distinct(word_ngrams(F.col("t"), 5))).alias("g"),
+        F.explode(
+            shingle_hashes(F.array_distinct(word_ngrams(F.col("t"), 5)))
+        ).alias("g"),
     )
     firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (

@@ -266,13 +266,25 @@ def _modifier_term(key: str, modifier: str, value, bug_compat: bool) -> str:
             raise SigmaCompileError(
                 f"{chain[0]} must be followed by base64 or base64offset")
         return _encoded_term(key, chain[1:], value, _ENC_CODECS[chain[0]])
+    if chain[0] == "base64offset":
+        rest = "|".join(chain[1:])
+        if bug_compat:
+            if not rest:
+                raise SigmaCompileError(
+                    "base64offset not supported in bug-compat mode")
+            # reproduce the reference's silent strip (main.py:35): the
+            # modifier vanishes and the tail compiles as a plain term —
+            # the one documented bug-compat mangling, pinned by
+            # tests/test_sigma.py::test_base64offset
+            return _modifier_term(key, rest, value, True)
+        # bare base64offset falls into _encoded_term's specific rejection:
+        # its trimmed offset variants are substring needles, so the spec
+        # (and pySigma) require |contains — never a generic fall-through
+        return _encoded_term(key, chain, value, "utf-8")
     if chain[0] == "base64":
         if bug_compat:
             raise SigmaCompileError("base64 not supported in bug-compat mode")
         return _encoded_term(key, chain, value, "utf-8")
-
-    had_b64 = modifier.startswith("base64offset|")
-    modifier = modifier.replace("base64offset|", "")
 
     def values_list(v):
         return v if isinstance(v, list) else [v]
@@ -313,11 +325,6 @@ def _modifier_term(key: str, modifier: str, value, bug_compat: bool) -> str:
             for p in pats
         ]
         return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
-
-    if had_b64 and not bug_compat:
-        return _encoded_term(
-            key, ["base64offset"] + ([modifier] if modifier else []),
-            value, "utf-8")
 
     if modifier in ("lt", "lte", "gt", "gte"):
         if bug_compat:

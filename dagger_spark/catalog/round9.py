@@ -7,6 +7,8 @@ ask #4): same results, production query-time plan.
 from __future__ import annotations
 
 from ._base import *  # noqa: F401,F403
+from pyspark.sql import Window
+
 from ._base import CatalogQuery, QUERIES, F, SparkSession, DataFrame, register
 from .round8 import _ivf_sq8_oracle
 
@@ -41,3 +43,685 @@ QUERIES["ann_ivf_sq8_indexed"] = CatalogQuery(
     _ivf_sq8_oracle(),
     QUERIES["ann_ivf_sq8_indexed"].description,
 )
+
+
+@register(
+    "mixture_temperature_docs",
+    """
+    WITH per AS (
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                                  '\\s+')) END)::BIGINT
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n_tokens)::BIGINT AS total_tokens FROM per
+    ), shares AS (
+      SELECT per.*, CAST(n_tokens AS DOUBLE) / total_tokens AS p
+      FROM per, tot
+    ), zn AS (
+      SELECT sum(pow(p, 0.7)) AS z FROM shares
+    )
+    SELECT source, n_docs, n_tokens,
+           round(p + 1e-9, 6)              AS token_share,
+           round(pow(p, 0.7) / z + 1e-9, 6) AS weight,
+           round((pow(p, 0.7) / z) / p + 1e-9, 6) AS epochs_boost
+    FROM shares, zn
+    ORDER BY source
+    """,
+    "Temperature-scaled mixture weights (alpha = 0.7) over per-source "
+    "token mass — the standard multilingual/multi-source rebalancing "
+    "(sampling weight proportional to share^alpha, renormalized): "
+    "upweights tail sources, downweights the head; epochs_boost = "
+    "weight/share is how many effective epochs each source's data sees "
+    "relative to proportional sampling.  Shape: one source-keyed "
+    "aggregate + two 1-row broadcast totals + a projection — "
+    "corpus-size-independent intermediates, no joins wider than the "
+    "source list",
+)
+def mixture_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import token_count
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    shares = per.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_tokens").cast("double") / F.col("total_tokens")
+    )
+    z = shares.agg(F.sum(F.pow(F.col("p"), F.lit(0.7))).alias("z"))
+    w = F.pow(F.col("p"), F.lit(0.7)) / F.col("z")
+    return (
+        shares.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("p") + F.lit(1e-9), 6).alias("token_share"),
+            F.round(w + F.lit(1e-9), 6).alias("weight"),
+            F.round(w / F.col("p") + F.lit(1e-9), 6).alias("epochs_boost"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "embedding_outliers",
+    """
+    WITH vals AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), mu AS (
+      SELECT j, avg(x) AS m FROM vals GROUP BY j
+    ), dist AS (
+      SELECT vec_id, sqrt(sum((x - m) * (x - m))) AS d
+      FROM vals JOIN mu USING (j) GROUP BY vec_id
+    ), st AS (
+      SELECT avg(d) AS md, stddev_pop(d) AS sd FROM dist
+    )
+    SELECT vec_id,
+           round(d + 1e-9, 6)            AS centroid_dist,
+           round((d - md) / sd + 1e-9, 6) AS z_score
+    FROM dist, st
+    ORDER BY (d - md) / sd DESC, vec_id
+    LIMIT 10
+    """,
+    "Embedding-space outlier gauge: per-vector Euclidean distance to the "
+    "corpus centroid, z-scored against the distance distribution — the "
+    "cheap first-pass detector for corrupted/mislabeled/garbage vectors "
+    "before they poison ANN cells or centroid stats.  Shape: one "
+    "posexplode + dim-keyed mean (dim rows, broadcast back) + vec-keyed "
+    "distance aggregate + 1-row broadcast moments + "
+    "TakeOrderedAndProject top-10 — never materializes anything wider "
+    "than the corpus scan",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_wide(spark, sf_dir, "embeddings")
+    vals = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "x"),
+    )
+    mu = vals.groupBy("j").agg(F.avg("x").alias("m"))
+    dist = (
+        vals.join(F.broadcast(mu), "j")
+        .groupBy("vec_id")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+            ).alias("d")
+        )
+    )
+    st = dist.agg(
+        F.avg("d").alias("md"), F.stddev_pop("d").alias("sd")
+    )
+    z = (F.col("d") - F.col("md")) / F.col("sd")
+    return (
+        dist.crossJoin(F.broadcast(st))
+        .select(
+            "vec_id",
+            F.round(F.col("d") + F.lit(1e-9), 6).alias("centroid_dist"),
+            F.round(z + F.lit(1e-9), 6).alias("z_score"),
+            z.alias("__z"),
+        )
+        .orderBy(F.desc("__z"), F.asc("vec_id"))
+        .limit(10)
+        .drop("__z")
+    )
+
+
+def _blocking_oracle() -> str:
+    """Composed from the minhash family's shared CTE chain (docs.py's
+    _DUCK_MINHASH_CTE — the exact text minhash_pairs_docs' oracle embeds),
+    so the candidate definition provably cannot drift from the operator it
+    audits."""
+    from .docs import _DUCK_MINHASH_CTE
+
+    return f"""
+    {_DUCK_MINHASH_CTE}
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+      WHERE l.doc_id < 500 AND r.doc_id < 500
+    ), capped AS (
+      SELECT doc_id, hs FROM hsh WHERE doc_id < 500
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.hs, b.hs))::BIGINT AS ni,
+             (len(a.hs) + len(b.hs)
+              - len(list_intersect(a.hs, b.hs)))::BIGINT AS nu
+      FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+    ), truth AS (
+      SELECT count(*)::BIGINT AS n_true FROM pairs WHERE 2 * ni >= nu
+    ), nc AS (
+      SELECT count(*)::BIGINT AS n_candidates FROM cand
+    ), nh AS (
+      SELECT count(*)::BIGINT AS n_hit
+      FROM cand c JOIN pairs p USING (id_a, id_b)
+      WHERE 2 * p.ni >= p.nu
+    ), nd AS (
+      SELECT count(*)::BIGINT AS n_docs FROM capped
+    )
+    SELECT n_docs,
+           ((n_docs * (n_docs - 1)) // 2)::BIGINT  AS n_all_pairs,
+           n_candidates, n_true, n_hit,
+           round(1.0 - CAST(n_candidates AS DOUBLE)
+                 / ((n_docs * (n_docs - 1)) // 2) + 1e-9, 6)
+                                                   AS reduction_ratio,
+           round(CAST(n_hit AS DOUBLE) / n_true + 1e-9, 6)
+                                                   AS pairs_completeness
+    FROM nd, nc, truth, nh
+    """
+
+
+@register(
+    "lsh_blocking_quality_docs",
+    None,  # composed oracle attached below
+    "Record-linkage audit of the MinHash LSH blocking stage: reduction "
+    "ratio (pair-space shrinkage vs all-pairs) and pairs completeness "
+    "(fraction of true near-dup pairs, exact shingle-hash jaccard >= 0.5 "
+    "via INTEGER 2*|intersect| >= |union| — no FP threshold, surviving "
+    "the banding) — THE two numbers that justify a blocking config "
+    "before a 100 TB dedup run.  Ground truth needs all-pairs by "
+    "definition, so it runs on an id-capped audit sample (doc_id < 500, "
+    "the jaccard_exact_join / ann_recall precedent) while the candidate "
+    "side is the production banded-LSH stage itself (shared persisted "
+    "signature stage; oracle composed from the same CTE chain "
+    "minhash_pairs_docs registers, so definitions cannot drift)",
+)
+def lsh_blocking_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.dedup import minhash_candidate_pairs
+    from .docs import _dedup_stage
+
+    stage = _dedup_stage(spark, sf_dir)
+    capped = stage.filter(F.col("id") < 500).select("id", "hs")
+    a = capped.select(F.col("id").alias("id_a"), F.col("hs").alias("ha"))
+    b = capped.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
+    ni = F.size(F.array_intersect(F.col("ha"), F.col("hb"))).cast("long")
+    nu = (F.size(F.col("ha")) + F.size(F.col("hb"))).cast("long") - ni
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ni.alias("ni"), nu.alias("nu"))
+    )
+    truth = pairs.filter(2 * F.col("ni") >= F.col("nu"))
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs, sigs=stage).filter(
+        (F.col("id_a") < 500) & (F.col("id_b") < 500)
+    )
+
+    nd = capped.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nh = (
+        cand.join(pairs, ["id_a", "id_b"])
+        .filter(2 * F.col("ni") >= F.col("nu"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    allp = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long")
+    return (
+        nd.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_docs",
+            allp.alias("n_all_pairs"),
+            "n_candidates",
+            "n_true",
+            "n_hit",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double") / allp
+                + F.lit(1e-9),
+                6,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true") + F.lit(1e-9),
+                6,
+            ).alias("pairs_completeness"),
+        )
+    )
+
+
+QUERIES["lsh_blocking_quality_docs"] = CatalogQuery(
+    QUERIES["lsh_blocking_quality_docs"].fn,
+    _blocking_oracle(),
+    QUERIES["lsh_blocking_quality_docs"].description,
+)
+
+
+@register(
+    "power_iteration_embeddings",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), vals AS (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x
+      FROM base
+    ), mu AS (
+      SELECT j, avg(x) AS m FROM vals GROUP BY j
+    ), c AS (
+      SELECT vec_id, j, x - m AS xc FROM vals JOIN mu USING (j)
+    ), n AS (
+      SELECT count(*)::BIGINT AS n FROM base
+    ), s1 AS (
+      SELECT vec_id, sum(xc * 0.125) AS s FROM c GROUP BY vec_id
+    ), w1s AS (
+      SELECT j, sum(xc * s) AS sw FROM c JOIN s1 USING (vec_id) GROUP BY j
+    ), w1 AS (
+      SELECT j, sw / n AS w FROM w1s, n
+    ), n1 AS (
+      SELECT sqrt(sum(w * w)) AS nrm FROM w1
+    ), v1 AS (
+      SELECT j, w / nrm AS v FROM w1, n1
+    ), s2 AS (
+      SELECT vec_id, sum(c.xc * v1.v) AS s FROM c JOIN v1 USING (j)
+      GROUP BY vec_id
+    ), w2s AS (
+      SELECT j, sum(xc * s) AS sw FROM c JOIN s2 USING (vec_id) GROUP BY j
+    ), w2 AS (
+      SELECT j, sw / n AS w FROM w2s, n
+    ), n2 AS (
+      SELECT sqrt(sum(w * w)) AS nrm FROM w2
+    ), lam AS (
+      SELECT sum(v1.v * w2.w) AS l FROM v1 JOIN w2 USING (j)
+    )
+    SELECT j,
+           round(w / nrm + 1e-9, 6) AS loading,
+           round(l + 1e-9, 6)       AS eigenvalue
+    FROM w2, n2, lam
+    ORDER BY abs(w / nrm) DESC, j
+    LIMIT 10
+    """,
+    "Two covariance-free power-iteration steps for the DOMINANT "
+    "eigenvector of the embedding covariance (the PCA direction an "
+    "anisotropy/whitening pass removes first): w = (1/n) SUM_rows "
+    "(x-mu) * ((x-mu)@v) — the d x d covariance matrix is NEVER "
+    "materialized, each step is one row-local dot (packed-array "
+    "zip_with/aggregate against plan-time literals, no explode) plus one "
+    "dim-keyed aggregate (dim rows out), which is exactly how power "
+    "iteration scales to 100 TB.  Deterministic v0 = 1/sqrt(64); "
+    "intermediate mu / w1 collects are DIM-sized (64 doubles — the "
+    "centroid-literal class); eigenvalue = Rayleigh v1 @ w2.  Output: "
+    "top-10 dims by |loading| with the shared eigenvalue estimate",
+)
+def power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = _load_wide(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = base.count()  # bounded action: one long
+
+    mu_rows = (
+        base.select(F.posexplode("v").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )  # bounded: dim rows
+    mu = [r["m"] for r in sorted(mu_rows, key=lambda r: r["j"])]
+    mu_arr = F.lit(mu)
+
+    def xc_col():
+        return F.zip_with(F.col("v"), mu_arr, lambda x, m: x - m)
+
+    def dot_lit(vec_arr):
+        return F.aggregate(
+            F.zip_with(xc_col(), vec_arr, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+
+    v0_arr = F.lit([0.125] * len(mu))
+    step1 = base.select(
+        F.posexplode(xc_col()).alias("j", "xc"), dot_lit(v0_arr).alias("s")
+    )
+    w1_rows = (
+        step1.groupBy("j")
+        .agg((F.sum(F.col("xc") * F.col("s")) / F.lit(n)).alias("w"))
+        .collect()
+    )  # bounded: dim rows
+    w1 = [r["w"] for r in sorted(w1_rows, key=lambda r: r["j"])]
+    nrm1 = math.sqrt(sum(w * w for w in w1))
+    v1 = [w / nrm1 for w in w1]
+    v1_arr = F.lit(v1)
+
+    step2 = base.select(
+        F.posexplode(xc_col()).alias("j", "xc"), dot_lit(v1_arr).alias("s")
+    )
+    w2 = step2.groupBy("j").agg(
+        (F.sum(F.col("xc") * F.col("s")) / F.lit(n)).alias("w")
+    )
+    n2 = w2.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    lam = w2.agg(
+        F.sum(
+            F.element_at(v1_arr, (F.col("j") + 1).cast("int")) * F.col("w")
+        ).alias("l")
+    )
+    loading = F.col("w") / F.col("nrm")
+    return (
+        w2.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "j",
+            F.round(loading + F.lit(1e-9), 6).alias("loading"),
+            F.round(F.col("l") + F.lit(1e-9), 6).alias("eigenvalue"),
+            F.abs(loading).alias("__a"),
+        )
+        .orderBy(F.desc("__a"), F.asc("j"))
+        .limit(10)
+        .drop("__a")
+    )
+
+
+_MMR_TOP, _MMR_K, _MMR_LAM = 20, 8, 0.75  # lambda exactly representable:
+# 0.75/0.25 are dyadic, so Spark's F.lit and DuckDB's decimal literal
+# promote to the SAME double and the mmr arithmetic is bit-identical
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs — the same 8 selection rounds
+    the Spark side runs, generated from one loop so the two engines
+    cannot drift."""
+    head = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
+    c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE embedding IS NOT NULL),
+    s AS (
+      SELECT qid AS query_id, nid AS neighbor_id, cv,
+             CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+                  THEN round(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+                  ELSE 0.0 END AS score
+      FROM q, c WHERE nid <> qid
+    ), candv AS (
+      SELECT * FROM (
+        SELECT query_id, neighbor_id, cv, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rk
+        FROM s
+      ) WHERE rk <= {_MMR_TOP}
+    ), cand AS (
+      SELECT query_id, neighbor_id, score FROM candv
+    ), sims AS (
+      SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+             CASE WHEN sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)) > 0
+                  THEN round(list_dot_product(a.cv, b.cv)
+                       / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))), 6)
+                  ELSE 0.0 END AS sim
+      FROM candv a JOIN candv b
+        ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+    ), selu1 AS (
+      SELECT query_id, neighbor_id, 1 AS mmr_rank,
+             round({_MMR_LAM} * score + 1e-9, 6) AS mmr_score
+      FROM cand
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) = 1
+    )"""
+    parts = [head]
+    for t in range(2, _MMR_K + 1):
+        prev = f"selu{t - 1}"
+        parts.append(f"""
+    , pick{t} AS (
+      SELECT query_id, neighbor_id, {t} AS mmr_rank,
+             round(raw + 1e-9, 6) AS mmr_score
+      FROM (
+        SELECT c.query_id, c.neighbor_id,
+               {_MMR_LAM} * c.score - {1 - _MMR_LAM} * p.pen AS raw,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY round({_MMR_LAM} * c.score
+                                - {1 - _MMR_LAM} * p.pen, 9) DESC,
+                          c.neighbor_id) AS rn
+        FROM cand c
+        JOIN (SELECT s.query_id, s.id_a, max(s.sim) AS pen
+              FROM sims s JOIN {prev} x
+                ON s.query_id = x.query_id AND s.id_b = x.neighbor_id
+              GROUP BY s.query_id, s.id_a) p
+          ON c.query_id = p.query_id AND c.neighbor_id = p.id_a
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.query_id = c.query_id
+                            AND x.neighbor_id = c.neighbor_id)
+      ) WHERE rn = 1
+    ), selu{t} AS (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t}
+    )""")
+    parts.append(f"""
+    SELECT query_id, mmr_rank, neighbor_id, mmr_score
+    FROM selu{_MMR_K} ORDER BY query_id, mmr_rank
+    """)
+    return "".join(parts)
+
+
+@register(
+    "mmr_rerank_embeddings",
+    None,  # generated oracle attached below
+    "Maximal-Marginal-Relevance diversified reranking (Carbonell & "
+    "Goldstein 1998), lambda = 0.75: greedy-select 8 of each query's "
+    "top-20 cosine candidates maximizing lambda*relevance - "
+    "(1-lambda)*max-similarity-to-already-selected — the standard "
+    "redundancy-killer between ANN retrieval and a context window.  "
+    "Scale shape: relevance is the existing brute-force/ANN stage; "
+    "everything after is CANDIDATE-sized (queries x 20 rows, pair sims "
+    "queries x 20 x 20) regardless of corpus size.  The greedy loop "
+    "runs kmeans_train-style: each round a distributed argmax (window "
+    "over the scored pool) with the selected set injected as plan-time "
+    "literals from a <= queries-row bounded collect; the returned plan "
+    "is a LINEAR union of the 8 round subplans (literals, not nested "
+    "subplans — no exponential growth).  lambda dyadic so both engines' "
+    "mmr arithmetic is bit-identical; argmax on round-9 scores with id "
+    "tiebreak (the ivf discipline).  Oracle: the identical 8 rounds "
+    "unrolled as chained CTEs, generated from one loop",
+)
+def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..ops.similarity import brute_force_topk, cosine_from_norms, norm
+
+    emb = _load_wide(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("embedding").isNotNull())
+    queries = corpus.filter(F.col("vec_id") < 8)
+    cand = brute_force_topk(corpus, queries, k=_MMR_TOP).select(
+        "query_id", "neighbor_id", "score"
+    )
+
+    vecs = corpus.select(
+        F.col("vec_id").alias("__vid"),
+        F.col("embedding").alias("__vv"),
+        norm(F.col("embedding")).alias("__vn"),
+    )
+    cv = vecs.join(
+        F.broadcast(cand), F.col("__vid") == F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", "score", "__vv", "__vn")
+    a = cv.select(
+        "query_id", F.col("neighbor_id").alias("id_a"),
+        F.col("__vv").alias("__va"), F.col("__vn").alias("__na"),
+    )
+    b = cv.select(
+        F.col("query_id").alias("__qb"), F.col("neighbor_id").alias("id_b"),
+        F.col("__vv").alias("__vb"), F.col("__vn").alias("__nb"),
+    )
+    sims = (
+        a.join(
+            F.broadcast(b),
+            (F.col("query_id") == F.col("__qb"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
+        .select(
+            "query_id", "id_a", "id_b",
+            F.round(
+                cosine_from_norms(
+                    F.col("__va"), F.col("__vb"),
+                    F.col("__na"), F.col("__nb"),
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+    def key(qc, nc):
+        return qc * F.lit(1_000_000) + nc
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    pick = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("mmr_rank"),
+            "neighbor_id",
+            F.round(F.lit(_MMR_LAM) * F.col("score") + F.lit(1e-9), 6).alias(
+                "mmr_score"
+            ),
+        )
+    )
+    rounds = [pick]
+    sel_keys = [
+        r["query_id"] * 1_000_000 + r["neighbor_id"] for r in pick.collect()
+    ]  # bounded: one row per query per round
+    for t in range(2, _MMR_K + 1):
+        pen = (
+            sims.filter(key(F.col("query_id"), F.col("id_b")).isin(sel_keys))
+            .groupBy("query_id", "id_a")
+            .agg(F.max("sim").alias("pen"))
+        )
+        pool = cand.filter(
+            ~key(F.col("query_id"), F.col("neighbor_id")).isin(sel_keys)
+        )
+        raw = F.lit(_MMR_LAM) * F.col("score") - F.lit(1 - _MMR_LAM) * F.col(
+            "pen"
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round(raw, 9)), F.asc("neighbor_id")
+        )
+        pick = (
+            pool.join(
+                pen,
+                (pool["query_id"] == pen["query_id"])
+                & (F.col("neighbor_id") == F.col("id_a")),
+            )
+            .select(
+                pool["query_id"], "neighbor_id", "score", "pen"
+            )
+            .withColumn("__rn", F.row_number().over(wt))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                F.lit(t).alias("mmr_rank"),
+                "neighbor_id",
+                F.round(raw + F.lit(1e-9), 6).alias("mmr_score"),
+            )
+        )
+        rounds.append(pick)
+        sel_keys = sel_keys + [
+            r["query_id"] * 1_000_000 + r["neighbor_id"]
+            for r in pick.collect()
+        ]
+    return reduce(lambda x, y: x.unionAll(y), rounds).orderBy(
+        "query_id", "mmr_rank"
+    )
+
+
+QUERIES["mmr_rerank_embeddings"] = CatalogQuery(
+    QUERIES["mmr_rerank_embeddings"].fn,
+    _mmr_oracle(),
+    QUERIES["mmr_rerank_embeddings"].description,
+)
+
+
+@register(
+    "key_skew_report_events",
+    """
+    WITH per AS (
+      SELECT user_id, count(*)::BIGINT AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), rk AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn FROM per
+    ), agg AS (
+      SELECT count(*)::BIGINT                       AS n_keys,
+             sum(c)::BIGINT                         AS n_events,
+             max(c)::BIGINT                         AS max_key_events,
+             sum(2.0 * rn * c)                      AS twice_rank_mass
+      FROM rk
+    ), topk AS (
+      SELECT sum(c)::BIGINT AS top10_events
+      FROM rk, agg WHERE rn > n_keys - 10
+    )
+    SELECT n_keys, n_events, max_key_events,
+           round(CAST(max_key_events AS DOUBLE) / n_events + 1e-9, 6)
+                                                   AS top1_share,
+           round(CAST(top10_events AS DOUBLE) / n_events + 1e-9, 6)
+                                                   AS top10_share,
+           round((twice_rank_mass / (CAST(n_keys AS DOUBLE) * n_events))
+                 - (n_keys + 1.0) / n_keys + 1e-9, 6)
+                                                   AS gini
+    FROM agg, topk
+    """,
+    "Key-skew diagnostics for a shuffle key: per-key event counts "
+    "summarized as top-1/top-10 share and the Gini coefficient (2*SUM "
+    "rank*count / (n*total) - (n+1)/n over ascending-count ranks) — the "
+    "numbers that decide salting/AQE-skew-join BEFORE a 100 TB shuffle "
+    "melts an executor.  Ranks over the key-count table (key-cardinality "
+    "sized, NOT event sized) via ops/rank.global_row_number — no "
+    "single-partition window anywhere; everything after is a 1-row "
+    "aggregate",
+)
+def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.rank import global_row_number
+    from ..sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rk = global_row_number(
+        per, [F.col("c"), F.col("user_id")], "rn", part_key=F.col("c")
+    )
+    agg = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.max("c").cast("long").alias("max_key_events"),
+        F.sum(F.lit(2.0) * F.col("rn") * F.col("c")).alias("twice_rank_mass"),
+    )
+    topk = (
+        rk.crossJoin(F.broadcast(agg.select("n_keys")))
+        .filter(F.col("rn") > F.col("n_keys") - 10)
+        .agg(F.sum("c").cast("long").alias("top10_events"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(topk))
+        .select(
+            "n_keys",
+            "n_events",
+            "max_key_events",
+            F.round(
+                F.col("max_key_events").cast("double") / F.col("n_events")
+                + F.lit(1e-9),
+                6,
+            ).alias("top1_share"),
+            F.round(
+                F.col("top10_events").cast("double") / F.col("n_events")
+                + F.lit(1e-9),
+                6,
+            ).alias("top10_share"),
+            F.round(
+                F.col("twice_rank_mass")
+                / (F.col("n_keys").cast("double") * F.col("n_events"))
+                - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys")
+                + F.lit(1e-9),
+                6,
+            ).alias("gini"),
+        )
+    )

@@ -6,7 +6,7 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle, 11 of 220): the fixture-driven rules engine +
+Rows-only entries (no oracle, 11 of 227): the fixture-driven rules engine +
 correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
 the fixture table is not among the driver's DuckDB views), the Pandas-UDF
 multimodal stages including the perceptual-hash dedup chain, and the zlib
@@ -26,54 +26,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 
-# Driver-window rotation (round 8): the correctness gate verifies the FIRST
-# ~50 queries.  Round 7 completed full oracle-paired driver coverage of the
-# catalog that existed then, so windows are now free rotation PLUS the
-# standing priorities, in order: (1) every oracle-paired query that has
-# never earned a driver row — the 9 round-7 additions (replay-green at
-# sf0.01 in both the builder's and the judge's runs; round-7 verdict ask
-# #2) and the 12 round-8 additions; (2) queries whose implementation changed
-# this round and must re-earn their rows — the four Sigma correlation types
-# (the aliases feature reworked compile_correlation's shared pair/count
-# paths) and chi2_tokens_docs (the int64-overflow double-cast rewrote its
-# expression tree in both engines); (3) the 7 family anchors; (4) free
-# rotation across families whose driver rows date from the earliest rounds
-# (ANN ladder, graph, sketches, rank, enrichment, quality, TPC-H tails).
-# The round this window was authored in: tests/test_rotation.py fails the
-# suite if a later round's CORRECTNESS artifact exists without the window
-# having been re-authored — the mechanical stall guard.
-_WINDOW_ROUND = 8
+# Driver-window rotation (round 9): the correctness gate verifies the FIRST
+# ~50 queries.  Priorities, in order: (1) every oracle-paired query that
+# has never earned a driver row — the 7 round-9 additions; (2) queries
+# whose implementation changed this round and must re-earn their rows —
+# novelty_docs (string shingles now hashed to 60-bit ints pre-shuffle in
+# BOTH engines); (3) the 7 family anchors; (4) the STALEST rows (round-8
+# verdict ask #3): priorities 1-3 leave 35 slots, spent on the 25 queries
+# whose only green rows date from round 2 (TPC-H tails, early event
+# analytics, set ops) plus the 10 oldest round-4 rows — shared helpers
+# under all of them have moved twice since (catalog split, round-6 rank
+# rewrite).  The round this window was authored in: tests/test_rotation.py
+# fails the suite if a later round's CORRECTNESS artifact exists without
+# the window having been re-authored — the mechanical stall guard.
+_WINDOW_ROUND = 9
 
 _DRIVER_WINDOW = [
-    # -- (1) never-driver-verified: the 9 round-7 additions --
-    "l_diversity_docs",          # privacy triad: l-diversity
-    "t_closeness_docs",          # privacy triad: t-closeness
-    "orders_woe_binning",        # WOE/IV decile binning
-    "kmv_distinct_events",       # KMV distinct sketch + merge rollup
-    "kmv_source_overlap_docs",   # KMV pairwise set-op estimates
-    "dsir_weights_docs",         # DSIR importance weights
-    "maxsim_retrieval_docs",     # MaxSim late-interaction retrieval
-    "sq8_error_embeddings",      # int8 scalar quantization error
-    "chi2_tokens_docs",          # chi-square token selection (+ overflow fix)
-    # -- (1) never-driver-verified: the 12 round-8 additions --
-    "classifier_auc_docs",       # exact ROC-AUC via rank-sum
-    "pmi_collocations_docs",     # PMI bigram collocations
-    "source_kl_divergence_docs", # per-source KL vs corpus blend
-    "matryoshka_recall_embeddings",  # prefix-dim retrieval recall
-    "label_centroid_sim_embeddings", # centroid cosine matrix
-    "novelty_docs",              # per-doc n-gram novelty
-    "classifier_kappa_docs",     # Cohen's kappa between quality raters
-    "hard_negatives_embeddings", # contrastive hard-negative mining
-    "source_dup_matrix_docs",    # cross-source near-dup matrix
-    "fertility_by_lang_docs",    # tokenizer fertility audit
-    "events_psi_drift_windows",  # windowed PSI vs frozen reference
-    "ann_ivf_sq8",               # IVF over int8-quantized corpus
-    # -- (2) changed code re-earns its row (aliases rework shares these
-    #    compile paths; batch semantics unchanged by design) --
-    "events_sigma_corr_counts",  # Sigma correlation: event_count
-    "events_sigma_corr_distinct",# Sigma correlation: value_count
-    "events_sigma_corr_temporal",# Sigma correlation: temporal_ordered
-    "events_sigma_corr_cooccur", # Sigma correlation: temporal 3+ rules
+    # -- (1) never-driver-verified: the 7 round-9 additions --
+    "ann_ivf_sq8_indexed",       # materialized IVF+SQ8 index, DPP-pruned
+    "mmr_rerank_embeddings",     # MMR diversified reranking
+    "power_iteration_embeddings",# covariance-free power iteration
+    "lsh_blocking_quality_docs", # LSH blocking reduction/completeness
+    "mixture_temperature_docs",  # share^0.7 mixture rebalancing
+    "embedding_outliers",        # centroid-distance z-score outliers
+    "key_skew_report_events",    # shuffle-key skew diagnostics (Gini)
+    # -- (2) changed code re-earns its row --
+    "novelty_docs",              # shingles hashed pre-shuffle this round
     # -- (3) anchors (one per load-bearing family) --
     "q1_pricing_summary",        # TPC-H aggregate
     "q9_profit_by_nation",       # multi-way join
@@ -82,25 +60,43 @@ _DRIVER_WINDOW = [
     "exact_dedup_docs",          # exact dedup
     "minhash_pairs_docs",        # MinHash+LSH
     "events_exact_quantiles",    # ops/rank two-pass exact quantiles
-    # -- (4) free rotation: families whose rows date from rounds 1-2 --
-    "ann_brute_force",           # exact cosine top-k
-    "ann_lsh",                   # sign-LSH bucketed ANN
-    "ann_ivf",                   # IVF partition-pruned ANN
-    "ann_pq_adc",                # product-quantization ADC
-    "ann_recall",                # ANN recall gauge
-    "pagerank_docs",             # distributed Pregel PageRank
-    "triangle_count_docs",       # triangle counting
-    "kcore_docs",                # k-core decomposition
-    "events_hll_rollup",         # HLL sketch rollup
-    "events_cms_counts",         # count-min sketch
-    "hll_scratch_events",        # from-scratch HLL
-    "customer_abc_analysis",     # Pareto ABC on global_cumsum
-    "curriculum_stages_docs",    # curriculum staging on global ranks
-    "asof_join_error_purchase",  # as-of join
-    "interval_join_events",      # interval join
-    "gopher_quality_docs",       # Gopher quality gates
-    "bm25_topk_docs",            # BM25 retrieval
-    "bpe_encode_docs",           # BPE tokenizer apply
+    # -- (4) stalest rows: last green in round 2 --
+    "distinct_agg",
+    "distinct_twophase",
+    "events_approx_distinct",
+    "events_hourly",
+    "events_json_stats",
+    "grouped_stats_pandas",
+    "orders_rollup",
+    "percentile_prices",
+    "pivot_returnflag_qty",
+    "q10_returned_items",
+    "q11_important_nations",
+    "q12_late_shipments",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_part_suppliers",
+    "q4_priority_check",
+    "q5_region_volume",
+    "q7_nation_trade",
+    "revenue_moving_avg",
+    "scalar_funcs_showcase",
+    "set_except",
+    "set_intersect",
+    # -- (4) stalest rows: last green in round 4 --
+    "anti_join_no_orders",
+    "bloom_decontam_docs",
+    "correlated_subquery",
+    "decontam_docs",
+    "embedding_neardup",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_multires_rollup",
+    "jaccard_exact_join",
+    "jaccard_pairs_docs",
 ]
 
 

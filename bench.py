@@ -206,6 +206,14 @@ HEADLINE = [
     "fertility_by_lang_docs",
     "events_psi_drift_windows",
     "ann_ivf_sq8",
+    # round-9 additions
+    "ann_ivf_sq8_indexed",
+    "mmr_rerank_embeddings",
+    "power_iteration_embeddings",
+    "lsh_blocking_quality_docs",
+    "mixture_temperature_docs",
+    "embedding_outliers",
+    "key_skew_report_events",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

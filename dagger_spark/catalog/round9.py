@@ -594,6 +594,9 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             sims.filter(key(F.col("query_id"), F.col("id_b")).isin(sel_keys))
             .groupBy("query_id", "id_a")
             .agg(F.max("sim").alias("pen"))
+            .select(
+                F.col("query_id").alias("__pq"), "id_a", "pen"
+            )
         )
         pool = cand.filter(
             ~key(F.col("query_id"), F.col("neighbor_id")).isin(sel_keys)
@@ -607,11 +610,11 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick = (
             pool.join(
                 pen,
-                (pool["query_id"] == pen["query_id"])
+                (F.col("query_id") == F.col("__pq"))
                 & (F.col("neighbor_id") == F.col("id_a")),
             )
             .select(
-                pool["query_id"], "neighbor_id", "score", "pen"
+                "query_id", "neighbor_id", "score", "pen"
             )
             .withColumn("__rn", F.row_number().over(wt))
             .filter(F.col("__rn") == 1)

@@ -97,30 +97,19 @@ def test_rotation_advances_until_full_coverage():
 
 def test_changed_code_queries_in_gate_window():
     """Queries whose implementation changed this round must sit inside the
-    driver-checked window: changed code re-earns its driver row.  Round 8:
-    the correlation compiler's aliases rework (the compiled pair/count
-    callables are shared with the batch legs), chi2_tokens_docs' int64-
-    overflow double-cast (new expression tree in both engines), plus every
-    query that has never earned a driver row — the 9 round-7 and 7 round-8
-    additions."""
+    driver-checked window: changed code re-earns its driver row.  Round 9:
+    novelty_docs (shingles hashed to 60-bit ints pre-shuffle, new
+    expression tree in both engines), plus every query that has never
+    earned a driver row — the 7 round-9 additions."""
     from __spark_entry__ import _DRIVER_WINDOW
 
     window = set(_DRIVER_WINDOW[:GATE_SIZE])
     for name in (
-        "events_sigma_corr_counts", "events_sigma_corr_distinct",
-        "events_sigma_corr_temporal", "events_sigma_corr_cooccur",
-        "chi2_tokens_docs",
-        # round-7 never-driver-verified (verdict ask #2)
-        "l_diversity_docs", "t_closeness_docs", "orders_woe_binning",
-        "kmv_distinct_events", "kmv_source_overlap_docs",
-        "dsir_weights_docs", "maxsim_retrieval_docs",
-        "sq8_error_embeddings",
-        # round-8 additions
-        "classifier_auc_docs", "pmi_collocations_docs",
-        "source_kl_divergence_docs", "matryoshka_recall_embeddings",
-        "label_centroid_sim_embeddings", "novelty_docs",
-        "classifier_kappa_docs", "hard_negatives_embeddings",
-        "source_dup_matrix_docs", "fertility_by_lang_docs",
-        "events_psi_drift_windows", "ann_ivf_sq8",
+        "novelty_docs",
+        # round-9 never-driver-verified additions
+        "ann_ivf_sq8_indexed", "mmr_rerank_embeddings",
+        "power_iteration_embeddings", "lsh_blocking_quality_docs",
+        "mixture_temperature_docs", "embedding_outliers",
+        "key_skew_report_events",
     ):
         assert name in window, name

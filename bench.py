@@ -214,6 +214,7 @@ HEADLINE = [
     "mixture_temperature_docs",
     "embedding_outliers",
     "key_skew_report_events",
+    "orders_customer_bucketed_join",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -728,3 +728,100 @@ def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+_BUCKET_DB = "dagger_buckets"
+_BUCKET_WAREHOUSE = "/tmp/dagger_bucket_warehouse"
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
+    """Write (once per corpus fingerprint) orders + customer as
+    custkey-BUCKETED, bucket-sorted tables — the layout a production
+    warehouse maintains so repeated custkey joins never shuffle.  Table
+    names carry the source fingerprint (the ivf_index discipline), so a
+    changed corpus can never serve stale buckets."""
+    import os
+
+    def fp(name):
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        return f"{st.st_size}_{int(st.st_mtime)}"
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB} "
+        f"LOCATION '{_BUCKET_WAREHOUSE}'"
+    )
+    names = []
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        suffix = f"{tbl}_b8_{fp(tbl)}"
+        tname = f"{_BUCKET_DB}.{suffix}"
+        if not spark.catalog.tableExists(tname):
+            # bucket DDL lives in the metastore, which is SESSION-scoped
+            # here (local derby) while the files persist — wipe any
+            # orphaned location from a previous session before rebuilding
+            # (a production deployment keeps a persistent metastore and
+            # never hits this branch twice)
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(_BUCKET_WAREHOUSE, suffix), ignore_errors=True
+            )
+            df = load_table(spark, sf_dir, tbl)
+            # repartition on the bucket key with numPartitions == numBuckets:
+            # bucketBy hashes with the same Murmur3, so each write task holds
+            # exactly one bucket and emits ONE file per bucket — the
+            # single-file-per-bucket layout Spark requires before it will
+            # trust bucket sort order and elide the join-side Sort
+            (
+                df.repartition(8, F.col(key))
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(tname)
+            )
+        names.append(tname)
+    return tuple(names)
+
+
+@register(
+    "orders_customer_bucketed_join",
+    """
+    SELECT c_mktsegment,
+           count(*)::BIGINT            AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    "Bucketed CO-LOCATED join: orders and customer maintained as "
+    "8-bucket custkey-bucketed, bucket-sorted tables (written once per "
+    "corpus fingerprint), joined WITHOUT ANY EXCHANGE OR SORT under the "
+    "join — Spark's SortMergeJoin reads matching buckets directly, the "
+    "physical layout a warehouse keeps so its hottest join key never "
+    "shuffles again (the brief's 'bucketing for co-located joins', "
+    "measured and plan-pinned: tests/test_bucketed_join.py asserts zero "
+    "Exchange and zero Sort in the join subtree).  At 100 TB this is "
+    "the difference between re-shuffling 2 fact tables per query and "
+    "reading them join-ready; the only shuffle left is the "
+    "mktsegment rollup above the join.  Oracle: the same join over the "
+    "canonical (unbucketed) views — layout must never change results",
+)
+def orders_customer_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark hides bucket SORT order from the planner by default (the
+    # one-file-per-bucket check needs an eager listing, SPARK-28169);
+    # our build guarantees one file per bucket, so re-enable propagation —
+    # without it every bucketed join pays two needless per-bucket sorts
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    orders_t, customer_t = _bucketed_tables(spark, sf_dir)
+    o = spark.table(orders_t).hint("merge")
+    c = spark.table(customer_t).hint("merge")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1,79 +1,79 @@
-"""Bucketed-table co-located join: the 100 TB shuffle-elimination proof.
+"""Bucketed co-located join: the custkey join must read join-ready
+buckets — zero Exchange AND zero Sort anywhere under the SortMergeJoin."""
 
-Writing both join sides bucketed by the join key (same bucket count) lets
-Spark join them with ZERO Exchange — each task reads matching buckets from
-both tables.  At the design point this is how the repeated corpus-vs-
-signals joins (quality verdicts, dedup labels, embeddings) avoid paying a
-corpus shuffle per join: bucket once at ingest, join free forever.
-
-The plan assertions parse the ACTUAL physical plan, not configuration —
-the same evidence standard as test_ivf_layout's PartitionFilters."""
-
-import pytest
 from pyspark.sql import functions as F
 
+from dagger_spark.catalog import QUERIES
+from tests.test_plans import _walk_physical
 
-@pytest.fixture(scope="module")
-def bucketed_pair(spark, sf_dir, tmp_path_factory):
-    # external tables (explicit path=): the static warehouse dir never
-    # comes into play, so no session restart is needed
-    wh = str(tmp_path_factory.mktemp("warehouse"))
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stats = docs.select(
-        "doc_id", F.length(F.coalesce("text", F.lit(""))).alias("n")
+SF = "/root/testdata/sf0.01"
+
+
+def _subtree_nodes(jnode):
+    out = []
+    stack = [jnode]
+    while stack:
+        n = stack.pop()
+        out.append(n.nodeName())
+        name = n.nodeName()
+        if "QueryStage" in name:
+            stack.append(n.plan())
+            continue
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
+def test_bucketed_join_has_no_exchange_or_sort_under_join(spark):
+    df = QUERIES["orders_customer_bucketed_join"].fn(spark, SF)
+    df.collect()  # finalize AQE
+    root = df._jdf.queryExecution().executedPlan()
+    smj = [n for n in _walk_physical(root) if n.nodeName() == "SortMergeJoin"]
+    assert smj, "expected a SortMergeJoin over the bucketed tables"
+    for j in smj:
+        names = _subtree_nodes(j)[1:]  # exclude the join node itself
+        bad = [n for n in names if "Exchange" in n or n == "Sort"]
+        assert not bad, f"bucketed join subtree contains {bad}"
+        assert any("Scan" in n for n in names)
+
+
+def test_bucketed_layout_on_disk(spark):
+    QUERIES["orders_customer_bucketed_join"].fn(spark, SF)
+    import os
+
+    from dagger_spark.catalog.round9 import _BUCKET_WAREHOUSE, _bucketed_tables
+
+    orders_t, customer_t = _bucketed_tables(spark, SF)
+    for t in (orders_t, customer_t):
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+        }
+        assert desc.get("Num Buckets") == "8", desc.get("Num Buckets")
+        # one file per bucket — the layout the sorted-scan elision needs
+        loc = os.path.join(_BUCKET_WAREHOUSE, t.split(".", 1)[1])
+        files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
+        assert len(files) == 8, files
+
+
+def test_bucketed_results_match_plain_join(spark):
+    from dagger_spark.sources.files import load_table
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["orders_customer_bucketed_join"].fn(spark, SF).collect()
     )
-    for name, df in (("b_docs", docs), ("b_stats", stats)):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (df.write.bucketBy(8, "doc_id").sortBy("doc_id")
-         .option("path", f"{wh}/{name}").saveAsTable(name))
-    yield "b_docs", "b_stats"
-    for name in ("b_docs", "b_stats"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def test_bucketed_join_has_zero_exchanges(spark, bucketed_pair):
-    a, b = bucketed_pair
-    # suppress broadcast: at test scale the small side would broadcast and
-    # prove nothing about bucketing (at 100 TB neither side broadcasts —
-    # that asymmetry is the point of this test)
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        j = (
-            spark.table(a).join(spark.table(b), "doc_id")
-            .select("doc_id", "lang", "n")
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    want = sorted(
+        tuple(r)
+        for r in o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
-        plan = _plan(j)
-        assert "Exchange" not in plan, plan
-        assert j.count() > 0
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    # the join result is right, not just shuffle-free
-    row = j.filter(F.col("doc_id") == 1).head()
-    src = spark.table(a).filter(F.col("doc_id") == 1).head()
-    assert row["n"] == len(src["text"] or "")
-
-
-def test_bucketed_aggregation_reuses_bucketing(spark, bucketed_pair):
-    a, _ = bucketed_pair
-    # grouping by the bucket key needs no shuffle either
-    agg = spark.table(a).groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
-    assert "Exchange" not in _plan(agg)
-
-
-def test_unbucketed_join_does_shuffle(spark, sf_dir):
-    # the control: the same join over plain parquet pays real exchanges
-    # (broadcast suppressed so the comparison is shuffle-vs-bucket, not
-    # shuffle-vs-broadcast)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stats = docs.select(
-        "doc_id", F.length(F.coalesce("text", F.lit(""))).alias("n")
+        .collect()
     )
-    j = docs.hint("shuffle_hash").join(stats.hint("shuffle_hash"), "doc_id")
-    assert "Exchange" in _plan(j)
+    assert got == want

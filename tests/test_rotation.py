@@ -110,6 +110,6 @@ def test_changed_code_queries_in_gate_window():
         "ann_ivf_sq8_indexed", "mmr_rerank_embeddings",
         "power_iteration_embeddings", "lsh_blocking_quality_docs",
         "mixture_temperature_docs", "embedding_outliers",
-        "key_skew_report_events",
+        "key_skew_report_events", "orders_customer_bucketed_join",
     ):
         assert name in window, name

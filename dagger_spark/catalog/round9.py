@@ -529,9 +529,14 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load_wide(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("embedding").isNotNull())
     queries = corpus.filter(F.col("vec_id") < 8)
+    # persist the candidate frame: it is queries x 20 rows, but its
+    # LINEAGE is the full corpus relevance scan — without the cache each
+    # of the 8 selection rounds (build-time collects AND the returned
+    # union's subplans) would re-scan the corpus; with it the corpus is
+    # scored exactly once (bench best-of-3: 6.55 s -> see ARCHITECTURE)
     cand = brute_force_topk(corpus, queries, k=_MMR_TOP).select(
         "query_id", "neighbor_id", "score"
-    )
+    ).persist()
 
     vecs = corpus.select(
         F.col("vec_id").alias("__vid"),
@@ -565,6 +570,7 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("sim"),
         )
+        .persist()  # queries x 20 x 20 rows, reused by all 7 pen rounds
     )
 
     def key(qc, nc):

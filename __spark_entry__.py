@@ -6,7 +6,7 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle, 11 of 228): the fixture-driven rules engine +
+Rows-only entries (no oracle, 11 of 230): the fixture-driven rules engine +
 correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
 the fixture table is not among the driver's DuckDB views), the Pandas-UDF
 multimodal stages including the perceptual-hash dedup chain, and the zlib
@@ -51,6 +51,8 @@ _DRIVER_WINDOW = [
     "embedding_outliers",        # centroid-distance z-score outliers
     "key_skew_report_events",    # shuffle-key skew diagnostics (Gini)
     "orders_customer_bucketed_join",  # exchange/sort-free bucketed join
+    "ann_ndcg_embeddings",       # nDCG@5 + MRR over the ANN ladder
+    "dedup_impact_docs",         # per-source dedup token accounting
     # -- (2) changed code re-earns its row --
     "novelty_docs",              # shingles hashed pre-shuffle this round
     # -- (3) anchors (one per load-bearing family) --
@@ -95,8 +97,6 @@ _DRIVER_WINDOW = [
     "embedding_neardup",
     "events_cohort_retention",
     "events_funnel",
-    "events_multires_rollup",
-    "jaccard_exact_join",
 ]
 
 

@@ -215,6 +215,8 @@ HEADLINE = [
     "embedding_outliers",
     "key_skew_report_events",
     "orders_customer_bucketed_join",
+    "ann_ndcg_embeddings",
+    "dedup_impact_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -831,3 +831,254 @@ def orders_customer_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_mktsegment")
     )
+
+
+# IDCG@5 for graded relevance (6 - truth_rank): written as the SAME
+# arithmetic expression in both engines (ln-ratio log2), so the constant
+# is bit-identical
+_IDCG5_SQL = (
+    "(5.0 + 4.0 / (ln(3.0) / ln(2.0)) + 3.0 / (ln(4.0) / ln(2.0))"
+    " + 2.0 / (ln(5.0) / ln(2.0)) + 1.0 / (ln(6.0) / ln(2.0)))"
+)
+
+_NDCG_METHODS = ("ann_brute_force", "ann_lsh", "ann_ivf", "ann_pq_adc")
+
+
+def _ndcg_oracle() -> str:
+    """Composed from the four ANN methods' registered oracles (nested
+    CTEs), so method definitions provably cannot drift from this gauge."""
+    ctes = ", ".join(
+        f"m_{m} AS ({QUERIES[m].oracle})" for m in _NDCG_METHODS
+    )
+    union = " UNION ALL ".join(
+        f"SELECT '{m}' AS method, query_id, neighbor_id, rank FROM m_{m}"
+        for m in _NDCG_METHODS
+    )
+    return f"""
+    WITH {ctes},
+    allm AS ({union}),
+    truth AS (
+      SELECT query_id, neighbor_id, rank AS trank FROM m_ann_brute_force
+    ),
+    t1 AS (
+      SELECT query_id, neighbor_id AS top1 FROM m_ann_brute_force
+      WHERE rank = 1
+    ),
+    graded AS (
+      SELECT a.method, a.query_id, a.rank,
+             coalesce(6 - t.trank, 0) AS rel,
+             CASE WHEN a.neighbor_id = t1.top1
+                  THEN 1.0 / a.rank ELSE 0.0 END AS rr
+      FROM allm a
+      LEFT JOIN truth t USING (query_id, neighbor_id)
+      JOIN t1 ON a.query_id = t1.query_id
+    ),
+    perq AS (
+      SELECT method, query_id,
+             sum(rel / (ln(rank + 1.0) / ln(2.0))) AS dcg,
+             max(rr) AS rr
+      FROM graded GROUP BY method, query_id
+    )
+    SELECT method,
+           round(avg(dcg / {_IDCG5_SQL}) + 1e-9, 6) AS ndcg_at_5,
+           round(avg(rr) + 1e-9, 6)                 AS mrr
+    FROM perq GROUP BY method ORDER BY method
+    """
+
+
+@register(
+    "ann_ndcg_embeddings",
+    None,  # composed oracle attached below
+    "Ranking-quality gauge for the whole ANN ladder: nDCG@5 (graded "
+    "relevance 6 - exact-rank for the brute-force top-5, ln-ratio log2 "
+    "discount identical in both engines) and MRR of the exact top-1, "
+    "averaged over the query batch, one row per method — recall@5 "
+    "(ann_recall) says WHETHER the truth set was found, this says how "
+    "well it was ORDERED, the pair every retrieval deployment tunes "
+    "against.  brute_force scores 1.0 on both by construction (the "
+    "built-in sanity row).  Pure composition: the four method frames "
+    "are the registered catalog entries themselves and the oracle "
+    "embeds their registered SQL as CTEs — definitions cannot drift.  "
+    "Everything past the method stages is (methods x queries x 5)-sized",
+)
+def ann_ndcg_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    methods = {m: QUERIES[m].fn(spark, sf_dir) for m in _NDCG_METHODS}
+    allm = reduce(
+        lambda x, y: x.unionAll(y),
+        [
+            df.select(
+                F.lit(m).alias("method"), "query_id", "neighbor_id", "rank"
+            )
+            for m, df in methods.items()
+        ],
+    )
+    truth = methods["ann_brute_force"].select(
+        F.col("query_id").alias("__tq"),
+        F.col("neighbor_id").alias("__tn"),
+        F.col("rank").alias("trank"),
+    )
+    t1 = methods["ann_brute_force"].filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("__q1"), F.col("neighbor_id").alias("top1")
+    )
+    graded = (
+        allm.join(
+            F.broadcast(truth),
+            (F.col("query_id") == F.col("__tq"))
+            & (F.col("neighbor_id") == F.col("__tn")),
+            "left",
+        )
+        .join(F.broadcast(t1), F.col("query_id") == F.col("__q1"))
+        .select(
+            "method",
+            "query_id",
+            "rank",
+            F.coalesce(F.lit(6) - F.col("trank"), F.lit(0)).alias("rel"),
+            F.when(
+                F.col("neighbor_id") == F.col("top1"),
+                F.lit(1.0) / F.col("rank"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+        )
+    )
+    perq = graded.groupBy("method", "query_id").agg(
+        F.sum(
+            F.col("rel")
+            / (F.log(F.col("rank") + F.lit(1.0)) / F.log(F.lit(2.0)))
+        ).alias("dcg"),
+        F.max("rr").alias("rr"),
+    )
+    idcg = (
+        F.lit(5.0)
+        + F.lit(4.0) / (F.log(F.lit(3.0)) / F.log(F.lit(2.0)))
+        + F.lit(3.0) / (F.log(F.lit(4.0)) / F.log(F.lit(2.0)))
+        + F.lit(2.0) / (F.log(F.lit(5.0)) / F.log(F.lit(2.0)))
+        + F.lit(1.0) / (F.log(F.lit(6.0)) / F.log(F.lit(2.0)))
+    )
+    return (
+        perq.groupBy("method")
+        .agg(
+            F.round(F.avg(F.col("dcg") / idcg) + F.lit(1e-9), 6).alias(
+                "ndcg_at_5"
+            ),
+            F.round(F.avg("rr") + F.lit(1e-9), 6).alias("mrr"),
+        )
+        .orderBy("method")
+    )
+
+
+QUERIES["ann_ndcg_embeddings"] = CatalogQuery(
+    QUERIES["ann_ndcg_embeddings"].fn,
+    _ndcg_oracle(),
+    QUERIES["ann_ndcg_embeddings"].description,
+)
+
+
+def _dedup_impact_oracle() -> str:
+    """Composed from exact_dedup_docs' and dedup_canonical_docs' registered
+    oracles — the accounting can never disagree with the dedup operators it
+    reports on."""
+    ex = QUERIES["exact_dedup_docs"].oracle
+    can = QUERIES["dedup_canonical_docs"].oracle
+    return f"""
+    WITH RECURSIVE ex AS ({ex}), can AS ({can}),
+    base AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                              '\\s+')) END AS t
+      FROM documents
+    ), flagged AS (
+      SELECT base.doc_id, base.source, base.t,
+             (e.keep_id IS NOT NULL) AS keep_ex,
+             can.keep AS keep_near
+      FROM base
+      LEFT JOIN ex e ON base.doc_id = e.keep_id
+      JOIN can ON base.doc_id = can.doc_id
+    )
+    SELECT source,
+           count(*)::BIGINT                                    AS n_docs,
+           sum(t)::BIGINT                                      AS n_tokens,
+           sum(CASE WHEN keep_ex THEN 1 ELSE 0 END)::BIGINT    AS exact_kept_docs,
+           sum(CASE WHEN keep_near THEN 1 ELSE 0 END)::BIGINT  AS near_kept_docs,
+           round(1.0 - CAST(sum(CASE WHEN keep_ex THEN t ELSE 0 END) AS DOUBLE)
+                 / sum(t) + 1e-9, 6)                           AS exact_token_cut,
+           round(1.0 - CAST(sum(CASE WHEN keep_near THEN t ELSE 0 END) AS DOUBLE)
+                 / sum(t) + 1e-9, 6)                           AS near_token_cut
+    FROM flagged GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "dedup_impact_docs",
+    None,  # composed oracle attached below
+    "Per-source dedup impact accounting: how many documents and what "
+    "fraction of TOKEN MASS each dedup stage removes (exact md5 keeps "
+    "vs MinHash-cluster canonical keeps) — the report that tells a "
+    "corpus owner which sources are duplicate-heavy and what a dedup "
+    "pass will actually save at 100 TB, BEFORE running it.  Pure "
+    "composition: the keep sets are the registered exact_dedup_docs / "
+    "dedup_canonical_docs outputs (frames AND oracle CTEs), so the "
+    "accounting can never disagree with the operators it reports on.  "
+    "Shape: the two dedup stages + two doc-keyed joins + one "
+    "source-keyed aggregate",
+)
+def dedup_impact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import token_count
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("t")
+    )
+    ex = QUERIES["exact_dedup_docs"].fn(spark, sf_dir).select(
+        F.col("keep_id").alias("__kid")
+    )
+    can = QUERIES["dedup_canonical_docs"].fn(spark, sf_dir).select(
+        F.col("doc_id").alias("__cid"), F.col("keep").alias("keep_near")
+    )
+    flagged = (
+        base.join(ex, F.col("doc_id") == F.col("__kid"), "left")
+        .join(can, F.col("doc_id") == F.col("__cid"))
+        .select(
+            "source",
+            "t",
+            F.col("__kid").isNotNull().alias("keep_ex"),
+            "keep_near",
+        )
+    )
+    kept_t = lambda c: F.sum(F.when(F.col(c), F.col("t")).otherwise(0))  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("keep_ex"), 1).otherwise(0))
+            .cast("long")
+            .alias("exact_kept_docs"),
+            F.sum(F.when(F.col("keep_near"), 1).otherwise(0))
+            .cast("long")
+            .alias("near_kept_docs"),
+            F.round(
+                F.lit(1.0)
+                - kept_t("keep_ex").cast("double") / F.sum("t")
+                + F.lit(1e-9),
+                6,
+            ).alias("exact_token_cut"),
+            F.round(
+                F.lit(1.0)
+                - kept_t("keep_near").cast("double") / F.sum("t")
+                + F.lit(1e-9),
+                6,
+            ).alias("near_token_cut"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["dedup_impact_docs"] = CatalogQuery(
+    QUERIES["dedup_impact_docs"].fn,
+    _dedup_impact_oracle(),
+    QUERIES["dedup_impact_docs"].description,
+)

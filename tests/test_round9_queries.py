@@ -188,3 +188,41 @@ def test_key_skew_report_against_python(spark):
     ) < 1e-5
     assert abs(r["gini"] - gini) < 1e-5
     assert 0.0 <= r["gini"] < 1.0
+
+
+def test_ann_ndcg_sanity(spark):
+    rows = {
+        r["method"]: r
+        for r in QUERIES["ann_ndcg_embeddings"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {"ann_brute_force", "ann_lsh", "ann_ivf", "ann_pq_adc"}
+    # brute force IS the truth: perfect ordering and perfect top-1
+    assert rows["ann_brute_force"]["ndcg_at_5"] == 1.0
+    assert rows["ann_brute_force"]["mrr"] == 1.0
+    for m, r in rows.items():
+        assert 0.0 <= r["ndcg_at_5"] <= 1.0 and 0.0 <= r["mrr"] <= 1.0
+    # approximate methods cannot beat the truth
+    assert all(r["ndcg_at_5"] <= 1.0 + 1e-9 for r in rows.values())
+
+
+def test_dedup_impact_consistency(spark):
+    rows = QUERIES["dedup_impact_docs"].fn(spark, SF).collect()
+    tot = QUERIES["mixture_temperature_docs"].fn(spark, SF).collect()
+    tok = {r["source"]: r["n_tokens"] for r in tot}
+    nd = {r["source"]: r["n_docs"] for r in tot}
+    assert {r["source"] for r in rows} == set(tok)
+    for r in rows:
+        # same base accounting as the mixture gauge (same tokenizer)
+        assert r["n_tokens"] == tok[r["source"]]
+        assert r["n_docs"] == nd[r["source"]]
+        assert 0 < r["exact_kept_docs"] <= r["n_docs"]
+        assert 0 < r["near_kept_docs"] <= r["n_docs"]
+        # near-dedup keeps a subset of what exact dedup keeps (exact dups
+        # are near dups), so it cuts at least as much token mass
+        assert r["near_kept_docs"] <= r["exact_kept_docs"]
+        assert r["near_token_cut"] >= r["exact_token_cut"] - 1e-9
+        assert 0.0 <= r["exact_token_cut"] < 1.0
+    # the fixture plants NEAR-duplicates (every text is byte-unique, so
+    # exact dedup cuts nothing — pinned): the near stage must cut tokens
+    assert all(r["exact_token_cut"] == 0 for r in rows)
+    assert any(r["near_token_cut"] > 0 for r in rows)

@@ -6,7 +6,7 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle, 11 of 230): the fixture-driven rules engine +
+Rows-only entries (no oracle, 11 of 231): the fixture-driven rules engine +
 correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
 the fixture table is not among the driver's DuckDB views), the Pandas-UDF
 multimodal stages including the perceptual-hash dedup chain, and the zlib
@@ -53,6 +53,7 @@ _DRIVER_WINDOW = [
     "orders_customer_bucketed_join",  # exchange/sort-free bucketed join
     "ann_ndcg_embeddings",       # nDCG@5 + MRR over the ANN ladder
     "dedup_impact_docs",         # per-source dedup token accounting
+    "events_zorder_scan",        # materialized z-order, measured skip
     # -- (2) changed code re-earns its row --
     "novelty_docs",              # shingles hashed pre-shuffle this round
     # -- (3) anchors (one per load-bearing family) --
@@ -96,7 +97,6 @@ _DRIVER_WINDOW = [
     "decontam_docs",
     "embedding_neardup",
     "events_cohort_retention",
-    "events_funnel",
 ]
 
 

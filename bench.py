@@ -217,6 +217,7 @@ HEADLINE = [
     "orders_customer_bucketed_join",
     "ann_ndcg_embeddings",
     "dedup_impact_docs",
+    "events_zorder_scan",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

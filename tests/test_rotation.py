@@ -111,6 +111,6 @@ def test_changed_code_queries_in_gate_window():
         "power_iteration_embeddings", "lsh_blocking_quality_docs",
         "mixture_temperature_docs", "embedding_outliers",
         "key_skew_report_events", "orders_customer_bucketed_join",
-        "ann_ndcg_embeddings", "dedup_impact_docs",
+        "ann_ndcg_embeddings", "dedup_impact_docs", "events_zorder_scan",
     ):
         assert name in window, name

@@ -6,7 +6,7 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle, 11 of 231): the fixture-driven rules engine +
+Rows-only entries (no oracle, 11 of 232): the fixture-driven rules engine +
 correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
 the fixture table is not among the driver's DuckDB views), the Pandas-UDF
 multimodal stages including the perceptual-hash dedup chain, and the zlib
@@ -54,6 +54,7 @@ _DRIVER_WINDOW = [
     "ann_ndcg_embeddings",       # nDCG@5 + MRR over the ANN ladder
     "dedup_impact_docs",         # per-source dedup token accounting
     "events_zorder_scan",        # materialized z-order, measured skip
+    "conformal_coverage_docs",   # split-conformal coverage gauge
     # -- (2) changed code re-earns its row --
     "novelty_docs",              # shingles hashed pre-shuffle this round
     # -- (3) anchors (one per load-bearing family) --
@@ -96,7 +97,6 @@ _DRIVER_WINDOW = [
     "correlated_subquery",
     "decontam_docs",
     "embedding_neardup",
-    "events_cohort_retention",
 ]
 
 

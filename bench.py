@@ -218,6 +218,7 @@ HEADLINE = [
     "ann_ndcg_embeddings",
     "dedup_impact_docs",
     "events_zorder_scan",
+    "conformal_coverage_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

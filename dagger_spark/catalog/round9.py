@@ -1168,3 +1168,125 @@ def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "x", "y")
         .orderBy("event_id")
     )
+
+
+def _conformal_oracle() -> str:
+    """Composed from the two raters' registered oracles (the kappa
+    discipline): scores from quality_classifier_docs, labels from
+    gopher_quality_docs."""
+    cq = QUERIES["quality_classifier_docs"].oracle
+    gq = QUERIES["gopher_quality_docs"].oracle
+    return f"""
+    WITH cq AS ({cq}), gq AS ({gq}),
+    j AS (
+      SELECT cq.doc_id, cq.score,
+             CASE WHEN gq.passes THEN 1.0 - cq.score ELSE cq.score END AS s
+      FROM cq JOIN gq USING (doc_id)
+    ),
+    cal AS (SELECT doc_id, s FROM j WHERE doc_id % 2 = 0),
+    ncal AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+    ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s, doc_id) AS rn FROM cal
+    ),
+    qh AS (
+      SELECT s AS qhat FROM ranked, ncal
+      WHERE rn = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)
+    ),
+    test AS (SELECT doc_id, score, s FROM j WHERE doc_id % 2 = 1)
+    SELECT n_cal,
+           count(*)::BIGINT                                  AS n_test,
+           round(qhat + 1e-9, 6)                             AS qhat,
+           round(avg(CASE WHEN s <= qhat THEN 1.0 ELSE 0.0 END)
+                 + 1e-9, 6)                                  AS coverage,
+           round(avg((CASE WHEN 1.0 - score <= qhat THEN 1 ELSE 0 END)
+                     + (CASE WHEN score <= qhat THEN 1 ELSE 0 END))
+                 + 1e-9, 6)                                  AS avg_set_size
+    FROM test, qh, ncal
+    GROUP BY n_cal, qhat
+    """
+
+
+@register(
+    "conformal_coverage_docs",
+    None,  # composed oracle attached below
+    "Split-conformal calibration of the quality classifier against the "
+    "Gopher rule labels (alpha = 0.1): nonconformity s = 1 - P(label), "
+    "qhat = the ceil(0.9*(n+1))-th smallest calibration s (EXACT "
+    "integer-rank quantile, even doc_ids), then the marginal coverage "
+    "and average prediction-set size actually achieved on the held-out "
+    "odd doc_ids — the distribution-free 'is this model's uncertainty "
+    "usable as a gate' readout (coverage >= 0.9 up to finite-sample "
+    "noise whenever cal/test are exchangeable).  Scores/labels are the "
+    "registered catalog entries (frames AND oracle CTEs).  Scale shape: "
+    "doc-keyed join of two narrow raters, calibration rank via "
+    "ops/rank.global_row_number (no single-partition window), one "
+    "broadcast qhat row, one 1-row aggregate",
+)
+def conformal_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.rank import global_row_number
+
+    cq = QUERIES["quality_classifier_docs"].fn(spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    gq = QUERIES["gopher_quality_docs"].fn(spark, sf_dir).select(
+        F.col("doc_id").alias("__gid"), "passes"
+    )
+    j = cq.join(gq, F.col("doc_id") == F.col("__gid")).select(
+        "doc_id",
+        "score",
+        F.when(F.col("passes"), F.lit(1.0) - F.col("score"))
+        .otherwise(F.col("score"))
+        .alias("s"),
+    )
+    cal = j.filter(F.col("doc_id") % 2 == 0).select("doc_id", "s")
+    ranked = global_row_number(
+        cal, [F.col("s"), F.col("doc_id")], "rn", part_key=F.col("s")
+    )
+    ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    qh = (
+        ranked.crossJoin(F.broadcast(ncal))
+        .filter(
+            F.col("rn")
+            == F.ceil(F.lit(0.9) * (F.col("n_cal") + 1)).cast("long")
+        )
+        .select("n_cal", F.col("s").alias("qhat"))
+    )
+    test = j.filter(F.col("doc_id") % 2 == 1)
+    return (
+        test.crossJoin(F.broadcast(qh))
+        .groupBy("n_cal", "qhat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.avg(
+                    F.when(F.col("s") <= F.col("qhat"), 1.0).otherwise(0.0)
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("coverage"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.lit(1.0) - F.col("score") <= F.col("qhat"), 1
+                    ).otherwise(0)
+                    + F.when(F.col("score") <= F.col("qhat"), 1).otherwise(0)
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("avg_set_size"),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            F.round(F.col("qhat") + F.lit(1e-9), 6).alias("qhat"),
+            "coverage",
+            "avg_set_size",
+        )
+    )
+
+
+QUERIES["conformal_coverage_docs"] = CatalogQuery(
+    QUERIES["conformal_coverage_docs"].fn,
+    _conformal_oracle(),
+    QUERIES["conformal_coverage_docs"].description,
+)

@@ -112,5 +112,6 @@ def test_changed_code_queries_in_gate_window():
         "mixture_temperature_docs", "embedding_outliers",
         "key_skew_report_events", "orders_customer_bucketed_join",
         "ann_ndcg_embeddings", "dedup_impact_docs", "events_zorder_scan",
+        "conformal_coverage_docs",
     ):
         assert name in window, name

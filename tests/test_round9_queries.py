@@ -226,3 +226,40 @@ def test_dedup_impact_consistency(spark):
     # exact dedup cuts nothing — pinned): the near stage must cut tokens
     assert all(r["exact_token_cut"] == 0 for r in rows)
     assert any(r["near_token_cut"] > 0 for r in rows)
+
+
+def test_conformal_coverage_against_python(spark):
+    import math
+
+    r = QUERIES["conformal_coverage_docs"].fn(spark, SF).collect()[0]
+    cq = {
+        x["doc_id"]: x["score"]
+        for x in QUERIES["quality_classifier_docs"].fn(spark, SF).collect()
+    }
+    gq = {
+        x["doc_id"]: x["passes"]
+        for x in QUERIES["gopher_quality_docs"].fn(spark, SF).collect()
+    }
+    s = {
+        d: (1.0 - cq[d]) if gq[d] else cq[d]
+        for d in cq
+        if d in gq
+    }
+    cal = sorted((s[d], d) for d in s if d % 2 == 0)
+    n_cal = len(cal)
+    k = math.ceil(0.9 * (n_cal + 1))
+    qhat = cal[k - 1][0]
+    test = {d: s[d] for d in s if d % 2 == 1}
+    cov = sum(1 for v in test.values() if v <= qhat) / len(test)
+    sets = [
+        (1 if 1.0 - cq[d] <= qhat else 0) + (1 if cq[d] <= qhat else 0)
+        for d in test
+    ]
+    assert r["n_cal"] == n_cal and r["n_test"] == len(test)
+    assert abs(r["qhat"] - qhat) < 1e-5
+    assert abs(r["coverage"] - cov) < 1e-5
+    assert abs(r["avg_set_size"] - sum(sets) / len(sets)) < 1e-5
+    # the conformal guarantee: coverage >= 1 - alpha up to finite-sample
+    # noise (exchangeable split by construction — doc parity)
+    assert r["coverage"] >= 0.9 - 3 / math.sqrt(r["n_test"])
+    assert 1.0 <= r["avg_set_size"] <= 2.0

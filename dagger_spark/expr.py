@@ -94,11 +94,18 @@ LEAF_OPS = frozenset(
 
 @dataclass(frozen=True)
 class Leaf(Pred):
-    """``field <op> value``; ``field`` is a dotted path, e.g. ``event_data.Image``."""
+    """``field <op> value``; ``field`` is a dotted path, e.g. ``event_data.Image``.
+
+    ``cased=True`` exempts THIS leaf from a rule-wide case-insensitive
+    rendering (Sigma v2 ``|cased`` — the spec's case-sensitivity escape
+    hatch).  Grammar form: ``CASED(field) <op> value``; under a
+    case-SENSITIVE rule the flag is a no-op by construction.
+    """
 
     field: str
     op: str
     value: object = None
+    cased: bool = False
 
     def __post_init__(self):
         if self.op not in LEAF_OPS:
@@ -237,8 +244,9 @@ def to_column(pred: Pred, case_insensitive: bool = False) -> Column:
         assert isinstance(p, Leaf)
         col = _col(p.field)
         op, v = p.op, p.value
+        lci = ci and not p.cased  # |cased leaves opt out of rule-wide CI
         is_str = isinstance(v, str)
-        if ci and is_str and op in ("eq", "ne", "contains", "startswith", "endswith"):
+        if lci and is_str and op in ("eq", "ne", "contains", "startswith", "endswith"):
             col, v = F.lower(col), v.lower()
         if op == "eq":
             return col == F.lit(v)
@@ -246,7 +254,7 @@ def to_column(pred: Pred, case_insensitive: bool = False) -> Column:
             return col != F.lit(v)
         if op == "eq_field":
             other = _col(v)
-            if ci:
+            if lci:
                 return F.lower(col) == F.lower(other)
             return col == other
         if op in ("lt", "le", "gt", "ge"):
@@ -283,7 +291,7 @@ def to_column(pred: Pred, case_insensitive: bool = False) -> Column:
             # one flag drives BOTH sides (mirrors to_sql's lower_all): a
             # mixed-type list must not lower the column while leaving the
             # values un-lowered, which would silently never match.
-            lower_all = ci and bool(v) and all(isinstance(x, str) for x in v)
+            lower_all = lci and bool(v) and all(isinstance(x, str) for x in v)
             vals = [x.lower() for x in v] if lower_all else list(v)
             if lower_all:
                 col = F.lower(_col(p.field))
@@ -298,9 +306,9 @@ def to_column(pred: Pred, case_insensitive: bool = False) -> Column:
             return col.endswith(F.lit(v))
         if op == "like":
             pat = like_to_regex(v)
-            return col.rlike("(?i)" + pat if ci else pat)
+            return col.rlike("(?i)" + pat if lci else pat)
         if op == "regex":
-            return col.rlike("(?i)" + v if ci else v)
+            return col.rlike("(?i)" + v if lci else v)
         raise AssertionError(op)
 
     return go(pred)
@@ -361,16 +369,17 @@ def to_sql(pred: Pred, dialect: str = "duckdb", case_insensitive: bool = False) 
             return f"(NOT {go(p.child)})"
         assert isinstance(p, Leaf)
         op, v = p.op, p.value
-        low = ci and isinstance(v, str) and op in ("eq", "ne", "contains", "startswith", "endswith", "in")
+        lci = ci and not p.cased  # |cased leaves opt out of rule-wide CI
+        low = lci and isinstance(v, str) and op in ("eq", "ne", "contains", "startswith", "endswith", "in")
         f = fld(p, low and op != "in")
         if op == "eq":
             return f"({f} = {lit(v, low)})"
         if op == "ne":
             return f"({f} <> {lit(v, low)})"
         if op == "eq_field":
-            a = fld(p, ci)
+            a = fld(p, lci)
             b = _field_sql(v, dialect)
-            return f"({a} = lower({b}))" if ci else f"({a} = {b})"
+            return f"({a} = lower({b}))" if lci else f"({a} = {b})"
         if op in ("lt", "le", "gt", "ge"):
             # mirror to_column: numeric literals TRY_CAST the field to
             # DOUBLE (NULL -> no match); string literals compare lexically
@@ -381,7 +390,7 @@ def to_sql(pred: Pred, dialect: str = "duckdb", case_insensitive: bool = False) 
                 return f"(TRY_CAST({f} AS DECIMAL(38,9)) {sym} {v})"
             return f"(TRY_CAST({f} AS DOUBLE) {sym} {float(v)!r})"
         if op == "in":
-            lower_all = ci and all(isinstance(x, str) for x in v)
+            lower_all = lci and all(isinstance(x, str) for x in v)
             f2 = fld(p, lower_all)
             items = ", ".join(lit(x, lower_all) for x in v)
             return f"({f2} IN ({items}))"
@@ -397,12 +406,12 @@ def to_sql(pred: Pred, dialect: str = "duckdb", case_insensitive: bool = False) 
                     else f"endswith({f}, {lit(v, low)})")
         if op == "like":
             pat = like_to_regex(v)
-            if ci:
+            if lci:
                 pat = "(?i)" + pat
             return (f"regexp_matches({fld(p, False)}, {_lit_sql(pat, dialect)})" if dialect == "duckdb"
                     else f"({fld(p, False)} RLIKE {_lit_sql(pat, dialect)})")
         if op == "regex":
-            pat = "(?i)" + v if ci else v
+            pat = "(?i)" + v if lci else v
             return (f"regexp_matches({fld(p, False)}, {_lit_sql(pat, dialect)})" if dialect == "duckdb"
                     else f"({fld(p, False)} RLIKE {_lit_sql(pat, dialect)})")
         raise AssertionError(op)
@@ -451,6 +460,17 @@ def _tokenize(text: str):
         elif m.group("punct") is not None:
             toks.append(("punct", m.group("punct")))
     return toks
+
+
+def _set_cased(pred: Pred) -> Pred:
+    """Mark the leaf of a just-parsed comparison cased=True (IS NOT NULL
+    parses to Not(leaf), so descend one Not level)."""
+    from dataclasses import replace as _replace
+
+    if isinstance(pred, Not):
+        return Not(_set_cased(pred.child))
+    assert isinstance(pred, Leaf)
+    return _replace(pred, cased=True)
 
 
 class _Parser:
@@ -536,7 +556,22 @@ class _Parser:
         return v
 
     def comparison(self) -> Pred:
-        field = self._field()
+        k, v = self.peek()
+        if k == "ident" and v.upper() == "CASED":
+            nk, nv = (
+                self.toks[self.i + 1] if self.i + 1 < len(self.toks) else (None, None)
+            )
+            if nk == "punct" and nv == "(":
+                # CASED(field) <op> value — per-leaf case-sensitivity marker
+                # (Sigma v2 |cased); the comparison parses as usual on the
+                # wrapped field, then its leaf carries cased=True
+                self.i += 2
+                field = self._field()
+                self.expect_punct(")")
+                return _set_cased(self._comparison_tail(field))
+        return self._comparison_tail(self._field())
+
+    def _comparison_tail(self, field: str) -> Pred:
         k, v = self.peek()
         if k == "op":
             self.i += 1

@@ -254,8 +254,57 @@ def _cidr_patterns(cidr: str) -> list:
     return pats
 
 
+def _wrap_cased(term: str, key: str) -> str:
+    """Wrap every occurrence of ``key``'s rendered field in CASED(..) —
+    skipping text inside single-quoted SQL literals, so a needle that
+    happens to contain the backquoted field text is never rewritten."""
+    fld = _field(key)
+    out, i, n = [], 0, len(term)
+    while i < n:
+        ch = term[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if term[j] == "'":
+                    if j + 1 < n and term[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(term[i : j + 1])
+            i = j + 1
+            continue
+        if term.startswith(fld, i):
+            out.append(f"CASED({fld})")
+            i += len(fld)
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _modifier_term(key: str, modifier: str, value, bug_compat: bool) -> str:
     chain = modifier.split("|")
+    if "cased" in chain:
+        # Sigma v2 |cased: the spec's case-sensitivity escape hatch — the
+        # decorated leaf compares case-sensitively even under the rule-wide
+        # case-insensitive default.  Compiles the chain WITHOUT the marker,
+        # then wraps the field in the grammar's CASED(..) form (expr.Leaf
+        # cased=True), which exempts just this leaf from CI rendering.
+        if bug_compat:
+            # the reference strips unknown modifiers silently (main.py:35);
+            # under its case-SENSITIVE matching the strip is semantically
+            # harmless, but we refuse like every other unknown-to-it
+            # modifier rather than reproduce the strip
+            raise SigmaCompileError("cased not supported in bug-compat mode")
+        rest = [m for m in chain if m != "cased"]
+        if rest:
+            term = _modifier_term(key, "|".join(rest), value, False)
+        else:
+            vals = value if isinstance(value, list) else [value]
+            parts = [_scalar_term(key, v, False) for v in vals]
+            term = parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
+        return _wrap_cased(term, key)
     if chain[0] in _ENC_CODECS:
         if bug_compat:
             # the reference silently strips unknown modifiers (main.py:35);

@@ -17,10 +17,12 @@ IMPLEMENTED = {
     "contains", "startswith", "endswith", "re", "all",
     "base64", "base64offset", "wide", "utf16le", "utf16be", "utf16",
     "windash", "cidr", "lt", "lte", "gt", "gte", "fieldref", "exists",
+    "cased",
 }
 
-# Sigma-v2 spec modifiers we deliberately reject (COVERAGE.md matrix)
-SPEC_REJECTED = ["cased", "expand"]
+# Sigma-v2 spec modifiers we deliberately reject (COVERAGE.md matrix):
+# expand needs an external placeholder dictionary the pipeline doesn't ship
+SPEC_REJECTED = ["expand"]
 
 
 def mk(field_spec, value):
@@ -35,6 +37,94 @@ def mk(field_spec, value):
 def test_spec_modifiers_we_dont_implement_reject_loudly(mod):
     with pytest.raises(SigmaCompileError):
         compile_sigma(mk(f"CommandLine|{mod}", "x"))
+
+
+# ---------------------------------------------------------------------------
+# |cased — implemented round 10 (the spec's case-sensitivity escape hatch)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "field_spec,value,expect",
+    [
+        ("CommandLine|cased", "DumpCreds", "(CASED(`event_data`.`CommandLine`) = 'DumpCreds')"),
+        ("CommandLine|contains|cased", "DumpCreds", None),
+        ("CommandLine|cased|contains", "DumpCreds", None),  # order-agnostic
+        ("Image|startswith|cased", "C:\\", None),
+        ("Image|endswith|cased", ".Exe", None),
+        ("CommandLine|cased", ["A*", "b"], None),
+    ],
+)
+def test_cased_compiles_to_cased_leaves(field_spec, value, expect):
+    from dagger_spark.expr import Leaf, Not, Pred
+
+    spec = compile_sigma(mk(field_spec, value))
+    leaves = []
+
+    def walk(p):
+        if isinstance(p, Leaf):
+            leaves.append(p)
+        elif isinstance(p, Not):
+            walk(p.child)
+        else:
+            for c in p.children:
+                walk(c)
+
+    walk(spec.predicate)
+    cased = [leaf for leaf in leaves if leaf.cased]
+    assert cased, f"no cased leaf in {spec.predicate_sql!r}"
+    # the event_id gate leaf must NOT be cased
+    assert all(leaf.field.startswith("event_data.") for leaf in cased)
+
+
+def test_cased_rejected_in_bug_compat():
+    with pytest.raises(SigmaCompileError, match="cased"):
+        compile_sigma(mk("CommandLine|cased", "x"), bug_compat=True)
+
+
+def test_cased_is_case_sensitive_under_ci_rule(spark, duck):
+    """Under the rule-wide case-insensitive default, a |cased leaf must
+    match case-SENSITIVELY while its undecorated sibling stays CI — in
+    BOTH renderers (Spark Column and the DuckDB oracle SQL)."""
+    from dagger_spark.expr import to_sql
+
+    rule = mk("CommandLine|contains|cased", "DuMpCrEdS")
+    rule["detection"]["sel"]["Image|contains"] = "MIMIKATZ"
+    del rule["logsource"]["category"]  # no event_id gate: pure string test
+    spec = compile_sigma(rule)
+    assert spec.case_insensitive
+
+    rows = [
+        ("exact", "run DuMpCrEdS now", r"c:\tools\mimikatz.exe"),
+        ("wrongcase", "run dumpcreds now", r"c:\tools\MiMiKaTz.exe"),
+        ("lowerneedle", "run DuMpCrEdS now", r"C:\TOOLS\Mimikatz.EXE"),
+    ]
+    df = spark.createDataFrame(
+        [(n, {"CommandLine": c, "Image": i}) for n, c, i in rows],
+        "name string, event_data map<string,string>",
+    )
+    got = sorted(
+        r["name"] for r in df.filter(spec.condition()).select("name").collect()
+    )
+    # Image|contains 'MIMIKATZ' matches all three (CI); the cased
+    # CommandLine needle kills 'wrongcase'
+    assert got == ["exact", "lowerneedle"]
+
+    sql = to_sql(spec.predicate, "duckdb", case_insensitive=True)
+    con = duck
+    con.execute("DROP TABLE IF EXISTS t_cased")
+    con.execute("CREATE TABLE t_cased(name VARCHAR, event_data STRUCT(CommandLine VARCHAR, Image VARCHAR))")
+    for n, c, i in rows:
+        con.execute(
+            "INSERT INTO t_cased VALUES (?, row(?, ?))", [n, c, i]
+        )
+    oracle = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT name FROM t_cased WHERE {sql}"
+        ).fetchall()
+    )
+    assert oracle == got
 
 
 @pytest.mark.parametrize("mod", sorted(IMPLEMENTED - {"exists", "lt", "lte", "gt", "gte", "all", "wide", "utf16le", "utf16be", "utf16", "base64offset"}))

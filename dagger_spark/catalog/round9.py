@@ -574,7 +574,10 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def key(qc, nc):
-        return qc * F.lit(1_000_000) + nc
+        # collision-free pair key: ':'-joined decimal ids (an arithmetic
+        # q*CONST+n key collides once neighbor_id >= CONST — at 100 TB,
+        # >1M vectors is the norm, so no multiplier is safe)
+        return F.concat_ws(":", qc.cast("string"), nc.cast("string"))
 
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -593,7 +596,7 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rounds = [pick]
     sel_keys = [
-        r["query_id"] * 1_000_000 + r["neighbor_id"] for r in pick.collect()
+        f"{r['query_id']}:{r['neighbor_id']}" for r in pick.collect()
     ]  # bounded: one row per query per round
     for t in range(2, _MMR_K + 1):
         pen = (
@@ -633,8 +636,7 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rounds.append(pick)
         sel_keys = sel_keys + [
-            r["query_id"] * 1_000_000 + r["neighbor_id"]
-            for r in pick.collect()
+            f"{r['query_id']}:{r['neighbor_id']}" for r in pick.collect()
         ]
     return reduce(lambda x, y: x.unionAll(y), rounds).orderBy(
         "query_id", "mmr_rank"
@@ -750,7 +752,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
 
     def fp(name):
         st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
-        return f"{st.st_size}_{int(st.st_mtime)}"
+        return f"{st.st_size}_{st.st_mtime_ns}"
 
     spark.sql(
         f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB} "
@@ -788,6 +790,48 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
     return tuple(names)
 
 
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Context manager: set a session conf for the block, restore (or
+    unset) on exit — a planner flag must never leak into the other 200+
+    queries sharing the bench/driver session."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, value)
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return _cm()
+
+
+def _bucketed_join_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plan-pinned lazy form; caller must hold the
+    bucketedTableScan.outputOrdering conf across planning AND execution
+    (tests/test_bucketed_join.py scopes it around its plan inspection)."""
+    orders_t, customer_t = _bucketed_tables(spark, sf_dir)
+    o = spark.table(orders_t).hint("merge")
+    c = spark.table(customer_t).hint("merge")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 @register(
     "orders_customer_bucketed_join",
     """
@@ -814,23 +858,18 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
 def orders_customer_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark hides bucket SORT order from the planner by default (the
     # one-file-per-bucket check needs an eager listing, SPARK-28169);
-    # our build guarantees one file per bucket, so re-enable propagation —
-    # without it every bucketed join pays two needless per-bucket sorts
-    spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-    )
-    orders_t, customer_t = _bucketed_tables(spark, sf_dir)
-    o = spark.table(orders_t).hint("merge")
-    c = spark.table(customer_t).hint("merge")
-    return (
-        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-        .orderBy("c_mktsegment")
-    )
+    # our build guarantees one file per bucket, so enable propagation —
+    # without it every bucketed join pays two needless per-bucket sorts.
+    # The legacy flag is SCOPED: the join runs (and its mktsegment-count
+    # result — bounded, one row per segment — is collected) inside the
+    # block, then the conf is restored so the flag never leaks into the
+    # shared session's other queries.
+    with _scoped_conf(
+        spark, "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    ):
+        lazy = _bucketed_join_lazy(spark, sf_dir)
+        rows = lazy.collect()
+    return spark.createDataFrame(rows, lazy.schema)
 
 
 # IDCG@5 for graded relevance (6 - truth_rank): written as the SAME
@@ -1102,7 +1141,7 @@ def _zorder_materialized(spark: SparkSession, sf_dir: str) -> tuple:
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     base = os.path.join(
         _ZWRITE_ROOT,
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_size}_{int(st.st_mtime)}",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_size}_{st.st_mtime_ns}",
     )
     zdir, xdir = os.path.join(base, "zorder"), os.path.join(base, "xorder")
     if not os.path.exists(os.path.join(base, "_BUILT")):

@@ -58,7 +58,9 @@ INDEX_ROOT = "/tmp/dagger_sq8_ivf"
 
 def _source_fingerprint(path: str) -> str:
     st = os.stat(path)
-    return f"{st.st_size}_{int(st.st_mtime)}"
+    # nanosecond mtime: a same-size rewrite within the same wall-clock
+    # second (int(st_mtime) granularity) must still change the fingerprint
+    return f"{st.st_size}_{st.st_mtime_ns}"
 
 
 def index_dir_for(sf_dir: str, n_centroids: int) -> str:
@@ -140,7 +142,12 @@ def build_sq8_ivf_index(
     try:
         os.rename(tmp, idx)
     except OSError:
-        # another process finished first; keep theirs
+        # The only benign cause is losing the publish race (another
+        # process renamed its complete build first) — verify that before
+        # discarding ours.  EXDEV/EACCES/partial leftovers would otherwise
+        # silently return a missing or invalid index dir.
+        if not os.path.exists(os.path.join(idx, "_BUILT")):
+            raise
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)

@@ -26,9 +26,14 @@ def _subtree_nodes(jnode):
 
 
 def test_bucketed_join_has_no_exchange_or_sort_under_join(spark):
-    df = QUERIES["orders_customer_bucketed_join"].fn(spark, SF)
-    df.collect()  # finalize AQE
-    root = df._jdf.queryExecution().executedPlan()
+    from dagger_spark.catalog.round9 import _bucketed_join_lazy, _scoped_conf
+
+    with _scoped_conf(
+        spark, "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    ):
+        df = _bucketed_join_lazy(spark, SF)
+        df.collect()  # finalize AQE
+        root = df._jdf.queryExecution().executedPlan()
     smj = [n for n in _walk_physical(root) if n.nodeName() == "SortMergeJoin"]
     assert smj, "expected a SortMergeJoin over the bucketed tables"
     for j in smj:
@@ -55,6 +60,15 @@ def test_bucketed_layout_on_disk(spark):
         loc = os.path.join(_BUCKET_WAREHOUSE, t.split(".", 1)[1])
         files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
         assert len(files) == 8, files
+
+
+def test_catalog_entry_restores_planner_conf(spark):
+    """The catalog fn must not leak the legacy bucketed-scan flag into the
+    shared session (bench/driver run all 230+ queries on one session)."""
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    before = spark.conf.get(key)
+    QUERIES["orders_customer_bucketed_join"].fn(spark, SF).collect()
+    assert spark.conf.get(key) == before
 
 
 def test_bucketed_results_match_plain_join(spark):

@@ -88,16 +88,22 @@ def build_sq8_ivf_index(
     spark: SparkSession,
     sf_dir: str,
     n_centroids: int = 16,
+    corpus: DataFrame = None,
+    tag: str = "",
 ) -> str:
     """Build (or reuse) the materialized index for ``sf_dir``'s embeddings
-    corpus.  Returns the index directory."""
+    corpus.  Returns the index directory.
+
+    ``corpus`` overrides the default full-table scan (the incremental-append
+    path builds its base index from a subset); ``tag`` suffixes the index
+    dir so a subset build can never shadow the canonical full index."""
     from ..sources.files import load_table
 
-    idx = index_dir_for(sf_dir, n_centroids)
+    idx = index_dir_for(sf_dir, n_centroids) + (f"_{tag}" if tag else "")
     if os.path.exists(os.path.join(idx, "_BUILT")):
         return idx
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = corpus if corpus is not None else load_table(spark, sf_dir, "embeddings")
     sq = sq8_quantize(emb)
 
     tmp = f"{idx}.build.{os.getpid()}"
@@ -241,3 +247,103 @@ def sq8_ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _code_expr(vec: Column, mn_arr: Column, mx_arr: Column) -> Column:
+    """SQ8 encoding as a pure projection against a FROZEN grid: the
+    identical ``round((v - mn) * 255 / (mx - mn))`` tree sq8_quantize uses
+    (constant dims -> code 0), so codes for in-grid vectors are bit-equal
+    to a full rebuild's."""
+
+    def one(v: Column, i: Column) -> Column:
+        mn = F.element_at(mn_arr, i + 1)
+        mx = F.element_at(mx_arr, i + 1)
+        span = mx - mn
+        return (
+            F.when(span == F.lit(0.0), F.lit(0))
+            .otherwise(F.round((v - mn) * F.lit(255.0) / span, 0))
+            .cast("int")
+        )
+
+    return F.transform(vec, one)
+
+
+def append_to_sq8_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally append vectors to a BUILT index — the 100 TB common
+    case (new corpus slice arrives -> assign -> quantize -> append its
+    cells' postings partitions), vs the rebuild-only path that re-quantizes
+    the whole corpus.
+
+    The grid and centroids are FROZEN: new vectors are SQ8-encoded against
+    the existing per-dimension grid and assigned to the existing coarse
+    cells, so query results after append are IDENTICAL to a full rebuild
+    *provided the frozen grid still covers the new vectors* (per-dim
+    min/max unchanged) and the centroid ids were in the base corpus — the
+    grid-staleness bound.  Out-of-grid vectors would silently clamp-distort
+    codes, so the function REFUSES them (raises ValueError with the
+    violating count); the caller's signal to rebuild.
+
+    Cost is proportional to the DELTA, not the corpus: one scan of
+    ``new_vectors`` (grid/centroids ride as plan-time literals), one
+    partitioned append write.  Returns the number of vectors appended.
+    """
+    if not os.path.exists(os.path.join(index_dir, "_BUILT")):
+        raise ValueError(f"not a built index: {index_dir}")
+    mn_arr, mx_arr = _grid_literals(spark, index_dir)
+    cents = [
+        (r["cid"], list(r["vector"]))
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "centroids.parquet")
+        ).collect()
+    ]  # bounded: n_centroids rows
+    cell_of = _cell_of_from_centroids(cents)
+
+    vecs = new_vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # grid-staleness gate: every dimension of every new vector must lie in
+    # [mn, mx] (one delta-sized scan; the grid rides as literals)
+    oob = F.exists(
+        F.zip_with(
+            F.col("v"),
+            F.sequence(F.lit(1), F.size(F.col("v"))),
+            lambda x, i: (x < F.element_at(mn_arr, i.cast("int")))
+            | (x > F.element_at(mx_arr, i.cast("int"))),
+        ),
+        lambda b: b,
+    )
+    n_oob = vecs.filter(oob).count()
+    if n_oob:
+        raise ValueError(
+            f"{n_oob} new vector(s) fall outside the frozen SQ8 grid — "
+            "appending would distort their codes; rebuild the index "
+            "(grid-staleness bound, see module docstring)"
+        )
+
+    staged = vecs.select(
+        "vec_id",
+        _code_expr(F.col("v"), mn_arr, mx_arr).alias("codes"),
+    )
+    # assignment must match the build bit-for-bit: cells are chosen on the
+    # RECONSTRUCTED vector (the build assigns on recon, ivf_index.py:128-134)
+    assigned = staged.select(
+        "vec_id",
+        "codes",
+        cell_of(
+            _recon_expr(F.col("codes"), mn_arr, mx_arr),
+            norm(_recon_expr(F.col("codes"), mn_arr, mx_arr)),
+            1,
+        )[0]["c"].alias("cell"),
+    )
+    n_new = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    return n_new

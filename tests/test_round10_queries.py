@@ -1,0 +1,114 @@
+"""Round-10 catalog additions: exact-parity pins for the two alternate-form
+operators (grouped MMR == literal-loop MMR; appended index == one-shot
+rebuild) plus the append path's grid-staleness gate."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagger_spark.catalog import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale MMR (applyInPandas) vs the literal-loop form
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_grouped_exactly_equals_literal_loop(spark):
+    """The verdict-ask parity: the per-query applyInPandas greedy must
+    return IDENTICAL rows (ranks, ids, 6-decimal scores) to the 8-round
+    literal-loop form — float32 products + sequential float64 accumulation
+    + HALF_UP rounding replicate Spark's arithmetic bit-for-bit."""
+    a = [tuple(r) for r in QUERIES["mmr_rerank_embeddings"].fn(spark, SF).collect()]
+    b = [tuple(r) for r in QUERIES["mmr_rerank_grouped"].fn(spark, SF).collect()]
+    assert len(a) == len(b) == 64
+    assert a == b
+
+
+def test_mmr_grouped_has_no_driver_loop(spark):
+    """The grouped form's plan is ONE query: retrieval + a single
+    FlatMapGroupsInPandas — no unioned selection-round subplans."""
+    df = QUERIES["mmr_rerank_grouped"].fn(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Union" not in plan
+
+
+def test_mmr_grouped_ranks_are_dense_per_query(spark):
+    rows = QUERIES["mmr_rerank_grouped"].fn(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["mmr_rank"])
+    assert set(by_q) == set(range(8))
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, 9))
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF+SQ8 append
+# ---------------------------------------------------------------------------
+
+
+def test_appended_index_equals_full_rebuild(spark):
+    """Query results from the base+append index must be bit-identical to
+    the one-shot full build (grid kept complete by holding per-dim extreme
+    achievers and centroid seeds in the base)."""
+    a = sorted(
+        tuple(r) for r in QUERIES["ann_ivf_sq8_appended"].fn(spark, SF).collect()
+    )
+    b = sorted(
+        tuple(r) for r in QUERIES["ann_ivf_sq8_indexed"].fn(spark, SF).collect()
+    )
+    assert a == b and len(a) == 40
+
+
+def test_append_covers_whole_corpus(spark):
+    """The stitched postings must contain every non-null vector exactly
+    once — appending is not allowed to drop or duplicate."""
+    from dagger_spark.catalog.round10 import _incremental_index
+
+    idx = _incremental_index(spark, SF, n_centroids=16)
+    post = spark.read.parquet(os.path.join(idx, "postings"))
+    n_corpus = (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .filter(F.col("embedding").isNotNull())
+        .count()
+    )
+    assert post.count() == n_corpus
+    assert post.select("vec_id").distinct().count() == n_corpus
+
+
+def test_append_refuses_out_of_grid_vectors(spark):
+    """The grid-staleness gate: a vector outside the frozen per-dimension
+    grid must raise, not silently clamp-distort its codes."""
+    from dagger_spark.ops.ivf_index import (
+        append_to_sq8_ivf_index,
+        build_sq8_ivf_index,
+    )
+
+    idx = build_sq8_ivf_index(spark, SF, n_centroids=16)
+    dim = len(
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .filter(F.col("embedding").isNotNull())
+        .select(F.size("embedding").alias("d"))
+        .first()["d"]
+        * [0]
+    )
+    bad = spark.createDataFrame(
+        [(10_000_000, [1e9] * dim)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="outside the frozen SQ8 grid"):
+        append_to_sq8_ivf_index(spark, idx, bad)
+
+
+def test_append_requires_built_index(spark):
+    from dagger_spark.ops.ivf_index import append_to_sq8_ivf_index
+
+    df = spark.createDataFrame(
+        [(1, [0.0])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not a built index"):
+        append_to_sq8_ivf_index(spark, "/tmp/definitely_not_an_index", df)

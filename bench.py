@@ -219,6 +219,9 @@ HEADLINE = [
     "dedup_impact_docs",
     "events_zorder_scan",
     "conformal_coverage_docs",
+    # round-10 additions
+    "ann_ivf_sq8_appended",
+    "mmr_rerank_grouped",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000
@@ -469,26 +472,42 @@ def main() -> None:
     )
     wq.awaitTermination()
 
-    events = file_stream_events(spark, _sysmon_stream_dir(), watermark=None,
-                                max_files_per_trigger=STREAM_FILES_PER_TRIGGER)
-    t0 = time.perf_counter()
-    q = (
-        build_alert_stream(events, rules)
-        .writeStream.foreachBatch(_count_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dagger_bench_ckpt_"))
-        .outputMode("append")
-        # AvailableNow = the idiomatic backlog-replay trigger: drain all
-        # available input as micro-batches, then terminate — no idle
-        # trigger-scheduling gaps between batches
-        .trigger(availableNow=True)
-        .start()
+    # best-of-N like every batch leg (round-9 verdict ask #3: the single-run
+    # number contradicted tools/stream_adjudicate.py's idle best-of-3 — one
+    # methodology, one authoritative events/s figure)
+    stream_runs = []
+    for ri in range(n_runs):
+        run_alerts = {"n": 0}
+
+        def _count_run(bdf, _bid, run_alerts=run_alerts):
+            run_alerts["n"] += bdf.count()
+
+        events = file_stream_events(
+            spark, _sysmon_stream_dir(), watermark=None,
+            max_files_per_trigger=STREAM_FILES_PER_TRIGGER)
+        t0 = time.perf_counter()
+        q = (
+            build_alert_stream(events, rules)
+            .writeStream.foreachBatch(_count_run)
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="dagger_bench_ckpt_"))
+            .outputMode("append")
+            # AvailableNow = the idiomatic backlog-replay trigger: drain all
+            # available input as micro-batches, then terminate — no idle
+            # trigger-scheduling gaps between batches
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        stream_runs.append(round(time.perf_counter() - t0, 3))
+        if ri == 0:
+            stream_alerts["n"] = run_alerts["n"]
+    dt_stream = stream_runs[0]
+    timings["sysmon_rules_stream_2_56m"] = dt_stream
+    best["sysmon_rules_stream_2_56m"] = min(stream_runs)
+    spread["sysmon_rules_stream_2_56m"] = round(
+        max(stream_runs) - min(stream_runs), 3
     )
-    q.awaitTermination()
-    dt_stream = time.perf_counter() - t0
-    timings["sysmon_rules_stream_2_56m"] = round(dt_stream, 3)
-    # single streaming run: its fixed costs are already isolated by the
-    # untimed warmup query, so the first run IS the steady-state number
-    best["sysmon_rules_stream_2_56m"] = round(dt_stream, 3)
 
     # bounded-state streaming distinct-count (round-7 verdict ask #6): the
     # streaming KMV sketch replayed over the SAME 2.56M-event micro-batch
@@ -644,8 +663,23 @@ def main() -> None:
     calib_end = _calibrate()
     loadavg_end = [round(x, 2) for x in os.getloadavg()]
     detail = {
-        "sysmon_rules_events_per_sec": round(SYSMON_BENCH_ROWS / dt),
-        "sysmon_rules_stream_events_per_sec": round(SYSMON_BENCH_ROWS / dt_stream),
+        "sysmon_rules_events_per_sec": round(
+            SYSMON_BENCH_ROWS / min(leg_runs)
+        ),
+        # AUTHORITATIVE streaming number: best-of-N, the same methodology
+        # as tools/stream_adjudicate.py's idle adjudication (which read
+        # 1.012x batch — ARCHITECTURE.md's streaming-slide entry); first
+        # runs of both legs remain in "queries" for suite comparability
+        "sysmon_rules_stream_events_per_sec": round(
+            SYSMON_BENCH_ROWS / min(stream_runs)
+        ),
+        "sysmon_rules_stream_vs_batch_best": round(
+            min(leg_runs) / min(stream_runs), 3
+        ),
+        "stream_methodology": (
+            "best-of-%d availableNow replay, same discipline as "
+            "tools/stream_adjudicate.py" % n_runs
+        ),
         "sysmon_alerts": n_alerts,
         "sysmon_stream_alerts": stream_alerts["n"],
         "kmv_stream_events_per_sec": round(SYSMON_BENCH_ROWS / dt_kmv),
@@ -682,18 +716,41 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
     )
-    with open(full_path, "w") as f:
-        json.dump({
-            "metric": "suite_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "queries_best": best,
-            "queries_spread": spread,
-            "bench_runs": n_runs,
-            "sf": sf,
-            "detail": detail,
-        }, f, indent=1, sort_keys=True)
+    # IDLE GATE on the COMMITTED artifact (round-9 verdict ask #2: the r9
+    # bench_full.json was written at loadavg 6.57 against the repo's own
+    # idle-only convention, inflating best-of-3 +12% on shared workloads
+    # with zero plan changes).  A contended run still prints its stdout
+    # line (the driver's capture must never be lost), but refuses to
+    # overwrite the repo's regression baseline — mirroring scale_probe's
+    # _DONE discipline.  SPARK_GRAFT_BENCH_FORCE_FULL=1 overrides.
+    contended = loadavg_start[0] > 2.0 and not os.environ.get(
+        "SPARK_GRAFT_BENCH_FORCE_FULL"
+    )
+    detail["bench_full_written"] = not contended
+    if contended:
+        detail["bench_full_skipped_reason"] = (
+            f"loadavg_start_1m {loadavg_start[0]} > 2.0 — contended run; "
+            "bench_full.json (the committed regression baseline) left "
+            "untouched"
+        )
+        print(
+            f"WARNING: loadavg {loadavg_start[0]} > 2.0 at start — "
+            "NOT overwriting bench_full.json",
+            file=sys.stderr,
+        )
+    else:
+        with open(full_path, "w") as f:
+            json.dump({
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "queries_best": best,
+                "queries_spread": spread,
+                "bench_runs": n_runs,
+                "sf": sf,
+                "detail": detail,
+            }, f, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
         "metric": "suite_wall_sec",

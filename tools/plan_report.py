@@ -33,6 +33,40 @@ def main():
     rows = []
     for name, q in sorted(QUERIES.items()):
         try:
+            if name == "orders_customer_bucketed_join":
+                # the catalog fn scopes the legacy bucketed-scan conf and
+                # returns the collected rows as a local relation (no conf
+                # leak into the shared session); the plan OF RECORD is the
+                # lazy form under that conf — audit that, as the test does
+                from dagger_spark.catalog.round9 import (
+                    _bucketed_join_lazy, _scoped_conf,
+                )
+
+                with _scoped_conf(
+                    spark,
+                    "spark.sql.legacy.bucketedTableScan.outputOrdering",
+                    "true",
+                ):
+                    df = _bucketed_join_lazy(spark, sf_dir)
+                    df.collect()
+                    plan = df._jdf.queryExecution().executedPlan().toString()
+                    plan = plan.split("== Initial Plan ==", 1)[0]
+                shuffles = plan.count(
+                    "Exchange hashpartitioning"
+                ) + plan.count("Exchange rangepartitioning")
+                rows.append((
+                    name, shuffles, plan.count("BroadcastExchange"),
+                    plan.count("SortMergeJoin"),
+                    plan.count("BroadcastNestedLoopJoin"),
+                    plan.count("CartesianProduct"),
+                    len(re.findall(
+                        r"windowspecdefinition\([^,()]*? (?:ASC|DESC)", plan
+                    )),
+                    plan.count("*("),
+                    "yes" if re.search(r"PushedFilters: \[(?!\])", plan)
+                    else "—",
+                ))
+                continue
             df = q.fn(spark, sf_dir)
             df.collect()  # finalize AQE so codegen spans + real shuffles show
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -87,14 +121,19 @@ def main():
         "spans, and whether any parquet scan carries pushed filters.  Every",
         "shuffle below is the semantic minimum for its group-by / self-join;",
         "dimension joins broadcast; Python appears only in the multimodal",
-        "mapInPandas stages.  Invariants (pinned by tests/test_plans.py):",
-        "SMJ = 0 and cartesian = 0 everywhere; every BNLJ's build side is a",
-        "literal-class frame (1-row aggregate, a bounded query batch, or a",
-        "capped tuning-gauge truth side); every unpartitioned window's input",
-        "is bounded by construction (ops/rank's ≤num_ranges offsets",
-        "aggregate, revenue_moving_avg's per-day rollup) — the round-6",
-        "rewrite of the five global-rank queries onto ops/rank removed the",
-        "last data-sized single-partition windows.",
+        "mapInPandas/applyInPandas stages.  Invariants (pinned by",
+        "tests/test_plans.py): cartesian = 0 everywhere; SortMergeJoin",
+        "appears ONLY where the scan provides exchange-free, sort-free",
+        "join-ready input (the bucketed co-located layout —",
+        "orders_customer_bucketed_join, whose SMJ subtree is pinned to zero",
+        "Exchange and zero Sort by tests/test_bucketed_join.py) and is",
+        "banned everywhere else; every BNLJ's build side is a literal-class",
+        "frame (1-row aggregate, a bounded query batch, or a capped",
+        "tuning-gauge truth side); every unpartitioned window's input is",
+        "bounded by construction (ops/rank's ≤num_ranges offsets aggregate,",
+        "revenue_moving_avg's per-day rollup) — the round-6 rewrite of the",
+        "five global-rank queries onto ops/rank removed the last data-sized",
+        "single-partition windows.",
         "",
         "| query | shuffles | broadcasts | SMJ | BNLJ | cartesian | unpart. windows | codegen spans | pushdown |",
         "|---|---|---|---|---|---|---|---|---|",

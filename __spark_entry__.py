@@ -6,7 +6,7 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle, 11 of 232): the fixture-driven rules engine +
+Rows-only entries (no oracle, 11 of 240): the fixture-driven rules engine +
 correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
 the fixture table is not among the driver's DuckDB views), the Pandas-UDF
 multimodal stages including the perceptual-hash dedup chain, and the zlib
@@ -26,77 +26,78 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 
-# Driver-window rotation (round 9): the correctness gate verifies the FIRST
-# ~50 queries.  Priorities, in order: (1) every oracle-paired query that
-# has never earned a driver row — the 7 round-9 additions; (2) queries
-# whose implementation changed this round and must re-earn their rows —
-# novelty_docs (string shingles now hashed to 60-bit ints pre-shuffle in
-# BOTH engines); (3) the 7 family anchors; (4) the STALEST rows (round-8
-# verdict ask #3): priorities 1-3 leave 35 slots, spent on the 25 queries
-# whose only green rows date from round 2 (TPC-H tails, early event
-# analytics, set ops) plus the 10 oldest round-4 rows — shared helpers
-# under all of them have moved twice since (catalog split, round-6 rank
-# rewrite).  The round this window was authored in: tests/test_rotation.py
+# Driver-window rotation (round 10): the correctness gate verifies the
+# FIRST ~50 queries.  Priorities, in order: (1) every oracle-paired query
+# that has never earned a driver row — the 8 round-10 additions; (2)
+# queries whose implementation changed this round and must re-earn their
+# rows — mmr_rerank_embeddings (collision-free string pair keys replace
+# the q*1e6+n arithmetic), orders_customer_bucketed_join (scoped planner
+# conf + eager bounded collect), ann_ivf_sq8_indexed (ns-mtime
+# fingerprint + publish-race verification in ops/ivf_index.py); (3) the
+# STALEST rows (round-9 verdict ask #1): priorities 1-2 leave 39 slots,
+# spent on all 18 queries whose last green row is round 4 and the 21
+# alphabetically-first of the 33 round-5 rows (the remaining 12 queue for
+# round 11).  The round this window was authored in: tests/test_rotation.py
 # fails the suite if a later round's CORRECTNESS artifact exists without
 # the window having been re-authored — the mechanical stall guard.
-_WINDOW_ROUND = 9
+_WINDOW_ROUND = 10
 
 _DRIVER_WINDOW = [
-    # -- (1) never-driver-verified: the 7 round-9 additions --
-    "ann_ivf_sq8_indexed",       # materialized IVF+SQ8 index, DPP-pruned
-    "mmr_rerank_embeddings",     # MMR diversified reranking
-    "power_iteration_embeddings",# covariance-free power iteration
-    "lsh_blocking_quality_docs", # LSH blocking reduction/completeness
-    "mixture_temperature_docs",  # share^0.7 mixture rebalancing
-    "embedding_outliers",        # centroid-distance z-score outliers
-    "key_skew_report_events",    # shuffle-key skew diagnostics (Gini)
-    "orders_customer_bucketed_join",  # exchange/sort-free bucketed join
-    "ann_ndcg_embeddings",       # nDCG@5 + MRR over the ANN ladder
-    "dedup_impact_docs",         # per-source dedup token accounting
-    "events_zorder_scan",        # materialized z-order, measured skip
-    "conformal_coverage_docs",   # split-conformal coverage gauge
+    # -- (1) never-driver-verified: the 8 round-10 additions --
+    "ann_ivf_sq8_appended",      # incremental IVF index append (frozen grid)
+    "mmr_rerank_grouped",        # corpus-scale MMR via applyInPandas
+    "events_incremental_rollup", # partial-agg merge == full recompute (IVM)
+    "events_ewma_anomaly",       # truncated-EWMA burst/dropoff monitor
+    "padding_waste_docs",        # length-bucketed batching efficiency
+    "langid_confusion_docs",     # lang-id confusion vs declared lang
+    "dedup_method_agreement_docs",  # pair-set agreement across dedup methods
+    "sq8_residual_error_embeddings",  # residual-vs-raw SQ8 error gauge
     # -- (2) changed code re-earns its row --
-    "novelty_docs",              # shingles hashed pre-shuffle this round
-    # -- (3) anchors (one per load-bearing family) --
-    "q1_pricing_summary",        # TPC-H aggregate
-    "q9_profit_by_nation",       # multi-way join
-    "events_rules_engine",       # SIEM rule fan-in (the reference's core)
-    "events_burst_detection",    # timeframe rules (reference's skipped gap)
-    "exact_dedup_docs",          # exact dedup
-    "minhash_pairs_docs",        # MinHash+LSH
-    "events_exact_quantiles",    # ops/rank two-pass exact quantiles
-    # -- (4) stalest rows: last green in round 2 --
-    "distinct_agg",
-    "distinct_twophase",
-    "events_approx_distinct",
-    "events_hourly",
-    "events_json_stats",
-    "grouped_stats_pandas",
-    "orders_rollup",
-    "percentile_prices",
-    "pivot_returnflag_qty",
-    "q10_returned_items",
-    "q11_important_nations",
-    "q12_late_shipments",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_part_suppliers",
-    "q4_priority_check",
-    "q5_region_volume",
-    "q7_nation_trade",
-    "revenue_moving_avg",
-    "scalar_funcs_showcase",
-    "set_except",
-    "set_intersect",
-    # -- (4) stalest rows: last green in round 4 --
-    "anti_join_no_orders",
-    "bloom_decontam_docs",
-    "correlated_subquery",
-    "decontam_docs",
-    "embedding_neardup",
+    "mmr_rerank_embeddings",     # collision-free pair keys this round
+    "orders_customer_bucketed_join",  # scoped conf + bounded eager collect
+    "ann_ivf_sq8_indexed",       # ivf_index fingerprint/publish-race fixes
+    # -- (3) stalest rows: last green in round 4 --
+    "events_cohort_retention",
+    "events_funnel",
+    "events_multires_rollup",
+    "jaccard_exact_join",
+    "jaccard_pairs_docs",
+    "kmeans_step_embeddings",
+    "mixture_sample_docs",
+    "pii_scan_docs",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "repetition_docs",
+    "semdedup_embeddings",
+    "simhash_docs",
+    "substring_dedup_docs",
+    "text_stats_docs",
+    "tfidf_top_terms",
+    "window_funcs_showcase",
+    # -- (3) stalest rows: last green in round 5 (alphabetically first 21
+    #    of 33; the remaining 12 queue for round 11) --
+    "classifier_calibration_docs",
+    "cube_orders",
+    "customer_hierarchy",
+    "events_alert_debounce",
+    "events_burst_exact",
+    "events_burst_sliding",
+    "events_cusum_shift",
+    "events_gapfill",
+    "events_mad_outliers",
+    "events_median_sketch",
+    "events_pattern_match",
+    "events_pattern_match_sessions",
+    "events_rolling_7d",
+    "events_seasonal_decompose",
+    "events_session_window",
+    "events_theilsen_trend",
+    "events_winsorized_stats",
+    "heavy_hitters_docs",
+    "jaccard_zipf_join",
+    "lsh_recall_docs",
+    "pipeline_verdict_docs",
 ]
 
 

@@ -240,3 +240,604 @@ QUERIES["mmr_rerank_grouped"] = CatalogQuery(
     _mmr_oracle(),
     QUERIES["mmr_rerank_grouped"].description,
 )
+
+
+# ===========================================================================
+# Incremental view maintenance: partial-aggregate merge == full recompute
+# ===========================================================================
+
+
+@register(
+    "events_incremental_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*)::BIGINT        AS n_events,
+           round(sum(value), 2)    AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY hour_start, event_type
+    """,
+    "Incremental rollup maintenance (the materialized-view pattern every "
+    "100 TB warehouse runs): the hourly (hour, event_type) aggregate is "
+    "maintained as STATE + DELTA — events split 90/10 by event_id, the "
+    "base aggregated once (yesterday's materialized state), the delta "
+    "aggregated alone (today's increment), and the two PARTIAL aggregates "
+    "merged by a re-aggregation over their union (counts add, sums add — "
+    "the algebraic-aggregate property that makes incremental maintenance "
+    "exact).  The oracle is the FULL recompute over all events: "
+    "increment-then-merge must be indistinguishable from recomputing, "
+    "which is precisely the IVM correctness contract.  Scale shape: the "
+    "merge re-aggregates STATE-sized input (hours x types), never the "
+    "event history",
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("__sv"),
+        )
+
+    state = partial(ev.filter(F.pmod(F.col("event_id"), F.lit(10)) != 0))
+    delta = partial(ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0))
+    return (
+        state.unionAll(delta)
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("__sv"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# ===========================================================================
+# EWMA anomaly monitor over hourly event-type series
+# ===========================================================================
+
+_EWMA_ALPHA = 0.25  # dyadic: every weight 0.75^i is an EXACT double
+_EWMA_LAGS = 16
+_EWMA_W = [(1 - _EWMA_ALPHA) ** i for i in range(_EWMA_LAGS)]
+_EWMA_NORM = sum(_EWMA_W)  # exact: dyadic rationals on a common 2^-30 grid
+
+
+def _ewma_sql_expr() -> str:
+    terms = " + ".join(
+        f"coalesce(lag(cnt, {i + 1}) OVER w, 0) * {w!r}"
+        for i, w in enumerate(_EWMA_W)
+    )
+    return f"({terms}) / {_EWMA_NORM!r}"
+
+
+@register(
+    "events_ewma_anomaly",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), scored AS (
+      SELECT event_type, hour_start, cnt,
+             {_ewma_sql_expr()} AS forecast,
+             row_number() OVER w AS rn
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start)
+    )
+    SELECT event_type, hour_start, cnt AS n_events,
+           round(forecast + 1e-9, 6)         AS forecast,
+           round(cnt - forecast + 1e-9, 6)   AS deviation
+    FROM scored WHERE rn > {_EWMA_LAGS}
+    ORDER BY round(abs(cnt - forecast), 6) DESC, event_type, hour_start
+    LIMIT 20
+    """,
+    "EWMA anomaly monitor (alpha = 0.25) over the hourly per-event-type "
+    "count series: forecast_t = truncated-16-lag exponentially weighted "
+    "mean of the PRECEDING observations, deviation = actual - forecast; "
+    "top-20 absolute deviations.  The classical single-knob burst/dropoff "
+    "detector beside the CUSUM/MAD monitors.  Cross-engine exactness by "
+    "construction: alpha dyadic -> every weight 0.75^i is an exact "
+    "double, count*weight products are exact dyadics on a common 2^-30 "
+    "grid, so the 16-term sum is EXACT under any summation order — the "
+    "only rounding is the final division.  Scale shape: one keyed "
+    "aggregate to hours x types, then a PARTITIONED (by event_type) "
+    "16-lag window over the series — never a data-sized or "
+    "single-partition window",
+)
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    forecast = sum(
+        (
+            F.coalesce(F.lag("cnt", i + 1).over(w), F.lit(0)) * F.lit(wi)
+            for i, wi in enumerate(_EWMA_W)
+        ),
+        start=F.lit(0.0),
+    ) / F.lit(_EWMA_NORM)
+    scored = hourly.select(
+        "event_type",
+        "hour_start",
+        "cnt",
+        forecast.alias("__f"),
+        F.row_number().over(w).alias("__rn"),
+    ).filter(F.col("__rn") > _EWMA_LAGS)
+    return (
+        scored.select(
+            "event_type",
+            "hour_start",
+            F.col("cnt").alias("n_events"),
+            F.round(F.col("__f") + F.lit(1e-9), 6).alias("forecast"),
+            F.round(F.col("cnt") - F.col("__f") + F.lit(1e-9), 6).alias(
+                "deviation"
+            ),
+            F.round(F.abs(F.col("cnt") - F.col("__f")), 6).alias("__key"),
+        )
+        .orderBy(F.desc("__key"), "event_type", "hour_start")
+        .limit(20)
+        .drop("__key")
+    )
+
+
+# ===========================================================================
+# Length-bucketed batching efficiency (padding waste)
+# ===========================================================================
+
+_PAD_BATCH = 16
+
+
+@register(
+    "padding_waste_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                              '\\s+')) END::BIGINT AS tok
+      FROM documents
+    ), naive AS (
+      SELECT tok, (row_number() OVER (ORDER BY doc_id) - 1) // {_PAD_BATCH}
+               AS batch
+      FROM toks
+    ), srt AS (
+      SELECT tok, (row_number() OVER (ORDER BY tok, doc_id) - 1)
+               // {_PAD_BATCH} AS batch
+      FROM toks
+    ), naive_b AS (
+      SELECT sum(max_tok * n)::BIGINT AS padded FROM (
+        SELECT max(tok) AS max_tok, count(*) AS n FROM naive GROUP BY batch)
+    ), srt_b AS (
+      SELECT sum(max_tok * n)::BIGINT AS padded FROM (
+        SELECT max(tok) AS max_tok, count(*) AS n FROM srt GROUP BY batch)
+    ), tot AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS total_tokens
+      FROM toks
+    )
+    SELECT n_docs, total_tokens,
+           naive_b.padded AS naive_padded,
+           srt_b.padded   AS sorted_padded,
+           round(CAST(naive_b.padded - total_tokens AS DOUBLE)
+                 / naive_b.padded + 1e-9, 6)  AS naive_waste_share,
+           round(CAST(srt_b.padded - total_tokens AS DOUBLE)
+                 / srt_b.padded + 1e-9, 6)    AS sorted_waste_share,
+           round(CAST(naive_b.padded - srt_b.padded AS DOUBLE)
+                 / naive_b.padded + 1e-9, 6)  AS savings_share
+    FROM tot, naive_b, srt_b
+    """,
+    f"Length-bucketed batching efficiency — the padding-waste gauge every "
+    f"training pipeline consults before fixing its batching strategy: "
+    f"docs are grouped into batches of {_PAD_BATCH} either in arrival "
+    f"(doc_id) order or sorted by token length; each batch pads to its "
+    f"longest member, and the gauge reports total padded tokens, waste "
+    f"share for both strategies, and the savings from length-sorting.  "
+    f"All token arithmetic is integer (exact cross-engine); the only "
+    f"doubles are the three final shares.  Scale shape: the global "
+    f"row_numbers run on ops/rank's two-pass range-partitioned primitive "
+    f"(one boundary sketch reused across both orderings' buckets), then "
+    f"batch-keyed aggregates — no single-partition window",
+)
+def padding_waste_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.rank import global_row_number
+    from ..ops.text import token_count
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).alias("tok")
+    )
+
+    def padded_total(df: DataFrame, order_cols, alias: str) -> DataFrame:
+        ranked = global_row_number(df, order_cols, "__rn", part_key=order_cols[0])
+        per_batch = ranked.withColumn(
+            "__batch", ((F.col("__rn") - 1) / _PAD_BATCH).cast("long")
+        ).groupBy("__batch").agg(
+            F.max("tok").alias("__mx"), F.count(F.lit(1)).alias("__n")
+        )
+        return per_batch.agg(
+            F.sum(F.col("__mx") * F.col("__n")).cast("long").alias(alias)
+        )
+
+    naive = padded_total(toks, [F.col("doc_id")], "naive_padded")
+    srt = padded_total(toks, [F.col("tok"), F.col("doc_id")], "sorted_padded")
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(naive))
+        .crossJoin(F.broadcast(srt))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "naive_padded",
+            "sorted_padded",
+            F.round(
+                (F.col("naive_padded") - F.col("total_tokens")).cast("double")
+                / F.col("naive_padded")
+                + F.lit(1e-9),
+                6,
+            ).alias("naive_waste_share"),
+            F.round(
+                (F.col("sorted_padded") - F.col("total_tokens")).cast("double")
+                / F.col("sorted_padded")
+                + F.lit(1e-9),
+                6,
+            ).alias("sorted_waste_share"),
+            F.round(
+                (F.col("naive_padded") - F.col("sorted_padded")).cast("double")
+                / F.col("naive_padded")
+                + F.lit(1e-9),
+                6,
+            ).alias("savings_share"),
+        )
+    )
+
+
+# ===========================================================================
+# Language-ID confusion matrix vs declared lang
+# ===========================================================================
+
+
+def _langid_confusion_oracle() -> str:
+    """Composed from language_id_docs' REGISTERED oracle (the predicted
+    label definition cannot drift from the operator this audits)."""
+    pred = QUERIES["language_id_docs"].oracle
+    return f"""
+    WITH pred AS ({pred}),
+    joined AS (
+      SELECT d.lang AS declared_lang, p.lang_pred
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    ), conf AS (
+      SELECT declared_lang, lang_pred, count(*)::BIGINT AS n_docs
+      FROM joined GROUP BY declared_lang, lang_pred
+    ), tot AS (
+      SELECT declared_lang, sum(n_docs)::BIGINT AS n_declared
+      FROM conf GROUP BY declared_lang
+    )
+    SELECT c.declared_lang, c.lang_pred, c.n_docs,
+           round(CAST(c.n_docs AS DOUBLE) / t.n_declared + 1e-9, 6)
+             AS share_of_declared
+    FROM conf c JOIN tot t USING (declared_lang)
+    ORDER BY declared_lang, lang_pred
+    """
+
+
+@register(
+    "langid_confusion_docs",
+    None,  # composed oracle attached below
+    "Language-ID quality audit: confusion matrix of the stopword-vote "
+    "detector's prediction against the corpus's DECLARED lang column, "
+    "with each cell's share of its declared language (the per-language "
+    "recall diagonal).  The gauge that decides whether lang-id is good "
+    "enough to drive mixture weights / per-language dedup at 100 TB — "
+    "zh has no stopword profile, so its row pins the detector's honest "
+    "'und' fallback rather than a silent wrong guess.  Oracle composed "
+    "from language_id_docs' registered oracle, so the predicted-label "
+    "definition provably cannot drift from the operator being audited.  "
+    "Scale shape: one detector map + two tiny keyed aggregates (langs^2 "
+    "rows); the broadcast total join is language-cardinality sized",
+)
+def langid_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import language_id
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    joined = docs.select(
+        F.col("lang").alias("declared_lang"),
+        language_id(F.col("text")).alias("lang_pred"),
+    )
+    conf = joined.groupBy("declared_lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = conf.groupBy("declared_lang").agg(
+        F.sum("n_docs").cast("long").alias("n_declared")
+    )
+    return (
+        conf.join(F.broadcast(tot), "declared_lang")
+        .select(
+            "declared_lang",
+            "lang_pred",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_declared")
+                + F.lit(1e-9),
+                6,
+            ).alias("share_of_declared"),
+        )
+        .orderBy("declared_lang", "lang_pred")
+    )
+
+
+QUERIES["langid_confusion_docs"] = CatalogQuery(
+    QUERIES["langid_confusion_docs"].fn,
+    _langid_confusion_oracle(),
+    QUERIES["langid_confusion_docs"].description,
+)
+
+
+# ===========================================================================
+# Dedup-method agreement matrix
+# ===========================================================================
+
+_AGREE_METHODS = ("jaccard_pairs_docs", "minhash_pairs_docs", "simhash_neardup")
+
+
+def _agreement_oracle() -> str:
+    """Composed from the three pair-methods' REGISTERED oracles (nested
+    CTEs) — the method definitions cannot drift from this gauge."""
+    ctes = ", ".join(
+        f"m_{m} AS (SELECT id_a, id_b FROM ({QUERIES[m].oracle}))"
+        for m in _AGREE_METHODS
+    )
+    selects = []
+    for i, a in enumerate(_AGREE_METHODS):
+        for b in _AGREE_METHODS[i + 1 :]:
+            selects.append(f"""
+      SELECT '{a}' AS method_a, '{b}' AS method_b,
+             (SELECT count(*) FROM m_{a})::BIGINT AS n_a,
+             (SELECT count(*) FROM m_{b})::BIGINT AS n_b,
+             (SELECT count(*) FROM m_{a} x JOIN m_{b} y
+                ON x.id_a = y.id_a AND x.id_b = y.id_b)::BIGINT AS n_common
+            """)
+    union = " UNION ALL ".join(selects)
+    return f"""
+    WITH {ctes}
+    SELECT method_a, method_b, n_a, n_b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (n_a + n_b - n_common) + 1e-9, 6) AS pair_jaccard
+    FROM ({union})
+    ORDER BY method_a, method_b
+    """
+
+
+@register(
+    "dedup_method_agreement_docs",
+    None,  # composed oracle attached below
+    "Dedup-method agreement matrix: the three near-dup pair detectors "
+    "(exact n-gram Jaccard join, MinHash+LSH, SimHash hamming) compared "
+    "pairwise on the pair sets they emit — |A∩B| and Jaccard overlap per "
+    "method pair.  The triage gauge a 100 TB dedup deployment reads "
+    "before picking its method ladder: high agreement means the cheap "
+    "method can gate the expensive one; low agreement means they catch "
+    "DIFFERENT duplicate classes and must compose.  Every pair frame is "
+    "the method's own registered catalog entry (and the oracle embeds "
+    "their registered SQL as CTEs), so this gauge can never drift from "
+    "the methods it audits.  Scale shape: pair-set-sized joins and 1-row "
+    "aggregates — the corpus is only touched through the methods' own "
+    "banded/blocked plans, never all-pairs",
+)
+def dedup_method_agreement_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    frames = {
+        m: QUERIES[m].fn(spark, sf_dir).select("id_a", "id_b")
+        for m in _AGREE_METHODS
+    }
+    rows = []
+    for i, a in enumerate(_AGREE_METHODS):
+        for b in _AGREE_METHODS[i + 1 :]:
+            fa, fb = frames[a], frames[b]
+            na = fa.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+            nb = fb.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+            nc = fa.join(fb, ["id_a", "id_b"]).agg(
+                F.count(F.lit(1)).cast("long").alias("n_common")
+            )
+            rows.append(
+                na.crossJoin(F.broadcast(nb))
+                .crossJoin(F.broadcast(nc))
+                .select(
+                    F.lit(a).alias("method_a"),
+                    F.lit(b).alias("method_b"),
+                    "n_a",
+                    "n_b",
+                    "n_common",
+                    F.round(
+                        F.col("n_common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                        + F.lit(1e-9),
+                        6,
+                    ).alias("pair_jaccard"),
+                )
+            )
+    return reduce(lambda x, y: x.unionAll(y), rows).orderBy(
+        "method_a", "method_b"
+    )
+
+
+QUERIES["dedup_method_agreement_docs"] = CatalogQuery(
+    QUERIES["dedup_method_agreement_docs"].fn,
+    _agreement_oracle(),
+    QUERIES["dedup_method_agreement_docs"].description,
+)
+
+
+# ===========================================================================
+# Residual SQ8: quantize (v - centroid) instead of v — the IVF-PQ insight
+# ===========================================================================
+
+
+@register(
+    "sq8_residual_error_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+    ), assign AS (
+      SELECT e.vec_id, cents.cid,
+             round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)) > 0
+                        THEN list_dot_product(e.v, cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))
+                        ELSE 0.0 END, 9) AS s
+      FROM e, cents
+    ), cell AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid DESC) AS rnk
+        FROM assign
+      ) WHERE rnk = 1
+    ), vals AS (
+      SELECT e.vec_id, cell.cell,
+             generate_subscripts(e.v, 1) - 1 AS j,
+             unnest(e.v) AS x
+      FROM e JOIN cell USING (vec_id)
+    ), cvals AS (
+      SELECT cid, generate_subscripts(cv, 1) - 1 AS j, unnest(cv) AS c
+      FROM cents
+    ), joined AS (
+      SELECT vals.vec_id, vals.j, vals.x, vals.x - cvals.c AS r
+      FROM vals JOIN cvals ON vals.cell = cvals.cid AND vals.j = cvals.j
+    ), st AS (
+      SELECT j, min(x) AS mn_x, max(x) AS mx_x,
+                min(r) AS mn_r, max(r) AS mx_r
+      FROM joined GROUP BY j
+    ), coded AS (
+      SELECT joined.*,
+             CASE WHEN st.mx_x = st.mn_x THEN 0
+                  ELSE CAST(round((x - st.mn_x) * 255.0
+                                  / (st.mx_x - st.mn_x)) AS BIGINT)
+             END AS code_x,
+             CASE WHEN st.mx_r = st.mn_r THEN 0
+                  ELSE CAST(round((r - st.mn_r) * 255.0
+                                  / (st.mx_r - st.mn_r)) AS BIGINT)
+             END AS code_r,
+             st.mn_x, st.mx_x, st.mn_r, st.mx_r
+      FROM joined JOIN st USING (j)
+    ), errs AS (
+      SELECT x - (mn_x + code_x * (mx_x - mn_x) / 255.0) AS err_plain,
+             r - (mn_r + code_r * (mx_r - mn_r) / 255.0) AS err_resid
+      FROM coded
+    )
+    SELECT 'plain_sq8' AS method, count(*)::BIGINT AS n,
+           round(avg(err_plain * err_plain) * 1e6 + 1e-9, 6) AS mse_e6,
+           round(max(abs(err_plain)) * 1000 + 1e-9, 6) AS max_abs_err_e3
+    FROM errs
+    UNION ALL
+    SELECT 'residual_sq8', count(*)::BIGINT,
+           round(avg(err_resid * err_resid) * 1e6 + 1e-9, 6),
+           round(max(abs(err_resid)) * 1000 + 1e-9, 6)
+    FROM errs
+    ORDER BY method
+    """,
+    "Residual scalar quantization — WHY production IVF indexes (FAISS "
+    "IVF-PQ/IVF-SQ) quantize the residual (v - nearest_centroid) instead "
+    "of the raw vector: residuals concentrate near zero, so the same 256 "
+    "levels span a narrower per-dimension range and reconstruction error "
+    "drops.  This gauge runs BOTH quantizers over the same corpus/cell "
+    "assignment (the ann_ivf ladder's deterministic id<16 centroids, "
+    "identical argmax-cosine assignment) and reports their MSE and "
+    "max-abs error side by side — the measured justification for "
+    "extending ann_ivf_sq8's grid to residuals.  Scale shape: one "
+    "posexplode + centroid-dim broadcast join (16 x dim rows) + dim-keyed "
+    "grid stats broadcast back + 1-row error rollups; centroids ride as "
+    "plan-time literals exactly like the ANN ladder",
+)
+def sq8_residual_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.similarity import _cell_of_from_centroids, norm
+    from ..sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < 16).collect()
+    ]  # bounded: n_centroids rows (the ANN ladder's plan-time literals)
+    cell_of = _cell_of_from_centroids(cents)
+    assigned = e.select(
+        "vec_id",
+        "v",
+        cell_of(F.col("v"), norm(F.col("v")), 1)[0]["c"].alias("cell"),
+    )
+    vals = assigned.select(
+        "vec_id", "cell", F.posexplode("v").alias("j", "x")
+    )
+    cdf = spark.createDataFrame(
+        [(cid, j, float(c)) for cid, cv in cents for j, c in enumerate(cv)],
+        "cid int, j int, c double",
+    )
+    joined = vals.join(
+        F.broadcast(cdf),
+        (F.col("cell") == F.col("cid")) & (vals["j"] == cdf["j"]),
+    ).select("vec_id", vals["j"].alias("j"), "x", (F.col("x") - F.col("c")).alias("r"))
+    st = joined.groupBy("j").agg(
+        F.min("x").alias("mn_x"), F.max("x").alias("mx_x"),
+        F.min("r").alias("mn_r"), F.max("r").alias("mx_r"),
+    )
+
+    def code(v, mn, mx):
+        return (
+            F.when(mx == mn, F.lit(0))
+            .otherwise(F.round((v - mn) * F.lit(255.0) / (mx - mn), 0))
+            .cast("long")
+        )
+
+    coded = joined.join(F.broadcast(st), "j").select(
+        (
+            F.col("x")
+            - (
+                F.col("mn_x")
+                + code(F.col("x"), F.col("mn_x"), F.col("mx_x"))
+                * (F.col("mx_x") - F.col("mn_x"))
+                / F.lit(255.0)
+            )
+        ).alias("err_plain"),
+        (
+            F.col("r")
+            - (
+                F.col("mn_r")
+                + code(F.col("r"), F.col("mn_r"), F.col("mx_r"))
+                * (F.col("mx_r") - F.col("mn_r"))
+                / F.lit(255.0)
+            )
+        ).alias("err_resid"),
+    )
+
+    def rollup(col: str, label: str) -> DataFrame:
+        return coded.agg(
+            F.lit(label).alias("method"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.avg(F.col(col) * F.col(col)) * F.lit(1e6) + F.lit(1e-9), 6
+            ).alias("mse_e6"),
+            F.round(
+                F.max(F.abs(F.col(col))) * F.lit(1000.0) + F.lit(1e-9), 6
+            ).alias("max_abs_err_e3"),
+        )
+
+    return rollup("err_plain", "plain_sq8").unionAll(
+        rollup("err_resid", "residual_sq8")
+    ).orderBy("method")

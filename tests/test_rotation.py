@@ -97,21 +97,23 @@ def test_rotation_advances_until_full_coverage():
 
 def test_changed_code_queries_in_gate_window():
     """Queries whose implementation changed this round must sit inside the
-    driver-checked window: changed code re-earns its driver row.  Round 9:
-    novelty_docs (shingles hashed to 60-bit ints pre-shuffle, new
-    expression tree in both engines), plus every query that has never
-    earned a driver row — the 7 round-9 additions."""
+    driver-checked window: changed code re-earns its driver row.  Round 10:
+    mmr_rerank_embeddings (collision-free pair keys),
+    orders_customer_bucketed_join (scoped planner conf),
+    ann_ivf_sq8_indexed (ivf_index fingerprint/publish-race fixes), plus
+    every query that has never earned a driver row — the 8 round-10
+    additions."""
     from __spark_entry__ import _DRIVER_WINDOW
 
     window = set(_DRIVER_WINDOW[:GATE_SIZE])
     for name in (
-        "novelty_docs",
-        # round-9 never-driver-verified additions
-        "ann_ivf_sq8_indexed", "mmr_rerank_embeddings",
-        "power_iteration_embeddings", "lsh_blocking_quality_docs",
-        "mixture_temperature_docs", "embedding_outliers",
-        "key_skew_report_events", "orders_customer_bucketed_join",
-        "ann_ndcg_embeddings", "dedup_impact_docs", "events_zorder_scan",
-        "conformal_coverage_docs",
+        # changed this round
+        "mmr_rerank_embeddings", "orders_customer_bucketed_join",
+        "ann_ivf_sq8_indexed",
+        # round-10 never-driver-verified additions
+        "ann_ivf_sq8_appended", "mmr_rerank_grouped",
+        "events_incremental_rollup", "events_ewma_anomaly",
+        "padding_waste_docs", "langid_confusion_docs",
+        "dedup_method_agreement_docs", "sq8_residual_error_embeddings",
     ):
         assert name in window, name

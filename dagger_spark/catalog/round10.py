@@ -640,7 +640,11 @@ def dedup_method_agreement_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     frames = {
-        m: QUERIES[m].fn(spark, sf_dir).select("id_a", "id_b")
+        # persist: each pair frame is read by its own count AND two
+        # intersection joins — without the cache every read re-runs the
+        # whole banded/blocked dedup pipeline behind it (measured at 20x:
+        # 6.7x -> ~linear); the cached frames are pair-set sized
+        m: QUERIES[m].fn(spark, sf_dir).select("id_a", "id_b").persist()
         for m in _AGREE_METHODS
     }
     rows = []
@@ -751,18 +755,23 @@ QUERIES["dedup_method_agreement_docs"] = CatalogQuery(
     FROM errs
     ORDER BY method
     """,
-    "Residual scalar quantization — WHY production IVF indexes (FAISS "
-    "IVF-PQ/IVF-SQ) quantize the residual (v - nearest_centroid) instead "
-    "of the raw vector: residuals concentrate near zero, so the same 256 "
-    "levels span a narrower per-dimension range and reconstruction error "
-    "drops.  This gauge runs BOTH quantizers over the same corpus/cell "
-    "assignment (the ann_ivf ladder's deterministic id<16 centroids, "
-    "identical argmax-cosine assignment) and reports their MSE and "
-    "max-abs error side by side — the measured justification for "
-    "extending ann_ivf_sq8's grid to residuals.  Scale shape: one "
-    "posexplode + centroid-dim broadcast join (16 x dim rows) + dim-keyed "
-    "grid stats broadcast back + 1-row error rollups; centroids ride as "
-    "plan-time literals exactly like the ANN ladder",
+    "Residual scalar quantization gauge — production IVF indexes (FAISS "
+    "IVF-PQ/IVF-SQ) often quantize the residual (v - nearest_centroid) "
+    "instead of the raw vector, betting that residuals concentrate near "
+    "zero so the same 256 levels span a narrower range.  This gauge runs "
+    "BOTH quantizers over the same corpus/cell assignment (the ann_ivf "
+    "ladder's deterministic id<16 centroids, identical argmax-cosine "
+    "assignment) and reports MSE and max-abs error side by side — the "
+    "DECISION measurement, not an assumption: on this corpus's isotropic "
+    "synthetic embeddings the residual grid is measurably WORSE (mse_e6 "
+    "~1.01 vs ~0.72 — subtracting a near-independent centroid widens the "
+    "per-dim spread by ~sqrt(2)), exactly the honest negative a tuning "
+    "pass needs before paying for residual encoding; on clustered "
+    "production embeddings the sign flips, and this gauge is how you "
+    "know.  Scale shape: one posexplode + centroid-dim broadcast join "
+    "(16 x dim rows) + dim-keyed grid stats broadcast back + 1-row error "
+    "rollups; centroids ride as plan-time literals exactly like the ANN "
+    "ladder",
 )
 def sq8_residual_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.similarity import _cell_of_from_centroids, norm
@@ -781,7 +790,12 @@ def sq8_residual_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id",
         "v",
         cell_of(F.col("v"), norm(F.col("v")), 1)[0]["c"].alias("cell"),
-    )
+    ).persist()
+    # persist: the exploded residual frame below feeds BOTH the grid-stats
+    # aggregate and the coding pass, so without the cache the 16-cosine
+    # assignment map would run twice over the corpus.  In a production IVF
+    # deployment this frame is the index's materialized cell column (built
+    # once, at rest) — caching it here is the bounded local stand-in
     vals = assigned.select(
         "vec_id", "cell", F.posexplode("v").alias("j", "x")
     )
@@ -826,18 +840,37 @@ def sq8_residual_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("err_resid"),
     )
 
-    def rollup(col: str, label: str) -> DataFrame:
-        return coded.agg(
+    # ONE aggregation pass computes both methods' stats (a union of two
+    # per-method rollups would re-execute the whole explode/join lineage
+    # twice — measured at 20x: 7.3x -> ~linear), then the 1-row result
+    # explodes into the two method rows
+    stats = coded.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("err_plain") * F.col("err_plain")).alias("__msep"),
+        F.max(F.abs(F.col("err_plain"))).alias("__maxp"),
+        F.avg(F.col("err_resid") * F.col("err_resid")).alias("__mser"),
+        F.max(F.abs(F.col("err_resid"))).alias("__maxr"),
+    )
+
+    def row(label: str, mse, mx):
+        return F.struct(
             F.lit(label).alias("method"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(
-                F.avg(F.col(col) * F.col(col)) * F.lit(1e6) + F.lit(1e-9), 6
-            ).alias("mse_e6"),
-            F.round(
-                F.max(F.abs(F.col(col))) * F.lit(1000.0) + F.lit(1e-9), 6
-            ).alias("max_abs_err_e3"),
+            F.col("n").alias("n"),
+            F.round(mse * F.lit(1e6) + F.lit(1e-9), 6).alias("mse_e6"),
+            F.round(mx * F.lit(1000.0) + F.lit(1e-9), 6).alias(
+                "max_abs_err_e3"
+            ),
         )
 
-    return rollup("err_plain", "plain_sq8").unionAll(
-        rollup("err_resid", "residual_sq8")
-    ).orderBy("method")
+    return (
+        stats.select(
+            F.explode(
+                F.array(
+                    row("plain_sq8", F.col("__msep"), F.col("__maxp")),
+                    row("residual_sq8", F.col("__mser"), F.col("__maxr")),
+                )
+            ).alias("__r")
+        )
+        .select("__r.*")
+        .orderBy("method")
+    )

@@ -222,6 +222,12 @@ HEADLINE = [
     # round-10 additions
     "ann_ivf_sq8_appended",
     "mmr_rerank_grouped",
+    "events_incremental_rollup",
+    "events_ewma_anomaly",
+    "padding_waste_docs",
+    "langid_confusion_docs",
+    "dedup_method_agreement_docs",
+    "sq8_residual_error_embeddings",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000
@@ -678,7 +684,15 @@ def main() -> None:
         ),
         "stream_methodology": (
             "best-of-%d availableNow replay, same discipline as "
-            "tools/stream_adjudicate.py" % n_runs
+            "tools/stream_adjudicate.py.  CAVEAT on the in-suite ratio: "
+            "this suite's batch leg reads the sysmon file under the "
+            "1 MB maxPartitionBytes miniature-file split conf (~24-way "
+            "scan) while the stream fixture's parallelism is fixed by "
+            "its 32-file layout, so the two denominators are not "
+            "config-matched here; under MATCHED default scan config "
+            "(tools/stream_adjudicate.py, both legs unsplit) streaming "
+            "reads >= 1.0x batch — that adjudication is the "
+            "authoritative stream-vs-batch comparison" % n_runs
         ),
         "sysmon_alerts": n_alerts,
         "sysmon_stream_alerts": stream_alerts["n"],

@@ -6,7 +6,7 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle, 11 of 240): the fixture-driven rules engine +
+Rows-only entries (no oracle, 11 of 242): the fixture-driven rules engine +
 correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
 the fixture table is not among the driver's DuckDB views), the Pandas-UDF
 multimodal stages including the perceptual-hash dedup chain, and the zlib
@@ -28,22 +28,22 @@ from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 
 # Driver-window rotation (round 10): the correctness gate verifies the
 # FIRST ~50 queries.  Priorities, in order: (1) every oracle-paired query
-# that has never earned a driver row — the 8 round-10 additions; (2)
+# that has never earned a driver row — the 10 round-10 additions; (2)
 # queries whose implementation changed this round and must re-earn their
 # rows — mmr_rerank_embeddings (collision-free string pair keys replace
 # the q*1e6+n arithmetic), orders_customer_bucketed_join (scoped planner
 # conf + eager bounded collect), ann_ivf_sq8_indexed (ns-mtime
 # fingerprint + publish-race verification in ops/ivf_index.py); (3) the
-# STALEST rows (round-9 verdict ask #1): priorities 1-2 leave 39 slots,
-# spent on all 18 queries whose last green row is round 4 and the 21
-# alphabetically-first of the 33 round-5 rows (the remaining 12 queue for
+# STALEST rows (round-9 verdict ask #1): priorities 1-2 leave 37 slots,
+# spent on all 18 queries whose last green row is round 4 and the 19
+# alphabetically-first of the 33 round-5 rows (the remaining 14 queue for
 # round 11).  The round this window was authored in: tests/test_rotation.py
 # fails the suite if a later round's CORRECTNESS artifact exists without
 # the window having been re-authored — the mechanical stall guard.
 _WINDOW_ROUND = 10
 
 _DRIVER_WINDOW = [
-    # -- (1) never-driver-verified: the 8 round-10 additions --
+    # -- (1) never-driver-verified: the 10 round-10 additions --
     "ann_ivf_sq8_appended",      # incremental IVF index append (frozen grid)
     "mmr_rerank_grouped",        # corpus-scale MMR via applyInPandas
     "events_incremental_rollup", # partial-agg merge == full recompute (IVM)
@@ -52,6 +52,8 @@ _DRIVER_WINDOW = [
     "langid_confusion_docs",     # lang-id confusion vs declared lang
     "dedup_method_agreement_docs",  # pair-set agreement across dedup methods
     "sq8_residual_error_embeddings",  # residual-vs-raw SQ8 error gauge
+    "minhash_delta_pairs_docs",  # delta-vs-corpus LSH candidate pairs
+    "bm25_incremental_stats_docs",  # state+delta merged retrieval stats
     # -- (2) changed code re-earns its row --
     "mmr_rerank_embeddings",     # collision-free pair keys this round
     "orders_customer_bucketed_join",  # scoped conf + bounded eager collect
@@ -75,8 +77,8 @@ _DRIVER_WINDOW = [
     "text_stats_docs",
     "tfidf_top_terms",
     "window_funcs_showcase",
-    # -- (3) stalest rows: last green in round 5 (alphabetically first 21
-    #    of 33; the remaining 12 queue for round 11) --
+    # -- (3) stalest rows: last green in round 5 (alphabetically first 19
+    #    of 33; the remaining 14 queue for round 11) --
     "classifier_calibration_docs",
     "cube_orders",
     "customer_hierarchy",
@@ -96,8 +98,6 @@ _DRIVER_WINDOW = [
     "events_winsorized_stats",
     "heavy_hitters_docs",
     "jaccard_zipf_join",
-    "lsh_recall_docs",
-    "pipeline_verdict_docs",
 ]
 
 

@@ -228,6 +228,8 @@ HEADLINE = [
     "langid_confusion_docs",
     "dedup_method_agreement_docs",
     "sq8_residual_error_embeddings",
+    "minhash_delta_pairs_docs",
+    "bm25_incremental_stats_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

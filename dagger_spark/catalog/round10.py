@@ -874,3 +874,184 @@ def sq8_residual_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("__r.*")
         .orderBy("method")
     )
+
+
+# ===========================================================================
+# Incremental dedup: delta-vs-corpus candidate pairs (the new-slice shape)
+# ===========================================================================
+
+
+def _delta_pairs_oracle() -> str:
+    """Composed from the minhash family's shared CTE chain (docs.py's
+    _DUCK_MINHASH_CTE — the exact text minhash_pairs_docs' oracle embeds),
+    restricted to pairs touching the delta slice."""
+    from .docs import _DUCK_MINHASH_CTE
+
+    return (
+        _DUCK_MINHASH_CTE
+        + """
+    SELECT DISTINCT least(l.doc_id, r.doc_id)    AS id_a,
+                    greatest(l.doc_id, r.doc_id) AS id_b
+    FROM buckets l JOIN buckets r
+      ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id <> r.doc_id
+    WHERE l.doc_id % 10 = 0
+    ORDER BY id_a, id_b
+    """
+    )
+
+
+@register(
+    "minhash_delta_pairs_docs",
+    None,  # composed oracle attached below
+    "Incremental near-dup detection — the production arrival shape "
+    "(mirrors ann_ivf_sq8_appended on the dedup side): a NEW slice of "
+    "documents (doc_id % 10 == 0 here) is checked for near-duplicates "
+    "against the existing corpus AND itself by joining only the DELTA's "
+    "LSH buckets against the corpus bucket table — never corpus x "
+    "corpus.  The join's left side is delta-bucket-sized and the shuffle "
+    "key is (band, bucket), so at 100 TB the cost of admitting a slice "
+    "is proportional to the slice (the corpus-side bucket table is "
+    "maintained at rest, exactly like the IVF postings).  Signatures "
+    "come from the family's shared persisted stage — one tokenize/md5 "
+    "pass total; pinned equal to the delta-touching subset of "
+    "minhash_pairs_docs' full self-join.  Oracle: the registered minhash "
+    "CTE chain restricted to delta-touching pairs",
+)
+def minhash_delta_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.dedup import lsh_buckets
+    from .docs import _dedup_stage
+
+    sigs = _dedup_stage(spark, sf_dir)
+    buckets = lsh_buckets(sigs, 4, 4)
+    delta = buckets.filter(F.pmod(F.col("id"), F.lit(10)) == 0).select(
+        F.col("id").alias("__did"),
+        F.col("band").alias("__db"),
+        F.col("bucket").alias("__dbk"),
+    )
+    pairs = (
+        delta.join(
+            buckets,
+            (F.col("__db") == F.col("band"))
+            & (F.col("__dbk") == F.col("bucket"))
+            & (F.col("__did") != F.col("id")),
+        )
+        .select(
+            F.least(F.col("__did"), F.col("id")).alias("id_a"),
+            F.greatest(F.col("__did"), F.col("id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+QUERIES["minhash_delta_pairs_docs"] = CatalogQuery(
+    QUERIES["minhash_delta_pairs_docs"].fn,
+    _delta_pairs_oracle(),
+    QUERIES["minhash_delta_pairs_docs"].description,
+)
+
+
+# ===========================================================================
+# Incremental BM25 corpus statistics (state + delta merge == full recompute)
+# ===========================================================================
+
+
+@register(
+    "bm25_incremental_stats_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
+             END AS t
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, t, len(t) AS dl FROM toks WHERE len(t) > 0
+    ), per AS (
+      SELECT term, count(*)::BIGINT AS doc_freq FROM (
+        SELECT doc_id, unnest(list_distinct(t)) AS term FROM lens
+      ) GROUP BY term
+    ), st AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM lens
+    )
+    SELECT term, doc_freq,
+           round(ln((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)
+                 + 1e-9, 6)                                   AS idf,
+           n_docs,
+           round(CAST(sum_dl AS DOUBLE) / n_docs + 1e-9, 6)   AS avgdl
+    FROM per, st
+    ORDER BY doc_freq DESC, term
+    LIMIT 20
+    """,
+    "Incremental maintenance of BM25's corpus statistics (df per term, "
+    "N, avgdl) — the retrieval-side twin of events_incremental_rollup: "
+    "the corpus splits into STATE (doc_id % 10 != 0) and DELTA, each "
+    "side aggregates its own per-term document frequencies and "
+    "length/count totals, and the merge is a re-aggregation of the two "
+    "partial stat tables (df adds, N adds, sum_dl adds — all algebraic, "
+    "so admitting a new slice costs one delta scan plus a "
+    "vocabulary-sized merge, never a corpus rescan).  idf/avgdl derive "
+    "from the merged stats; oracle is the FULL recompute.  Output: "
+    "top-20 document-frequency terms with their BM25 idf and the merged "
+    "corpus constants",
+)
+def bm25_incremental_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import tokens
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+
+    def partials(df: DataFrame):
+        per = (
+            df.select(
+                "doc_id", F.explode(F.array_distinct("t")).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        )
+        st = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size("t")).cast("long").alias("sum_dl"),
+        )
+        return per, st
+
+    state_per, state_st = partials(
+        lens.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    )
+    delta_per, delta_st = partials(
+        lens.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    )
+    per = (
+        state_per.unionAll(delta_per)
+        .groupBy("term")
+        .agg(F.sum("doc_freq").cast("long").alias("doc_freq"))
+    )
+    st = state_st.unionAll(delta_st).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    return (
+        per.crossJoin(F.broadcast(st))
+        .select(
+            "term",
+            "doc_freq",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+                    / (F.col("doc_freq") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("idf"),
+            "n_docs",
+            F.round(
+                F.col("sum_dl").cast("double") / F.col("n_docs") + F.lit(1e-9),
+                6,
+            ).alias("avgdl"),
+        )
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(20)
+    )

@@ -115,5 +115,6 @@ def test_changed_code_queries_in_gate_window():
         "events_incremental_rollup", "events_ewma_anomaly",
         "padding_waste_docs", "langid_confusion_docs",
         "dedup_method_agreement_docs", "sq8_residual_error_embeddings",
+        "minhash_delta_pairs_docs", "bm25_incremental_stats_docs",
     ):
         assert name in window, name

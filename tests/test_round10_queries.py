@@ -104,6 +104,59 @@ def test_append_refuses_out_of_grid_vectors(spark):
         append_to_sq8_ivf_index(spark, idx, bad)
 
 
+def test_delta_pairs_equal_touching_subset_of_full_join(spark):
+    """The incremental dedup contract: delta-vs-corpus candidate pairs
+    must equal exactly the delta-touching subset of the full self-join —
+    admitting a slice finds everything the batch run would, at
+    delta-proportional cost."""
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["minhash_pairs_docs"].fn(spark, SF).collect()
+    }
+    delta = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["minhash_delta_pairs_docs"].fn(spark, SF).collect()
+    }
+    touching = {p for p in full if p[0] % 10 == 0 or p[1] % 10 == 0}
+    assert delta == touching
+
+
+def test_bm25_incremental_equals_full_recompute(spark):
+    """The algebraic-merge contract on the retrieval side: state+delta
+    merged df/N/avgdl must equal a direct full-corpus computation."""
+    from dagger_spark.ops.text import tokens
+
+    rows = QUERIES["bm25_incremental_stats_docs"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    lens = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    n_docs = lens.count()
+    import math
+
+    sum_dl = lens.agg(F.sum(F.size("t"))).first()[0]
+    direct_df = {
+        r["term"]: r["c"]
+        for r in lens.select(F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_docs"] == n_docs
+        assert abs(r["avgdl"] - sum_dl / n_docs) < 1e-5
+        assert r["doc_freq"] == direct_df[r["term"]]
+        want_idf = math.log(
+            (n_docs - r["doc_freq"] + 0.5) / (r["doc_freq"] + 0.5) + 1.0
+        )
+        assert abs(r["idf"] - want_idf) < 1e-5
+    # descending df with term tiebreak
+    keys = [(-r["doc_freq"], r["term"]) for r in rows]
+    assert keys == sorted(keys)
+
+
 def test_append_requires_built_index(spark):
     from dagger_spark.ops.ivf_index import append_to_sq8_ivf_index
 

@@ -347,3 +347,65 @@ def append_to_sq8_ivf_index(
         os.path.join(index_dir, "postings")
     )
     return n_new
+
+
+def compact_sq8_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    max_files_per_cell: int = 1,
+) -> dict:
+    """Compact fragmented postings cells after repeated appends.
+
+    Every ``append_to_sq8_ivf_index`` adds file(s) to the cells its delta
+    touches; after many small deltas a probe pays per-file open/footer
+    cost instead of one sequential read — the standard LSM-ish decay every
+    append-optimized layout suffers.  This rewrites ONLY the cells whose
+    file count exceeds ``max_files_per_cell`` (read cell -> coalesce(1) ->
+    temp dir -> atomic-ish swap), leaving untouched cells alone, so
+    compaction cost is proportional to the FRAGMENTED fraction, not the
+    index.  Query results are unchanged (same rows, same partition-dir
+    layout — pinned by test).  Returns {cells_compacted, files_before,
+    files_after}.
+    """
+    import shutil
+
+    post_dir = os.path.join(index_dir, "postings")
+    if not os.path.exists(os.path.join(index_dir, "_BUILT")):
+        raise ValueError(f"not a built index: {index_dir}")
+    cells = [
+        d
+        for d in os.listdir(post_dir)
+        if d.startswith("cell=")
+        and os.path.isdir(os.path.join(post_dir, d))
+    ]
+
+    def n_files(cell_dir: str) -> int:
+        return sum(
+            1
+            for f in os.listdir(cell_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+
+    before = {c: n_files(os.path.join(post_dir, c)) for c in cells}
+    fragmented = [c for c in cells if before[c] > max_files_per_cell]
+    for c in fragmented:
+        src = os.path.join(post_dir, c)
+        tmp = src + ".compact.tmp"
+        old = src + ".compact.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        # the per-cell files carry (vec_id, codes); the cell value lives in
+        # the directory name, so a plain read/rewrite preserves the
+        # partitioned layout
+        spark.read.parquet(src).coalesce(1).write.mode("overwrite").parquet(
+            tmp
+        )
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+    after = {c: n_files(os.path.join(post_dir, c)) for c in cells}
+    return {
+        "cells_compacted": len(fragmented),
+        "files_before": sum(before.values()),
+        "files_after": sum(after.values()),
+    }

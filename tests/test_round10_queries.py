@@ -165,3 +165,58 @@ def test_append_requires_built_index(spark):
     )
     with pytest.raises(ValueError, match="not a built index"):
         append_to_sq8_ivf_index(spark, "/tmp/definitely_not_an_index", df)
+
+
+def test_compaction_reduces_files_and_preserves_results(spark):
+    """After repeated appends fragment the postings cells, compaction must
+    bring every cell back to one file WITHOUT changing query results, and
+    must touch only fragmented cells."""
+    import shutil
+
+    from dagger_spark.ops.ivf_index import (
+        append_to_sq8_ivf_index,
+        build_sq8_ivf_index,
+        compact_sq8_ivf_index,
+        sq8_ivf_topk,
+    )
+
+    idx = build_sq8_ivf_index(spark, SF, n_centroids=16)
+    scratch = "/tmp/dagger_test_compact_idx"
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.copytree(idx, scratch)
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).filter(
+        F.col("embedding").isNotNull()
+    )
+    for i in range(2):  # two small appends -> extra files in touched cells
+        delta = emb.filter(
+            (F.col("vec_id") >= 20 + 10 * i) & (F.col("vec_id") < 30 + 10 * i)
+        ).select((F.col("vec_id") + 1_000_000 * (i + 1)).alias("vec_id"),
+                 "embedding")
+        append_to_sq8_ivf_index(spark, scratch, delta)
+
+    before = sorted(
+        tuple(r)
+        for r in sq8_ivf_topk(spark, scratch, k=5, nprobe=2).collect()
+    )
+    stats = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
+    assert stats["cells_compacted"] > 0
+    assert stats["files_after"] < stats["files_before"]
+    post = os.path.join(scratch, "postings")
+    for c in os.listdir(post):
+        if c.startswith("cell=") and os.path.isdir(os.path.join(post, c)):
+            files = [
+                f
+                for f in os.listdir(os.path.join(post, c))
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            assert len(files) == 1, (c, files)
+    after = sorted(
+        tuple(r)
+        for r in sq8_ivf_topk(spark, scratch, k=5, nprobe=2).collect()
+    )
+    assert before == after
+    # idempotent: a second compaction is a no-op
+    again = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
+    assert again["cells_compacted"] == 0
+    shutil.rmtree(scratch, ignore_errors=True)

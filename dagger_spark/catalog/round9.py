@@ -431,27 +431,27 @@ def _mmr_oracle() -> str:
     the Spark side runs, generated from one loop so the two engines
     cannot drift."""
     head = f"""
-    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+    WITH q AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
-    c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+    c AS MATERIALIZED (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
          WHERE embedding IS NOT NULL),
-    s AS (
+    s AS MATERIALIZED (
       SELECT qid AS query_id, nid AS neighbor_id, cv,
              CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
                   THEN round(list_dot_product(qv, cv)
                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
                   ELSE 0.0 END AS score
       FROM q, c WHERE nid <> qid
-    ), candv AS (
+    ), candv AS MATERIALIZED (
       SELECT * FROM (
         SELECT query_id, neighbor_id, cv, score,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY score DESC, neighbor_id) AS rk
         FROM s
       ) WHERE rk <= {_MMR_TOP}
-    ), cand AS (
+    ), cand AS MATERIALIZED (
       SELECT query_id, neighbor_id, score FROM candv
-    ), sims AS (
+    ), sims AS MATERIALIZED (
       SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
              CASE WHEN sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)) > 0
                   THEN round(list_dot_product(a.cv, b.cv)
@@ -459,7 +459,7 @@ def _mmr_oracle() -> str:
                   ELSE 0.0 END AS sim
       FROM candv a JOIN candv b
         ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
-    ), selu1 AS (
+    ), selu1 AS MATERIALIZED (
       SELECT query_id, neighbor_id, 1 AS mmr_rank,
              round({_MMR_LAM} * score + 1e-9, 6) AS mmr_score
       FROM cand
@@ -470,7 +470,7 @@ def _mmr_oracle() -> str:
     for t in range(2, _MMR_K + 1):
         prev = f"selu{t - 1}"
         parts.append(f"""
-    , pick{t} AS (
+    , pick{t} AS MATERIALIZED (
       SELECT query_id, neighbor_id, {t} AS mmr_rank,
              round(raw + 1e-9, 6) AS mmr_score
       FROM (
@@ -491,7 +491,7 @@ def _mmr_oracle() -> str:
                           WHERE x.query_id = c.query_id
                             AND x.neighbor_id = c.neighbor_id)
       ) WHERE rn = 1
-    ), selu{t} AS (
+    ), selu{t} AS MATERIALIZED (
       SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t}
     )""")
     parts.append(f"""

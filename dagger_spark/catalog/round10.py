@@ -188,6 +188,10 @@ def _mmr_greedy_pdf(pdf):
             key = (-rnd(raw, 9), int(ids[i]))
             if best_key is None or key < best_key:
                 best, best_key, best_raw = i, key, raw
+        if best is None:
+            # fewer candidates than _MMR_K: selection exhausted — emit the
+            # short list rather than appending None (advice r10)
+            break
         selected.append(best)
         out.append((qid, t, int(ids[best]), rnd(best_raw + 1e-9, 6)))
     return pd.DataFrame(
@@ -334,7 +338,7 @@ def _ewma_sql_expr() -> str:
            round(forecast + 1e-9, 6)         AS forecast,
            round(cnt - forecast + 1e-9, 6)   AS deviation
     FROM scored WHERE rn > {_EWMA_LAGS}
-    ORDER BY round(abs(cnt - forecast), 6) DESC, event_type, hour_start
+    ORDER BY round(abs(cnt - forecast) + 1e-9, 6) DESC, event_type, hour_start
     LIMIT 20
     """,
     "EWMA anomaly monitor (alpha = 0.25) over the hourly per-event-type "
@@ -383,7 +387,12 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") - F.col("__f") + F.lit(1e-9), 6).alias(
                 "deviation"
             ),
-            F.round(F.abs(F.col("cnt") - F.col("__f")), 6).alias("__key"),
+            # +1e-9 nudge like every other rounded value (advice r10):
+            # HALF_UP-on-shortest-repr vs scaled-double rounding can
+            # otherwise flip top-20 membership at representation boundaries
+            F.round(
+                F.abs(F.col("cnt") - F.col("__f")) + F.lit(1e-9), 6
+            ).alias("__key"),
         )
         .orderBy(F.desc("__key"), "event_type", "hour_start")
         .limit(20)
@@ -637,45 +646,46 @@ def _agreement_oracle() -> str:
     "banded/blocked plans, never all-pairs",
 )
 def dedup_method_agreement_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
     frames = {
         # persist: each pair frame is read by its own count AND two
         # intersection joins — without the cache every read re-runs the
         # whole banded/blocked dedup pipeline behind it (measured at 20x:
-        # 6.7x -> ~linear); the cached frames are pair-set sized
+        # 6.7x -> ~linear); the cached frames are pair-set sized.  The
+        # counts below are computed EAGERLY (9 bounded actions) so the
+        # caches can be dropped before returning (advice r10: the lazy
+        # form leaked three cached frames into the shared session)
         m: QUERIES[m].fn(spark, sf_dir).select("id_a", "id_b").persist()
         for m in _AGREE_METHODS
     }
     rows = []
-    for i, a in enumerate(_AGREE_METHODS):
-        for b in _AGREE_METHODS[i + 1 :]:
-            fa, fb = frames[a], frames[b]
-            na = fa.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
-            nb = fb.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
-            nc = fa.join(fb, ["id_a", "id_b"]).agg(
-                F.count(F.lit(1)).cast("long").alias("n_common")
-            )
-            rows.append(
-                na.crossJoin(F.broadcast(nb))
-                .crossJoin(F.broadcast(nc))
-                .select(
-                    F.lit(a).alias("method_a"),
-                    F.lit(b).alias("method_b"),
-                    "n_a",
-                    "n_b",
-                    "n_common",
-                    F.round(
-                        F.col("n_common").cast("double")
-                        / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-                        + F.lit(1e-9),
-                        6,
-                    ).alias("pair_jaccard"),
-                )
-            )
-    return reduce(lambda x, y: x.unionAll(y), rows).orderBy(
-        "method_a", "method_b"
+    try:
+        n = {m: frames[m].count() for m in _AGREE_METHODS}
+        for i, a in enumerate(_AGREE_METHODS):
+            for b in _AGREE_METHODS[i + 1 :]:
+                nc = frames[a].join(frames[b], ["id_a", "id_b"]).count()
+                rows.append((a, b, n[a], n[b], nc))
+    finally:
+        for f in frames.values():
+            f.unpersist()
+    lit = spark.createDataFrame(
+        rows,
+        "method_a string, method_b string, n_a long, n_b long, n_common long",
     )
+    # the only double (pair_jaccard) is still rounded Spark-side so the
+    # HALF_UP semantics match every other catalog ratio
+    return lit.select(
+        "method_a",
+        "method_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            + F.lit(1e-9),
+            6,
+        ).alias("pair_jaccard"),
+    ).orderBy("method_a", "method_b")
 
 
 QUERIES["dedup_method_agreement_docs"] = CatalogQuery(
@@ -795,7 +805,10 @@ def sq8_residual_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     # aggregate and the coding pass, so without the cache the 16-cosine
     # assignment map would run twice over the corpus.  In a production IVF
     # deployment this frame is the index's materialized cell column (built
-    # once, at rest) — caching it here is the bounded local stand-in
+    # once, at rest) — caching it here is the bounded local stand-in.  The
+    # 2-row result is collected EAGERLY at the end of this fn so the cache
+    # can be dropped before returning (advice r10: the lazy form leaked the
+    # cached corpus into the shared session)
     vals = assigned.select(
         "vec_id", "cell", F.posexplode("v").alias("j", "x")
     )
@@ -862,18 +875,26 @@ def sq8_residual_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
 
-    return (
-        stats.select(
-            F.explode(
-                F.array(
-                    row("plain_sq8", F.col("__msep"), F.col("__maxp")),
-                    row("residual_sq8", F.col("__mser"), F.col("__maxr")),
-                )
-            ).alias("__r")
-        )
-        .select("__r.*")
-        .orderBy("method")
-    )
+    try:
+        collected = (
+            stats.select(
+                F.explode(
+                    F.array(
+                        row("plain_sq8", F.col("__msep"), F.col("__maxp")),
+                        row("residual_sq8", F.col("__mser"), F.col("__maxr")),
+                    )
+                ).alias("__r")
+            )
+            .select("__r.*")
+            .orderBy("method")
+            .collect()
+        )  # bounded: exactly 2 method rows
+    finally:
+        assigned.unpersist()
+    return spark.createDataFrame(
+        [tuple(r) for r in collected],
+        "method string, n long, mse_e6 double, max_abs_err_e3 double",
+    ).orderBy("method")
 
 
 # ===========================================================================

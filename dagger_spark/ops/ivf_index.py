@@ -161,13 +161,17 @@ def build_sq8_ivf_index(
 
 
 def _grid_literals(spark: SparkSession, idx: str) -> tuple:
+    """(mn_arr, mx_arr, dim) — the frozen per-dimension grid as two array
+    literals plus its dimensionality (the staleness gate needs the length:
+    a delta vector of the WRONG length must count as out-of-grid, not slip
+    past NULL element_at lookups — advice r10)."""
     rows = sorted(
         (r["j"], r["mn"], r["mx"])
         for r in spark.read.parquet(os.path.join(idx, "grid.parquet")).collect()
     )  # bounded: one row per embedding dimension
     mn_arr = F.lit([r[1] for r in rows])
     mx_arr = F.lit([r[2] for r in rows])
-    return mn_arr, mx_arr
+    return mn_arr, mx_arr, len(rows)
 
 
 def _recon_expr(codes: Column, mn_arr: Column, mx_arr: Column) -> Column:
@@ -194,8 +198,15 @@ def sq8_ivf_topk(
     """Top-k retrieval from the materialized index: grid + centroids ride
     as plan-time literals (dim- and n_centroids-sized bounded collects),
     reconstruction is a codegen projection, and the candidate scan is
-    pruned to the probed cells via the partition column."""
-    mn_arr, mx_arr = _grid_literals(spark, index_dir)
+    pruned to the probed cells via the partition column.
+
+    If the index carries tombstones (``delete_from_sq8_ivf_index``), the
+    postings scan anti-joins them first: deleted vectors disappear both as
+    neighbors AND as queries — results equal an index over the reduced
+    corpus with the same frozen grid/centroids.  The tombstone side is
+    delete-delta-sized (compaction drains it), so the anti-join broadcasts.
+    """
+    mn_arr, mx_arr, _ = _grid_literals(spark, index_dir)
     cents = [
         (r["cid"], list(r["vector"]))
         for r in spark.read.parquet(
@@ -205,6 +216,11 @@ def sq8_ivf_topk(
     cell_of = _cell_of_from_centroids(cents)
 
     post = spark.read.parquet(os.path.join(index_dir, "postings"))
+    tomb = _tombstones(spark, index_dir)
+    if tomb is not None:
+        post = post.join(
+            F.broadcast(tomb.select("vec_id")), "vec_id", "left_anti"
+        )
     corpus = post.select(
         F.col("vec_id").alias("neighbor_id"),
         _recon_expr(F.col("codes"), mn_arr, mx_arr).alias("cvec"),
@@ -274,6 +290,7 @@ def append_to_sq8_ivf_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_compact_max_files: int = None,
 ) -> int:
     """Incrementally append vectors to a BUILT index — the 100 TB common
     case (new corpus slice arrives -> assign -> quantize -> append its
@@ -292,10 +309,18 @@ def append_to_sq8_ivf_index(
     Cost is proportional to the DELTA, not the corpus: one scan of
     ``new_vectors`` (grid/centroids ride as plan-time literals), one
     partitioned append write.  Returns the number of vectors appended.
+
+    ``auto_compact_max_files`` (opt-in) wires the LSM decay answer into the
+    write path: after the append, if any TOUCHED cell's file count exceeds
+    the threshold, ``compact_sq8_ivf_index`` runs with that threshold —
+    which itself rewrites only over-threshold cells, so steady-state append
+    cost stays delta-proportional while file counts (and therefore probe
+    open/footer cost) stay bounded no matter how many deltas arrive
+    (tools/append_probe.py measures exactly this).
     """
     if not os.path.exists(os.path.join(index_dir, "_BUILT")):
         raise ValueError(f"not a built index: {index_dir}")
-    mn_arr, mx_arr = _grid_literals(spark, index_dir)
+    mn_arr, mx_arr, dim = _grid_literals(spark, index_dir)
     cents = [
         (r["cid"], list(r["vector"]))
         for r in spark.read.parquet(
@@ -309,13 +334,20 @@ def append_to_sq8_ivf_index(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     # grid-staleness gate: every dimension of every new vector must lie in
-    # [mn, mx] (one delta-sized scan; the grid rides as literals)
-    oob = F.exists(
+    # [mn, mx] (one delta-sized scan; the grid rides as literals).  A
+    # wrong-LENGTH vector is out-of-grid by definition (advice r10: a
+    # longer vector made element_at NULL, the predicate NULL, and the
+    # filter silently passed it), as is a NULL element — hence the size
+    # check and the coalesce-to-true on the per-dim predicate.
+    oob = (F.size(F.col("v")) != F.lit(dim)) | F.exists(
         F.zip_with(
             F.col("v"),
             F.sequence(F.lit(1), F.size(F.col("v"))),
-            lambda x, i: (x < F.element_at(mn_arr, i.cast("int")))
-            | (x > F.element_at(mx_arr, i.cast("int"))),
+            lambda x, i: F.coalesce(
+                (x < F.element_at(mn_arr, i.cast("int")))
+                | (x > F.element_at(mx_arr, i.cast("int"))),
+                F.lit(True),
+            ),
         ),
         lambda b: b,
     )
@@ -346,7 +378,166 @@ def append_to_sq8_ivf_index(
     assigned.write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_dir, "postings")
     )
+    if auto_compact_max_files is not None:
+        # threshold check reads only the TOUCHED cells' directory listings
+        # (bounded by n_centroids); compact itself then rewrites only the
+        # over-threshold cells
+        touched = [
+            r["cell"] for r in assigned.select("cell").distinct().collect()
+        ]  # bounded: <= n_centroids values
+        post_dir = os.path.join(index_dir, "postings")
+        if any(
+            _n_cell_files(os.path.join(post_dir, f"cell={c}"))
+            > auto_compact_max_files
+            for c in touched
+        ):
+            compact_sq8_ivf_index(
+                spark, index_dir, max_files_per_cell=auto_compact_max_files
+            )
     return n_new
+
+
+def _n_cell_files(cell_dir: str) -> int:
+    if not os.path.isdir(cell_dir):
+        return 0
+    return sum(
+        1
+        for f in os.listdir(cell_dir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+def _tombstones(spark: SparkSession, index_dir: str):
+    """The index's pending-delete set as a DataFrame (vec_id, cell), or
+    None when empty.  Tombstones live OUTSIDE postings/ so partition
+    discovery never sees them."""
+    d = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(d) or not any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    ):
+        return None
+    return spark.read.parquet(d)
+
+
+def delete_from_sq8_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame = None,
+    vectors: DataFrame = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Delete vectors from a BUILT index — the takedown/TTL half of the
+    lifecycle (append landed in r10; a 100 TB index must also RETIRE
+    vectors without a rebuild).
+
+    Deletes are tombstones: a (vec_id, cell) parquet row appended under
+    ``index_dir/tombstones/``.  ``sq8_ivf_topk`` anti-joins them at probe
+    time (deleted vectors vanish as neighbors and as queries), and
+    ``compact_sq8_ivf_index`` physically drops tombstoned codes when it
+    rewrites their cells, then drains the tombstone set — the same
+    delete-marker -> merge-purge shape every LSM store uses.  Grid and
+    centroids stay FROZEN (quantizer geometry is corpus statistics, not
+    membership), so post-delete results equal an index over the reduced
+    corpus under the same grid — which equals a full rebuild-without-
+    deleted whenever the deleted vectors weren't per-dim extreme achievers
+    (the exact dual of the append path's staleness bound; pinned by test).
+
+    Two calling shapes:
+    * ``vectors`` (id + embedding): the cell is recomputed from the frozen
+      grid/centroid literals exactly as the build/append assigned it —
+      cost proportional to the DELTA, zero index scans.  Out-of-grid
+      vectors are refused (they cannot be IN the index; a wrong-grid cell
+      assignment would tombstone the wrong partition).
+    * ``ids`` only: one postings scan locates the cells (the fallback when
+      the caller lost the vectors — a takedown list of bare ids).
+
+    Returns the number of tombstones written (ids not present in the index
+    still record tombstones under the ``vectors`` shape — harmless: the
+    anti-join and compaction both treat them as no-ops).
+    """
+    if not os.path.exists(os.path.join(index_dir, "_BUILT")):
+        raise ValueError(f"not a built index: {index_dir}")
+    if (ids is None) == (vectors is None):
+        raise ValueError("pass exactly one of ids= or vectors=")
+
+    if vectors is not None:
+        mn_arr, mx_arr, dim = _grid_literals(spark, index_dir)
+        cents = [
+            (r["cid"], list(r["vector"]))
+            for r in spark.read.parquet(
+                os.path.join(index_dir, "centroids.parquet")
+            ).collect()
+        ]  # bounded: n_centroids rows
+        cell_of = _cell_of_from_centroids(cents)
+        vecs = vectors.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        oob = (F.size(F.col("v")) != F.lit(dim)) | F.exists(
+            F.zip_with(
+                F.col("v"),
+                F.sequence(F.lit(1), F.size(F.col("v"))),
+                lambda x, i: F.coalesce(
+                    (x < F.element_at(mn_arr, i.cast("int")))
+                    | (x > F.element_at(mx_arr, i.cast("int"))),
+                    F.lit(True),
+                ),
+            ),
+            lambda b: b,
+        )
+        n_oob = vecs.filter(oob).count()
+        if n_oob:
+            raise ValueError(
+                f"{n_oob} vector(s) fall outside the frozen SQ8 grid — "
+                "they cannot be in this index; deleting by recomputed "
+                "cell would tombstone the wrong partition (pass ids= to "
+                "delete by postings lookup instead)"
+            )
+        codes = _code_expr(F.col("v"), mn_arr, mx_arr)
+        marks = vecs.select(
+            "vec_id",
+            cell_of(
+                _recon_expr(codes, mn_arr, mx_arr),
+                norm(_recon_expr(codes, mn_arr, mx_arr)),
+                1,
+            )[0]["c"].alias("cell"),
+        )
+    else:
+        post = spark.read.parquet(os.path.join(index_dir, "postings"))
+        marks = post.join(
+            F.broadcast(ids.select(F.col(id_col).alias("vec_id"))),
+            "vec_id",
+        ).select("vec_id", "cell")
+
+    n = marks.count()
+    if n:
+        marks.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+        ).coalesce(1).write.mode("append").parquet(
+            os.path.join(index_dir, "tombstones")
+        )
+    return n
+
+
+def _recover_interrupted_compaction(post_dir: str, work_dir: str) -> None:
+    """Make an interrupted compaction harmless before starting a new one
+    (advice r10: a crash between the two renames left the live cell dir
+    absent, silently dropping that cell from every later probe).  For each
+    saved ``<cell>.old`` whose live cell dir is missing, restore it; then
+    clear the work dir."""
+    import shutil
+
+    if not os.path.isdir(work_dir):
+        return
+    for d in os.listdir(work_dir):
+        if d.endswith(".old"):
+            cell = d[: -len(".old")]
+            live = os.path.join(post_dir, cell)
+            if not os.path.exists(live):
+                os.rename(os.path.join(work_dir, d), live)
+    shutil.rmtree(work_dir, ignore_errors=True)
 
 
 def compact_sq8_ivf_index(
@@ -354,58 +545,93 @@ def compact_sq8_ivf_index(
     index_dir: str,
     max_files_per_cell: int = 1,
 ) -> dict:
-    """Compact fragmented postings cells after repeated appends.
+    """Compact fragmented postings cells after repeated appends, purging
+    tombstoned codes along the way.
 
     Every ``append_to_sq8_ivf_index`` adds file(s) to the cells its delta
     touches; after many small deltas a probe pays per-file open/footer
     cost instead of one sequential read — the standard LSM-ish decay every
     append-optimized layout suffers.  This rewrites ONLY the cells whose
-    file count exceeds ``max_files_per_cell`` (read cell -> coalesce(1) ->
-    temp dir -> atomic-ish swap), leaving untouched cells alone, so
-    compaction cost is proportional to the FRAGMENTED fraction, not the
-    index.  Query results are unchanged (same rows, same partition-dir
-    layout — pinned by test).  Returns {cells_compacted, files_before,
-    files_after}.
+    file count exceeds ``max_files_per_cell`` PLUS the cells holding
+    tombstoned vectors (dropping those rows physically), leaving untouched
+    cells alone, so compaction cost is proportional to the fragmented-or-
+    dirty fraction, not the index.  Once every dirty cell is rewritten the
+    tombstone set is drained.  Query results are unchanged at every point
+    (tombstones keep masking until their rows are dropped — pinned by
+    test).  Returns {cells_compacted, files_before, files_after,
+    tombstones_purged}.
+
+    Crash-safety (advice r10): per-cell temp/saved dirs live under
+    ``index_dir/.compact/`` — OUTSIDE postings/, so concurrent partition
+    discovery never sees half-written files — and the swap is
+    rename(live -> saved), rename(tmp -> live), verify row count, delete
+    saved.  On entry, any saved dir from an interrupted run whose live
+    cell is missing is restored first.
     """
     import shutil
 
     post_dir = os.path.join(index_dir, "postings")
+    work_dir = os.path.join(index_dir, ".compact")
     if not os.path.exists(os.path.join(index_dir, "_BUILT")):
         raise ValueError(f"not a built index: {index_dir}")
+    _recover_interrupted_compaction(post_dir, work_dir)
+
+    tomb = _tombstones(spark, index_dir)
+    tomb_by_cell: dict = {}
+    if tomb is not None:
+        for r in tomb.collect():  # bounded: delete-delta between compactions
+            tomb_by_cell.setdefault(int(r["cell"]), set()).add(int(r["vec_id"]))
+
     cells = [
         d
         for d in os.listdir(post_dir)
-        if d.startswith("cell=")
-        and os.path.isdir(os.path.join(post_dir, d))
+        if d.startswith("cell=") and os.path.isdir(os.path.join(post_dir, d))
     ]
-
-    def n_files(cell_dir: str) -> int:
-        return sum(
-            1
-            for f in os.listdir(cell_dir)
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-
-    before = {c: n_files(os.path.join(post_dir, c)) for c in cells}
-    fragmented = [c for c in cells if before[c] > max_files_per_cell]
-    for c in fragmented:
+    before = {c: _n_cell_files(os.path.join(post_dir, c)) for c in cells}
+    rewrite = [
+        c
+        for c in cells
+        if before[c] > max_files_per_cell
+        or int(c.split("=", 1)[1]) in tomb_by_cell
+    ]
+    os.makedirs(work_dir, exist_ok=True)
+    purged = 0
+    for c in rewrite:
         src = os.path.join(post_dir, c)
-        tmp = src + ".compact.tmp"
-        old = src + ".compact.old"
+        tmp = os.path.join(work_dir, c + ".tmp")
+        old = os.path.join(work_dir, c + ".old")
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
+        dead = tomb_by_cell.get(int(c.split("=", 1)[1]), set())
+        live_df = spark.read.parquet(src)
+        if dead:
+            live_df = live_df.filter(~F.col("vec_id").isin(list(dead)))
         # the per-cell files carry (vec_id, codes); the cell value lives in
         # the directory name, so a plain read/rewrite preserves the
         # partitioned layout
-        spark.read.parquet(src).coalesce(1).write.mode("overwrite").parquet(
-            tmp
-        )
+        live_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        expected = spark.read.parquet(tmp).count()
         os.rename(src, old)
         os.rename(tmp, src)
+        got = spark.read.parquet(src).count()
+        if got != expected:  # never observed; the saved dir makes it safe
+            shutil.rmtree(src, ignore_errors=True)
+            os.rename(old, src)
+            raise RuntimeError(
+                f"compaction row-count mismatch in {c}: {got} != {expected}"
+            )
         shutil.rmtree(old)
-    after = {c: n_files(os.path.join(post_dir, c)) for c in cells}
+        purged += len(dead)
+    if tomb_by_cell:
+        # every dirty cell was rewritten above -> the whole set is drained.
+        # (A crash before this point leaves tombstones in place: rows are
+        # already gone, and anti-joining absent rows is a no-op.)
+        shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    shutil.rmtree(work_dir, ignore_errors=True)
+    after = {c: _n_cell_files(os.path.join(post_dir, c)) for c in cells}
     return {
-        "cells_compacted": len(fragmented),
+        "cells_compacted": len(rewrite),
         "files_before": sum(before.values()),
         "files_after": sum(after.values()),
+        "tombstones_purged": purged,
     }

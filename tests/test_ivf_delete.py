@@ -1,0 +1,277 @@
+"""DELETE/tombstone lifecycle for the materialized IVF+SQ8 index
+(ops/ivf_index.py, round-10 verdict asks #2 and #4): tombstone-delete
+masks at probe time, equals a rebuild-without-deleted, composes with
+append, is physically purged by compaction, survives an interrupted
+compaction, and the append path's opt-in auto-compaction keeps per-cell
+file counts bounded across repeated deltas."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagger_spark.ops.ivf_index import (
+    append_to_sq8_ivf_index,
+    build_sq8_ivf_index,
+    compact_sq8_ivf_index,
+    delete_from_sq8_ivf_index,
+    sq8_ivf_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+N_CENTROIDS = 16
+
+
+def _corpus(spark):
+    return (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .filter(F.col("embedding").isNotNull())
+    )
+
+
+def _grid_safe_delete_ids(spark, n=24):
+    """Ids whose removal leaves the per-dimension min/max (and therefore
+    the SQ8 grid) unchanged: skip centroid seeds (< 16) and every vector
+    achieving a per-dim extreme — the exact dual of the append path's
+    grid-staleness bound, so rebuild-without-deleted shares the frozen
+    grid and equality is exact."""
+    emb = _corpus(spark)
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "x"),
+    )
+    stats = vals.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    ext = {
+        r["vec_id"]
+        for r in vals.join(F.broadcast(stats), "j")
+        .filter((F.col("x") == F.col("mn")) | (F.col("x") == F.col("mx")))
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    return [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .filter(~F.col("vec_id").isin(list(ext)) & (F.col("vec_id") >= N_CENTROIDS))
+        .orderBy(F.desc("vec_id"))
+        .limit(n)
+        .collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def base_index(spark):
+    return build_sq8_ivf_index(spark, SF, n_centroids=N_CENTROIDS)
+
+
+def _scratch(base_index, name):
+    d = f"/tmp/dagger_test_del_{name}"
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.copytree(base_index, d)
+    return d
+
+
+def _topk(spark, idx):
+    return sorted(
+        tuple(r) for r in sq8_ivf_topk(spark, idx, k=5, nprobe=2).collect()
+    )
+
+
+def test_delete_masks_and_equals_rebuild(spark, base_index):
+    """Vectors-shape delete: tombstoned ids vanish from results, and the
+    probe equals a full one-shot rebuild over the reduced corpus (same
+    grid by construction — grid-safe ids)."""
+    ids = _grid_safe_delete_ids(spark)
+    scratch = _scratch(base_index, "rebuild_eq")
+    vecs = _corpus(spark).filter(F.col("vec_id").isin(ids))
+    n = delete_from_sq8_ivf_index(spark, scratch, vectors=vecs)
+    assert n == len(ids)
+    got = _topk(spark, scratch)
+    assert not any(r[1] in set(ids) for r in got)  # neighbor_id masked
+
+    rebuilt = build_sq8_ivf_index(
+        spark, SF, N_CENTROIDS,
+        corpus=_corpus(spark).filter(~F.col("vec_id").isin(ids)),
+        tag="delcheck_rebuild",
+    )
+    try:
+        assert got == _topk(spark, rebuilt)
+    finally:
+        shutil.rmtree(rebuilt, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_ids_shape_equals_vectors_shape(spark, base_index):
+    ids = _grid_safe_delete_ids(spark, n=8)
+    s_vec = _scratch(base_index, "by_vec")
+    s_ids = _scratch(base_index, "by_ids")
+    delete_from_sq8_ivf_index(
+        spark, s_vec, vectors=_corpus(spark).filter(F.col("vec_id").isin(ids))
+    )
+    n = delete_from_sq8_ivf_index(
+        spark, s_ids,
+        ids=spark.createDataFrame([(i,) for i in ids], "vec_id long"),
+    )
+    assert n == len(ids)
+    assert _topk(spark, s_vec) == _topk(spark, s_ids)
+    shutil.rmtree(s_vec, ignore_errors=True)
+    shutil.rmtree(s_ids, ignore_errors=True)
+
+
+def test_append_after_delete(spark, base_index):
+    """The lifecycle composes: delete a slice, append a fresh delta — the
+    appended vectors are retrievable, the deleted stay masked."""
+    ids = _grid_safe_delete_ids(spark, n=8)
+    scratch = _scratch(base_index, "app_after_del")
+    delete_from_sq8_ivf_index(
+        spark, scratch, vectors=_corpus(spark).filter(F.col("vec_id").isin(ids))
+    )
+    # re-insert the SAME vectors under fresh ids: guaranteed in-grid, and
+    # each new id must retrieve wherever its doppelganger used to
+    delta = _corpus(spark).filter(F.col("vec_id").isin(ids[:4])).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_sq8_ivf_index(spark, scratch, delta)
+    got = _topk(spark, scratch)
+    assert not any(r[1] in set(ids) for r in got)
+    assert any(r[1] >= 10_000_000 for r in got)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_compaction_purges_tombstones(spark, base_index):
+    """Compaction physically drops tombstoned codes, drains the tombstone
+    set, and leaves query results unchanged."""
+    ids = _grid_safe_delete_ids(spark, n=12)
+    scratch = _scratch(base_index, "purge")
+    delete_from_sq8_ivf_index(
+        spark, scratch, vectors=_corpus(spark).filter(F.col("vec_id").isin(ids))
+    )
+    before = _topk(spark, scratch)
+    stats = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
+    assert stats["tombstones_purged"] == len(ids)
+    assert not os.path.exists(os.path.join(scratch, "tombstones"))
+    assert _topk(spark, scratch) == before
+    # physically gone from the postings files, not just masked
+    live = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(scratch, "postings"))
+        .select("vec_id").collect()
+    }
+    assert not (live & set(ids))
+    # idempotent: a second compaction has nothing to do
+    again = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
+    assert again["cells_compacted"] == 0 and again["tombstones_purged"] == 0
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_interrupted_compaction_recovers(spark, base_index):
+    """Crash between the two swap renames (advice r10): the live cell dir
+    is missing and its content sits in .compact/<cell>.old — the next
+    compaction must restore it before doing anything, so no probe ever
+    silently loses a cell."""
+    scratch = _scratch(base_index, "recover")
+    before = _topk(spark, scratch)
+    post = os.path.join(scratch, "postings")
+    cell = next(d for d in sorted(os.listdir(post)) if d.startswith("cell="))
+    work = os.path.join(scratch, ".compact")
+    os.makedirs(work, exist_ok=True)
+    os.rename(os.path.join(post, cell), os.path.join(work, cell + ".old"))
+    assert not os.path.exists(os.path.join(post, cell))  # the crash state
+    stats = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
+    assert os.path.exists(os.path.join(post, cell))
+    assert not os.path.exists(work)
+    assert _topk(spark, scratch) == before
+    assert stats["cells_compacted"] == 0  # recovery, not a rewrite
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_wrong_dimension_vector_refused(spark, base_index):
+    """Advice r10: a delta vector LONGER than the frozen grid used to slip
+    past the gate via NULL element_at lookups and append NULL codes.  Both
+    wrong-length and NULL-element vectors must now be refused — by append
+    and by the vectors-shape delete alike."""
+    dim = _corpus(spark).select(F.size("embedding").alias("d")).first()["d"]
+    long_vec = [0.0] * (dim + 3)
+    df_long = spark.createDataFrame(
+        [(99_000_001, long_vec)], "vec_id long, embedding array<double>"
+    )
+    scratch = _scratch(base_index, "dimgate")
+    with pytest.raises(ValueError, match="outside the frozen SQ8 grid"):
+        append_to_sq8_ivf_index(spark, scratch, df_long)
+    with pytest.raises(ValueError, match="outside the frozen SQ8 grid"):
+        delete_from_sq8_ivf_index(spark, scratch, vectors=df_long)
+    df_null = spark.createDataFrame(
+        [(99_000_002, [None] + [0.0] * (dim - 1))],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="outside the frozen SQ8 grid"):
+        append_to_sq8_ivf_index(spark, scratch, df_null)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_delete_arg_validation(spark, base_index):
+    scratch = _scratch(base_index, "args")
+    ids = spark.createDataFrame([(1,)], "vec_id long")
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_from_sq8_ivf_index(spark, scratch)
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_from_sq8_ivf_index(spark, scratch, ids=ids, vectors=ids)
+    with pytest.raises(ValueError, match="not a built index"):
+        delete_from_sq8_ivf_index(spark, "/tmp/not_an_index_at_all", ids=ids)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_auto_compaction_bounds_file_counts(spark, base_index):
+    """Opt-in auto-compaction on the append path (verdict ask #4): across
+    N sequential appends, no cell's file count may exceed threshold+1 at
+    rest (one over-threshold append triggers the rewrite), and results
+    keep matching a never-compacted twin."""
+    scratch = _scratch(base_index, "auto")
+    twin = _scratch(base_index, "auto_twin")
+    emb = _corpus(spark)
+    threshold = 2
+    for i in range(5):
+        delta = emb.filter(
+            (F.col("vec_id") >= 20) & (F.col("vec_id") < 28)
+        ).select(
+            (F.col("vec_id") + 1_000_000 * (i + 1)).alias("vec_id"),
+            "embedding",
+        )
+        append_to_sq8_ivf_index(
+            spark, scratch, delta, auto_compact_max_files=threshold
+        )
+        append_to_sq8_ivf_index(spark, twin, delta)
+        post = os.path.join(scratch, "postings")
+        worst = max(
+            len([f for f in os.listdir(os.path.join(post, c))
+                 if f.endswith(".parquet")])
+            for c in os.listdir(post)
+            if c.startswith("cell=") and os.path.isdir(os.path.join(post, c))
+        )
+        assert worst <= threshold + 1, (i, worst)
+    assert _topk(spark, scratch) == _topk(spark, twin)
+    # the twin, never compacted, demonstrates the decay auto-compaction
+    # prevents: at least one of its cells is past the threshold
+    tp = os.path.join(twin, "postings")
+    assert any(
+        len([f for f in os.listdir(os.path.join(tp, c))
+             if f.endswith(".parquet")]) > threshold + 1
+        for c in os.listdir(tp)
+        if c.startswith("cell=") and os.path.isdir(os.path.join(tp, c))
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(twin, ignore_errors=True)
+
+
+def test_catalog_deleted_entry_masks_slice(spark):
+    """The driver-facing entry: every neighbor id in the retired slice
+    (mod 7, >= 16) is absent, and row shape matches the ANN ladder."""
+    from dagger_spark.catalog import QUERIES
+
+    rows = QUERIES["ann_ivf_sq8_deleted"].fn(spark, SF).collect()
+    assert len(rows) == 40
+    assert all(
+        not (r["neighbor_id"] % 10 == 7 and r["neighbor_id"] >= 16)
+        for r in rows
+    )

@@ -26,78 +26,82 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 
-# Driver-window rotation (round 10): the correctness gate verifies the
+# Driver-window rotation (round 11): the correctness gate verifies the
 # FIRST ~50 queries.  Priorities, in order: (1) every oracle-paired query
-# that has never earned a driver row — the 10 round-10 additions; (2)
-# queries whose implementation changed this round and must re-earn their
-# rows — mmr_rerank_embeddings (collision-free string pair keys replace
-# the q*1e6+n arithmetic), orders_customer_bucketed_join (scoped planner
-# conf + eager bounded collect), ann_ivf_sq8_indexed (ns-mtime
-# fingerprint + publish-race verification in ops/ivf_index.py); (3) the
-# STALEST rows (round-9 verdict ask #1): priorities 1-2 leave 37 slots,
-# spent on all 18 queries whose last green row is round 4 and the 19
-# alphabetically-first of the 33 round-5 rows (the remaining 14 queue for
-# round 11).  The round this window was authored in: tests/test_rotation.py
-# fails the suite if a later round's CORRECTNESS artifact exists without
-# the window having been re-authored — the mechanical stall guard.
-_WINDOW_ROUND = 10
+# that has never earned a driver row — the 2 round-11 additions (the
+# DELETE arm of the index/corpus lifecycle); (2) queries whose
+# implementation changed this round and must re-earn their rows —
+# ann_ivf_sq8_appended + ann_ivf_sq8_indexed (ops/ivf_index.py grew the
+# tombstone anti-join on the probe path, the dimension-checked staleness
+# gate, and crash-safe compaction), events_ewma_anomaly (+1e-9 nudge on
+# the top-20 sort key, both engines), dedup_method_agreement_docs and
+# sq8_residual_error_embeddings (eager bounded compute + unpersist — the
+# advice-r10 cache-leak fixes), mmr_rerank_grouped (short-candidate-list
+# guard in the greedy kernel); (3) the STALEST rows (round-10 verdict ask
+# #1): all 14 remaining round-5 rows — this retires the round-5 cohort
+# entirely — and the 26 alphabetically-first of the 39 round-6 rows (the
+# remaining 13 queue for round 12, after which the window is pure
+# freshness rotation).  tests/test_rotation.py fails the suite if a later
+# round's CORRECTNESS artifact exists without the window having been
+# re-authored — the mechanical stall guard.
+_WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
-    # -- (1) never-driver-verified: the 10 round-10 additions --
-    "ann_ivf_sq8_appended",      # incremental IVF index append (frozen grid)
-    "mmr_rerank_grouped",        # corpus-scale MMR via applyInPandas
-    "events_incremental_rollup", # partial-agg merge == full recompute (IVM)
-    "events_ewma_anomaly",       # truncated-EWMA burst/dropoff monitor
-    "padding_waste_docs",        # length-bucketed batching efficiency
-    "langid_confusion_docs",     # lang-id confusion vs declared lang
-    "dedup_method_agreement_docs",  # pair-set agreement across dedup methods
-    "sq8_residual_error_embeddings",  # residual-vs-raw SQ8 error gauge
-    "minhash_delta_pairs_docs",  # delta-vs-corpus LSH candidate pairs
-    "bm25_incremental_stats_docs",  # state+delta merged retrieval stats
+    # -- (1) never-driver-verified: the 4 round-11 additions --
+    "ann_ivf_sq8_deleted",       # tombstone-delete path of the IVF index
+    "minhash_retire_pairs_docs", # document retirement of the dedup state
+    "dedup_retire_clusters_docs",  # affected-component cluster recompute
+    "events_retire_rollup",      # IVM retraction merge == reduced recompute
     # -- (2) changed code re-earns its row --
-    "mmr_rerank_embeddings",     # collision-free pair keys this round
-    "orders_customer_bucketed_join",  # scoped conf + bounded eager collect
-    "ann_ivf_sq8_indexed",       # ivf_index fingerprint/publish-race fixes
-    # -- (3) stalest rows: last green in round 4 --
-    "events_cohort_retention",
-    "events_funnel",
-    "events_multires_rollup",
-    "jaccard_exact_join",
-    "jaccard_pairs_docs",
-    "kmeans_step_embeddings",
-    "mixture_sample_docs",
-    "pii_scan_docs",
-    "q18_large_orders",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "repetition_docs",
-    "semdedup_embeddings",
-    "simhash_docs",
-    "substring_dedup_docs",
-    "text_stats_docs",
-    "tfidf_top_terms",
-    "window_funcs_showcase",
-    # -- (3) stalest rows: last green in round 5 (alphabetically first 19
-    #    of 33; the remaining 14 queue for round 11) --
-    "classifier_calibration_docs",
-    "cube_orders",
-    "customer_hierarchy",
-    "events_alert_debounce",
-    "events_burst_exact",
-    "events_burst_sliding",
-    "events_cusum_shift",
-    "events_gapfill",
-    "events_mad_outliers",
-    "events_median_sketch",
-    "events_pattern_match",
-    "events_pattern_match_sessions",
-    "events_rolling_7d",
-    "events_seasonal_decompose",
-    "events_session_window",
-    "events_theilsen_trend",
-    "events_winsorized_stats",
-    "heavy_hitters_docs",
-    "jaccard_zipf_join",
+    "ann_ivf_sq8_appended",      # ivf_index tombstone/gate/compaction changes
+    "ann_ivf_sq8_indexed",       # same module, shared probe path
+    "events_ewma_anomaly",       # sort-key 1e-9 nudge (advice r10)
+    "dedup_method_agreement_docs",   # eager compute + unpersist
+    "sq8_residual_error_embeddings", # eager compute + unpersist
+    "mmr_rerank_grouped",        # greedy-kernel short-list guard
+    # -- (3) stalest rows: the last 14 round-5 rows (cohort retired) --
+    "lsh_recall_docs",
+    "pipeline_verdict_docs",
+    "q13_order_distribution",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "scd2_customer_priority",
+    "semi_join_high_value",
+    "simhash_neardup",
+    "skew_salted_join",
+    "token_entropy_docs",
+    "unigram_logprob_docs",
+    "winnowing_docs",
+    # -- (3) stalest rows: last green in round 6 (alphabetically first 26
+    #    of 39; the remaining 13 queue for round 12) --
+    "ann_rp",
+    "bpe_pair_counts_docs",
+    "cdc_chunk_docs",
+    "chunk_dedup_docs",
+    "containment_pairs_docs",
+    "contrastive_triplets",
+    "corpus_diff_docs",
+    "customer_rfm_segments",
+    "dedup_canonical_docs",
+    "dedup_clusters_docs",
+    "docs_stratified_sample",
+    "dq_checks_orders",
+    "editdist_neardup_docs",
+    "events_assoc_rules",
+    "events_benford_check",
+    "events_conversion_lag",
+    "events_hll_intersect",
+    "events_markov_transitions",
+    "events_partial_merge",
+    "events_rate_anomaly",
+    "events_sessionization",
+    "events_wau_stickiness",
+    "events_zorder_layout",
+    "grouping_sets_orders",
+    "incremental_dedup_docs",
+    "k_anonymity_docs",
 ]
 
 

@@ -181,3 +181,146 @@ QUERIES["minhash_retire_pairs_docs"] = CatalogQuery(
     _retire_pairs_oracle(),
     QUERIES["minhash_retire_pairs_docs"].description,
 )
+
+
+# ===========================================================================
+# Cluster retirement: affected-component recompute (the NON-trivial delete)
+# ===========================================================================
+
+
+def _retire_clusters_oracle() -> str:
+    """dedup_clusters_docs' registered recursive-CTE oracle recomputed over
+    the REDUCED corpus (both the shingle source and the final doc scan)."""
+    base = QUERIES["dedup_clusters_docs"].oracle
+    a1 = "AS t FROM documents"
+    a2 = "FROM documents d"
+    assert base.count(a1) == 1 and base.count(a2) == 1, (
+        "dedup_clusters oracle shape changed"
+    )
+    return base.replace(
+        a1, a1 + f" WHERE doc_id % 10 <> {_RETIRE_MOD}"
+    ).replace(
+        a2,
+        f"FROM (SELECT * FROM documents WHERE doc_id % 10 <> {_RETIRE_MOD}) d",
+    )
+
+
+@register(
+    "dedup_retire_clusters_docs",
+    None,  # composed oracle attached below
+    "Cluster-state document retirement — the NON-trivial half of dedup "
+    "deletion: retiring a doc can SPLIT its near-dup cluster (the retired "
+    "doc may be the bridge between two sub-groups), so unlike the pair "
+    "state this cannot be maintained by subtraction alone.  The "
+    "incremental algorithm is affected-component recompute: components "
+    "holding no retired member keep their assignments VERBATIM (no edge "
+    "they own can disappear); only the components containing retired docs "
+    "have their surviving members re-clustered over their surviving pairs "
+    "(the O(log n) large-star/small-star kernel on a subgraph).  Work is "
+    "proportional to the AFFECTED components — retired-slice-sized, never "
+    "the corpus.  Oracle: the registered recursive-CTE cluster closure "
+    "recomputed over the reduced corpus; equality holds because removal "
+    "only deletes edges/vertices, so reduced-graph components = unchanged "
+    "components + recomputed sub-components (min-id labels agree side by "
+    "side)",
+)
+def dedup_retire_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.dedup import connected_components
+
+    clusters = QUERIES["dedup_clusters_docs"].fn(spark, sf_dir)
+    pairs = QUERIES["minhash_pairs_docs"].fn(spark, sf_dir)
+    retired = F.pmod(F.col("doc_id"), F.lit(10)) == _RETIRE_MOD
+
+    # components touching the retired slice — retired-slice-sized, so the
+    # broadcast semi/anti joins below are delta-bounded
+    affected = clusters.filter(retired).select("cluster").distinct()
+    keep = clusters.join(F.broadcast(affected), "cluster", "left_anti")
+    members = clusters.join(
+        F.broadcast(affected), "cluster", "left_semi"
+    ).filter(~retired)
+    alive = lambda c: F.pmod(c, F.lit(10)) != _RETIRE_MOD  # noqa: E731
+    # a pair's endpoints share a component, so one semi-join on id_a
+    # restricts the edge set to the affected subgraph
+    sub_pairs = pairs.filter(
+        alive(F.col("id_a")) & alive(F.col("id_b"))
+    ).join(
+        F.broadcast(members.select(F.col("doc_id").alias("id_a"))),
+        "id_a",
+        "left_semi",
+    )
+    re_cc = connected_components(
+        members.select(F.col("doc_id").alias("id")),
+        sub_pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+    )
+    return (
+        keep.select("doc_id", "cluster")
+        .unionByName(
+            re_cc.select(F.col("id").alias("doc_id"), "cluster")
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dedup_retire_clusters_docs"] = CatalogQuery(
+    QUERIES["dedup_retire_clusters_docs"].fn,
+    _retire_clusters_oracle(),
+    QUERIES["dedup_retire_clusters_docs"].description,
+)
+
+
+# ===========================================================================
+# Rollup retraction: the IVM delete twin of events_incremental_rollup
+# ===========================================================================
+
+
+@register(
+    "events_retire_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*)::BIGINT        AS n_events,
+           round(sum(value), 2)    AS sum_value
+    FROM events WHERE event_id % 10 <> 0
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY hour_start, event_type
+    """,
+    "Incremental rollup RETRACTION (the delete twin of "
+    "events_incremental_rollup): a slice of events (event_id % 10 == 0 — "
+    "the same slice the append entry admits) is retired from the "
+    "maintained hourly rollup by ALGEBRAIC SUBTRACTION — the retired "
+    "slice's partial aggregate merges into the state with negated "
+    "measures (counts and sums are group aggregates, so retraction is "
+    "exact), and groups whose count reaches zero vanish.  The merge "
+    "touches state-sized + delta-sized input, never the surviving "
+    "history.  Oracle: full recompute over the reduced event set — "
+    "retract-then-read must be indistinguishable from recomputing, the "
+    "IVM contract in its deletion direction",
+)
+def events_retire_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        ).agg(
+            (F.count(F.lit(1)) * F.lit(sign)).cast("long").alias("n_events"),
+            (F.sum("value") * F.lit(sign)).alias("__sv"),
+        )
+
+    state = partial(ev, 1)  # the maintained full rollup (at rest)
+    retract = partial(ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0), -1)
+    return (
+        state.unionAll(retract)
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("__sv"), 2).alias("sum_value"),
+        )
+        .filter(F.col("n_events") > 0)
+        .orderBy("hour_start", "event_type")
+    )

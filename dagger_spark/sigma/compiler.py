@@ -463,7 +463,44 @@ def _modifier_term(key: str, modifier: str, value, bug_compat: bool) -> str:
     raise SigmaCompileError(f"sigma condition not found: {modifier!r}")
 
 
-def _map_sql(items, bug_compat: bool) -> str:
+_PLACEHOLDER_RE = re.compile(r"%([A-Za-z0-9_]+)%")
+
+
+def _expand_values(value, placeholders) -> list:
+    """Sigma v2 ``|expand``: substitute ``%name%`` placeholders from a
+    CALLER-SUPPLIED dictionary (the mapping is deployment-specific — admin
+    workstation lists, service-account patterns — so the engine refuses to
+    guess: no dict, loud rejection; unknown placeholder, loud rejection).
+    A value holding several placeholders expands over their cartesian
+    product; values without placeholders pass through verbatim."""
+    if placeholders is None:
+        raise SigmaCompileError(
+            "expand requires a caller-supplied placeholder dictionary: "
+            "compile_sigma(rule, placeholders={'var': [...]}) — the "
+            "%var% mapping is deployment-specific and is never guessed"
+        )
+    vals = value if isinstance(value, list) else [value]
+    out = []
+    for v in vals:
+        expanded = [str(v)]
+        for name in sorted(set(_PLACEHOLDER_RE.findall(str(v)))):
+            if name not in placeholders:
+                raise SigmaCompileError(
+                    f"expand: placeholder %{name}% missing from the "
+                    f"placeholders dict (has: {sorted(placeholders)})"
+                )
+            subs = placeholders[name]
+            subs = subs if isinstance(subs, list) else [subs]
+            expanded = [
+                e.replace(f"%{name}%", str(s)) for e in expanded for s in subs
+            ]
+        out.extend(expanded)
+    if not out:
+        raise SigmaCompileError("expand: empty value list after expansion")
+    return out
+
+
+def _map_sql(items, bug_compat: bool, placeholders=None) -> str:
     """Field->value map entries -> AND-joined predicate fragment."""
     terms = []
     for field_spec, value in items:
@@ -474,13 +511,28 @@ def _map_sql(items, bug_compat: bool) -> str:
                 terms.append(_scalar_term(field_spec, value, bug_compat))
         else:
             key, modifier = field_spec.split("|", 1)
+            chain = modifier.split("|")
+            if "expand" in chain:
+                if bug_compat:
+                    # same posture as every post-v1 modifier: the reference
+                    # would silently strip it (main.py:35) — refuse instead
+                    raise SigmaCompileError(
+                        "expand not supported in bug-compat mode"
+                    )
+                value = _expand_values(value, placeholders)
+                rest = "|".join(m for m in chain if m != "expand")
+                if rest:
+                    terms.append(_modifier_term(key, rest, value, bug_compat))
+                else:
+                    terms.append(_list_term(key, value, bug_compat))
+                continue
             terms.append(_modifier_term(key, modifier, value, bug_compat))
     if not terms:
         raise SigmaCompileError("empty selection")
     return "(" + ") AND (".join(terms) + ")"
 
 
-def _selection_sql(selection, bug_compat: bool) -> str:
+def _selection_sql(selection, bug_compat: bool, placeholders=None) -> str:
     """One named selection -> predicate fragment (main.py:106-135).
 
     Sigma semantics: a map selection ANDs its fields; a LIST selection ORs
@@ -490,7 +542,7 @@ def _selection_sql(selection, bug_compat: bool) -> str:
     unsatisfiable, so it is reproduced only under bug_compat.
     """
     if isinstance(selection, dict):
-        return _map_sql(list(selection.items()), bug_compat)
+        return _map_sql(list(selection.items()), bug_compat, placeholders)
     if isinstance(selection, list):
         dict_entries = [e for e in selection if isinstance(e, dict)]
         # bare strings in selection lists are skipped by the reference too
@@ -500,8 +552,11 @@ def _selection_sql(selection, bug_compat: bool) -> str:
             items = []
             for entry in dict_entries:
                 items.extend(entry.items())
-            return _map_sql(items, bug_compat)
-        branches = [_map_sql(list(e.items()), bug_compat) for e in dict_entries]
+            return _map_sql(items, bug_compat, placeholders)
+        branches = [
+            _map_sql(list(e.items()), bug_compat, placeholders)
+            for e in dict_entries
+        ]
         if len(branches) == 1:
             return branches[0]
         return "(" + " OR ".join(branches) + ")"
@@ -571,6 +626,7 @@ def compile_sigma(
     rule: dict,
     bug_compat: bool = False,
     case_insensitive: Optional[bool] = None,
+    placeholders: Optional[dict] = None,
 ) -> Optional[RuleSpec]:
     """Compile one parsed Sigma rule dict into a RuleSpec.
 
@@ -578,6 +634,9 @@ def compile_sigma(
     them, main.py:194-195); otherwise timeframe rules compile into windowed
     count rules (RuleSpec.timeframe_*).  ``case_insensitive`` defaults to the
     Sigma spec (True) in fixed mode and False in bug-compat mode.
+    ``placeholders`` supplies the ``%var%`` dictionary for the v2 ``expand``
+    modifier ({name: value-or-list}); expand rules are REJECTED when it is
+    absent — the mapping is deployment data, never guessed.
     """
     if case_insensitive is None:
         case_insensitive = not bug_compat
@@ -606,7 +665,8 @@ def compile_sigma(
         condition = cond_part.strip()
 
     sel_sql = {
-        name: _selection_sql(sel, bug_compat) for name, sel in detection.items()
+        name: _selection_sql(sel, bug_compat, placeholders)
+        for name, sel in detection.items()
     }
     body = _condition_sql(condition, sel_sql, bug_compat)
 

@@ -97,24 +97,21 @@ def test_rotation_advances_until_full_coverage():
 
 def test_changed_code_queries_in_gate_window():
     """Queries whose implementation changed this round must sit inside the
-    driver-checked window: changed code re-earns its driver row.  Round 10:
-    mmr_rerank_embeddings (collision-free pair keys),
-    orders_customer_bucketed_join (scoped planner conf),
-    ann_ivf_sq8_indexed (ivf_index fingerprint/publish-race fixes), plus
-    every query that has never earned a driver row — the 8 round-10
-    additions."""
+    driver-checked window: changed code re-earns its driver row.  Round 11:
+    the ivf_index.py queries (tombstone anti-join on the shared probe path,
+    dimension-checked gate, crash-safe compaction), the advice-r10 fixes
+    (EWMA sort key, cache-leak eager rewrites, MMR greedy guard), plus the
+    two never-driver-verified round-11 additions."""
     from __spark_entry__ import _DRIVER_WINDOW
 
     window = set(_DRIVER_WINDOW[:GATE_SIZE])
     for name in (
+        # round-11 never-driver-verified additions
+        "ann_ivf_sq8_deleted", "minhash_retire_pairs_docs",
+        "dedup_retire_clusters_docs", "events_retire_rollup",
         # changed this round
-        "mmr_rerank_embeddings", "orders_customer_bucketed_join",
-        "ann_ivf_sq8_indexed",
-        # round-10 never-driver-verified additions
-        "ann_ivf_sq8_appended", "mmr_rerank_grouped",
-        "events_incremental_rollup", "events_ewma_anomaly",
-        "padding_waste_docs", "langid_confusion_docs",
-        "dedup_method_agreement_docs", "sq8_residual_error_embeddings",
-        "minhash_delta_pairs_docs", "bm25_incremental_stats_docs",
+        "ann_ivf_sq8_appended", "ann_ivf_sq8_indexed",
+        "events_ewma_anomaly", "dedup_method_agreement_docs",
+        "sq8_residual_error_embeddings", "mmr_rerank_grouped",
     ):
         assert name in window, name

@@ -20,9 +20,10 @@ IMPLEMENTED = {
     "cased",
 }
 
-# Sigma-v2 spec modifiers we deliberately reject (COVERAGE.md matrix):
-# expand needs an external placeholder dictionary the pipeline doesn't ship
-SPEC_REJECTED = ["expand"]
+# Sigma-v2 spec modifiers that are PARAMETERIZED rather than standalone:
+# expand needs an external %var% dictionary — implemented when the caller
+# supplies placeholders=, rejected loudly when they don't (COVERAGE.md)
+SPEC_PARAMETERIZED = ["expand"]
 
 
 def mk(field_spec, value):
@@ -33,10 +34,103 @@ def mk(field_spec, value):
     }
 
 
-@pytest.mark.parametrize("mod", SPEC_REJECTED)
-def test_spec_modifiers_we_dont_implement_reject_loudly(mod):
+@pytest.mark.parametrize("mod", SPEC_PARAMETERIZED)
+def test_parameterized_modifiers_reject_without_their_parameter(mod):
     with pytest.raises(SigmaCompileError):
         compile_sigma(mk(f"CommandLine|{mod}", "x"))
+
+
+# ---------------------------------------------------------------------------
+# |expand — implemented round 11 behind a caller-supplied placeholder dict
+# ---------------------------------------------------------------------------
+
+
+def test_expand_rejected_without_placeholders():
+    with pytest.raises(SigmaCompileError, match="placeholder"):
+        compile_sigma(mk("Image|expand", "%admin_tools%"))
+
+
+def test_expand_rejected_on_unknown_placeholder():
+    with pytest.raises(SigmaCompileError, match="%other%"):
+        compile_sigma(
+            mk("Image|expand", "%other%"), placeholders={"admin_tools": ["x"]}
+        )
+
+
+def test_expand_rejected_in_bug_compat():
+    with pytest.raises(SigmaCompileError, match="bug-compat"):
+        compile_sigma(
+            mk("Image|expand", "%admin_tools%"),
+            bug_compat=True,
+            placeholders={"admin_tools": ["x"]},
+        )
+
+
+def test_expand_substitutes_and_ors():
+    spec = compile_sigma(
+        mk("Image|expand", r"C:\Tools\%admin_tools%"),
+        placeholders={"admin_tools": ["psexec.exe", "procdump.exe"]},
+    )
+    sql = spec.predicate_sql
+    assert r"C:\Tools\psexec.exe" in sql and r"C:\Tools\procdump.exe" in sql
+
+
+def test_expand_chains_with_contains():
+    spec = compile_sigma(
+        mk("CommandLine|expand|contains", "%susp_flags%"),
+        placeholders={"susp_flags": ["-accepteula", "/list"]},
+    )
+    sql = spec.predicate_sql
+    assert "%-accepteula%" in sql and "%/list%" in sql  # LIKE needles
+
+
+def test_expand_cartesian_over_multiple_placeholders():
+    spec = compile_sigma(
+        mk("Image|expand", "%drive%\\%tool%"),
+        placeholders={"drive": ["C:", "D:"], "tool": ["a.exe", "b.exe"]},
+    )
+    sql = spec.predicate_sql
+    for needle in ("C:\\a.exe", "C:\\b.exe", "D:\\a.exe", "D:\\b.exe"):
+        assert needle in sql, needle
+
+
+def test_expand_live_parity_spark_duckdb(spark, duck):
+    """The expanded rule must match exactly the substituted hosts — in both
+    renderers (Spark Column and the DuckDB oracle SQL)."""
+    from dagger_spark.expr import to_sql
+
+    rule = mk("User|expand|contains", "%admins%")
+    del rule["logsource"]["category"]  # no event_id gate: pure string test
+    spec = compile_sigma(
+        rule, placeholders={"admins": ["ADM_alice", "ADM_bob"]}
+    )
+    rows = [
+        ("hit_a", "corp\\ADM_alice"),
+        ("hit_b", "corp\\adm_bob"),  # CI default still applies post-expand
+        ("miss", "corp\\carol"),
+    ]
+    df = spark.createDataFrame(
+        [(n, {"User": u}) for n, u in rows],
+        "name string, event_data map<string,string>",
+    )
+    got = sorted(
+        r["name"] for r in df.filter(spec.condition()).select("name").collect()
+    )
+    assert got == ["hit_a", "hit_b"]
+
+    sql = to_sql(spec.predicate, "duckdb", case_insensitive=True)
+    con = duck
+    con.execute("DROP TABLE IF EXISTS t_expand")
+    con.execute(
+        "CREATE TABLE t_expand(name VARCHAR, event_data STRUCT(User VARCHAR))"
+    )
+    for n, u in rows:
+        con.execute("INSERT INTO t_expand VALUES (?, row(?))", [n, u])
+    oracle = sorted(
+        r[0]
+        for r in con.execute(f"SELECT name FROM t_expand WHERE {sql}").fetchall()
+    )
+    assert oracle == got
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,117 @@
+"""Streaming IVM parity (round-10 verdict ask #6): the foreachBatch-
+maintained hourly rollup state over a micro-batch replay must equal the
+batch recompute — the Structured Streaming deployment shape of
+events_incremental_rollup's merge algebra."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagger_spark.sources.files import load_table
+from dagger_spark.streaming.ivm import (
+    merge_rollup_partial,
+    read_rollup_state,
+    run_incremental_rollup_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """The events table re-laid as 8 parquet files so the file source
+    replays it as multiple micro-batches (2 files per trigger -> 4)."""
+    d = str(tmp_path_factory.mktemp("ivm_events"))
+    out = os.path.join(d, "files")
+    load_table(spark, SF, "events").repartition(8).write.parquet(out)
+    return out
+
+
+def _batch_recompute(spark):
+    ev = load_table(spark, SF, "events")
+    return sorted(
+        tuple(r)
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    )
+
+
+def test_stream_maintained_equals_batch_recomputed(
+    spark, events_stream_dir, tmp_path
+):
+    state_dir = str(tmp_path / "state")
+    n_batches = run_incremental_rollup_stream(
+        spark,
+        events_stream_dir,
+        state_dir,
+        checkpoint=str(tmp_path / "ck"),
+        max_files_per_trigger=2,
+    )
+    # the parity claim is only meaningful if the state was actually built
+    # INCREMENTALLY across several merges
+    assert n_batches >= 3, n_batches
+    got = sorted(tuple(r) for r in read_rollup_state(spark, state_dir).collect())
+    assert got == _batch_recompute(spark)
+    # exactly one live snapshot remains (old versions pruned)
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(versions) == 1
+
+
+def test_merge_is_pure_state_plus_delta(spark, tmp_path):
+    """Drive the merge step directly: merging the delta into yesterday's
+    state must equal aggregating everything at once (the algebra the
+    streaming run relies on), and each merge publishes a fresh version."""
+    from dagger_spark.streaming.ivm import _current_version, _partial
+
+    ev = load_table(spark, SF, "events")
+    state_dir = str(tmp_path / "s2")
+    merge_rollup_partial(
+        spark, state_dir,
+        _partial(ev.filter(F.pmod(F.col("event_id"), F.lit(10)) != 0)),
+    )
+    assert _current_version(state_dir) == "v1"
+    merge_rollup_partial(
+        spark, state_dir,
+        _partial(ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)),
+    )
+    assert _current_version(state_dir) == "v2"
+    got = sorted(
+        tuple(r) for r in read_rollup_state(spark, state_dir).collect()
+    )
+    assert got == _batch_recompute(spark)
+
+
+def test_reader_refuses_unpublished_state(spark, tmp_path):
+    with pytest.raises(ValueError, match="no published rollup state"):
+        read_rollup_state(spark, str(tmp_path / "nope"))
+
+
+def test_interrupted_merge_leaves_previous_version_live(spark, tmp_path):
+    """Crash discipline: a snapshot dir written WITHOUT the pointer swing
+    (the crash window) must be invisible to readers — the previous
+    version stays authoritative."""
+    from dagger_spark.streaming.ivm import _partial
+
+    ev = load_table(spark, SF, "events")
+    state_dir = str(tmp_path / "s3")
+    merge_rollup_partial(spark, state_dir, _partial(ev))
+    before = sorted(
+        tuple(r) for r in read_rollup_state(spark, state_dir).collect()
+    )
+    # simulate the crash: v2 data lands, pointer never swings
+    half = _partial(ev.limit(10))
+    half.write.parquet(os.path.join(state_dir, "v2"))
+    after = sorted(
+        tuple(r) for r in read_rollup_state(spark, state_dir).collect()
+    )
+    assert after == before
+    shutil.rmtree(state_dir, ignore_errors=True)

@@ -39,19 +39,22 @@ from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 # advice-r10 cache-leak fixes), mmr_rerank_grouped (short-candidate-list
 # guard in the greedy kernel); (3) the STALEST rows (round-10 verdict ask
 # #1): all 14 remaining round-5 rows — this retires the round-5 cohort
-# entirely — and the 26 alphabetically-first of the 39 round-6 rows (the
-# remaining 13 queue for round 12, after which the window is pure
+# entirely — and the 23 alphabetically-first of the 39 round-6 rows (the
+# remaining 16 queue for round 12, after which the window is pure
 # freshness rotation).  tests/test_rotation.py fails the suite if a later
 # round's CORRECTNESS artifact exists without the window having been
 # re-authored — the mechanical stall guard.
 _WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
-    # -- (1) never-driver-verified: the 4 round-11 additions --
+    # -- (1) never-driver-verified: the 7 round-11 additions --
     "ann_ivf_sq8_deleted",       # tombstone-delete path of the IVF index
     "minhash_retire_pairs_docs", # document retirement of the dedup state
     "dedup_retire_clusters_docs",  # affected-component cluster recompute
     "events_retire_rollup",      # IVM retraction merge == reduced recompute
+    "bm25_retire_stats_docs",    # retrieval-stats retraction
+    "ann_filtered_topk_embeddings",  # metadata-filtered vector search
+    "sq8_grid_staleness_embeddings", # append-gate rebuild-decision gauge
     # -- (2) changed code re-earns its row --
     "ann_ivf_sq8_appended",      # ivf_index tombstone/gate/compaction changes
     "ann_ivf_sq8_indexed",       # same module, shared probe path
@@ -74,8 +77,8 @@ _DRIVER_WINDOW = [
     "token_entropy_docs",
     "unigram_logprob_docs",
     "winnowing_docs",
-    # -- (3) stalest rows: last green in round 6 (alphabetically first 26
-    #    of 39; the remaining 13 queue for round 12) --
+    # -- (3) stalest rows: last green in round 6 (alphabetically first 23
+    #    of 39; the remaining 16 queue for round 12) --
     "ann_rp",
     "bpe_pair_counts_docs",
     "cdc_chunk_docs",
@@ -99,9 +102,6 @@ _DRIVER_WINDOW = [
     "events_sessionization",
     "events_wau_stickiness",
     "events_zorder_layout",
-    "grouping_sets_orders",
-    "incremental_dedup_docs",
-    "k_anonymity_docs",
 ]
 
 

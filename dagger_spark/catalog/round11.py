@@ -583,6 +583,119 @@ QUERIES["ann_ivf_sq8_filtered"] = CatalogQuery(
 
 
 # ===========================================================================
+# Two-stage refined retrieval: SQ8 index recall -> exact re-scoring
+# ===========================================================================
+
+_REFINE_R = 20  # stage-1 candidate depth per query
+
+
+def _ivf_sq8_refined_oracle() -> str:
+    """Stage 1 = ann_ivf_sq8's composed oracle widened to top-R; stage 2 =
+    exact cosine on the RAW vectors over those candidates, re-ranked."""
+    base = _ivf_sq8_oracle()
+    anchor = "WHERE rank <= 5"
+    assert base.count(anchor) == 1, "ann_ivf_sq8 oracle tail changed"
+    widened = base.replace(anchor, f"WHERE rank <= {_REFINE_R}")
+    return f"""
+    WITH cand AS (
+      SELECT query_id, neighbor_id FROM ({widened})
+    ), raw AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)) > 0
+                  THEN round(list_dot_product(q.v, n.v)
+                       / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6)
+                  ELSE 0.0 END AS score
+      FROM cand c
+      JOIN raw q ON q.vec_id = c.query_id
+      JOIN raw n ON n.vec_id = c.neighbor_id
+    ), rr AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM rescored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM rr WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_ivf_sq8_refined",
+    None,  # composed oracle attached below
+    "Two-stage refined retrieval — the FAISS 'refine' deployment shape "
+    "that recovers exact-distance quality from a quantized index: stage 1 "
+    f"pulls top-{_REFINE_R} candidates per query from the materialized "
+    "SQ8 index (cell-pruned, reconstruction-scored — 4x less memory "
+    "traffic), stage 2 fetches ONLY those candidates' RAW vectors (a "
+    "candidate-bounded broadcast join against the vector store — at "
+    "100 TB a point-lookup tier, never a scan re-rank of the corpus) and "
+    "re-scores them with exact cosine, returning the re-ranked top-5.  "
+    "Quantization error affects only stage-1 RECALL, never the final "
+    "ordering/scores of surviving candidates.  Oracle: ann_ivf_sq8's "
+    "composed SQL widened to top-R as stage 1, raw-vector re-scoring as "
+    "stage 2",
+)
+def ann_ivf_sq8_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..ops.ivf_index import build_sq8_ivf_index, sq8_ivf_topk
+    from ..ops.similarity import cosine_from_norms, norm
+
+    idx = build_sq8_ivf_index(spark, sf_dir, n_centroids=16)
+    cand = sq8_ivf_topk(
+        spark, idx, k=_REFINE_R, nprobe=2, n_queries=8
+    ).select("query_id", "neighbor_id")
+
+    raw = _load_wide(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = raw.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("__qn"),
+    )
+    # candidate list (queries x R rows) broadcasts against ONE raw scan;
+    # the 8 query vectors then broadcast onto the surviving candidates
+    rescored = (
+        raw.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            norm(F.col("v")).alias("__cn"),
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms(
+                    F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+
+
+QUERIES["ann_ivf_sq8_refined"] = CatalogQuery(
+    QUERIES["ann_ivf_sq8_refined"].fn,
+    _ivf_sq8_refined_oracle(),
+    QUERIES["ann_ivf_sq8_refined"].description,
+)
+
+
+# ===========================================================================
 # Grid-staleness gauge: the append path's rebuild-decision measurement
 # ===========================================================================
 

@@ -110,7 +110,8 @@ def test_changed_code_queries_in_gate_window():
         "ann_ivf_sq8_deleted", "minhash_retire_pairs_docs",
         "dedup_retire_clusters_docs", "events_retire_rollup",
         "bm25_retire_stats_docs", "ann_filtered_topk_embeddings",
-        "ann_ivf_sq8_filtered", "sq8_grid_staleness_embeddings",
+        "ann_ivf_sq8_filtered", "ann_ivf_sq8_refined",
+        "sq8_grid_staleness_embeddings",
         # changed this round
         "ann_ivf_sq8_appended", "ann_ivf_sq8_indexed",
         "events_ewma_anomaly", "dedup_method_agreement_docs",

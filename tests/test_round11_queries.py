@@ -195,6 +195,36 @@ def test_filtered_index_probe_answers_from_postings(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
 
 
+def test_refined_rescoring_contract(spark):
+    """ann_ivf_sq8_refined: the final top-5 is a subset of stage-1's
+    candidate set, and every surviving pair's score equals the exact
+    brute-force cosine for that pair (quantization error may cost
+    stage-1 recall, never final scores)."""
+    from dagger_spark.catalog.round11 import _REFINE_R
+    from dagger_spark.ops.ivf_index import build_sq8_ivf_index, sq8_ivf_topk
+
+    refined = QUERIES["ann_ivf_sq8_refined"].fn(spark, SF).collect()
+    idx = build_sq8_ivf_index(spark, SF, n_centroids=16)
+    stage1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_ivf_topk(
+            spark, idx, k=_REFINE_R, nprobe=2, n_queries=8
+        ).collect()
+    }
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in QUERIES["ann_brute_force"].fn(spark, SF).collect()
+    }
+    per_q = {}
+    for r in refined:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in stage1, key
+        if key in brute:  # brute is top-5 only; overlap must score-match
+            assert brute[key] == r["score"], key
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
 def test_grid_staleness_gauge_consistent_with_gate(spark):
     """The gauge's oob verdict must agree with the append gate itself:
     build an index over the base slice, then the gate accepts the delta

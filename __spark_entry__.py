@@ -6,7 +6,7 @@ north-star LLM-pipeline operators as named queries over the driver testdata;
 dagger_spark/catalog.py for the pairing conventions: identical aliases,
 date_trunc'd timestamps, exact-decimal-width rounding, double-cast dots).
 
-Rows-only entries (no oracle, 11 of 251): the fixture-driven rules engine +
+Rows-only entries (no oracle, 11 of 252): the fixture-driven rules engine +
 correlation (per-rule DuckDB parity lives in tests/test_rules_engine.py —
 the fixture table is not among the driver's DuckDB views), the Pandas-UDF
 multimodal stages including the perceptual-hash dedup chain, and the zlib
@@ -28,8 +28,9 @@ from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 
 # Driver-window rotation (round 11): the correctness gate verifies the
 # FIRST ~50 queries.  Priorities, in order: (1) every oracle-paired query
-# that has never earned a driver row — the 2 round-11 additions (the
-# DELETE arm of the index/corpus lifecycle); (2) queries whose
+# that has never earned a driver row — the 10 round-11 additions (the
+# DELETE/APPEND arms of the index/corpus/cluster lifecycle, filtered and
+# refined retrieval, the staleness gauge); (2) queries whose
 # implementation changed this round and must re-earn their rows —
 # ann_ivf_sq8_appended + ann_ivf_sq8_indexed (ops/ivf_index.py grew the
 # tombstone anti-join on the probe path, the dimension-checked staleness
@@ -39,18 +40,19 @@ from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 # advice-r10 cache-leak fixes), mmr_rerank_grouped (short-candidate-list
 # guard in the greedy kernel); (3) the STALEST rows (round-10 verdict ask
 # #1): all 14 remaining round-5 rows — this retires the round-5 cohort
-# entirely — and the 21 alphabetically-first of the 39 round-6 rows (the
-# remaining 18 queue for round 12, after which the window is pure
+# entirely — and the 20 alphabetically-first of the 39 round-6 rows (the
+# remaining 19 queue for round 12, after which the window is pure
 # freshness rotation).  tests/test_rotation.py fails the suite if a later
 # round's CORRECTNESS artifact exists without the window having been
 # re-authored — the mechanical stall guard.
 _WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
-    # -- (1) never-driver-verified: the 9 round-11 additions --
+    # -- (1) never-driver-verified: the 10 round-11 additions --
     "ann_ivf_sq8_deleted",       # tombstone-delete path of the IVF index
     "minhash_retire_pairs_docs", # document retirement of the dedup state
     "dedup_retire_clusters_docs",  # affected-component cluster recompute
+    "dedup_append_clusters_docs",  # cluster admission == full recompute
     "events_retire_rollup",      # IVM retraction merge == reduced recompute
     "bm25_retire_stats_docs",    # retrieval-stats retraction
     "ann_filtered_topk_embeddings",  # metadata-filtered vector search
@@ -79,8 +81,8 @@ _DRIVER_WINDOW = [
     "token_entropy_docs",
     "unigram_logprob_docs",
     "winnowing_docs",
-    # -- (3) stalest rows: last green in round 6 (alphabetically first 21
-    #    of 39; the remaining 18 queue for round 12) --
+    # -- (3) stalest rows: last green in round 6 (alphabetically first 20
+    #    of 39; the remaining 19 queue for round 12) --
     "ann_rp",
     "bpe_pair_counts_docs",
     "cdc_chunk_docs",
@@ -101,7 +103,6 @@ _DRIVER_WINDOW = [
     "events_markov_transitions",
     "events_partial_merge",
     "events_rate_anomaly",
-    "events_sessionization",
 ]
 
 

@@ -234,6 +234,7 @@ HEADLINE = [
     "ann_ivf_sq8_deleted",
     "minhash_retire_pairs_docs",
     "dedup_retire_clusters_docs",
+    "dedup_append_clusters_docs",
     "events_retire_rollup",
     "bm25_retire_stats_docs",
     "ann_filtered_topk_embeddings",

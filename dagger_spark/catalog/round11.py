@@ -272,6 +272,116 @@ QUERIES["dedup_retire_clusters_docs"] = CatalogQuery(
 
 
 # ===========================================================================
+# Cluster-state append: affected-component recompute on admission
+# ===========================================================================
+
+
+@register(
+    "dedup_append_clusters_docs",
+    None,  # oracle attached below: dedup_clusters_docs' SQL VERBATIM
+    "Cluster-state document ADMISSION — the append twin of "
+    "dedup_retire_clusters_docs, completing the cluster lifecycle: a new "
+    "doc slice (doc_id % 10 == 0, the same slice minhash_delta_pairs_docs "
+    "admits) arrives against a maintained cluster state built WITHOUT it; "
+    "the delta's LSH buckets join the corpus bucket table (delta-sized, "
+    "never corpus x corpus) to find the new edges, and only the state "
+    "components those edges touch are re-clustered together with the "
+    "delta docs (connected delta docs can MERGE existing clusters — the "
+    "dual of retirement's splits); every untouched component carries over "
+    "verbatim, and unmatched delta docs become singletons.  Work is "
+    "proportional to the delta plus its touched components.  Oracle: the "
+    "registered dedup_clusters_docs SQL VERBATIM — maintained-after-append "
+    "must be indistinguishable from clustering the full corpus from "
+    "scratch, the IVM contract in its admission direction",
+)
+def dedup_append_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.dedup import connected_components, dedup_clusters, lsh_buckets
+    from .docs import _dedup_stage
+
+    is_delta = lambda c: F.pmod(c, F.lit(10)) == 0  # noqa: E731
+    docs = _load_wide(spark, sf_dir, "documents")
+    sigs = _dedup_stage(spark, sf_dir)
+
+    # the maintained state (at rest in production; built here as the local
+    # stand-in): clusters over the corpus WITHOUT the arriving slice
+    state_clusters = dedup_clusters(
+        docs.filter(~is_delta(F.col("doc_id"))),
+        num_hashes=16,
+        bands=4,
+        sigs=sigs.filter(~is_delta(F.col("id"))),
+    )
+
+    # admission edges: delta buckets vs the full bucket table — the
+    # minhash_delta_pairs shape, (band, bucket)-keyed, delta-sized left side
+    buckets = lsh_buckets(sigs, 4, 4)
+    delta_b = buckets.filter(is_delta(F.col("id"))).select(
+        F.col("id").alias("__did"),
+        F.col("band").alias("__db"),
+        F.col("bucket").alias("__dbk"),
+    )
+    new_pairs = (
+        delta_b.join(
+            buckets,
+            (F.col("__db") == F.col("band"))
+            & (F.col("__dbk") == F.col("bucket"))
+            & (F.col("__did") != F.col("id")),
+        )
+        .select(
+            F.least(F.col("__did"), F.col("id")).alias("id_a"),
+            F.greatest(F.col("__did"), F.col("id")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # state components gaining a new edge — delta-bounded
+    touched_old = (
+        new_pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(new_pairs.select(F.col("id_b").alias("doc_id")))
+        .filter(~is_delta(F.col("doc_id")))
+        .distinct()
+    )
+    affected = (
+        state_clusters.join(F.broadcast(touched_old), "doc_id", "left_semi")
+        .select("cluster")
+        .distinct()
+    )
+    keep = state_clusters.join(F.broadcast(affected), "cluster", "left_anti")
+    members = (
+        state_clusters.join(F.broadcast(affected), "cluster", "left_semi")
+        .select("doc_id")
+        .unionByName(docs.filter(is_delta(F.col("doc_id"))).select("doc_id"))
+    )
+    # edges among the members: state edges live entirely inside state
+    # components (so either both endpoints are affected or neither), new
+    # edges have a delta endpoint whose old end made its component
+    # affected — a both-endpoint membership restriction of the full pair
+    # set is therefore exactly the affected subgraph
+    pairs_full = QUERIES["minhash_pairs_docs"].fn(spark, sf_dir)
+    m_a = F.broadcast(members.select(F.col("doc_id").alias("id_a")))
+    m_b = F.broadcast(members.select(F.col("doc_id").alias("id_b")))
+    edges = (
+        pairs_full.join(m_a, "id_a", "left_semi")
+        .join(m_b, "id_b", "left_semi")
+    )
+    re_cc = connected_components(
+        members.select(F.col("doc_id").alias("id")),
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    return (
+        keep.select("doc_id", "cluster")
+        .unionByName(re_cc.select(F.col("id").alias("doc_id"), "cluster"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dedup_append_clusters_docs"] = CatalogQuery(
+    QUERIES["dedup_append_clusters_docs"].fn,
+    QUERIES["dedup_clusters_docs"].oracle,
+    QUERIES["dedup_append_clusters_docs"].description,
+)
+
+
+# ===========================================================================
 # Rollup retraction: the IVM delete twin of events_incremental_rollup
 # ===========================================================================
 

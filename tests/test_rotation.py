@@ -108,7 +108,8 @@ def test_changed_code_queries_in_gate_window():
     for name in (
         # round-11 never-driver-verified additions
         "ann_ivf_sq8_deleted", "minhash_retire_pairs_docs",
-        "dedup_retire_clusters_docs", "events_retire_rollup",
+        "dedup_retire_clusters_docs", "dedup_append_clusters_docs",
+        "events_retire_rollup",
         "bm25_retire_stats_docs", "ann_filtered_topk_embeddings",
         "ann_ivf_sq8_filtered", "ann_ivf_sq8_refined",
         "sq8_grid_staleness_embeddings",

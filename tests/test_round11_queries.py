@@ -56,6 +56,17 @@ def test_retire_clusters_equals_reduced_recompute(spark):
     assert all(d % 10 != _RETIRE_MOD for d in ids)
 
 
+def test_append_clusters_equals_full_recompute(spark):
+    """Cluster admission: state-without-delta + affected-component merge
+    must equal from-scratch clustering of the FULL corpus (Spark-side
+    twin of the verbatim shared oracle), covering every doc once."""
+    got = _rows(QUERIES["dedup_append_clusters_docs"].fn(spark, SF))
+    expect = _rows(QUERIES["dedup_clusters_docs"].fn(spark, SF))
+    assert got == expect
+    ids = [d for d, _c in got]
+    assert len(ids) == len(set(ids))
+
+
 def test_retire_rollup_equals_reduced_aggregate(spark):
     from dagger_spark.sources.files import load_table
 

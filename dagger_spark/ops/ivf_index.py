@@ -408,26 +408,37 @@ def append_to_sq8_ivf_index(
             1,
         )[0]["c"].alias("cell"),
     )
-    n_new = assigned.count()
-    assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "postings")
-    )
-    if auto_compact_max_files is not None:
-        # threshold check reads only the TOUCHED cells' directory listings
-        # (bounded by n_centroids); compact itself then rewrites only the
-        # over-threshold cells
-        touched = [
-            r["cell"] for r in assigned.select("cell").distinct().collect()
-        ]  # bounded: <= n_centroids values
-        post_dir = os.path.join(index_dir, "postings")
-        if any(
-            _n_cell_files(os.path.join(post_dir, f"cell={c}"))
-            > auto_compact_max_files
-            for c in touched
-        ):
-            compact_sq8_ivf_index(
-                spark, index_dir, max_files_per_cell=auto_compact_max_files
-            )
+    # persist the delta-sized frame: the count, the write, and the
+    # auto-compaction's touched-cell listing all read it — without the
+    # cache each would re-run the quantize/assign lineage (and a
+    # non-deterministic new_vectors could even assign cells differently
+    # between the write and the touched-cell recompute)
+    assigned = assigned.persist()
+    try:
+        n_new = assigned.count()
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(index_dir, "postings")
+        )
+        if auto_compact_max_files is not None:
+            # threshold check reads only the TOUCHED cells' directory
+            # listings (bounded by n_centroids); compact itself then
+            # rewrites only the over-threshold cells
+            touched = [
+                r["cell"]
+                for r in assigned.select("cell").distinct().collect()
+            ]  # bounded: <= n_centroids values
+            post_dir = os.path.join(index_dir, "postings")
+            if any(
+                _n_cell_files(os.path.join(post_dir, f"cell={c}"))
+                > auto_compact_max_files
+                for c in touched
+            ):
+                compact_sq8_ivf_index(
+                    spark, index_dir,
+                    max_files_per_cell=auto_compact_max_files,
+                )
+    finally:
+        assigned.unpersist()
     return n_new
 
 
@@ -544,14 +555,21 @@ def delete_from_sq8_ivf_index(
             "vec_id",
         ).select("vec_id", "cell")
 
-    n = marks.count()
-    if n:
-        marks.select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-            F.col("cell").cast("int").alias("cell"),
-        ).coalesce(1).write.mode("append").parquet(
-            os.path.join(index_dir, "tombstones")
-        )
+    # persist the delta-sized marks so the count and the write share ONE
+    # evaluation — the ids path otherwise pays its postings scan twice and
+    # the vectors path re-runs the quantize/assign pipeline
+    marks = marks.persist()
+    try:
+        n = marks.count()
+        if n:
+            marks.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("cell").cast("int").alias("cell"),
+            ).coalesce(1).write.mode("append").parquet(
+                os.path.join(index_dir, "tombstones")
+            )
+    finally:
+        marks.unpersist()
     return n
 
 
@@ -660,13 +678,21 @@ def compact_sq8_ivf_index(
         live_df.repartition(len(rewrite), F.col("cell")).write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(tmp_tree)
+        # every rewritten cell fully tombstoned -> the tmp tree holds no
+        # parquet at all and a read would fail schema inference; the
+        # expected counts are then simply all-zero
+        tmp_has_rows = any(
+            f.endswith(".parquet")
+            for d, _s, fs in os.walk(tmp_tree)
+            for f in fs
+        )
         expected = {
             int(r["cell"]): r["n"]
             for r in spark.read.parquet(tmp_tree)
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-        }  # bounded: one row per rewritten cell
+        } if tmp_has_rows else {}  # bounded: one row per rewritten cell
         # per-cell swap: live -> saved, tmp -> live (recovery on entry
         # covers a crash anywhere in this loop)
         for c in rewrite:
@@ -681,14 +707,24 @@ def compact_sq8_ivf_index(
             else:  # every row tombstoned: the cell becomes empty
                 os.makedirs(src, exist_ok=True)
         # verify the swapped set in ONE job before dropping the saved dirs
-        got = {
-            int(r["cell"]): r["n"]
-            for r in spark.read.parquet(post_dir)
-            .filter(F.col("cell").isin(rewrite_vals))
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # (pure-listing check when every rewritten cell is expected empty —
+        # a read of an all-empty tree cannot infer a schema)
+        if any(expected.values()):
+            got = {
+                int(r["cell"]): r["n"]
+                for r in spark.read.parquet(post_dir)
+                .filter(F.col("cell").isin(rewrite_vals))
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        else:
+            got = {
+                int(c.split("=", 1)[1]): _n_cell_files(
+                    os.path.join(post_dir, c)
+                )
+                for c in rewrite
+            }
         bad = [
             c for c in rewrite
             if got.get(int(c.split("=", 1)[1]), 0)

@@ -13,11 +13,14 @@ publishes the new state snapshot atomically.
 State layout is a poor-man's transaction log: versioned snapshot dirs
 ``v1, v2, ...`` under the state dir plus a ``_CURRENT`` pointer file
 written via tmp+rename, so a reader never sees a half-written snapshot
-and a crash mid-merge leaves the previous version live (re-running the
-micro-batch is idempotent at the Structured Streaming layer — the
-checkpoint replays it into a fresh version).  At 100 TB the same merge
-is a Delta/Iceberg MERGE or a partition-overwrite; the algebra and the
-publish discipline are identical.
+and a crash mid-merge leaves the previous version live.  The pointer
+also records the LAST APPLIED MICRO-BATCH ID, making the merge
+idempotent under at-least-once redelivery: a batch replayed after a
+crash between the pointer swing and the stream's checkpoint commit is
+recognized (id <= watermark) and skipped rather than double-counted —
+the exact discipline a Delta/Iceberg MERGE gets from txn metadata.  At
+100 TB the same merge is that MERGE or a partition-overwrite; the
+algebra and the publish discipline are identical.
 
 Raw double sums (not rounded) live in the state so repeated merges never
 compound rounding; rounding to the catalog's 2 decimals happens only in
@@ -47,22 +50,46 @@ def _partial(df: DataFrame) -> DataFrame:
     )
 
 
-def _current_version(state_dir: str):
+def _pointer(state_dir: str):
+    """(version, last_applied_batch_id) from the pointer file, or
+    (None, None).  The batch id rides IN the atomically-renamed pointer so
+    snapshot content and applied-batch watermark can never diverge."""
     ptr = os.path.join(state_dir, "_CURRENT")
     if not os.path.exists(ptr):
-        return None
+        return None, None
     with open(ptr) as f:
-        return f.read().strip() or None
+        parts = f.read().strip().split()
+    if not parts:
+        return None, None
+    bid = int(parts[1]) if len(parts) > 1 else None
+    return parts[0], bid
+
+
+def _current_version(state_dir: str):
+    return _pointer(state_dir)[0]
 
 
 def merge_rollup_partial(
-    spark: SparkSession, state_dir: str, delta_partial: DataFrame
-) -> None:
+    spark: SparkSession,
+    state_dir: str,
+    delta_partial: DataFrame,
+    batch_id: int = None,
+) -> bool:
     """One IVM merge step: state ∪ delta-partial → re-aggregate → publish
     a new snapshot version and swing the pointer.  Touches state-sized
-    input only."""
+    input only.
+
+    ``batch_id`` makes the merge IDEMPOTENT under at-least-once replay:
+    the pointer records the last applied id, and a merge whose id is <=
+    that watermark is skipped (returns False) — a micro-batch redelivered
+    after a crash between the pointer swing and the stream's checkpoint
+    commit must not double-count.  Ids must be monotonically increasing
+    (Structured Streaming batch ids are).  Without a batch_id the merge
+    always applies (the direct-call form)."""
     os.makedirs(state_dir, exist_ok=True)
-    cur = _current_version(state_dir)
+    cur, last_bid = _pointer(state_dir)
+    if batch_id is not None and last_bid is not None and batch_id <= last_bid:
+        return False  # already applied: replayed micro-batch
     if cur is not None:
         state = spark.read.parquet(os.path.join(state_dir, cur))
         src = state.unionByName(delta_partial)
@@ -76,10 +103,11 @@ def merge_rollup_partial(
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, nxt))
     tmp = os.path.join(state_dir, "_CURRENT.tmp")
     with open(tmp, "w") as f:
-        f.write(nxt)
+        f.write(nxt if batch_id is None else f"{nxt} {batch_id}")
     os.rename(tmp, os.path.join(state_dir, "_CURRENT"))  # atomic publish
     if cur is not None:
         shutil.rmtree(os.path.join(state_dir, cur), ignore_errors=True)
+    return True
 
 
 def run_incremental_rollup_stream(
@@ -92,7 +120,11 @@ def run_incremental_rollup_stream(
     """Replay ``source_dir``'s parquet files as micro-batches and maintain
     the hourly rollup state via foreachBatch merges.  availableNow trigger:
     drain the backlog, then stop.  Returns the number of micro-batches
-    processed."""
+    APPLIED (replayed batches are skipped by the batch-id watermark — the
+    state_dir and the checkpoint must live and die together: pass a
+    persistent checkpoint to resume, and never point a fresh checkpoint at
+    an existing state_dir, which would replay the whole source into
+    already-merged state)."""
     schema = spark.read.parquet(source_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -101,9 +133,9 @@ def run_incremental_rollup_stream(
     )
     n_batches = {"n": 0}
 
-    def _merge(bdf: DataFrame, _bid: int) -> None:
-        merge_rollup_partial(spark, state_dir, _partial(bdf))
-        n_batches["n"] += 1
+    def _merge(bdf: DataFrame, bid: int) -> None:
+        if merge_rollup_partial(spark, state_dir, _partial(bdf), batch_id=bid):
+            n_batches["n"] += 1
 
     q = (
         stream.writeStream.foreachBatch(_merge)

@@ -165,6 +165,70 @@ def test_compaction_purges_tombstones(spark, base_index):
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def test_compaction_survives_fully_tombstoned_cell(spark, base_index):
+    """Whole-cell takedown: every vector of one cell deleted, then
+    compacted — the rewrite must not choke on the empty tmp tree, the
+    cell ends physically empty, tombstones drain, and probes still work
+    (the cell simply contributes no candidates)."""
+    scratch = _scratch(base_index, "fullcell")
+    post = os.path.join(scratch, "postings")
+    cell = next(
+        d for d in sorted(os.listdir(post))
+        if d.startswith("cell=")
+        and spark.read.parquet(os.path.join(post, d)).count() > 0
+    )
+    cell_ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(post, cell))
+        .select("vec_id").collect()
+    ]
+    delete_from_sq8_ivf_index(
+        spark, scratch,
+        ids=spark.createDataFrame([(i,) for i in cell_ids], "vec_id long"),
+    )
+    # threshold high enough that ONLY the tombstone-dirty cell rewrites
+    stats = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=99)
+    assert stats["cells_compacted"] == 1
+    assert stats["tombstones_purged"] == len(cell_ids)
+    assert not os.path.exists(os.path.join(scratch, "tombstones"))
+    files = [
+        f for f in os.listdir(os.path.join(post, cell))
+        if f.endswith(".parquet")
+    ]
+    assert files == []
+    got = _topk(spark, scratch)
+    assert got and not any(r[1] in set(cell_ids) for r in got)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_replay_is_skipped_by_batch_watermark(spark, tmp_path):
+    """IVM idempotence under at-least-once redelivery: re-merging the
+    same batch id must be a no-op (review finding: a batch replayed
+    after a crash between pointer swing and checkpoint commit would
+    otherwise double-count)."""
+    from pyspark.sql import functions as F2
+
+    from dagger_spark.sources.files import load_table
+    from dagger_spark.streaming.ivm import (
+        _partial,
+        merge_rollup_partial,
+        read_rollup_state,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    state_dir = str(tmp_path / "ivm_replay")
+    d1 = _partial(ev.filter(F2.pmod(F2.col("event_id"), F2.lit(2)) == 0))
+    d2 = _partial(ev.filter(F2.pmod(F2.col("event_id"), F2.lit(2)) == 1))
+    assert merge_rollup_partial(spark, state_dir, d1, batch_id=0) is True
+    assert merge_rollup_partial(spark, state_dir, d2, batch_id=1) is True
+    snap = sorted(tuple(r) for r in read_rollup_state(spark, state_dir).collect())
+    # redeliver batch 1 (and an older batch 0): both must be skipped
+    assert merge_rollup_partial(spark, state_dir, d2, batch_id=1) is False
+    assert merge_rollup_partial(spark, state_dir, d1, batch_id=0) is False
+    after = sorted(tuple(r) for r in read_rollup_state(spark, state_dir).collect())
+    assert after == snap
+
+
 def test_interrupted_compaction_recovers(spark, base_index):
     """Crash between the two swap renames (advice r10): the live cell dir
     is missing and its content sits in .compact/<cell>.old — the next

@@ -136,13 +136,11 @@ def main() -> None:
             spark, scratch, delta, auto_compact_max_files=2
         )
         dt_app = time.perf_counter() - t0
+        from dagger_spark.ops.ivf_index import _n_cell_files
+
         post = os.path.join(scratch, "postings")
         worst = max(
-            sum(
-                1
-                for f in os.listdir(os.path.join(post, c))
-                if f.endswith(".parquet")
-            )
+            _n_cell_files(os.path.join(post, c))
             for c in os.listdir(post)
             if c.startswith("cell=") and os.path.isdir(os.path.join(post, c))
         )

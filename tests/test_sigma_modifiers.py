@@ -94,6 +94,64 @@ def test_expand_cartesian_over_multiple_placeholders():
         assert needle in sql, needle
 
 
+_PH_NAME = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True)
+_PH_VALUE = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.-",
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    placeholders=st.dictionaries(
+        keys=_PH_NAME,
+        values=st.lists(_PH_VALUE, min_size=1, max_size=3),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_expand_substitutes_every_mapping(placeholders):
+    """Property: for ANY placeholder dict, a value referencing every
+    placeholder compiles, and every substitution value appears verbatim in
+    the predicate (list values OR; the placeholder marker itself never
+    survives)."""
+    for name, vals in placeholders.items():
+        spec = compile_sigma(
+            mk("Image|expand", f"pre_%{name}%_post"),
+            placeholders=placeholders,
+        )
+        sql = spec.predicate_sql
+        assert f"%{name}%" not in sql
+        for v in vals:
+            assert f"pre_{v}_post" in sql, (name, v, sql)
+
+
+@settings(max_examples=100, deadline=None)
+@given(value=_PH_VALUE, placeholders=st.dictionaries(
+    keys=_PH_NAME, values=_PH_VALUE, min_size=0, max_size=2))
+def test_expand_passes_placeholder_free_values_verbatim(value, placeholders):
+    """Property: a value with no %var% markers survives expand unchanged,
+    whatever the dict contains."""
+    spec = compile_sigma(
+        mk("Image|expand", value), placeholders=placeholders
+    )
+    assert value in spec.predicate_sql
+
+
+@settings(max_examples=100, deadline=None)
+@given(name=_PH_NAME, placeholders=st.dictionaries(
+    keys=_PH_NAME, values=_PH_VALUE, min_size=0, max_size=2))
+def test_expand_unknown_placeholder_always_raises(name, placeholders):
+    """Property: referencing a placeholder absent from the dict raises —
+    never a silent pass-through of the %var% marker."""
+    placeholders.pop(name, None)
+    with pytest.raises(SigmaCompileError, match="expand"):
+        compile_sigma(
+            mk("Image|expand", f"%{name}%"), placeholders=placeholders
+        )
+
+
 def test_expand_live_parity_spark_duckdb(spark, duck):
     """The expanded rule must match exactly the substituted hosts — in both
     renderers (Spark Column and the DuckDB oracle SQL)."""

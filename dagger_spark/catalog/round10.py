@@ -256,8 +256,8 @@ QUERIES["mmr_rerank_grouped"] = CatalogQuery(
     """
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
-           count(*)::BIGINT        AS n_events,
-           round(sum(value), 2)    AS sum_value
+           count(*)::BIGINT             AS n_events,
+           round(sum(value) + 1e-9, 2)  AS sum_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     ORDER BY hour_start, event_type
@@ -296,7 +296,10 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_start", "event_type")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
-            F.round(F.sum("__sv"), 2).alias("sum_value"),
+            # +1e-9 nudge (advice r11, applied family-wide): merged partial
+            # sums can differ from a direct recompute by a ulp — both
+            # engines nudge identically so .xx5 boundaries never flip
+            F.round(F.sum("__sv") + F.lit(1e-9), 2).alias("sum_value"),
         )
         .orderBy("hour_start", "event_type")
     )

@@ -391,8 +391,8 @@ QUERIES["dedup_append_clusters_docs"] = CatalogQuery(
     """
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
-           count(*)::BIGINT        AS n_events,
-           round(sum(value), 2)    AS sum_value
+           count(*)::BIGINT             AS n_events,
+           round(sum(value) + 1e-9, 2)  AS sum_value
     FROM events WHERE event_id % 10 <> 0
     GROUP BY date_trunc('hour', ts), event_type
     ORDER BY hour_start, event_type
@@ -430,7 +430,10 @@ def events_retire_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_start", "event_type")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
-            F.round(F.sum("__sv"), 2).alias("sum_value"),
+            # +1e-9 nudge (advice r11): state-minus-delta double arithmetic
+            # can land a ulp across a .xx5 boundary from the oracle's direct
+            # recompute — both engines nudge identically
+            F.round(F.sum("__sv") + F.lit(1e-9), 2).alias("sum_value"),
         )
         .filter(F.col("n_events") > 0)
         .orderBy("hour_start", "event_type")

@@ -343,6 +343,14 @@ def append_to_sq8_ivf_index(
     cost stays delta-proportional while file counts (and therefore probe
     open/footer cost) stay bounded no matter how many deltas arrive
     (tools/append_probe.py measures exactly this).
+
+    Id reuse after delete (advice r11): an appended id that still carries a
+    live tombstone is REFUSED (ValueError) — the tombstone masks by vec_id,
+    so clearing it would resurrect the old, not-yet-compacted postings row
+    beside the new one, and dropping it would hide the new row until the
+    next rewrite; either way visibility would depend on incidental
+    fragmentation.  The deterministic upsert sequence is delete -> compact
+    (drains tombstones, physically drops the old row) -> append.
     """
     if not os.path.exists(os.path.join(index_dir, "_BUILT")):
         raise ValueError(f"not a built index: {index_dir}")
@@ -390,6 +398,24 @@ def append_to_sq8_ivf_index(
             "appending would distort their codes; rebuild the index "
             "(grid-staleness bound, see module docstring)"
         )
+
+    # id-reuse gate (advice r11): an id with a LIVE tombstone is refused.
+    # Clearing the tombstone instead would resurrect the old postings row
+    # (physically present until compaction) alongside the new one, so
+    # visibility would depend on incidental fragmentation.  Deterministic
+    # contract: delete -> compact (drains tombstones) -> re-append.
+    tomb = _tombstones(spark, index_dir)
+    if tomb is not None:
+        n_reuse = vecs.join(
+            F.broadcast(tomb.select("vec_id").distinct()), "vec_id"
+        ).count()
+        if n_reuse:
+            raise ValueError(
+                f"{n_reuse} appended id(s) carry a live tombstone — id "
+                "reuse before compaction would make the row's visibility "
+                "depend on fragmentation; run compact_sq8_ivf_index first "
+                "(drains tombstones), then re-append"
+            )
 
     staged = vecs.select(
         "vec_id",
@@ -497,9 +523,14 @@ def delete_from_sq8_ivf_index(
     * ``ids`` only: one postings scan locates the cells (the fallback when
       the caller lost the vectors — a takedown list of bare ids).
 
-    Returns the number of tombstones written (ids not present in the index
-    still record tombstones under the ``vectors`` shape — harmless: the
-    anti-join and compaction both treat them as no-ops).
+    Returns the number of NEW tombstones written: repeat deletes of an
+    already-tombstoned (vec_id, cell) are deduped to no-ops (the set stays
+    bounded by distinct deleted ids between compactions — advice r11).
+    Ids not present in the index still record tombstones under the
+    ``vectors`` shape — harmless: the anti-join and compaction both treat
+    them as no-ops.  Id REUSE after delete is gated on the append side:
+    ``append_to_sq8_ivf_index`` refuses ids with a live tombstone (compact
+    first), so a deleted id's visibility never depends on fragmentation.
     """
     if not os.path.exists(os.path.join(index_dir, "_BUILT")):
         raise ValueError(f"not a built index: {index_dir}")
@@ -555,6 +586,19 @@ def delete_from_sq8_ivf_index(
             "vec_id",
         ).select("vec_id", "cell")
 
+    # dedupe (advice r11): repeated deletes of the same id must not grow
+    # the tombstone set — dedupe within the call by (vec_id, cell) and
+    # anti-join tombstones already on disk, so the set stays bounded by
+    # the number of DISTINCT deleted ids between compactions and the
+    # returned count means "new tombstones written"
+    marks = marks.dropDuplicates(["vec_id", "cell"])
+    existing = _tombstones(spark, index_dir)
+    if existing is not None:
+        marks = marks.join(
+            F.broadcast(existing.select("vec_id", "cell").distinct()),
+            ["vec_id", "cell"],
+            "left_anti",
+        )
     # persist the delta-sized marks so the count and the write share ONE
     # evaluation — the ids path otherwise pays its postings scan twice and
     # the vectors path re-runs the quantize/assign pipeline
@@ -648,6 +692,13 @@ def compact_sq8_ivf_index(
     ]
     os.makedirs(work_dir, exist_ok=True)
     purged = 0
+    # all-empty guard (advice r11): if no rewrite cell holds any parquet
+    # file (e.g. a prior compaction already emptied them and only stale/
+    # phantom tombstones remain), there is nothing to physically rewrite —
+    # and reading an all-empty tree would fail schema inference.  Skip the
+    # rewrite and just drain the tombstones below.
+    if rewrite and not any(before[c] for c in rewrite):
+        rewrite = []
     if rewrite:
         # ONE distributed pass over all dirty cells (a per-cell driver loop
         # would pay 3 Spark jobs per cell — at real cell counts the rewrite

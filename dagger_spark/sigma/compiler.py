@@ -482,8 +482,20 @@ def _expand_values(value, placeholders) -> list:
     vals = value if isinstance(value, list) else [value]
     out = []
     for v in vals:
-        expanded = [str(v)]
-        for name in sorted(set(_PLACEHOLDER_RE.findall(str(v)))):
+        # only strings can carry %var% placeholders: a numeric/boolean value
+        # in a mixed-type list passes through with its ORIGINAL type, so
+        # |expand never silently turns typed equality into string equality
+        # (advice r11)
+        names = (
+            sorted(set(_PLACEHOLDER_RE.findall(v)))
+            if isinstance(v, str)
+            else []
+        )
+        if not names:
+            out.append(v)
+            continue
+        expanded = [v]
+        for name in names:
             if name not in placeholders:
                 raise SigmaCompileError(
                     f"expand: placeholder %{name}% missing from the "

@@ -102,8 +102,13 @@ def merge_rollup_partial(
     nxt = f"v{int(cur[1:]) + 1}" if cur else "v1"
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, nxt))
     tmp = os.path.join(state_dir, "_CURRENT.tmp")
+    # a direct-call merge (batch_id=None) on a state dir that already
+    # carries a batch watermark must PRESERVE it — erasing it would let a
+    # subsequent stream resume re-apply replayed micro-batches and
+    # double-count (advice r11)
+    eff_bid = batch_id if batch_id is not None else last_bid
     with open(tmp, "w") as f:
-        f.write(nxt if batch_id is None else f"{nxt} {batch_id}")
+        f.write(nxt if eff_bid is None else f"{nxt} {eff_bid}")
     os.rename(tmp, os.path.join(state_dir, "_CURRENT"))  # atomic publish
     if cur is not None:
         shutil.rmtree(os.path.join(state_dir, cur), ignore_errors=True)
@@ -163,7 +168,10 @@ def read_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame:
             "hour_start",
             "event_type",
             "n_events",
-            F.round(F.col("__sv"), 2).alias("sum_value"),
+            # catalog-standard +1e-9 nudge: merged double sums can land a
+            # ulp from a direct recompute; without the nudge a .xx5-boundary
+            # value could round the other way (advice r11)
+            F.round(F.col("__sv") + F.lit(1e-9), 2).alias("sum_value"),
         )
         .orderBy("hour_start", "event_type")
     )

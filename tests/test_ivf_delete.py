@@ -339,3 +339,85 @@ def test_catalog_deleted_entry_masks_slice(spark):
         not (r["neighbor_id"] % 10 == 7 and r["neighbor_id"] >= 16)
         for r in rows
     )
+
+
+def test_id_reuse_refused_until_compaction(spark, base_index):
+    """Advice r11 (medium): appending an id that carries a live tombstone
+    is refused — its visibility would otherwise depend on whether the cell
+    holding the OLD row happened to get rewritten.  The deterministic
+    upsert sequence delete -> compact -> append works and retrieves the
+    new row."""
+    ids = _grid_safe_delete_ids(spark, n=4)
+    scratch = _scratch(base_index, "reuse")
+    reinsert = _corpus(spark).filter(F.col("vec_id").isin(ids)).select(
+        "vec_id", "embedding"
+    )
+    delete_from_sq8_ivf_index(spark, scratch, vectors=reinsert)
+    with pytest.raises(ValueError, match="live tombstone"):
+        append_to_sq8_ivf_index(spark, scratch, reinsert)
+    # ...and ids NOT tombstoned still append fine alongside live tombstones
+    fresh = _corpus(spark).filter(F.col("vec_id").isin(ids)).select(
+        (F.col("vec_id") + 77_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_sq8_ivf_index(spark, scratch, fresh)
+    compact_sq8_ivf_index(spark, scratch, max_files_per_cell=99)
+    # tombstones drained + old rows physically gone -> reuse is legal now
+    n = append_to_sq8_ivf_index(spark, scratch, reinsert)
+    assert n == len(ids)
+    live = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(scratch, "postings"))
+        .select("vec_id").collect()
+    }
+    assert set(ids) <= live
+    # exactly one row per reused id: the old copy did not resurrect
+    dup = (
+        spark.read.parquet(os.path.join(scratch, "postings"))
+        .filter(F.col("vec_id").isin(ids))
+        .groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_repeat_delete_dedupes_tombstones(spark, base_index):
+    """Advice r11: re-deleting already-tombstoned ids writes nothing new —
+    the tombstone set stays bounded by distinct deleted ids."""
+    ids = _grid_safe_delete_ids(spark, n=6)
+    scratch = _scratch(base_index, "dedupe")
+    vecs = _corpus(spark).filter(F.col("vec_id").isin(ids))
+    n1 = delete_from_sq8_ivf_index(spark, scratch, vectors=vecs)
+    assert n1 == len(ids)
+    n2 = delete_from_sq8_ivf_index(spark, scratch, vectors=vecs)
+    assert n2 == 0
+    on_disk = spark.read.parquet(os.path.join(scratch, "tombstones")).count()
+    assert on_disk == len(ids)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_compaction_noop_on_all_empty_postings(spark, base_index):
+    """Advice r11: an index whose postings cells were all emptied by a
+    prior purge, left with only stale/phantom tombstones, must compact as
+    a clean no-op (drain tombstones) rather than fail schema inference on
+    the all-empty tree."""
+    scratch = _scratch(base_index, "allempty")
+    all_ids = spark.read.parquet(os.path.join(scratch, "postings")).select(
+        "vec_id"
+    )
+    delete_from_sq8_ivf_index(spark, scratch, ids=all_ids)
+    compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
+    post = os.path.join(scratch, "postings")
+    assert not any(
+        f.endswith(".parquet")
+        for d, _s, fs in os.walk(post) for f in fs
+    )
+    # phantom tombstones against the now-empty index (documented harmless
+    # shape: deleting ids that are not present)
+    delete_from_sq8_ivf_index(
+        spark, scratch,
+        vectors=_corpus(spark).filter(F.col("vec_id") >= N_CENTROIDS).limit(5),
+    )
+    stats = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
+    assert stats["cells_compacted"] == 0
+    assert not os.path.exists(os.path.join(scratch, "tombstones"))
+    shutil.rmtree(scratch, ignore_errors=True)

@@ -348,3 +348,27 @@ def test_unlisted_chained_modifier_always_rejected(head, junk):
         return
     with pytest.raises(SigmaCompileError):
         compile_sigma(mk(f"CommandLine|{head}|{junk}", ["x"]))
+
+
+def test_expand_preserves_non_string_value_types():
+    """Advice r11: a placeholder-free non-string value routed through
+    |expand must keep its ORIGINAL type and defer to the same rendering as
+    the modifier-free form — expand itself never coerces.  (The renderer's
+    own scalar handling — quoting against the all-STRING event_data schema
+    — is shared by both paths, so the two predicates must be IDENTICAL.)"""
+    via_expand = compile_sigma(
+        mk("event_id|expand", 4688), placeholders={"x": ["y"]}
+    ).predicate_sql
+    plain = compile_sigma(mk("event_id", 4688)).predicate_sql
+    assert via_expand == plain
+
+
+def test_expand_mixed_type_value_list():
+    """A mixed list: the string entry substitutes, the non-string entry
+    passes through exactly as a plain list entry would."""
+    via_expand = compile_sigma(
+        mk("event_id|expand", [4688, "pre_%extra%"]),
+        placeholders={"extra": [4104]},
+    ).predicate_sql
+    plain = compile_sigma(mk("event_id", [4688, "pre_4104"])).predicate_sql
+    assert via_expand == plain

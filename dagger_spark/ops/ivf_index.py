@@ -323,6 +323,70 @@ def _code_expr(vec: Column, mn_arr: Column, mx_arr: Column) -> Column:
     return F.transform(vec, one)
 
 
+def _oob_expr(mn_arr: Column, mx_arr: Column, dim: int) -> Column:
+    """Out-of-grid predicate over a column ``v`` (array<double>): true when
+    any dimension falls outside the frozen [mn, mx] grid, the length is
+    wrong, or an element is NULL (advice r10: a longer vector made
+    element_at NULL, the predicate NULL, and a bare filter silently passed
+    it — hence the size check and the coalesce-to-true)."""
+    return (F.size(F.col("v")) != F.lit(dim)) | F.exists(
+        F.zip_with(
+            F.col("v"),
+            F.sequence(F.lit(1), F.size(F.col("v"))),
+            lambda x, i: F.coalesce(
+                (x < F.element_at(mn_arr, i.cast("int")))
+                | (x > F.element_at(mx_arr, i.cast("int"))),
+                F.lit(True),
+            ),
+        ),
+        lambda b: b,
+    )
+
+
+def split_in_grid(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """Split a delta into (appendable, rejected_with_reason) against the
+    index's frozen grid and live tombstones — the streaming-ingest
+    pre-gate (streaming/ann_ingest.py): ``append_to_sq8_ivf_index``
+    refuses a whole batch on the first violation, which is right for a
+    transactional caller but wrong for a stream, where refusals must
+    become DEAD-LETTER rows instead of a stuck query.  Rejected rows keep
+    the original id/vector plus a ``reject_reason`` column
+    ('out_of_grid' | 'tombstoned_id').  Both frames are delta-sized."""
+    mn_arr, mx_arr, dim = _grid_literals(spark, index_dir)
+    vecs = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *(["label"] if "label" in vectors.columns else []),
+    )
+    oob = _oob_expr(mn_arr, mx_arr, dim)
+    tomb = _tombstones(spark, index_dir)
+    tombed = (
+        F.lit(False)
+        if tomb is None
+        else F.col("vec_id").isin(
+            [int(r["vec_id"]) for r in tomb.select("vec_id").distinct().collect()]
+        )  # bounded: the delete delta between compactions
+    )
+    ok = vecs.filter(~oob & ~tombed).withColumnRenamed("v", vec_col)
+    bad = vecs.filter(oob | tombed).select(
+        "vec_id",
+        F.col("v").alias(vec_col),
+        F.when(oob, F.lit("out_of_grid"))
+        .otherwise(F.lit("tombstoned_id"))
+        .alias("reject_reason"),
+    )
+    if id_col != "vec_id":
+        ok = ok.withColumnRenamed("vec_id", id_col)
+        bad = bad.withColumnRenamed("vec_id", id_col)
+    return ok, bad
+
+
 def append_to_sq8_ivf_index(
     spark: SparkSession,
     index_dir: str,
@@ -402,23 +466,10 @@ def _append_locked(
         label_col.alias("label"),
     )
     # grid-staleness gate: every dimension of every new vector must lie in
-    # [mn, mx] (one delta-sized scan; the grid rides as literals).  A
-    # wrong-LENGTH vector is out-of-grid by definition (advice r10: a
-    # longer vector made element_at NULL, the predicate NULL, and the
-    # filter silently passed it), as is a NULL element — hence the size
-    # check and the coalesce-to-true on the per-dim predicate.
-    oob = (F.size(F.col("v")) != F.lit(dim)) | F.exists(
-        F.zip_with(
-            F.col("v"),
-            F.sequence(F.lit(1), F.size(F.col("v"))),
-            lambda x, i: F.coalesce(
-                (x < F.element_at(mn_arr, i.cast("int")))
-                | (x > F.element_at(mx_arr, i.cast("int"))),
-                F.lit(True),
-            ),
-        ),
-        lambda b: b,
-    )
+    # [mn, mx] (one delta-sized scan; the grid rides as literals) —
+    # wrong-length and NULL-element vectors are out-of-grid by definition
+    # (see _oob_expr)
+    oob = _oob_expr(mn_arr, mx_arr, dim)
     n_oob = vecs.filter(oob).count()
     if n_oob:
         raise ValueError(
@@ -591,18 +642,7 @@ def _delete_locked(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-        oob = (F.size(F.col("v")) != F.lit(dim)) | F.exists(
-            F.zip_with(
-                F.col("v"),
-                F.sequence(F.lit(1), F.size(F.col("v"))),
-                lambda x, i: F.coalesce(
-                    (x < F.element_at(mn_arr, i.cast("int")))
-                    | (x > F.element_at(mx_arr, i.cast("int"))),
-                    F.lit(True),
-                ),
-            ),
-            lambda b: b,
-        )
+        oob = _oob_expr(mn_arr, mx_arr, dim)
         n_oob = vecs.filter(oob).count()
         if n_oob:
             raise ValueError(

@@ -38,15 +38,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _partial(df: DataFrame) -> DataFrame:
+def _partial(df: DataFrame, sign: int = 1) -> DataFrame:
     """The rollup's partial aggregate — identical to the batch entry's
-    (catalog/round10.py events_incremental_rollup.partial)."""
+    (catalog/round10.py events_incremental_rollup.partial).  ``sign=-1``
+    yields the RETRACTION partial: negated measures, the signed-delta
+    form ``retract_rollup_partial`` merges."""
     return df.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour_start"),
         "event_type",
     ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum("value").alias("__sv"),
+        (F.count(F.lit(1)) * F.lit(sign)).cast("long").alias("n_events"),
+        (F.sum("value") * F.lit(sign)).alias("__sv"),
     )
 
 
@@ -74,6 +76,7 @@ def merge_rollup_partial(
     state_dir: str,
     delta_partial: DataFrame,
     batch_id: int = None,
+    drop_zero: bool = False,
 ) -> bool:
     """One IVM merge step: state ∪ delta-partial → re-aggregate → publish
     a new snapshot version and swing the pointer.  Touches state-sized
@@ -85,7 +88,14 @@ def merge_rollup_partial(
     after a crash between the pointer swing and the stream's checkpoint
     commit must not double-count.  Ids must be monotonically increasing
     (Structured Streaming batch ids are).  Without a batch_id the merge
-    always applies (the direct-call form)."""
+    always applies (the direct-call form).
+
+    ``drop_zero`` is the RETRACTION posture (use via
+    ``retract_rollup_partial``): after merging a signed delta, groups
+    whose count reached zero vanish from the snapshot — group aggregates
+    retract exactly, so retract-then-read equals recomputing without the
+    retired rows (events_retire_rollup's algebra in the streaming
+    deployment shape)."""
     os.makedirs(state_dir, exist_ok=True)
     cur, last_bid = _pointer(state_dir)
     if batch_id is not None and last_bid is not None and batch_id <= last_bid:
@@ -99,6 +109,8 @@ def merge_rollup_partial(
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("__sv").alias("__sv"),
     )
+    if drop_zero:
+        merged = merged.filter(F.col("n_events") > 0)
     nxt = f"v{int(cur[1:]) + 1}" if cur else "v1"
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, nxt))
     tmp = os.path.join(state_dir, "_CURRENT.tmp")
@@ -113,6 +125,27 @@ def merge_rollup_partial(
     if cur is not None:
         shutil.rmtree(os.path.join(state_dir, cur), ignore_errors=True)
     return True
+
+
+def retract_rollup_partial(
+    spark: SparkSession,
+    state_dir: str,
+    retired: DataFrame,
+    batch_id: int = None,
+) -> bool:
+    """Retract a slice of events from the maintained rollup — the IVM
+    delete twin in its STREAMING deployment shape (round-11 verdict ask
+    #7; the batch algebra is catalog/round11.py events_retire_rollup).
+    ``retired`` is the raw retired-event slice; its partial aggregate is
+    merged with NEGATED measures through the same versioned-pointer
+    protocol (so the batch-id watermark makes retractions idempotent
+    under at-least-once replay exactly like admissions), and groups whose
+    count reaches zero vanish.  Retract-then-read equals recomputing over
+    the surviving events — pinned by tests/test_streaming_ivm.py."""
+    return merge_rollup_partial(
+        spark, state_dir, _partial(retired, sign=-1),
+        batch_id=batch_id, drop_zero=True,
+    )
 
 
 def run_incremental_rollup_stream(

@@ -143,3 +143,66 @@ def test_direct_merge_preserves_batch_watermark(spark, tmp_path):
         spark, state_dir, _partial(ev.limit(10)), batch_id=8
     )
     assert _pointer(state_dir) == ("v3", 8)
+
+
+def test_stream_maintained_then_retracted_equals_reduced_recompute(
+    spark, events_stream_dir, tmp_path
+):
+    """Round-11 verdict ask #7: build the state via the micro-batch
+    stream, then RETRACT a slice through the same pointer protocol —
+    the state must equal the batch recompute over the surviving events,
+    and a replayed retraction (same batch id) must be skipped."""
+    from dagger_spark.streaming.ivm import _pointer, retract_rollup_partial
+
+    state_dir = str(tmp_path / "state_r")
+    run_incremental_rollup_stream(
+        spark, events_stream_dir, state_dir,
+        checkpoint=str(tmp_path / "ck_r"), max_files_per_trigger=2,
+    )
+    ev = load_table(spark, SF, "events")
+    retired = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
+    _, last_bid = _pointer(state_dir)
+    assert retract_rollup_partial(
+        spark, state_dir, retired, batch_id=last_bid + 1
+    )
+    got = sorted(
+        tuple(r) for r in read_rollup_state(spark, state_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev.filter(F.pmod(F.col("event_id"), F.lit(10)) != 0)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+        )
+        .collect()
+    )
+    assert got == want
+    # at-least-once: the SAME retraction replayed is a no-op
+    assert not retract_rollup_partial(
+        spark, state_dir, retired, batch_id=last_bid + 1
+    )
+    assert sorted(
+        tuple(r) for r in read_rollup_state(spark, state_dir).collect()
+    ) == want
+
+
+def test_retraction_drops_emptied_groups(spark, tmp_path):
+    """A group fully retracted must VANISH from the snapshot, not linger
+    as a zero row."""
+    from dagger_spark.streaming.ivm import _partial, retract_rollup_partial
+
+    ev = load_table(spark, SF, "events")
+    one_type = ev.filter(F.col("event_type") == "click")
+    state_dir = str(tmp_path / "s_drop")
+    merge_rollup_partial(spark, state_dir, _partial(ev))
+    retract_rollup_partial(spark, state_dir, one_type)
+    types = {
+        r["event_type"]
+        for r in read_rollup_state(spark, state_dir).collect()
+    }
+    assert "click" not in types and types

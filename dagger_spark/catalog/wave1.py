@@ -1246,11 +1246,25 @@ _LSH_GAUGE_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows_per_band)
     "decision.  All three configs ride one signature stage",
 )
 def lsh_recall_docs(spark, sf_dir):
-    from ..ops.dedup import candidate_pairs_from_buckets, lsh_buckets
+    from ..ops.dedup import lsh_buckets
 
-    sigs = _dedup_stage(spark, sf_dir).filter(
-        F.col("id") < _LSH_GAUGE_CAP
+    # round-12 bimodality fix (verdict ask #5): the gauge used to slice
+    # the SHARED corpus-wide signature cache (_dedup_stage), so its
+    # timing flipped ~2.5x with suite-order cache state — warm slice vs
+    # a full-corpus stage rebuild after any clearCache.  It now computes
+    # its OWN cap-bounded stage from a doc_id-pruned scan (1/10 of the
+    # corpus) and eagerly localCheckpoints it: one deterministic ~0.2 s
+    # materialization per call, every downstream reference (truth BNLJ
+    # both sides + three band slicings) reads the checkpointed blocks,
+    # and the blocks free on GC — no persist leak, no cache-state mode.
+    from ..ops.dedup import hashed_docs, minhash_signatures, shingled_docs
+
+    docs = _load_wide(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _LSH_GAUGE_CAP
     )
+    sigs = minhash_signatures(
+        hashed_docs(shingled_docs(docs, "text", "doc_id", 3)), 16
+    ).localCheckpoint(eager=True)
     a, b = sigs.alias("a"), sigs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
     union = F.greatest(
@@ -1261,13 +1275,34 @@ def lsh_recall_docs(spark, sf_dir):
         .filter(inter.cast("double") / union >= _LSH_GAUGE_THRESH)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    cands = None
+    # ONE cfg-tagged bucket table and ONE self-join for all three band
+    # layouts (was: three separate join+distinct pipelines — same rows,
+    # 3x the stages); nb is unique per config so (nb, band, bucket) is
+    # the collision key and rpb rides along for the output
+    buckets = None
     for nb, rpb in _LSH_GAUGE_CONFIGS:
-        c = candidate_pairs_from_buckets(lsh_buckets(sigs, nb, rpb)).select(
+        bk = lsh_buckets(sigs, nb, rpb).select(
             F.lit(nb).alias("bands"), F.lit(rpb).alias("rows_per_band"),
-            "id_a", "id_b",
+            "id", "band", "bucket",
         )
-        cands = c if cands is None else cands.unionAll(c)
+        buckets = bk if buckets is None else buckets.unionAll(bk)
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.bands") == F.col("r.bands"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.bands").alias("bands"),
+            F.col("l.rows_per_band").alias("rows_per_band"),
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+        )
+        .distinct()
+    )
     hit = truth.withColumn("hit", F.lit(1))
     per = (
         cands.join(F.broadcast(hit), ["id_a", "id_b"], "left")

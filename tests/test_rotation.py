@@ -97,25 +97,22 @@ def test_rotation_advances_until_full_coverage():
 
 def test_changed_code_queries_in_gate_window():
     """Queries whose implementation changed this round must sit inside the
-    driver-checked window: changed code re-earns its driver row.  Round 11:
-    the ivf_index.py queries (tombstone anti-join on the shared probe path,
-    dimension-checked gate, crash-safe compaction), the advice-r10 fixes
-    (EWMA sort key, cache-leak eager rewrites, MMR greedy guard), plus the
-    two never-driver-verified round-11 additions."""
+    driver-checked window: changed code re-earns its driver row.  Round 12:
+    the state-at-rest additions, the ivf_index.py family (writer lease,
+    id-reuse gate, delete dedupe, all-empty compaction guard, _oob_expr
+    refactor), the rollup pair's +1e-9 nudge (advice r11), and the
+    lsh_recall_docs bimodality rewrite."""
     from __spark_entry__ import _DRIVER_WINDOW
 
     window = set(_DRIVER_WINDOW[:GATE_SIZE])
     for name in (
-        # round-11 never-driver-verified additions
-        "ann_ivf_sq8_deleted", "minhash_retire_pairs_docs",
-        "dedup_retire_clusters_docs", "dedup_append_clusters_docs",
-        "events_retire_rollup",
-        "bm25_retire_stats_docs", "ann_filtered_topk_embeddings",
-        "ann_ivf_sq8_filtered", "ann_ivf_sq8_refined",
-        "sq8_grid_staleness_embeddings",
+        # round-12 never-driver-verified additions
+        "dedup_state_clusters_docs", "dedup_state_pairs_docs",
+        "dedup_state_retire_docs",
         # changed this round
-        "ann_ivf_sq8_appended", "ann_ivf_sq8_indexed",
-        "events_ewma_anomaly", "dedup_method_agreement_docs",
-        "sq8_residual_error_embeddings", "mmr_rerank_grouped",
+        "ann_ivf_sq8_indexed", "ann_ivf_sq8_appended",
+        "ann_ivf_sq8_deleted", "ann_ivf_sq8_filtered",
+        "ann_ivf_sq8_refined", "events_incremental_rollup",
+        "events_retire_rollup", "lsh_recall_docs",
     ):
         assert name in window, name

@@ -308,6 +308,7 @@ def admit_docs(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: int = None,
 ) -> dict:
     """Admit a document batch into the state at delta cost.  Writes the
     delta's buckets, the new candidate pairs, and cluster overrides for
@@ -319,11 +320,22 @@ def admit_docs(
     Refuses ids that are live (duplicate admission) or retired-without-
     compaction (resurrection ambiguity — the ivf_index id-reuse rule).
     Returns {admitted, new_pairs, affected_components, version}.
+
+    ``batch_id`` (the streaming-ingest form, streaming/dedup_ingest.py)
+    makes admission EXACTLY-ONCE under at-least-once replay: the id is
+    recorded in the manifest, whose atomic pointer swing is the single
+    commit point of the whole mutation — a replayed micro-batch
+    (id <= the recorded watermark) is skipped with {skipped: True}.
+    Unlike the index's two-file append+watermark (which has a one-rename
+    duplicate window), there is NO crash window here: either the new
+    manifest is live (files + watermark together) or the old one is.
     """
     if not os.path.exists(os.path.join(state_dir, "_BUILT")):
         raise ValueError(f"not a built dedup state: {state_dir}")
     with writer_lease(state_dir):
-        return _admit_locked(spark, state_dir, new_docs, text_col, id_col)
+        return _admit_locked(
+            spark, state_dir, new_docs, text_col, id_col, batch_id
+        )
 
 
 def _admit_locked(
@@ -332,8 +344,15 @@ def _admit_locked(
     new_docs: DataFrame,
     text_col: str,
     id_col: str,
+    batch_id: int = None,
 ) -> dict:
     m = _read_manifest(state_dir)
+    last_bid = m.get("last_batch_id")
+    if batch_id is not None and last_bid is not None and batch_id <= last_bid:
+        return {
+            "admitted": 0, "new_pairs": 0, "affected_components": 0,
+            "version": m["version"], "skipped": True,
+        }
     seq = m["seq"] + 1
 
     pinned = []  # persisted frames to release on exit
@@ -348,6 +367,19 @@ def _admit_locked(
         # ^ bounded: admission batches are operationally delta-sized (the
         #   probe admits 40 docs; a production ingest admits a micro-batch)
         if not delta_ids:
+            if batch_id is not None:
+                # an empty-but-watermarked admission (e.g. a micro-batch
+                # whose every row was dead-lettered) must still advance
+                # the watermark, or its replay would re-emit dead letters
+                _publish(state_dir, {
+                    **{k: v for k, v in m.items() if not k.startswith("__")},
+                    "version": m["version"] + 1,
+                    "last_batch_id": batch_id,
+                })
+                return {
+                    "admitted": 0, "new_pairs": 0,
+                    "affected_components": 0, "version": m["version"] + 1,
+                }
             return {
                 "admitted": 0, "new_pairs": 0,
                 "affected_components": 0, "version": m["version"],
@@ -471,6 +503,9 @@ def _admit_locked(
             "buckets": m["buckets"] + [b_rel],
             "pairs": m["pairs"] + [p_rel],
             "cluster_overrides": m["cluster_overrides"] + [o_rel],
+            # preserve the watermark on direct calls (the ivm.py advice-r11
+            # lesson): erasing it would let a stream resume double-admit
+            "last_batch_id": batch_id if batch_id is not None else last_bid,
         })
         return out
     finally:
@@ -616,6 +651,10 @@ def compact_dedup_state(spark: SparkSession, state_dir: str) -> dict:
             "cluster_base": c_rel,
             "cluster_overrides": [],
             "retired": [],
+            # the fold must not erase the ingest watermark: a stream
+            # resuming after a compaction would otherwise re-admit
+            # replayed batches
+            "last_batch_id": m.get("last_batch_id"),
         })
         # GC: every data dir not referenced by the NEW manifest
         keep = {b_rel, p_rel, c_rel}

@@ -1,0 +1,146 @@
+"""Streaming ingest for the dedup state (the dedup twin of
+``streaming/ann_ingest.py``): a continuous document feed keeps the
+at-rest bucket/pair/cluster state (``ops/dedup_state.py``) fresh via
+foreachBatch admissions.
+
+Per micro-batch:
+
+1. **Pre-gate**: rows whose doc_id is already LIVE in the state, or
+   RETIRED but not yet compacted, are split off as DEAD-LETTER rows
+   (``reject_reason`` ∈ {'live_id', 'retired_id'}) — the id-discipline
+   refusals ``admit_docs`` rightly raises for a batch caller become
+   data for a stream.  Within-batch duplicate doc_ids keep their first
+   row (dropDuplicates) — re-sent rows are the common at-least-once
+   artifact.
+2. **Admit** the clean remainder with ``batch_id``: the id is recorded
+   in the state MANIFEST, whose atomic pointer swing commits the delta
+   files and the watermark together — so dedup ingest is EXACTLY-ONCE
+   under at-least-once replay, with no residual crash window (contrast
+   ann_ingest.py, whose separate append+watermark files leave a
+   one-rename duplicate window; the manifest is why the dedup state
+   doesn't).
+
+Stream-admitted state == from-scratch build over the full corpus is
+pinned by tests/test_dedup_ingest.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops.dedup_state import (
+    _read_manifest,
+    _retired,
+    admit_docs,
+    state_clusters,
+)
+
+
+def ingest_doc_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    dead_letter_dir: str = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """One micro-batch step (exposed for direct replay tests): gate,
+    dead-letter, admit-with-watermark.  Returns {applied, admitted,
+    rejected}."""
+    m = _read_manifest(state_dir)
+    last_bid = m.get("last_batch_id")
+    if last_bid is not None and batch_id <= last_bid:
+        return {"applied": False, "admitted": 0, "rejected": 0}
+
+    docs = batch_df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).dropDuplicates(["doc_id"])
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    # ^ bounded: one micro-batch of the feed
+    live = set()
+    retired = set()
+    if ids:
+        live = {
+            r["doc_id"]
+            for r in state_clusters(spark, state_dir)
+            .filter(F.col("doc_id").isin(ids))  # pushed to the scan
+            .collect()
+        }
+        r = _retired(spark, state_dir, m)
+        if r is not None:
+            retired = {
+                x["doc_id"]
+                for x in r.filter(F.col("doc_id").isin(ids)).collect()
+            }
+    bad_ids = live | retired
+    n_bad = len(bad_ids)
+    if n_bad and dead_letter_dir:
+        docs.filter(F.col("doc_id").isin(list(bad_ids))).select(
+            "doc_id",
+            "text",
+            F.when(
+                F.col("doc_id").isin(list(retired)), F.lit("retired_id")
+            ).otherwise(F.lit("live_id")).alias("reject_reason"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        ).coalesce(1).write.mode("append").parquet(dead_letter_dir)
+    clean = (
+        docs.filter(~F.col("doc_id").isin(list(bad_ids))) if bad_ids else docs
+    )
+    stats = admit_docs(spark, state_dir, clean, batch_id=batch_id)
+    return {
+        "applied": not stats.get("skipped", False),
+        "admitted": stats["admitted"],
+        "rejected": n_bad,
+    }
+
+
+def run_dedup_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint: str = None,
+    dead_letter_dir: str = None,
+    max_files_per_trigger: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Replay ``source_dir``'s parquet files as micro-batches and keep the
+    dedup state fresh via foreachBatch admissions (availableNow: drain the
+    backlog, then stop).  The checkpoint and the state's manifest
+    watermark live and die together (the ivm.py contract).  Returns
+    {batches_applied, admitted, rejected}."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    totals = {"batches_applied": 0, "admitted": 0, "rejected": 0}
+
+    def _step(bdf: DataFrame, bid: int) -> None:
+        out = ingest_doc_batch(
+            spark, state_dir, bdf, bid,
+            dead_letter_dir=dead_letter_dir,
+            text_col=text_col, id_col=id_col,
+        )
+        if out["applied"]:
+            totals["batches_applied"] += 1
+            totals["admitted"] += out["admitted"]
+            totals["rejected"] += out["rejected"]
+
+    q = (
+        stream.writeStream.foreachBatch(_step)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="dagger_dedup_ingest_ck_"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return totals

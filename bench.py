@@ -241,6 +241,12 @@ HEADLINE = [
     "ann_ivf_sq8_filtered",
     "ann_ivf_sq8_refined",
     "sq8_grid_staleness_embeddings",
+    # round-12 additions: the dedup state AT REST — what these bench is
+    # the maintained READ path (state built + mutated once per corpus
+    # fingerprint; the mutations' ∝-delta cost is tools/dedup_probe.py)
+    "dedup_state_clusters_docs",
+    "dedup_state_pairs_docs",
+    "dedup_state_retire_docs",
 ]
 
 SYSMON_BENCH_ROWS = 2_560_000

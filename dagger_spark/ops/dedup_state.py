@@ -143,6 +143,21 @@ def _union_dirs(spark: SparkSession, state_dir: str, rels: list) -> DataFrame:
     return spark.read.parquet(*[os.path.join(state_dir, r) for r in rels])
 
 
+def _watermark(m: dict, stream: str):
+    """Last applied batch id for a NAMED stream (manifest ``watermarks``
+    dict).  Streams are independent: an admission feed ('ingest') and a
+    takedown feed ('takedown') each own their key, so their Structured
+    Streaming batch-id sequences — both monotone from 0 — never collide."""
+    return (m.get("watermarks") or {}).get(stream)
+
+
+def _merged_watermarks(m: dict, stream: str, batch_id) -> dict:
+    wms = dict(m.get("watermarks") or {})
+    if batch_id is not None:
+        wms[stream] = batch_id
+    return wms
+
+
 # ---------------------------------------------------------------------------
 # logical-table readers
 # ---------------------------------------------------------------------------
@@ -309,6 +324,7 @@ def admit_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_id: int = None,
+    stream: str = "ingest",
 ) -> dict:
     """Admit a document batch into the state at delta cost.  Writes the
     delta's buckets, the new candidate pairs, and cluster overrides for
@@ -323,18 +339,20 @@ def admit_docs(
 
     ``batch_id`` (the streaming-ingest form, streaming/dedup_ingest.py)
     makes admission EXACTLY-ONCE under at-least-once replay: the id is
-    recorded in the manifest, whose atomic pointer swing is the single
-    commit point of the whole mutation — a replayed micro-batch
-    (id <= the recorded watermark) is skipped with {skipped: True}.
-    Unlike the index's two-file append+watermark (which has a one-rename
-    duplicate window), there is NO crash window here: either the new
-    manifest is live (files + watermark together) or the old one is.
+    recorded under the ``stream`` key of the manifest's watermarks dict,
+    and the manifest's atomic pointer swing is the single commit point
+    of the whole mutation — a replayed micro-batch (id <= the recorded
+    watermark) is skipped with {skipped: True}.  Unlike the index's
+    two-file append+watermark (which has a one-rename duplicate window),
+    there is NO crash window here: either the new manifest is live
+    (files + watermark together) or the old one is.  Named streams keep
+    an admission feed and a takedown feed independent on one state.
     """
     if not os.path.exists(os.path.join(state_dir, "_BUILT")):
         raise ValueError(f"not a built dedup state: {state_dir}")
     with writer_lease(state_dir):
         return _admit_locked(
-            spark, state_dir, new_docs, text_col, id_col, batch_id
+            spark, state_dir, new_docs, text_col, id_col, batch_id, stream
         )
 
 
@@ -345,9 +363,10 @@ def _admit_locked(
     text_col: str,
     id_col: str,
     batch_id: int = None,
+    stream: str = "ingest",
 ) -> dict:
     m = _read_manifest(state_dir)
-    last_bid = m.get("last_batch_id")
+    last_bid = _watermark(m, stream)
     if batch_id is not None and last_bid is not None and batch_id <= last_bid:
         return {
             "admitted": 0, "new_pairs": 0, "affected_components": 0,
@@ -374,7 +393,7 @@ def _admit_locked(
                 _publish(state_dir, {
                     **{k: v for k, v in m.items() if not k.startswith("__")},
                     "version": m["version"] + 1,
-                    "last_batch_id": batch_id,
+                    "watermarks": _merged_watermarks(m, stream, batch_id),
                 })
                 return {
                     "admitted": 0, "new_pairs": 0,
@@ -503,9 +522,10 @@ def _admit_locked(
             "buckets": m["buckets"] + [b_rel],
             "pairs": m["pairs"] + [p_rel],
             "cluster_overrides": m["cluster_overrides"] + [o_rel],
-            # preserve the watermark on direct calls (the ivm.py advice-r11
-            # lesson): erasing it would let a stream resume double-admit
-            "last_batch_id": batch_id if batch_id is not None else last_bid,
+            # direct calls (batch_id None) PRESERVE every stream's
+            # watermark (the ivm.py advice-r11 lesson): erasing one would
+            # let a stream resume double-apply replayed batches
+            "watermarks": _merged_watermarks(m, stream, batch_id),
         })
         return out
     finally:
@@ -523,6 +543,8 @@ def retire_docs(
     state_dir: str,
     doc_ids: DataFrame,
     id_col: str = "doc_id",
+    batch_id: int = None,
+    stream: str = "takedown",
 ) -> dict:
     """Retire documents from the state at delta cost: one tombstone write
     (the pair/bucket tables are maintained for free by the read-time
@@ -530,11 +552,18 @@ def retire_docs(
     affected components — a bridge doc's retirement SPLITS its cluster,
     so the survivors re-run connected components over their surviving
     edges.  Retiring an id that is not live is a harmless no-op row.
-    Returns {retired, affected_components, version}."""
+    Returns {retired, affected_components, version}.
+
+    ``batch_id`` gives a TAKEDOWN FEED the same exactly-once manifest
+    watermark admissions have (streaming/dedup_ingest.py
+    run_dedup_takedown_stream); the default stream name 'takedown' keeps
+    its batch-id sequence independent of the admission feed's."""
     if not os.path.exists(os.path.join(state_dir, "_BUILT")):
         raise ValueError(f"not a built dedup state: {state_dir}")
     with writer_lease(state_dir):
-        return _retire_locked(spark, state_dir, doc_ids, id_col)
+        return _retire_locked(
+            spark, state_dir, doc_ids, id_col, batch_id, stream
+        )
 
 
 def _retire_locked(
@@ -542,13 +571,27 @@ def _retire_locked(
     state_dir: str,
     doc_ids: DataFrame,
     id_col: str,
+    batch_id: int = None,
+    stream: str = "takedown",
 ) -> dict:
     m = _read_manifest(state_dir)
+    last_bid = _watermark(m, stream)
+    if batch_id is not None and last_bid is not None and batch_id <= last_bid:
+        return {"retired": 0, "affected_components": 0,
+                "version": m["version"], "skipped": True}
     seq = m["seq"] + 1
     rids = doc_ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
     rid_list = [r["doc_id"] for r in rids.collect()]
     # ^ bounded: retirement batches are takedown/TTL lists, delta-sized
     if not rid_list:
+        if batch_id is not None:
+            _publish(state_dir, {
+                **{k: v for k, v in m.items() if not k.startswith("__")},
+                "version": m["version"] + 1,
+                "watermarks": _merged_watermarks(m, stream, batch_id),
+            })
+            return {"retired": 0, "affected_components": 0,
+                    "version": m["version"] + 1}
         return {"retired": 0, "affected_components": 0,
                 "version": m["version"]}
 
@@ -597,6 +640,7 @@ def _retire_locked(
             "seq": seq,
             "cluster_overrides": m["cluster_overrides"] + [o_rel],
             "retired": m["retired"] + [r_rel],
+            "watermarks": _merged_watermarks(m, stream, batch_id),
         })
         return {
             "retired": len(rid_list),
@@ -651,10 +695,10 @@ def compact_dedup_state(spark: SparkSession, state_dir: str) -> dict:
             "cluster_base": c_rel,
             "cluster_overrides": [],
             "retired": [],
-            # the fold must not erase the ingest watermark: a stream
-            # resuming after a compaction would otherwise re-admit
+            # the fold must not erase any stream's watermark: a stream
+            # resuming after a compaction would otherwise re-apply
             # replayed batches
-            "last_batch_id": m.get("last_batch_id"),
+            "watermarks": m.get("watermarks") or {},
         })
         # GC: every data dir not referenced by the NEW manifest
         keep = {b_rel, p_rel, c_rel}

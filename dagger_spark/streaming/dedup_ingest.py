@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 from ..ops.dedup_state import (
     _read_manifest,
     _retired,
+    _watermark,
     admit_docs,
+    retire_docs,
     state_clusters,
 )
 
@@ -52,7 +54,7 @@ def ingest_doc_batch(
     dead-letter, admit-with-watermark.  Returns {applied, admitted,
     rejected}."""
     m = _read_manifest(state_dir)
-    last_bid = m.get("last_batch_id")
+    last_bid = _watermark(m, "ingest")
     if last_bid is not None and batch_id <= last_bid:
         return {"applied": False, "admitted": 0, "rejected": 0}
 
@@ -90,7 +92,9 @@ def ingest_doc_batch(
     clean = (
         docs.filter(~F.col("doc_id").isin(list(bad_ids))) if bad_ids else docs
     )
-    stats = admit_docs(spark, state_dir, clean, batch_id=batch_id)
+    stats = admit_docs(
+        spark, state_dir, clean, batch_id=batch_id, stream="ingest"
+    )
     return {
         "applied": not stats.get("skipped", False),
         "admitted": stats["admitted"],
@@ -137,6 +141,52 @@ def run_dedup_ingest_stream(
         .option(
             "checkpointLocation",
             checkpoint or tempfile.mkdtemp(prefix="dagger_dedup_ingest_ck_"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return totals
+
+
+def run_dedup_takedown_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint: str = None,
+    max_files_per_trigger: int = 2,
+    id_col: str = "doc_id",
+) -> dict:
+    """The TAKEDOWN feed: replay ``source_dir``'s parquet files of doc ids
+    as micro-batches and retire each batch from the state (availableNow).
+    Exactly-once by the same manifest-watermark protocol as admissions,
+    under the independent stream name 'takedown' — both feeds can drive
+    ONE state without their batch-id sequences colliding.  Retiring ids
+    that are not live is a documented no-op, so a takedown feed needs no
+    dead-letter leg.  Returns {batches_applied, retired}."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    totals = {"batches_applied": 0, "retired": 0}
+
+    def _step(bdf: DataFrame, bid: int) -> None:
+        stats = retire_docs(
+            spark, state_dir, bdf, id_col=id_col,
+            batch_id=bid, stream="takedown",
+        )
+        if not stats.get("skipped", False):
+            totals["batches_applied"] += 1
+            totals["retired"] += stats["retired"]
+
+    q = (
+        stream.writeStream.foreachBatch(_step)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="dagger_takedown_ck_"),
         )
         .outputMode("append")
         .trigger(availableNow=True)

@@ -36,7 +36,7 @@ def base_state(spark):
     docs = load_table(spark, SF, "documents")
     base = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
     d = build_dedup_state(spark, SF, corpus=base, tag="t_ingest")
-    if _read_manifest(d)["seq"] > 0 or _read_manifest(d).get("last_batch_id") is not None:
+    if _read_manifest(d)["seq"] > 0 or _read_manifest(d).get("watermarks"):
         shutil.rmtree(d, ignore_errors=True)
         d = build_dedup_state(spark, SF, corpus=base, tag="t_ingest")
     return d
@@ -68,7 +68,7 @@ def test_stream_admitted_equals_full_build(spark, base_state, tmp_path):
         spark, src, base_state, checkpoint=str(tmp_path / "ck")
     )
     assert again["batches_applied"] == 0
-    wm = _read_manifest(base_state)["last_batch_id"]
+    wm = _read_manifest(base_state)["watermarks"]["ingest"]
     out = ingest_doc_batch(spark, base_state, delta, wm)
     assert out == {"applied": False, "admitted": 0, "rejected": 0}
 
@@ -123,9 +123,54 @@ def test_all_rejected_batch_still_advances_watermark(
     dlq = str(tmp_path / "dlq")
     out = ingest_doc_batch(spark, base_state, live_only, 0, dead_letter_dir=dlq)
     assert out["rejected"] == 3 and out["admitted"] == 0
-    assert _read_manifest(base_state)["last_batch_id"] == 0
+    assert _read_manifest(base_state)["watermarks"]["ingest"] == 0
     replay = ingest_doc_batch(
         spark, base_state, live_only, 0, dead_letter_dir=dlq
     )
     assert replay == {"applied": False, "admitted": 0, "rejected": 0}
     assert spark.read.parquet(dlq).count() == 3  # not re-emitted
+
+
+def test_takedown_stream_and_independent_watermarks(
+    spark, base_state, tmp_path
+):
+    """Admission and takedown feeds drive ONE state: each owns its named
+    manifest watermark, so their batch-id sequences (both monotone from
+    0) never collide; takedown-streamed state == reduced recompute."""
+    from dagger_spark.streaming.dedup_ingest import run_dedup_takedown_stream
+
+    docs = load_table(spark, SF, "documents")
+    delta = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        "doc_id", "text"
+    )
+    src_in = str(tmp_path / "feed_in")
+    delta.repartition(2).write.parquet(src_in)
+    run_dedup_ingest_stream(
+        spark, src_in, base_state, checkpoint=str(tmp_path / "ck_in")
+    )
+    # takedown feed retires the mod-3 slice (batch ids restart at 0 —
+    # the collision the named watermarks exist to prevent)
+    src_out = str(tmp_path / "feed_out")
+    docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3).select(
+        "doc_id"
+    ).repartition(2).write.parquet(src_out)
+    totals = run_dedup_takedown_stream(
+        spark, src_out, base_state, checkpoint=str(tmp_path / "ck_out"),
+        max_files_per_trigger=1,
+    )
+    assert totals["batches_applied"] == 2
+    m = _read_manifest(base_state)
+    assert set(m["watermarks"]) == {"ingest", "takedown"}
+    # the takedown feed's low batch ids did NOT get skipped by the
+    # admission watermark (which is >= them), and vice versa
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["dedup_retire_clusters_docs"].fn(spark, SF).collect()
+    )
+    assert _rows(state_clusters(spark, base_state)) == want
+    # replaying the takedown checkpoint is a no-op
+    again = run_dedup_takedown_stream(
+        spark, src_out, base_state, checkpoint=str(tmp_path / "ck_out")
+    )
+    assert again["batches_applied"] == 0
+    assert _rows(state_clusters(spark, base_state)) == want

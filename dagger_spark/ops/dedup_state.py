@@ -404,7 +404,12 @@ def _admit_locked(
                 "affected_components": 0, "version": m["version"],
             }
 
-        # id gates (advice-r11 discipline shared with the IVF index)
+        # id gates (advice-r11 discipline shared with the IVF index).
+        # ONE pinned cluster resolution serves the live gate, the
+        # affected-component lookup, and the member expansion (review
+        # r12: the gate used to build state_clusters a second time,
+        # doubling the dominant base+override read per admission)
+        cur = _pin(state_clusters(spark, state_dir))
         r = _retired(spark, state_dir, m)
         if r is not None:
             n_res = r.filter(F.col("doc_id").isin(delta_ids)).count()
@@ -414,11 +419,7 @@ def _admit_locked(
                     "compacted — re-admitting would resurrect their old "
                     "bucket/pair rows; run compact_dedup_state first"
                 )
-        live_clash = (
-            state_clusters(spark, state_dir)
-            .filter(F.col("doc_id").isin(delta_ids))  # pushed to the scan
-            .count()
-        )
+        live_clash = cur.filter(F.col("doc_id").isin(delta_ids)).count()
         if live_clash:
             raise ValueError(
                 f"{live_clash} admitted id(s) are already live in the "
@@ -465,7 +466,6 @@ def _admit_locked(
             .filter(~F.col("doc_id").isin(delta_ids))
             .distinct()
         )
-        cur = _pin(state_clusters(spark, state_dir))
         affected = _pin(
             cur.join(F.broadcast(touched_old), "doc_id", "left_semi")
             .select("cluster")
@@ -500,13 +500,24 @@ def _admit_locked(
         b_rel = f"buckets/d{seq:06d}"
         p_rel = f"pairs/d{seq:06d}"
         o_rel = f"clusters/o{seq:06d}"
-        delta_b.coalesce(1).write.parquet(os.path.join(state_dir, b_rel))
-        new_pairs.coalesce(1).write.parquet(os.path.join(state_dir, p_rel))
+        # mode("overwrite") on every seq-owned dir: a mutation that crashed
+        # before its pointer swing leaves these same paths as
+        # UNREFERENCED garbage (the manifest still names the old seq) —
+        # the next mutation reuses the seq number and must clobber them,
+        # not fail with path-already-exists (review r12)
+        delta_b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, b_rel)
+        )
+        new_pairs.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, p_rel)
+        )
         re_cc.select(
             F.col("id").alias("doc_id"),
             "cluster",
             F.lit(seq).cast("long").alias("seq"),
-        ).coalesce(1).write.parquet(os.path.join(state_dir, o_rel))
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, o_rel)
+        )
 
         n_new_pairs = new_pairs.count()
         out = {
@@ -551,8 +562,12 @@ def retire_docs(
     anti-join) plus cluster overrides for the SURVIVING members of the
     affected components — a bridge doc's retirement SPLITS its cluster,
     so the survivors re-run connected components over their surviving
-    edges.  Retiring an id that is not live is a harmless no-op row.
-    Returns {retired, affected_components, version}.
+    edges.  Retiring an id that is not live is a TRUE no-op: it is
+    reported in the stats (``not_live``) and nothing is recorded, so an
+    out-of-order takedown (id retired before it was ever admitted) can
+    never block that id's later admission (review r12 — a recorded
+    tombstone would have, until a compaction).
+    Returns {retired, not_live, affected_components, version}.
 
     ``batch_id`` gives a TAKEDOWN FEED the same exactly-once manifest
     watermark admissions have (streaming/dedup_ingest.py
@@ -580,24 +595,36 @@ def _retire_locked(
         return {"retired": 0, "affected_components": 0,
                 "version": m["version"], "skipped": True}
     seq = m["seq"] + 1
-    rids = doc_ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
-    rid_list = [r["doc_id"] for r in rids.collect()]
+    req = doc_ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    req_list = [r["doc_id"] for r in req.collect()]
     # ^ bounded: retirement batches are takedown/TTL lists, delta-sized
-    if not rid_list:
-        if batch_id is not None:
-            _publish(state_dir, {
-                **{k: v for k, v in m.items() if not k.startswith("__")},
-                "version": m["version"] + 1,
-                "watermarks": _merged_watermarks(m, stream, batch_id),
-            })
-            return {"retired": 0, "affected_components": 0,
-                    "version": m["version"] + 1}
-        return {"retired": 0, "affected_components": 0,
-                "version": m["version"]}
 
     pinned = [state_clusters(spark, state_dir).persist()]
     cur = pinned[0]
     try:
+        # retire only ids that are LIVE (review r12): tombstoning an id
+        # that was never admitted would BLOCK its later admission until a
+        # compaction — making the docstring's "not live is a harmless
+        # no-op" false and an out-of-order takedown feed a silent trap.
+        # Not-live ids are reported, not recorded.
+        rid_list = [
+            r["doc_id"]
+            for r in cur.filter(F.col("doc_id").isin(req_list))
+            .select("doc_id").collect()
+        ] if req_list else []
+        rids = req.filter(F.col("doc_id").isin(rid_list))
+        if not rid_list:
+            if batch_id is not None:
+                _publish(state_dir, {
+                    **{k: v for k, v in m.items() if not k.startswith("__")},
+                    "version": m["version"] + 1,
+                    "watermarks": _merged_watermarks(m, stream, batch_id),
+                })
+                return {"retired": 0, "not_live": len(req_list),
+                        "affected_components": 0,
+                        "version": m["version"] + 1}
+            return {"retired": 0, "not_live": len(req_list),
+                    "affected_components": 0, "version": m["version"]}
         affected = (
             cur.filter(F.col("doc_id").isin(rid_list))
             .select("cluster")
@@ -627,12 +654,18 @@ def _retire_locked(
 
         r_rel = f"retired/r{seq:06d}"
         o_rel = f"clusters/o{seq:06d}"
-        rids.coalesce(1).write.parquet(os.path.join(state_dir, r_rel))
+        # overwrite: the seq-owned path may hold a crashed predecessor's
+        # unreferenced garbage (review r12)
+        rids.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, r_rel)
+        )
         re_cc.select(
             F.col("id").alias("doc_id"),
             "cluster",
             F.lit(seq).cast("long").alias("seq"),
-        ).coalesce(1).write.parquet(os.path.join(state_dir, o_rel))
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, o_rel)
+        )
 
         _publish(state_dir, {
             **{k: v for k, v in m.items() if not k.startswith("__")},
@@ -644,6 +677,7 @@ def _retire_locked(
         })
         return {
             "retired": len(rid_list),
+            "not_live": len(req_list) - len(rid_list),
             "affected_components": n_affected,
             "version": m["version"] + 1,
         }
@@ -659,10 +693,13 @@ def _retire_locked(
 
 def compact_dedup_state(spark: SparkSession, state_dir: str) -> dict:
     """Fold base+deltas+overrides+tombstones into fresh sorted base files,
-    drain the tombstone/override sets, and garbage-collect every data dir
-    the new manifest no longer references (which also removes crash
-    leftovers — files written by a mutation that died before its pointer
-    swing).  Readers are never blocked: the fold writes new dirs and the
+    drain the tombstone/override sets, and garbage-collect data dirs with
+    ONE-VERSION retention: dirs referenced by neither the new nor the
+    immediately-previous manifest are removed (crash leftovers go at
+    once), while the previous version's files survive one compaction
+    cycle so a reader that resolved the old manifest can finish its lazy
+    reads — the vacuum-retention discipline every transaction-log store
+    needs.  Readers are never blocked: the fold writes new dirs and the
     pointer swing is atomic.  Returns {version, gc_dirs}."""
     if not os.path.exists(os.path.join(state_dir, "_BUILT")):
         raise ValueError(f"not a built dedup state: {state_dir}")
@@ -674,17 +711,17 @@ def compact_dedup_state(spark: SparkSession, state_dir: str) -> dict:
         c_rel = f"clusters/base_{v:06d}"
         state_buckets(spark, state_dir).repartitionByRange(
             F.col("bucket")
-        ).sortWithinPartitions("bucket").write.parquet(
+        ).sortWithinPartitions("bucket").write.mode("overwrite").parquet(
             os.path.join(state_dir, b_rel)
         )
         state_pairs(spark, state_dir).repartitionByRange(
             "id_a", "id_b"
-        ).sortWithinPartitions("id_a", "id_b").write.parquet(
+        ).sortWithinPartitions("id_a", "id_b").write.mode("overwrite").parquet(
             os.path.join(state_dir, p_rel)
         )
         state_clusters(spark, state_dir).repartitionByRange(
             "doc_id"
-        ).sortWithinPartitions("doc_id").write.parquet(
+        ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
             os.path.join(state_dir, c_rel)
         )
         _publish(state_dir, {
@@ -700,8 +737,18 @@ def compact_dedup_state(spark: SparkSession, state_dir: str) -> dict:
             # replayed batches
             "watermarks": m.get("watermarks") or {},
         })
-        # GC: every data dir not referenced by the NEW manifest
+        # GC with ONE-VERSION retention (review r12): a reader that
+        # resolved the pre-compaction manifest may still be running its
+        # (lazy) Spark jobs over that version's files — deleting them at
+        # the pointer swing would fail those reads mid-flight.  Keep
+        # everything the PREVIOUS manifest references (and the manifest
+        # itself) for one more compaction cycle; GC only dirs that
+        # neither manifest names — which still sweeps crash leftovers
+        # immediately.  The retained version falls out on the NEXT
+        # compaction; readers only need to re-resolve within one cycle.
         keep = {b_rel, p_rel, c_rel}
+        keep |= set(m["buckets"]) | set(m["pairs"]) | {m["cluster_base"]}
+        keep |= set(m["cluster_overrides"]) | set(m["retired"])
         gc = 0
         for table in ("buckets", "pairs", "clusters", "retired"):
             tdir = os.path.join(state_dir, table)
@@ -712,8 +759,9 @@ def compact_dedup_state(spark: SparkSession, state_dir: str) -> dict:
                 if rel not in keep:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
                     gc += 1
-        # old manifests too (keep the live one)
+        # manifests: keep the live one and its predecessor
+        live = {f"manifest_v{v}.json", m["__name"]}
         for fn in os.listdir(state_dir):
-            if fn.startswith("manifest_v") and fn != f"manifest_v{v}.json":
+            if fn.startswith("manifest_v") and fn not in live:
                 os.unlink(os.path.join(state_dir, fn))
         return {"version": v, "gc_dirs": gc}

@@ -364,7 +364,11 @@ def split_in_grid(
         F.col(vec_col).cast("array<double>").alias("v"),
         *(["label"] if "label" in vectors.columns else []),
     )
-    oob = _oob_expr(mn_arr, mx_arr, dim)
+    # coalesce-to-true: a NULL embedding makes the oob predicate NULL
+    # (size(NULL) is NULL under ANSI), and a bare filter would drop the
+    # row from BOTH splits — silently vanishing instead of dead-lettering
+    # (review r12).  NULL vector => out_of_grid.
+    oob = F.coalesce(_oob_expr(mn_arr, mx_arr, dim), F.lit(True))
     tomb = _tombstones(spark, index_dir)
     tombed = (
         F.lit(False)

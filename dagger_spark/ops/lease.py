@@ -81,6 +81,54 @@ class writer_lease:
         except OSError:
             return False
 
+    def _break_stale(self, lock: str, holder: str) -> None:
+        """Remove a stale main lock under a BREAKER arbitration lock.
+
+        A bare read-compare-unlink is racy (review r12): breaker A could
+        open the stale file, breaker B could meanwhile remove it, acquire
+        the main lock, and A's compare — satisfied from its already-open
+        fd — would then unlink B's FRESH lock, leaving two live writers.
+        The breaker lock (same atomic-link primitive) admits one breaker
+        at a time; inside it the main lock is re-read BY PATH, so a
+        fresh lock (different token than the observed stale one) is
+        never touched.  A breaker that crashed inside the section leaves
+        a breaker lock that is itself subject to the same ttl."""
+        bl = lock + ".breaker"
+        tmp = f"{bl}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(self.token)
+        try:
+            try:
+                os.link(tmp, bl)
+            except FileExistsError:
+                try:
+                    if time.time() - os.stat(bl).st_mtime > self.ttl:
+                        os.unlink(bl)  # breaker itself died mid-section
+                except OSError:
+                    pass
+                raise ConcurrentWriterError(
+                    f"{self.state_dir}: another writer is breaking the "
+                    "stale lease; retry"
+                )
+        finally:
+            os.unlink(tmp)
+        try:
+            # re-read BY PATH inside the arbitration section: only the
+            # very token we observed stale may be removed
+            try:
+                with open(lock) as f:
+                    if f.read() == holder:
+                        os.unlink(lock)
+            except OSError:
+                pass
+        finally:
+            try:
+                with open(bl) as f:
+                    if f.read() == self.token:
+                        os.unlink(bl)
+            except OSError:
+                pass
+
     def __enter__(self):
         os.makedirs(self.state_dir, exist_ok=True)
         lock = _lock_path(self.state_dir)
@@ -103,14 +151,7 @@ class writer_lease:
                 "time; retry after it finishes or raise ttl for takeover"
             )
         if age is not None:
-            # stale: unlink only if the content is still the token we
-            # inspected, so two racing take-overs cannot both "succeed"
-            try:
-                with open(lock) as f:
-                    if f.read() == holder:
-                        os.unlink(lock)
-            except OSError:
-                pass
+            self._break_stale(lock, holder)
         if not self._try_link():
             raise ConcurrentWriterError(
                 f"{self.state_dir}: lost the lease race after takeover"

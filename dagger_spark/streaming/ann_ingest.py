@@ -22,14 +22,14 @@ Each micro-batch of (vec_id, embedding[, label]) rows is:
    stream's checkpoint write) is recognized (id <= watermark) and
    skipped rather than double-appended — the ``streaming/ivm.py``
    pointer discipline.  The residual window — a crash AFTER the parquet
-   append but BEFORE the watermark rename — can duplicate ONE batch's
-   rows on replay; unlike the rollup merge (which folds into a fresh
-   snapshot) the postings append is not naturally idempotent, and
-   closing the window fully needs a transactional table format
-   (Delta/Iceberg MERGE on vec_id) — documented, not hidden.  The
-   window is one rename wide; the probe-time semantics of a duplicated
-   row are benign (same codes, same cell → same scores, duplicate
-   neighbor rows until compaction).
+   append but BEFORE the watermark rename — is one rename wide; on
+   replay the LIVE-ID GATE (ids already in the index dead-letter as
+   'live_id' instead of re-appending) degrades it from silent duplicate
+   postings to visible dead-letter rows.  Fully transactional
+   commit-together semantics would need a table format whose manifest
+   owns the data files (Delta/Iceberg MERGE — or this repo's dedup
+   state, ops/dedup_state.py, whose manifest gives its ingest leg
+   exactly-once outright).
 
 Stream-maintained == batch-built is pinned by
 tests/test_ann_ingest.py.
@@ -80,7 +80,35 @@ def ingest_batch(
     wm = _read_watermark(index_dir)
     if wm is not None and batch_id <= wm:
         return {"applied": False, "appended": 0, "rejected": 0}
-    ok, bad = split_in_grid(spark, index_dir, batch_df)
+    # within-batch duplicate ids keep one row (producer retries are the
+    # common at-least-once artifact — review r12); cross-batch resends
+    # are caught by the live-id gate below
+    ok, bad = split_in_grid(
+        spark, index_dir, batch_df.dropDuplicates(["vec_id"])
+    )
+    # live-id gate: ids already IN the index dead-letter instead of
+    # appending duplicate postings rows.  One vec_id-column postings scan
+    # per micro-batch (row-group stats / bloom at 100 TB); the live set
+    # is batch-bounded, so the isin split stays cheap.  This also turns
+    # the crash-replay window (a batch whose append landed but whose
+    # watermark rename did not) from silent duplicates into dead-letter
+    # rows — the replayed rows are live now.
+    post_ids = spark.read.parquet(os.path.join(index_dir, "postings"))
+    live = [
+        r["vec_id"]
+        for r in post_ids.join(
+            F.broadcast(ok.select("vec_id")), "vec_id", "left_semi"
+        ).select("vec_id").distinct().collect()
+    ]  # bounded: <= batch size
+    if live:
+        bad = bad.unionByName(
+            ok.filter(F.col("vec_id").isin(live)).select(
+                "vec_id",
+                "embedding",
+                F.lit("live_id").alias("reject_reason"),
+            )
+        )
+        ok = ok.filter(~F.col("vec_id").isin(live))
     # the delta is read three ways (reject write, append, count) — persist
     # so the gate expressions run once per row
     ok = ok.persist()

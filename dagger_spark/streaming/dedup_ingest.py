@@ -14,11 +14,15 @@ Per micro-batch:
    artifact.
 2. **Admit** the clean remainder with ``batch_id``: the id is recorded
    in the state MANIFEST, whose atomic pointer swing commits the delta
-   files and the watermark together — so dedup ingest is EXACTLY-ONCE
-   under at-least-once replay, with no residual crash window (contrast
-   ann_ingest.py, whose separate append+watermark files leave a
-   one-rename duplicate window; the manifest is why the dedup state
-   doesn't).
+   files and the watermark together — so STATE mutations are
+   EXACTLY-ONCE under at-least-once replay, with no residual crash
+   window (contrast ann_ingest.py, whose separate append+watermark
+   files leave a one-rename window).  The dead-letter side channel is
+   outside the manifest, so ITS delivery is at-least-once: a crash
+   between the dead-letter append and the manifest commit re-emits that
+   batch's dead letters on replay — consumers dedupe on the
+   (batch_id, doc_id) key every row carries (review r12: stated, not
+   hidden).
 
 Stream-admitted state == from-scratch build over the full corpus is
 pinned by tests/test_dedup_ingest.py.
@@ -53,52 +57,68 @@ def ingest_doc_batch(
     """One micro-batch step (exposed for direct replay tests): gate,
     dead-letter, admit-with-watermark.  Returns {applied, admitted,
     rejected}."""
-    m = _read_manifest(state_dir)
-    last_bid = _watermark(m, "ingest")
-    if last_bid is not None and batch_id <= last_bid:
-        return {"applied": False, "admitted": 0, "rejected": 0}
-
     docs = batch_df.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     ).dropDuplicates(["doc_id"])
-    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
-    # ^ bounded: one micro-batch of the feed
-    live = set()
-    retired = set()
-    if ids:
-        live = {
-            r["doc_id"]
-            for r in state_clusters(spark, state_dir)
-            .filter(F.col("doc_id").isin(ids))  # pushed to the scan
-            .collect()
-        }
-        r = _retired(spark, state_dir, m)
-        if r is not None:
-            retired = {
-                x["doc_id"]
-                for x in r.filter(F.col("doc_id").isin(ids)).collect()
+
+    # up to TWO gate+admit attempts (review r12): the gate runs OUTSIDE
+    # the writer lease, so a concurrent takedown can retire one of our
+    # "clean" ids between the gate and admit_docs' own lease-held check,
+    # which then raises — the retry re-gates and turns that row into the
+    # dead-letter it should have been instead of killing the stream.
+    # Only NEWLY-bad ids are dead-lettered per attempt (no duplicates);
+    # a second admit failure is a real bug and propagates.
+    dead_lettered = set()
+    for attempt in (0, 1):
+        m = _read_manifest(state_dir)
+        last_bid = _watermark(m, "ingest")
+        if last_bid is not None and batch_id <= last_bid:
+            return {"applied": False, "admitted": 0, "rejected": 0}
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        # ^ bounded: one micro-batch of the feed
+        live = set()
+        retired = set()
+        if ids:
+            live = {
+                r["doc_id"]
+                for r in state_clusters(spark, state_dir)
+                .filter(F.col("doc_id").isin(ids))  # pushed to the scan
+                .collect()
             }
-    bad_ids = live | retired
-    n_bad = len(bad_ids)
-    if n_bad and dead_letter_dir:
-        docs.filter(F.col("doc_id").isin(list(bad_ids))).select(
-            "doc_id",
-            "text",
-            F.when(
-                F.col("doc_id").isin(list(retired)), F.lit("retired_id")
-            ).otherwise(F.lit("live_id")).alias("reject_reason"),
-            F.lit(batch_id).cast("long").alias("batch_id"),
-        ).coalesce(1).write.mode("append").parquet(dead_letter_dir)
-    clean = (
-        docs.filter(~F.col("doc_id").isin(list(bad_ids))) if bad_ids else docs
-    )
-    stats = admit_docs(
-        spark, state_dir, clean, batch_id=batch_id, stream="ingest"
-    )
+            r = _retired(spark, state_dir, m)
+            if r is not None:
+                retired = {
+                    x["doc_id"]
+                    for x in r.filter(F.col("doc_id").isin(ids)).collect()
+                }
+        bad_ids = live | retired
+        new_bad = bad_ids - dead_lettered
+        if new_bad and dead_letter_dir:
+            docs.filter(F.col("doc_id").isin(list(new_bad))).select(
+                "doc_id",
+                "text",
+                F.when(
+                    F.col("doc_id").isin(list(retired)), F.lit("retired_id")
+                ).otherwise(F.lit("live_id")).alias("reject_reason"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            ).coalesce(1).write.mode("append").parquet(dead_letter_dir)
+        dead_lettered |= new_bad
+        clean = (
+            docs.filter(~F.col("doc_id").isin(list(bad_ids)))
+            if bad_ids else docs
+        )
+        try:
+            stats = admit_docs(
+                spark, state_dir, clean, batch_id=batch_id, stream="ingest"
+            )
+            break
+        except ValueError:
+            if attempt == 1:
+                raise
     return {
         "applied": not stats.get("skipped", False),
         "admitted": stats["admitted"],
-        "rejected": n_bad,
+        "rejected": len(dead_lettered),
     }
 
 

@@ -52,19 +52,46 @@ def _partial(df: DataFrame, sign: int = 1) -> DataFrame:
     )
 
 
-def _pointer(state_dir: str):
-    """(version, last_applied_batch_id) from the pointer file, or
-    (None, None).  The batch id rides IN the atomically-renamed pointer so
-    snapshot content and applied-batch watermark can never diverge."""
+def _watermarks(state_dir: str) -> tuple:
+    """(version, {stream: last_applied_batch_id}) from the pointer file,
+    or (None, {}).  Watermarks ride IN the atomically-renamed pointer so
+    snapshot content and applied-batch state can never diverge.  Named
+    streams (review r12, matching ops/dedup_state): an admission feed
+    ('ingest') and a retraction feed ('retract') each own a key, so
+    their batch-id sequences — both monotone from 0 — never skip each
+    other's batches.  Pointer format: ``vN``, ``vN <int>`` (legacy: the
+    int is the ingest stream's id), or ``vN {"ingest": 5, ...}``."""
+    import json
+
     ptr = os.path.join(state_dir, "_CURRENT")
     if not os.path.exists(ptr):
-        return None, None
+        return None, {}
     with open(ptr) as f:
-        parts = f.read().strip().split()
+        parts = f.read().strip().split(None, 1)
     if not parts:
-        return None, None
-    bid = int(parts[1]) if len(parts) > 1 else None
-    return parts[0], bid
+        return None, {}
+    if len(parts) == 1:
+        return parts[0], {}
+    tail = parts[1]
+    if tail.startswith("{"):
+        return parts[0], json.loads(tail)
+    return parts[0], {"ingest": int(tail)}
+
+
+def _pointer(state_dir: str):
+    """Back-compat view: (version, ingest stream's last batch id)."""
+    ver, wms = _watermarks(state_dir)
+    return ver, wms.get("ingest")
+
+
+def _render_pointer(version: str, wms: dict) -> str:
+    import json
+
+    if not wms:
+        return version
+    if set(wms) == {"ingest"}:  # keep the legacy single-stream format
+        return f"{version} {wms['ingest']}"
+    return f"{version} {json.dumps(wms, sort_keys=True)}"
 
 
 def _current_version(state_dir: str):
@@ -77,6 +104,7 @@ def merge_rollup_partial(
     delta_partial: DataFrame,
     batch_id: int = None,
     drop_zero: bool = False,
+    stream: str = "ingest",
 ) -> bool:
     """One IVM merge step: state ∪ delta-partial → re-aggregate → publish
     a new snapshot version and swing the pointer.  Touches state-sized
@@ -95,9 +123,16 @@ def merge_rollup_partial(
     whose count reached zero vanish from the snapshot — group aggregates
     retract exactly, so retract-then-read equals recomputing without the
     retired rows (events_retire_rollup's algebra in the streaming
-    deployment shape)."""
+    deployment shape).
+
+    ``stream`` names the watermark this batch id belongs to: an
+    admission feed and a retraction feed driving one state dir have
+    INDEPENDENT monotone batch-id sequences, so each owns a key in the
+    pointer's watermark dict (review r12 — a shared watermark would make
+    the two feeds silently skip each other's batches)."""
     os.makedirs(state_dir, exist_ok=True)
-    cur, last_bid = _pointer(state_dir)
+    cur, wms = _watermarks(state_dir)
+    last_bid = wms.get(stream)
     if batch_id is not None and last_bid is not None and batch_id <= last_bid:
         return False  # already applied: replayed micro-batch
     if cur is not None:
@@ -115,12 +150,13 @@ def merge_rollup_partial(
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, nxt))
     tmp = os.path.join(state_dir, "_CURRENT.tmp")
     # a direct-call merge (batch_id=None) on a state dir that already
-    # carries a batch watermark must PRESERVE it — erasing it would let a
-    # subsequent stream resume re-apply replayed micro-batches and
-    # double-count (advice r11)
-    eff_bid = batch_id if batch_id is not None else last_bid
+    # carries watermarks must PRESERVE them all — erasing one would let
+    # a subsequent stream resume re-apply replayed micro-batches and
+    # double-count (advice r11; per-stream since review r12)
+    if batch_id is not None:
+        wms = {**wms, stream: batch_id}
     with open(tmp, "w") as f:
-        f.write(nxt if eff_bid is None else f"{nxt} {eff_bid}")
+        f.write(_render_pointer(nxt, wms))
     os.rename(tmp, os.path.join(state_dir, "_CURRENT"))  # atomic publish
     if cur is not None:
         shutil.rmtree(os.path.join(state_dir, cur), ignore_errors=True)
@@ -132,6 +168,7 @@ def retract_rollup_partial(
     state_dir: str,
     retired: DataFrame,
     batch_id: int = None,
+    stream: str = "retract",
 ) -> bool:
     """Retract a slice of events from the maintained rollup — the IVM
     delete twin in its STREAMING deployment shape (round-11 verdict ask
@@ -140,11 +177,13 @@ def retract_rollup_partial(
     merged with NEGATED measures through the same versioned-pointer
     protocol (so the batch-id watermark makes retractions idempotent
     under at-least-once replay exactly like admissions), and groups whose
-    count reaches zero vanish.  Retract-then-read equals recomputing over
-    the surviving events — pinned by tests/test_streaming_ivm.py."""
+    count reaches zero vanish.  The default stream name 'retract' keeps a
+    retraction feed's batch ids independent of the admission feed's
+    (review r12).  Retract-then-read equals recomputing over the
+    surviving events — pinned by tests/test_streaming_ivm.py."""
     return merge_rollup_partial(
         spark, state_dir, _partial(retired, sign=-1),
-        batch_id=batch_id, drop_zero=True,
+        batch_id=batch_id, drop_zero=True, stream=stream,
     )
 
 

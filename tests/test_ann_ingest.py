@@ -136,3 +136,39 @@ def test_gate_refusals_become_dead_letters(spark, base_index, tmp_path):
     assert 30_000_000 not in ids
     assert any(i >= 20_000_000 for i in ids)  # the clean delta landed
     shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_null_and_duplicate_rows_handled(spark, base_index, tmp_path):
+    """Review r12: a NULL-embedding row must dead-letter (not silently
+    vanish from both splits), within-batch duplicate ids collapse to one
+    append, and a cross-batch resend of an already-live id dead-letters
+    as live_id instead of appending a duplicate postings row."""
+    scratch = _scratch(base_index, "nulldup")
+    dlq = str(tmp_path / "dlq")
+    one = _delta(spark, 40_000_000).limit(1)
+    nulls = one.select(
+        (F.col("vec_id") + 1).alias("vec_id"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+    )
+    batch = one.unionByName(one).unionByName(nulls)  # dup + null
+    out = ingest_batch(spark, scratch, batch, 0, dead_letter_dir=dlq)
+    assert out == {"applied": True, "appended": 1, "rejected": 1}
+    dead = spark.read.parquet(dlq).collect()
+    assert len(dead) == 1 and dead[0]["reject_reason"] == "out_of_grid"
+    # accounting: every input row is either appended or dead-lettered
+    # (the within-batch duplicate collapses by design)
+    # cross-batch resend: the id is live now -> dead-letter, no dup row
+    out2 = ingest_batch(spark, scratch, one, 1, dead_letter_dir=dlq)
+    assert out2 == {"applied": True, "appended": 0, "rejected": 1}
+    dead2 = {
+        (r["vec_id"], r["reject_reason"], r["batch_id"])
+        for r in spark.read.parquet(dlq).collect()
+    }
+    live_id = one.collect()[0]["vec_id"]
+    assert (live_id, "live_id", 1) in dead2
+    n_rows = (
+        spark.read.parquet(os.path.join(scratch, "postings"))
+        .filter(F.col("vec_id") == live_id).count()
+    )
+    assert n_rows == 1  # never duplicated
+    shutil.rmtree(scratch, ignore_errors=True)

@@ -112,7 +112,10 @@ def test_retirement_equals_reduced_recompute(spark, scratch_state, docs):
 
 def test_compaction_folds_and_gc(spark, scratch_state, docs):
     """Compaction: results unchanged, tombstone/override sets drained,
-    unreferenced dirs (including crash leftovers) garbage-collected."""
+    crash leftovers garbage-collected AT ONCE, but the previous
+    version's files retained for one cycle (a reader that resolved the
+    old manifest must be able to finish) and swept by the NEXT
+    compaction."""
     retire_docs(
         spark, scratch_state,
         docs.filter(_IS_RETIRED()).limit(20).select("doc_id"),
@@ -122,14 +125,23 @@ def test_compaction_folds_and_gc(spark, scratch_state, docs):
     # crash leftover: a data dir no manifest references
     orphan = os.path.join(scratch_state, "buckets", "d999999")
     os.makedirs(orphan)
+    old_base = os.path.join(scratch_state, "buckets", "base")
+    old_retired = _read_manifest(scratch_state)["retired"][0]
     stats = compact_dedup_state(spark, scratch_state)
-    assert stats["gc_dirs"] >= 2  # the old base+delta dirs and the orphan
+    assert stats["gc_dirs"] == 1  # ONLY the orphan: prior version retained
     assert not os.path.exists(orphan)
+    assert os.path.exists(old_base)  # one-cycle retention
+    assert os.path.exists(os.path.join(scratch_state, old_retired))
     m = _read_manifest(scratch_state)
     assert m["retired"] == [] and m["cluster_overrides"] == []
     assert len(m["buckets"]) == 1 and len(m["pairs"]) == 1
     assert _rows(state_clusters(spark, scratch_state)) == before_c
     assert _rows(state_pairs(spark, scratch_state)) == before_p
+    # the second compaction sweeps the retained generation
+    compact_dedup_state(spark, scratch_state)
+    assert not os.path.exists(old_base)
+    assert not os.path.exists(os.path.join(scratch_state, old_retired))
+    assert _rows(state_clusters(spark, scratch_state)) == before_c
 
 
 def test_admit_refuses_live_and_uncompacted_retired_ids(
@@ -250,3 +262,43 @@ def test_manifest_is_versioned_json(spark, full_state):
     assert name == f"manifest_v{m['version']}.json"
     with open(os.path.join(full_state, name)) as f:
         assert json.load(f) == m
+
+
+def test_crash_leftover_does_not_brick_next_mutation(
+    spark, scratch_state, docs
+):
+    """Review r12: a mutation that died AFTER writing its seq-owned delta
+    dirs but BEFORE the pointer swing leaves those paths on disk; the
+    next mutation reuses the seq number and must overwrite them, not
+    fail with path-already-exists."""
+    m = _read_manifest(scratch_state)
+    nxt = m["seq"] + 1
+    for rel in (f"buckets/d{nxt:06d}", f"pairs/d{nxt:06d}",
+                f"clusters/o{nxt:06d}", f"retired/r{nxt:06d}"):
+        spark.createDataFrame([(1,)], "junk long").write.parquet(
+            os.path.join(scratch_state, rel)
+        )
+    fresh = docs.limit(2).select(
+        (F.col("doc_id") + 70_000_000).alias("doc_id"), "text"
+    )
+    stats = admit_docs(spark, scratch_state, fresh)  # must not raise
+    assert stats["admitted"] == 2
+    retire_docs(spark, scratch_state, fresh.select("doc_id"))
+    assert _rows(state_clusters(spark, scratch_state)) == _rows(
+        QUERIES["dedup_clusters_docs"].fn(spark, SF)
+    )
+
+
+def test_retire_never_live_id_is_true_noop(spark, scratch_state, docs):
+    """Review r12: retiring an id that was never admitted records
+    NOTHING (reported as not_live), so an out-of-order takedown can
+    never block that id's later admission."""
+    ghost = spark.createDataFrame([(91_000_000,)], "doc_id long")
+    stats = retire_docs(spark, scratch_state, ghost)
+    assert stats["retired"] == 0 and stats["not_live"] == 1
+    assert _read_manifest(scratch_state)["retired"] == []
+    # the id admits cleanly afterwards — no tombstone ever existed
+    row = docs.limit(1).select(
+        F.lit(91_000_000).cast("long").alias("doc_id"), "text"
+    )
+    assert admit_docs(spark, scratch_state, row)["admitted"] == 1

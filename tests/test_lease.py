@@ -133,3 +133,30 @@ def test_append_with_auto_compact_holds_one_lease(spark, scratch_index):
             spark, scratch_index, delta, auto_compact_max_files=1
         )
     assert not os.path.exists(os.path.join(scratch_index, "_LOCK"))
+
+
+def test_breaker_arbitration(tmp_path):
+    """Review r12: stale-lock removal runs under a breaker lock — a
+    second breaker is refused while one is inside the section, and a
+    stale breaker lock (its holder died mid-break) is itself removable."""
+    d = str(tmp_path / "s")
+    os.makedirs(d)
+    lock = os.path.join(d, "_LOCK")
+    with open(lock, "w") as f:
+        f.write("dead-holder")
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    # a FRESH breaker lock blocks the takeover path
+    with open(lock + ".breaker", "w") as f:
+        f.write("other-breaker")
+    with pytest.raises(ConcurrentWriterError, match="breaking"):
+        with writer_lease(d, ttl=60):
+            pass
+    # a STALE breaker lock is swept and the takeover proceeds
+    os.utime(lock + ".breaker", (old, old))
+    with pytest.raises(ConcurrentWriterError, match="breaking"):
+        with writer_lease(d, ttl=60):
+            pass  # first attempt only sweeps the stale breaker
+    with writer_lease(d, ttl=60):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)

@@ -159,12 +159,17 @@ def test_stream_maintained_then_retracted_equals_reduced_recompute(
         spark, events_stream_dir, state_dir,
         checkpoint=str(tmp_path / "ck_r"), max_files_per_trigger=2,
     )
+    from dagger_spark.streaming.ivm import _watermarks
+
     ev = load_table(spark, SF, "events")
     retired = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
     _, last_bid = _pointer(state_dir)
-    assert retract_rollup_partial(
-        spark, state_dir, retired, batch_id=last_bid + 1
-    )
+    # the retraction feed's ids restart at 0 (its own checkpoint) — the
+    # named 'retract' watermark means the admission watermark (>= 0)
+    # must NOT swallow it (review r12)
+    assert retract_rollup_partial(spark, state_dir, retired, batch_id=0)
+    _, wms = _watermarks(state_dir)
+    assert wms == {"ingest": last_bid, "retract": 0}
     got = sorted(
         tuple(r) for r in read_rollup_state(spark, state_dir).collect()
     )
@@ -183,9 +188,7 @@ def test_stream_maintained_then_retracted_equals_reduced_recompute(
     )
     assert got == want
     # at-least-once: the SAME retraction replayed is a no-op
-    assert not retract_rollup_partial(
-        spark, state_dir, retired, batch_id=last_bid + 1
-    )
+    assert not retract_rollup_partial(spark, state_dir, retired, batch_id=0)
     assert sorted(
         tuple(r) for r in read_rollup_state(spark, state_dir).collect()
     ) == want

@@ -18,6 +18,15 @@ Writer model (documented contract, pinned by tests/test_lease.py):
 * The lease is a ``_LOCK`` file created with ``os.link`` (atomic
   fail-if-exists on every POSIX filesystem, unlike O_EXCL over NFS),
   holding a unique token + pid + timestamp for forensics.
+* A held lease HEARTBEATS: a daemon thread refreshes the lock file's
+  mtime every ttl/3 while the mutation runs (advice r12), so a live
+  writer whose mutation outruns ttl — a large compaction — never looks
+  stale and can never be broken out from under.  The thread re-checks
+  the file still carries its own token before each touch and stops the
+  moment it doesn't, so a broken-and-reacquired lease is never
+  freshened by the old holder.  (This also closes the release-time
+  TOCTOU the takeover scenario had: with the heartbeat, a LIVE holder's
+  lease can't be observed stale in the first place.)
 * A holder that dies leaves a stale lock; a new writer may TAKE OVER a
   lease older than ``ttl`` seconds: it unlinks the stale file only if
   the content still matches the token it just read (so two racing
@@ -34,12 +43,31 @@ Writer model (documented contract, pinned by tests/test_lease.py):
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 
 
 class ConcurrentWriterError(RuntimeError):
     """Another writer holds a live lease on this state dir."""
+
+
+def retry_concurrent(fn, attempts: int = 6, base: float = 0.25):
+    """Run ``fn()`` retrying on ``ConcurrentWriterError`` with bounded
+    exponential backoff (advice r12): streaming callers (foreachBatch
+    admissions racing a takedown feed's lease on the same state) must
+    WAIT for the other writer rather than let the refusal propagate out
+    of foreachBatch and kill the whole streaming query.  Batch callers
+    keep the loud refusal — they call the mutation directly.  The last
+    attempt re-raises; total worst-case wait is base * (2^(attempts-1)-1)
+    (~7.75 s at defaults, far past any micro-batch mutation)."""
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except ConcurrentWriterError:
+            if attempt == attempts - 1:
+                raise
+            time.sleep(base * (2 ** attempt))
 
 
 _LOCK_NAME = "_LOCK"
@@ -61,6 +89,28 @@ class writer_lease:
         self.ttl = ttl
         self.token = f"{uuid.uuid4().hex} pid={os.getpid()} t={time.time():.3f}"
         self._held = False
+        self._hb_stop: threading.Event = None
+        self._hb_thread: threading.Thread = None
+
+    def _heartbeat_loop(self, stop: threading.Event) -> None:
+        """Refresh the lock file's mtime while held (advice r12): a LIVE
+        writer whose mutation outruns ttl (a large compaction) must never
+        look stale — without the heartbeat the next acquirer would break
+        the lease and two writers would mutate the same dir concurrently.
+        Refresh only while the file still carries OUR token: if the lease
+        was (wrongly or rightly) broken and re-acquired, freshening the
+        new holder's file would extend a lease we do not own."""
+        lock = _lock_path(self.state_dir)
+        interval = max(self.ttl / 3.0, 0.05)
+        while not stop.wait(interval):
+            try:
+                with open(lock) as f:
+                    if f.read() == self.token:
+                        os.utime(lock, None)
+                    else:
+                        return  # lost the lease: stop touching the file
+            except OSError:
+                return
 
     def _try_link(self) -> bool:
         lock = _lock_path(self.state_dir)
@@ -134,6 +184,7 @@ class writer_lease:
         lock = _lock_path(self.state_dir)
         if self._try_link():
             self._held = True
+            self._start_heartbeat()
             return self
         # a lock exists: live -> refuse; stale -> take over and retry once
         try:
@@ -157,9 +208,21 @@ class writer_lease:
                 f"{self.state_dir}: lost the lease race after takeover"
             )
         self._held = True
+        self._start_heartbeat()
         return self
 
+    def _start_heartbeat(self) -> None:
+        self._hb_stop = threading.Event()
+        self._hb_thread = threading.Thread(
+            target=self._heartbeat_loop, args=(self._hb_stop,), daemon=True
+        )
+        self._hb_thread.start()
+
     def __exit__(self, exc_type, exc, tb):
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_thread.join(timeout=5)
+            self._hb_stop = self._hb_thread = None
         if self._held:
             lock = _lock_path(self.state_dir)
             try:

@@ -135,6 +135,71 @@ def test_append_with_auto_compact_holds_one_lease(spark, scratch_index):
     assert not os.path.exists(os.path.join(scratch_index, "_LOCK"))
 
 
+def test_heartbeat_keeps_long_mutation_alive(tmp_path):
+    """Advice r12: a LIVE writer whose mutation outruns ttl must not look
+    stale — the heartbeat refreshes the lock's mtime every ttl/3, so a
+    second acquirer keeps being refused for the whole (long) hold."""
+    d = str(tmp_path / "s")
+    with writer_lease(d, ttl=0.3):
+        time.sleep(1.0)  # > 3x ttl: without the heartbeat this is stale
+        with pytest.raises(ConcurrentWriterError, match="lease held"):
+            with writer_lease(d, ttl=0.3):
+                pass
+    assert not os.path.exists(os.path.join(d, "_LOCK"))
+
+
+def test_heartbeat_stops_touching_foreign_lock(tmp_path):
+    """If the lease is broken and re-acquired behind the holder's back,
+    the old holder's heartbeat must NOT freshen the new owner's file."""
+    d = str(tmp_path / "s")
+    lease = writer_lease(d, ttl=0.3)
+    lease.__enter__()
+    lock = os.path.join(d, "_LOCK")
+    os.unlink(lock)
+    with open(lock, "w") as f:
+        f.write("new-owner")
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    time.sleep(0.5)  # several heartbeat intervals
+    assert os.stat(lock).st_mtime == old  # never freshened by us
+    lease.__exit__(None, None, None)
+    with open(lock) as f:
+        assert f.read() == "new-owner"
+    os.unlink(lock)
+
+
+def test_retry_concurrent_waits_out_holder(tmp_path):
+    """retry_concurrent (advice r12): a streaming caller's mutation racing
+    another feed's lease retries with backoff and succeeds once the
+    holder releases, instead of killing the streaming query."""
+    from dagger_spark.ops.lease import retry_concurrent
+
+    d = str(tmp_path / "s")
+    holder = writer_lease(d)
+    holder.__enter__()
+    calls = {"n": 0}
+
+    def mutate():
+        calls["n"] += 1
+        if calls["n"] == 2:
+            holder.__exit__(None, None, None)  # holder finishes mid-retries
+        with writer_lease(d):
+            return "done"
+
+    assert retry_concurrent(mutate, attempts=5, base=0.01) == "done"
+    assert calls["n"] >= 2
+    # exhausted attempts re-raise
+    blocker = writer_lease(d)
+    blocker.__enter__()
+    try:
+        with pytest.raises(ConcurrentWriterError):
+            retry_concurrent(
+                lambda: writer_lease(d).__enter__(), attempts=2, base=0.01
+            )
+    finally:
+        blocker.__exit__(None, None, None)
+
+
 def test_breaker_arbitration(tmp_path):
     """Review r12: stale-lock removal runs under a breaker lock — a
     second breaker is refused while one is inside the section, and a

@@ -26,84 +26,80 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 
-# Driver-window rotation (round 12): the correctness gate verifies the
-# FIRST ~50 queries.  Priorities, in order: (1) every oracle-paired query
-# that has never earned a driver row — the 3 round-12 additions (the
-# dedup state AT REST: clusters/pairs read after a one-time admission,
-# clusters after a one-time retirement — the maintained read path the
-# round-11 stand-ins couldn't bench); (2) queries whose implementation
-# changed this round and must re-earn their rows — the IVF-index family
-# (ops/ivf_index.py grew the writer lease, the tombstone id-reuse gate,
-# delete dedupe, the all-empty compaction guard, and the _oob_expr
-# refactor), the rollup pair (+1e-9 nudge on sum_value in both engines,
-# advice r11), and lsh_recall_docs (self-contained checkpointed stage +
-# single cfg-tagged self-join — the bimodality fix); (3) the STALEST
-# rows (round-11 verdict ask #1): all 19 remaining round-6 rows — this
-# retires the round-6 cohort entirely, closing window curation — and the
-# 20 alphabetically-first of the 39 round-7 rows (the remaining 19 queue
-# for round 13; the window is pure freshness rotation from here).
+# Driver-window rotation (round 13 — pure freshness from here; curation
+# completed in round 12 with the floor at round 7).  Priorities, in
+# order: (1) never-driver-verified oracle-paired additions — the two
+# round-13 entries (the IVF cell-skew gauge and the hot-cell split probe,
+# verdict ask #6); (2) changed code re-earns its row — the whole IVF
+# index family (ops/ivf_index.py moved onto the versioned-manifest
+# pointer protocol: file-level postings manifest, exactly-once streaming
+# watermarks, manifest-drained tombstones, split tree — verdict ask #1)
+# and the dedup-state trio (auto-compaction in the mutation path, shared
+# ops/manifest refactor, the _apply_once seq-race fix — verdict ask #2 +
+# advice r12); (3) the STALEST rows by last-green round: all 19 remaining
+# round-7 rows (retiring that cohort), then the 21 alphabetically-first
+# round-8 rows (the remaining 21 r8 rows queue for round 14).
 # tests/test_rotation.py fails the suite if a later round's CORRECTNESS
 # artifact exists without the window having been re-authored — the
 # mechanical stall guard.
-_WINDOW_ROUND = 12
+_WINDOW_ROUND = 13
 
 _DRIVER_WINDOW = [
-    # -- (1) never-driver-verified: the 3 round-12 additions --
-    "dedup_state_clusters_docs",  # state-at-rest admission, maintained read
-    "dedup_state_pairs_docs",     # pair table: base ∪ deltas, tombstone mask
-    "dedup_state_retire_docs",    # state-at-rest retirement (splits)
+    # -- (1) never-driver-verified: the 2 round-13 additions --
+    "ivf_cell_sizes_embeddings",  # postings-cell skew gauge (ask #6)
+    "ann_ivf_sq8_split",          # hot-cell split probe, oracle verbatim
     # -- (2) changed code re-earns its row --
-    "ann_ivf_sq8_indexed",       # ivf_index: lease + gates + oob refactor
-    "ann_ivf_sq8_appended",      # append path: id-reuse gate
-    "ann_ivf_sq8_deleted",       # delete path: (vec_id, cell) dedupe
-    "ann_ivf_sq8_filtered",      # shared probe path
-    "ann_ivf_sq8_refined",       # shared probe path
-    "events_incremental_rollup", # +1e-9 nudge, both engines (advice r11)
-    "events_retire_rollup",      # +1e-9 nudge, both engines (advice r11)
-    "lsh_recall_docs",           # bimodality fix: own checkpointed stage
-    # -- (3) stalest rows: the last 19 round-6 rows (cohort retired;
-    #    window curation complete — pure freshness rotation from r13) --
-    "events_sessionization",
-    "events_wau_stickiness",
-    "events_zorder_layout",
-    "grouping_sets_orders",
-    "incremental_dedup_docs",
-    "k_anonymity_docs",
-    "merge_upsert_orders",
-    "pack_sequences_docs",
-    "profile_documents",
-    "quality_classifier_docs",
-    "quality_policy_docs",
-    "quantile_normalize_docs",
-    "simhash_multiprobe",
-    "skew_resistant_agg",
-    "top_customers_per_nation",
-    "training_manifest",
-    "unpivot_lineitem_metrics",
-    "weighted_sample_docs",
-    "zipf_slope_docs",
-    # -- (3) stalest rows: last green in round 7 (alphabetically first 20
-    #    of 39; the remaining 19 queue for round 13) --
-    "array_funcs_docs",
-    "bigram_logprob_docs",
-    "chunk_docs",
-    "cluster_split_docs",
-    "corpus_merkle_diff",
-    "corpus_shuffle_shards",
-    "customer_frequency_ranks",
-    "docs_hash_sample",
-    "docs_pack_bins",
-    "drift_psi_docs",
-    "embedding_norms_arrow",
-    "events_ab_test",
-    "events_attribution",
-    "events_cidr_enrich",
-    "events_decayed_score",
-    "events_domain_enrich",
-    "events_hdr_weekly_rollup",
-    "events_ip_range_enrich",
-    "events_ohlc_bars",
-    "events_sql_udf_rollup",
+    "ann_ivf_sq8_indexed",        # manifest-resolved probe path
+    "ann_ivf_sq8_appended",       # append -> staged files + pointer swing
+    "ann_ivf_sq8_deleted",        # tombstones in the manifest
+    "ann_ivf_sq8_filtered",       # shared probe path
+    "ann_ivf_sq8_refined",        # shared probe path
+    "dedup_state_clusters_docs",  # auto-compact + _apply_once + manifest
+    "dedup_state_pairs_docs",     # shared ops/manifest refactor
+    "dedup_state_retire_docs",    # retire leg auto-compact param
+    # -- (3) stalest: all 19 remaining round-7 rows (cohort retired) --
+    "events_value_histogram",
+    "fingerprint_docs",
+    "html_strip_docs",
+    "hybrid_rrf_docs",
+    "keywords_per_doc",
+    "label_prop_docs",
+    "language_id_docs",
+    "language_id_ngram_docs",
+    "line_scrub_docs",
+    "lineitem_hdr_quantiles",
+    "normalize_docs",
+    "orders_pit_priority",
+    "orders_skyline",
+    "part_basket_pairs",
+    "phrase_search_docs",
+    "sentences_docs",
+    "token_counts_docs",
+    "trimmed_mean_pandas",
+    "window_rank_showcase",
+    # -- (3) stalest: last green in round 8 (alphabetically first 21 of
+    #    42; the remaining 21 queue for round 14) --
+    "ann_brute_force",
+    "ann_ivf",
+    "ann_ivf_sq8",
+    "ann_lsh",
+    "ann_pq_adc",
+    "ann_recall",
+    "asof_join_error_purchase",
+    "bm25_topk_docs",
+    "bpe_encode_docs",
+    "chi2_tokens_docs",
+    "classifier_auc_docs",
+    "classifier_kappa_docs",
+    "curriculum_stages_docs",
+    "customer_abc_analysis",
+    "dsir_weights_docs",
+    "events_cms_counts",
+    "events_hll_rollup",
+    "events_psi_drift_windows",
+    "events_sigma_corr_cooccur",
+    "events_sigma_corr_counts",
+    "events_sigma_corr_distinct",
 ]
 
 

@@ -25,7 +25,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
-HEADLINE = [
+# Workloads with a named reason NOT to bench (empty today — every catalog
+# entry is measured; an entry here must say why, and the reason lands in
+# bench_full.json so the gap is visible, never silent)
+BENCH_EXCLUDED: dict = {}
+
+# Hand-ORDERED prefix: preserves the measured suite order (cache-sharing
+# adjacencies like minhash_pairs -> jaccard_pairs, and round-over-round
+# first-run comparability).  This is an ordering artifact, NOT the
+# coverage list: the bench list is DERIVED from the catalog (round-12
+# verdict ask #3) — every catalog entry not in this prefix and not in
+# BENCH_EXCLUDED is appended in registration order, so a new entry can
+# never silently drop out of measurement.
+_ORDERED_PREFIX = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
@@ -249,6 +261,25 @@ HEADLINE = [
     "dedup_state_retire_docs",
 ]
 
+
+def _headline() -> list:
+    """The derived bench list: hand-ordered prefix + every remaining
+    catalog entry (registration order) minus the named exclusions.
+    Asserts full coverage so a catalog/bench drift fails loudly."""
+    from dagger_spark.catalog import QUERIES
+
+    seen = set(_ORDERED_PREFIX)
+    missing = [n for n in _ORDERED_PREFIX if n not in QUERIES]
+    if missing:
+        raise KeyError(f"bench prefix names not in catalog: {missing}")
+    out = list(_ORDERED_PREFIX) + [
+        n for n in QUERIES
+        if n not in seen and n not in BENCH_EXCLUDED
+    ]
+    uncovered = set(QUERIES) - set(out) - set(BENCH_EXCLUDED)
+    assert not uncovered, f"catalog entries neither benched nor excluded: {uncovered}"
+    return out
+
 SYSMON_BENCH_ROWS = 2_560_000
 
 # Scan-split tuning for LOCAL bench scale: the sf0.1 parquet files are all
@@ -404,7 +435,8 @@ def main() -> None:
     for name in (
         "multimodal_pixels", "multimodal_audio", "multimodal_frames",
         "multimodal_video_pixels", "multimodal_phash",
-        "multimodal_phash_clusters",
+        "multimodal_phash_clusters", "multimodal_meta",
+        "multimodal_features",
     ):
         QUERIES[name].fn(spark, SF_DIR)
 
@@ -426,7 +458,8 @@ def main() -> None:
     # the corpus once, the real-pipeline shape), so the cache survives
     # between those two; minhash_pairs' timing carries the stage build.
     no_clear_after = {"minhash_pairs_docs"}
-    for name in HEADLINE:
+    headline = _headline()
+    for name in headline:
         q = QUERIES[name]
         runs = []
         for _ in range(n_runs):
@@ -799,6 +832,11 @@ def main() -> None:
         # media fixtures are pre-materialized to /tmp parquet before the
         # timed loop (see above): multimodal_* numbers time the query only
         "media_fixtures_prematerialized": True,
+        # coverage contract (round-12 verdict ask #3): the bench list is
+        # DERIVED from the catalog — every entry is measured unless it
+        # appears here with a reason
+        "bench_excluded": BENCH_EXCLUDED,
+        "bench_catalog_queries": len(headline),
         # accounting: "queries"/"value" keep FIRST-run numbers (comparable
         # to earlier rounds), "queries_best" is min-of-N and
         # "queries_spread" max-min — regression diffs should use best and

@@ -33,6 +33,7 @@ from . import round9  # noqa: F401,E402
 from . import round10  # noqa: F401,E402
 from . import round11  # noqa: F401,E402
 from . import round12  # noqa: F401,E402
+from . import round13  # noqa: F401,E402
 
 # names imported from `dagger_spark.catalog` outside the package
 from .quality import flagship  # noqa: F401,E402

@@ -38,25 +38,28 @@ def _incremental_index(spark: SparkSession, sf_dir: str, n_centroids: int = 16) 
     achieves a per-dimension min or max stays in the base (frozen grid ==
     full-corpus grid), as do the centroid seed ids (< n_centroids); the
     delta is the 32 largest remaining ids.  Idempotent per corpus
-    fingerprint via an _APPENDED marker (a partial base build without the
-    marker is wiped and redone — appending twice would duplicate postings).
+    fingerprint via the index manifest's op sequence: seq 0 means the
+    append has not been applied to this fingerprint's base yet; a racing
+    second builder (suite vs bench — advice r12) loses the expect_seq
+    compare-and-swap, re-reads the manifest, and treats seq > 0 as
+    already-applied instead of failing the run.
     """
     import os
-    import shutil
 
     from ..ops.ivf_index import (
         append_to_sq8_ivf_index,
         build_sq8_ivf_index,
         index_dir_for,
     )
+    from ..ops.lease import ConcurrentWriterError, retry_concurrent
+    from ..ops.manifest import read_manifest
     from ..sources.files import load_table
 
     idx = index_dir_for(sf_dir, n_centroids) + "_inc"
-    marker = os.path.join(idx, "_APPENDED")
-    if os.path.exists(marker):
+    if os.path.exists(os.path.join(idx, "_BUILT")) and (
+        read_manifest(idx)["seq"] > 0
+    ):
         return idx
-    if os.path.exists(idx):
-        shutil.rmtree(idx, ignore_errors=True)  # base without append: redo
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
@@ -86,10 +89,21 @@ def _incremental_index(spark: SparkSession, sf_dir: str, n_centroids: int = 16) 
     built = build_sq8_ivf_index(
         spark, sf_dir, n_centroids, corpus=base, tag="inc"
     )
-    append_to_sq8_ivf_index(
-        spark, built, emb.filter(F.col("vec_id").isin(delta_ids))
-    )
-    open(marker, "w").close()
+    if read_manifest(built)["seq"] == 0:
+        try:
+            retry_concurrent(
+                lambda: append_to_sq8_ivf_index(
+                    spark, built,
+                    emb.filter(F.col("vec_id").isin(delta_ids)),
+                    expect_seq=0,
+                )
+            )
+        except (ValueError, ConcurrentWriterError):
+            # a concurrent run applied the same append between our seq
+            # check and the mutation (the CAS refused) — idempotent iff
+            # it really landed
+            if read_manifest(built)["seq"] == 0:
+                raise
     return built
 
 

@@ -29,36 +29,56 @@ from ._base import (
 from .round11 import _RETIRE_MOD, _retire_clusters_oracle
 
 
+def _apply_once(sd: str, mutate) -> None:
+    """Apply a one-time state mutation guarded by manifest seq 0, treating
+    a concurrent run's win as already-applied (advice r12): a bench and a
+    correctness suite building the same tagged state can both observe
+    seq == 0; the loser's admit/retire then raises the live-id / not-live
+    ValueError (or finds the lease held) — re-read the manifest and
+    accept seq > 0 as success instead of failing the run."""
+    from ..ops.dedup_state import _read_manifest
+    from ..ops.lease import ConcurrentWriterError, retry_concurrent
+
+    if _read_manifest(sd)["seq"] != 0:
+        return
+    try:
+        retry_concurrent(mutate)
+    except (ValueError, ConcurrentWriterError):
+        if _read_manifest(sd)["seq"] == 0:
+            raise
+
+
 def _admitted_state(spark: SparkSession, sf_dir: str) -> str:
     """State built over the corpus WITHOUT the delta slice (doc_id % 10
     == 0), the delta admitted exactly once — manifest seq 0 means the
     mutation has not been applied yet to this fingerprint's state."""
-    from ..ops.dedup_state import _read_manifest, admit_docs, build_dedup_state
+    from ..ops.dedup_state import admit_docs, build_dedup_state
 
     is_delta = F.pmod(F.col("doc_id"), F.lit(10)) == 0
     docs = _load_wide(spark, sf_dir, "documents")
     sd = build_dedup_state(
         spark, sf_dir, corpus=docs.filter(~is_delta), tag="cat_admit"
     )
-    if _read_manifest(sd)["seq"] == 0:
-        admit_docs(spark, sd, docs.filter(is_delta))
+    _apply_once(sd, lambda: admit_docs(spark, sd, docs.filter(is_delta)))
     return sd
 
 
 def _retired_state(spark: SparkSession, sf_dir: str) -> str:
     """Full-corpus state with the retirement slice (doc_id % 10 ==
     _RETIRE_MOD) retired exactly once."""
-    from ..ops.dedup_state import _read_manifest, build_dedup_state, retire_docs
+    from ..ops.dedup_state import build_dedup_state, retire_docs
 
     docs = _load_wide(spark, sf_dir, "documents")
     sd = build_dedup_state(spark, sf_dir, tag="cat_retire")
-    if _read_manifest(sd)["seq"] == 0:
-        retire_docs(
+    _apply_once(
+        sd,
+        lambda: retire_docs(
             spark, sd,
             docs.filter(
                 F.pmod(F.col("doc_id"), F.lit(10)) == _RETIRE_MOD
             ).select("doc_id"),
-        )
+        ),
+    )
     return sd
 
 

@@ -69,10 +69,8 @@ three mutations take the state dir's single-writer lease
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -86,6 +84,12 @@ from .dedup import (
     shingled_docs,
 )
 from .lease import writer_lease
+from .manifest import (
+    merged_watermarks,
+    publish_manifest,
+    read_manifest,
+    stream_watermark,
+)
 
 STATE_ROOT = "/tmp/dagger_dedup_state"
 _LAYOUT = "v1"
@@ -112,50 +116,17 @@ def state_dir_for(sf_dir: str, tag: str = "") -> str:
 
 
 # ---------------------------------------------------------------------------
-# manifest + pointer
+# manifest + pointer (shared protocol: ops/manifest.py)
 # ---------------------------------------------------------------------------
 
-
-def _read_manifest(state_dir: str) -> dict:
-    ptr = os.path.join(state_dir, "_CURRENT")
-    with open(ptr) as f:
-        name = f.read().strip()
-    with open(os.path.join(state_dir, name)) as f:
-        m = json.load(f)
-    m["__name"] = name
-    return m
-
-
-def _publish(state_dir: str, manifest: dict) -> None:
-    """Write manifest_v{N}.json, then swing _CURRENT atomically — the
-    commit point of every mutation."""
-    manifest = {k: v for k, v in manifest.items() if not k.startswith("__")}
-    name = f"manifest_v{manifest['version']}.json"
-    with open(os.path.join(state_dir, name), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    tmp = os.path.join(state_dir, f"_CURRENT.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        f.write(name)
-    os.rename(tmp, os.path.join(state_dir, "_CURRENT"))
+_read_manifest = read_manifest
+_publish = publish_manifest
+_watermark = stream_watermark
+_merged_watermarks = merged_watermarks
 
 
 def _union_dirs(spark: SparkSession, state_dir: str, rels: list) -> DataFrame:
     return spark.read.parquet(*[os.path.join(state_dir, r) for r in rels])
-
-
-def _watermark(m: dict, stream: str):
-    """Last applied batch id for a NAMED stream (manifest ``watermarks``
-    dict).  Streams are independent: an admission feed ('ingest') and a
-    takedown feed ('takedown') each own their key, so their Structured
-    Streaming batch-id sequences — both monotone from 0 — never collide."""
-    return (m.get("watermarks") or {}).get(stream)
-
-
-def _merged_watermarks(m: dict, stream: str, batch_id) -> dict:
-    wms = dict(m.get("watermarks") or {})
-    if batch_id is not None:
-        wms[stream] = batch_id
-    return wms
 
 
 # ---------------------------------------------------------------------------
@@ -317,6 +288,29 @@ def build_dedup_state(
 # ---------------------------------------------------------------------------
 
 
+def _maybe_auto_compact(
+    spark: SparkSession, state_dir: str, max_files: int
+) -> bool:
+    """Run ``_compact_locked`` (the caller already holds the lease) when
+    any logical table's manifest file list outgrew ``max_files`` — the
+    LSM decay answer wired into the mutation path (round-12 verdict ask
+    #2, mirroring the IVF index's ``auto_compact_max_files``): a
+    long-running ingest feed otherwise stacks delta/override/tombstone
+    files until a MANUAL compaction, degrading every read unboundedly.
+    The check is pure manifest metadata (no IO); the fold itself is the
+    ordinary compaction, so steady-state mutation cost stays
+    delta-proportional while read cost stays bounded no matter how many
+    micro-batches arrive (tools/dedup_probe.py measures exactly this)."""
+    m = _read_manifest(state_dir)
+    if max(
+        len(m["buckets"]), len(m["pairs"]),
+        len(m["cluster_overrides"]), len(m["retired"]),
+    ) <= max_files:
+        return False
+    _compact_locked(spark, state_dir)
+    return True
+
+
 def admit_docs(
     spark: SparkSession,
     state_dir: str,
@@ -325,6 +319,7 @@ def admit_docs(
     id_col: str = "doc_id",
     batch_id: int = None,
     stream: str = "ingest",
+    auto_compact_max_files: int = None,
 ) -> dict:
     """Admit a document batch into the state at delta cost.  Writes the
     delta's buckets, the new candidate pairs, and cluster overrides for
@@ -342,18 +337,25 @@ def admit_docs(
     recorded under the ``stream`` key of the manifest's watermarks dict,
     and the manifest's atomic pointer swing is the single commit point
     of the whole mutation — a replayed micro-batch (id <= the recorded
-    watermark) is skipped with {skipped: True}.  Unlike the index's
-    two-file append+watermark (which has a one-rename duplicate window),
-    there is NO crash window here: either the new manifest is live
-    (files + watermark together) or the old one is.  Named streams keep
-    an admission feed and a takedown feed independent on one state.
+    watermark) is skipped with {skipped: True}.  There is NO crash
+    window: either the new manifest is live (files + watermark together)
+    or the old one is — the protocol the IVF index adopted in round 13
+    (ops/manifest.py).  Named streams keep an admission feed and a
+    takedown feed independent on one state.
+
+    ``auto_compact_max_files`` (opt-in) folds the state when any logical
+    table's delta-file count crosses the threshold — see
+    ``_maybe_auto_compact``.
     """
     if not os.path.exists(os.path.join(state_dir, "_BUILT")):
         raise ValueError(f"not a built dedup state: {state_dir}")
     with writer_lease(state_dir):
-        return _admit_locked(
+        out = _admit_locked(
             spark, state_dir, new_docs, text_col, id_col, batch_id, stream
         )
+        if auto_compact_max_files is not None and not out.get("skipped"):
+            _maybe_auto_compact(spark, state_dir, auto_compact_max_files)
+        return out
 
 
 def _admit_locked(
@@ -556,6 +558,7 @@ def retire_docs(
     id_col: str = "doc_id",
     batch_id: int = None,
     stream: str = "takedown",
+    auto_compact_max_files: int = None,
 ) -> dict:
     """Retire documents from the state at delta cost: one tombstone write
     (the pair/bucket tables are maintained for free by the read-time
@@ -572,13 +575,17 @@ def retire_docs(
     ``batch_id`` gives a TAKEDOWN FEED the same exactly-once manifest
     watermark admissions have (streaming/dedup_ingest.py
     run_dedup_takedown_stream); the default stream name 'takedown' keeps
-    its batch-id sequence independent of the admission feed's."""
+    its batch-id sequence independent of the admission feed's.
+    ``auto_compact_max_files``: as in ``admit_docs``."""
     if not os.path.exists(os.path.join(state_dir, "_BUILT")):
         raise ValueError(f"not a built dedup state: {state_dir}")
     with writer_lease(state_dir):
-        return _retire_locked(
+        out = _retire_locked(
             spark, state_dir, doc_ids, id_col, batch_id, stream
         )
+        if auto_compact_max_files is not None and not out.get("skipped"):
+            _maybe_auto_compact(spark, state_dir, auto_compact_max_files)
+        return out
 
 
 def _retire_locked(
@@ -704,64 +711,68 @@ def compact_dedup_state(spark: SparkSession, state_dir: str) -> dict:
     if not os.path.exists(os.path.join(state_dir, "_BUILT")):
         raise ValueError(f"not a built dedup state: {state_dir}")
     with writer_lease(state_dir):
-        m = _read_manifest(state_dir)
-        v = m["version"] + 1
-        b_rel = f"buckets/base_{v:06d}"
-        p_rel = f"pairs/base_{v:06d}"
-        c_rel = f"clusters/base_{v:06d}"
-        state_buckets(spark, state_dir).repartitionByRange(
-            F.col("bucket")
-        ).sortWithinPartitions("bucket").write.mode("overwrite").parquet(
-            os.path.join(state_dir, b_rel)
-        )
-        state_pairs(spark, state_dir).repartitionByRange(
-            "id_a", "id_b"
-        ).sortWithinPartitions("id_a", "id_b").write.mode("overwrite").parquet(
-            os.path.join(state_dir, p_rel)
-        )
-        state_clusters(spark, state_dir).repartitionByRange(
-            "doc_id"
-        ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
-            os.path.join(state_dir, c_rel)
-        )
-        _publish(state_dir, {
-            "version": v,
-            "seq": m["seq"],
-            "buckets": [b_rel],
-            "pairs": [p_rel],
-            "cluster_base": c_rel,
-            "cluster_overrides": [],
-            "retired": [],
-            # the fold must not erase any stream's watermark: a stream
-            # resuming after a compaction would otherwise re-apply
-            # replayed batches
-            "watermarks": m.get("watermarks") or {},
-        })
-        # GC with ONE-VERSION retention (review r12): a reader that
-        # resolved the pre-compaction manifest may still be running its
-        # (lazy) Spark jobs over that version's files — deleting them at
-        # the pointer swing would fail those reads mid-flight.  Keep
-        # everything the PREVIOUS manifest references (and the manifest
-        # itself) for one more compaction cycle; GC only dirs that
-        # neither manifest names — which still sweeps crash leftovers
-        # immediately.  The retained version falls out on the NEXT
-        # compaction; readers only need to re-resolve within one cycle.
-        keep = {b_rel, p_rel, c_rel}
-        keep |= set(m["buckets"]) | set(m["pairs"]) | {m["cluster_base"]}
-        keep |= set(m["cluster_overrides"]) | set(m["retired"])
-        gc = 0
-        for table in ("buckets", "pairs", "clusters", "retired"):
-            tdir = os.path.join(state_dir, table)
-            if not os.path.isdir(tdir):
-                continue
-            for d in os.listdir(tdir):
-                rel = f"{table}/{d}"
-                if rel not in keep:
-                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
-                    gc += 1
-        # manifests: keep the live one and its predecessor
-        live = {f"manifest_v{v}.json", m["__name"]}
-        for fn in os.listdir(state_dir):
-            if fn.startswith("manifest_v") and fn not in live:
-                os.unlink(os.path.join(state_dir, fn))
-        return {"version": v, "gc_dirs": gc}
+        return _compact_locked(spark, state_dir)
+
+
+def _compact_locked(spark: SparkSession, state_dir: str) -> dict:
+    m = _read_manifest(state_dir)
+    v = m["version"] + 1
+    b_rel = f"buckets/base_{v:06d}"
+    p_rel = f"pairs/base_{v:06d}"
+    c_rel = f"clusters/base_{v:06d}"
+    state_buckets(spark, state_dir).repartitionByRange(
+        F.col("bucket")
+    ).sortWithinPartitions("bucket").write.mode("overwrite").parquet(
+        os.path.join(state_dir, b_rel)
+    )
+    state_pairs(spark, state_dir).repartitionByRange(
+        "id_a", "id_b"
+    ).sortWithinPartitions("id_a", "id_b").write.mode("overwrite").parquet(
+        os.path.join(state_dir, p_rel)
+    )
+    state_clusters(spark, state_dir).repartitionByRange(
+        "doc_id"
+    ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+        os.path.join(state_dir, c_rel)
+    )
+    _publish(state_dir, {
+        "version": v,
+        "seq": m["seq"],
+        "buckets": [b_rel],
+        "pairs": [p_rel],
+        "cluster_base": c_rel,
+        "cluster_overrides": [],
+        "retired": [],
+        # the fold must not erase any stream's watermark: a stream
+        # resuming after a compaction would otherwise re-apply
+        # replayed batches
+        "watermarks": m.get("watermarks") or {},
+    })
+    # GC with ONE-VERSION retention (review r12): a reader that
+    # resolved the pre-compaction manifest may still be running its
+    # (lazy) Spark jobs over that version's files — deleting them at
+    # the pointer swing would fail those reads mid-flight.  Keep
+    # everything the PREVIOUS manifest references (and the manifest
+    # itself) for one more compaction cycle; GC only dirs that
+    # neither manifest names — which still sweeps crash leftovers
+    # immediately.  The retained version falls out on the NEXT
+    # compaction; readers only need to re-resolve within one cycle.
+    keep = {b_rel, p_rel, c_rel}
+    keep |= set(m["buckets"]) | set(m["pairs"]) | {m["cluster_base"]}
+    keep |= set(m["cluster_overrides"]) | set(m["retired"])
+    gc = 0
+    for table in ("buckets", "pairs", "clusters", "retired"):
+        tdir = os.path.join(state_dir, table)
+        if not os.path.isdir(tdir):
+            continue
+        for d in os.listdir(tdir):
+            rel = f"{table}/{d}"
+            if rel not in keep:
+                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                gc += 1
+    # manifests: keep the live one and its predecessor
+    live = {f"manifest_v{v}.json", m["__name"]}
+    for fn in os.listdir(state_dir):
+        if fn.startswith("manifest_v") and fn not in live:
+            os.unlink(os.path.join(state_dir, fn))
+    return {"version": v, "gc_dirs": gc}

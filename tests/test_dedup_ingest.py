@@ -174,3 +174,60 @@ def test_takedown_stream_and_independent_watermarks(
     )
     assert again["batches_applied"] == 0
     assert _rows(state_clusters(spark, base_state)) == want
+
+
+def test_streamed_ingest_auto_compacts(spark, base_state, tmp_path):
+    """The streaming wire-up of round-12 verdict ask #2: a many-batch
+    feed with auto_compact_max_files keeps the state's manifest file
+    counts bounded with NO manual compact, and the admitted state still
+    equals the full-corpus recompute."""
+    docs = load_table(spark, SF, "documents")
+    delta = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "feed")
+    delta.repartition(8).write.parquet(src)  # 8 files, 1/trigger
+    totals = run_dedup_ingest_stream(
+        spark, src, base_state,
+        checkpoint=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        auto_compact_max_files=2,
+    )
+    assert totals["batches_applied"] == 8  # genuinely many micro-batches
+    m = _read_manifest(base_state)
+    assert max(
+        len(m["buckets"]), len(m["pairs"]),
+        len(m["cluster_overrides"]), len(m["retired"]),
+    ) <= 2
+    # watermark survived every fold — a replay is still recognized
+    out = ingest_doc_batch(spark, base_state, delta, 0)
+    assert out["applied"] is False
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["dedup_clusters_docs"].fn(spark, SF).collect()
+    )
+    assert _rows(state_clusters(spark, base_state)) == want
+
+
+def test_concurrent_lease_holder_waited_out(spark, base_state, tmp_path):
+    """Advice r12: a takedown feed holding the writer lease must not kill
+    the admission stream — ingest_doc_batch waits it out with bounded
+    backoff (retry_concurrent) and then applies."""
+    import threading
+
+    from dagger_spark.ops.lease import writer_lease
+
+    docs = load_table(spark, SF, "documents")
+    delta = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        "doc_id", "text"
+    ).limit(4)
+    hold = writer_lease(base_state)
+    hold.__enter__()
+    t = threading.Timer(1.5, lambda: hold.__exit__(None, None, None))
+    t.start()
+    try:
+        out = ingest_doc_batch(spark, base_state, delta, 0)
+    finally:
+        t.cancel()
+        hold.__exit__(None, None, None)
+    assert out["applied"] is True and out["admitted"] == 4

@@ -1,9 +1,9 @@
 """DELETE/tombstone lifecycle for the materialized IVF+SQ8 index
 (ops/ivf_index.py, round-10 verdict asks #2 and #4): tombstone-delete
 masks at probe time, equals a rebuild-without-deleted, composes with
-append, is physically purged by compaction, survives an interrupted
-compaction, and the append path's opt-in auto-compaction keeps per-cell
-file counts bounded across repeated deltas."""
+append, is physically purged by compaction, survives a crash before the
+manifest publish, and the append path's opt-in auto-compaction keeps
+per-cell live file counts bounded across repeated deltas."""
 
 import os
 import shutil
@@ -16,8 +16,11 @@ from dagger_spark.ops.ivf_index import (
     build_sq8_ivf_index,
     compact_sq8_ivf_index,
     delete_from_sq8_ivf_index,
+    live_cell_file_counts,
+    live_postings,
     sq8_ivf_topk,
 )
+from dagger_spark.ops.manifest import read_manifest
 
 SF = "/root/testdata/sf0.01"
 N_CENTROIDS = 16
@@ -150,12 +153,16 @@ def test_compaction_purges_tombstones(spark, base_index):
     before = _topk(spark, scratch)
     stats = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
     assert stats["tombstones_purged"] == len(ids)
-    assert not os.path.exists(os.path.join(scratch, "tombstones"))
+    assert read_manifest(scratch)["tombstones"] == []  # set drained
     assert _topk(spark, scratch) == before
-    # physically gone from the postings files, not just masked
+    # physically gone from the LIVE postings files (manifest-resolved,
+    # pre-tombstone-mask), not just masked — old files survive one GC
+    # cycle by design but are unreferenced
+    from dagger_spark.ops.ivf_index import _read_postings
+
     live = {
         r["vec_id"]
-        for r in spark.read.parquet(os.path.join(scratch, "postings"))
+        for r in _read_postings(spark, scratch, read_manifest(scratch))
         .select("vec_id").collect()
     }
     assert not (live & set(ids))
@@ -167,21 +174,14 @@ def test_compaction_purges_tombstones(spark, base_index):
 
 def test_compaction_survives_fully_tombstoned_cell(spark, base_index):
     """Whole-cell takedown: every vector of one cell deleted, then
-    compacted — the rewrite must not choke on the empty tmp tree, the
-    cell ends physically empty, tombstones drain, and probes still work
-    (the cell simply contributes no candidates)."""
+    compacted — the rewrite must not choke on the zero-row rewrite, the
+    cell ends with NO live postings files, tombstones drain, and probes
+    still work (the cell simply contributes no candidates)."""
     scratch = _scratch(base_index, "fullcell")
-    post = os.path.join(scratch, "postings")
-    cell = next(
-        d for d in sorted(os.listdir(post))
-        if d.startswith("cell=")
-        and spark.read.parquet(os.path.join(post, d)).count() > 0
-    )
-    cell_ids = [
-        r["vec_id"]
-        for r in spark.read.parquet(os.path.join(post, cell))
-        .select("vec_id").collect()
-    ]
+    rows = live_postings(spark, scratch).select("vec_id", "cell").collect()
+    cell = min(r["cell"] for r in rows)
+    cell_ids = [r["vec_id"] for r in rows if r["cell"] == cell]
+    assert cell_ids
     delete_from_sq8_ivf_index(
         spark, scratch,
         ids=spark.createDataFrame([(i,) for i in cell_ids], "vec_id long"),
@@ -190,12 +190,9 @@ def test_compaction_survives_fully_tombstoned_cell(spark, base_index):
     stats = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=99)
     assert stats["cells_compacted"] == 1
     assert stats["tombstones_purged"] == len(cell_ids)
-    assert not os.path.exists(os.path.join(scratch, "tombstones"))
-    files = [
-        f for f in os.listdir(os.path.join(post, cell))
-        if f.endswith(".parquet")
-    ]
-    assert files == []
+    m = read_manifest(scratch)
+    assert m["tombstones"] == []
+    assert cell not in {c for _p, c in m["postings"]}  # no live file left
     got = _topk(spark, scratch)
     assert got and not any(r[1] in set(cell_ids) for r in got)
     shutil.rmtree(scratch, ignore_errors=True)
@@ -229,24 +226,44 @@ def test_merge_replay_is_skipped_by_batch_watermark(spark, tmp_path):
     assert after == snap
 
 
-def test_interrupted_compaction_recovers(spark, base_index):
-    """Crash between the two swap renames (advice r10): the live cell dir
-    is missing and its content sits in .compact/<cell>.old — the next
-    compaction must restore it before doing anything, so no probe ever
-    silently loses a cell."""
-    scratch = _scratch(base_index, "recover")
+def test_crash_before_publish_leaves_previous_version_live(
+    spark, base_index, monkeypatch
+):
+    """The manifest protocol's crash story: a compaction that dies AFTER
+    staging/moving its new files but BEFORE the pointer swing leaves the
+    previous version fully live (no torn reads, no lost cells) plus
+    unreferenced orphans; the retried compaction succeeds and its GC
+    sweeps the orphans."""
+    import dagger_spark.ops.ivf_index as ivf
+
+    scratch = _scratch(base_index, "crash")
+    # fragment a couple of cells so the compaction has real work
+    delta = _corpus(spark).filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 28)
+    ).select((F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding")
+    append_to_sq8_ivf_index(spark, scratch, delta)
     before = _topk(spark, scratch)
-    post = os.path.join(scratch, "postings")
-    cell = next(d for d in sorted(os.listdir(post)) if d.startswith("cell="))
-    work = os.path.join(scratch, ".compact")
-    os.makedirs(work, exist_ok=True)
-    os.rename(os.path.join(post, cell), os.path.join(work, cell + ".old"))
-    assert not os.path.exists(os.path.join(post, cell))  # the crash state
-    stats = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
-    assert os.path.exists(os.path.join(post, cell))
-    assert not os.path.exists(work)
+    n_files_before = len(read_manifest(scratch)["postings"])
+
+    real_publish = ivf.publish_manifest
+
+    def boom(state_dir, manifest):
+        raise RuntimeError("simulated crash before pointer swing")
+
+    monkeypatch.setattr(ivf, "publish_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
+    monkeypatch.setattr(ivf, "publish_manifest", real_publish)
+
+    # previous version fully live: same manifest, same results
+    assert len(read_manifest(scratch)["postings"]) == n_files_before
     assert _topk(spark, scratch) == before
-    assert stats["cells_compacted"] == 0  # recovery, not a rewrite
+    # retried compaction completes and GC'd the crash orphans
+    stats = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
+    assert stats["cells_compacted"] > 0
+    assert stats["gc_files"] > 0  # the interrupted run's orphans
+    assert _topk(spark, scratch) == before
+    assert all(n == 1 for n in live_cell_file_counts(scratch).values())
     shutil.rmtree(scratch, ignore_errors=True)
 
 
@@ -306,24 +323,12 @@ def test_auto_compaction_bounds_file_counts(spark, base_index):
             spark, scratch, delta, auto_compact_max_files=threshold
         )
         append_to_sq8_ivf_index(spark, twin, delta)
-        post = os.path.join(scratch, "postings")
-        worst = max(
-            len([f for f in os.listdir(os.path.join(post, c))
-                 if f.endswith(".parquet")])
-            for c in os.listdir(post)
-            if c.startswith("cell=") and os.path.isdir(os.path.join(post, c))
-        )
+        worst = max(live_cell_file_counts(scratch).values())
         assert worst <= threshold + 1, (i, worst)
     assert _topk(spark, scratch) == _topk(spark, twin)
     # the twin, never compacted, demonstrates the decay auto-compaction
     # prevents: at least one of its cells is past the threshold
-    tp = os.path.join(twin, "postings")
-    assert any(
-        len([f for f in os.listdir(os.path.join(tp, c))
-             if f.endswith(".parquet")]) > threshold + 1
-        for c in os.listdir(tp)
-        if c.startswith("cell=") and os.path.isdir(os.path.join(tp, c))
-    )
+    assert max(live_cell_file_counts(twin).values()) > threshold + 1
     shutil.rmtree(scratch, ignore_errors=True)
     shutil.rmtree(twin, ignore_errors=True)
 
@@ -364,16 +369,12 @@ def test_id_reuse_refused_until_compaction(spark, base_index):
     # tombstones drained + old rows physically gone -> reuse is legal now
     n = append_to_sq8_ivf_index(spark, scratch, reinsert)
     assert n == len(ids)
-    live = {
-        r["vec_id"]
-        for r in spark.read.parquet(os.path.join(scratch, "postings"))
-        .select("vec_id").collect()
-    }
+    post = live_postings(spark, scratch)
+    live = {r["vec_id"] for r in post.select("vec_id").collect()}
     assert set(ids) <= live
     # exactly one row per reused id: the old copy did not resurrect
     dup = (
-        spark.read.parquet(os.path.join(scratch, "postings"))
-        .filter(F.col("vec_id").isin(ids))
+        post.filter(F.col("vec_id").isin(ids))
         .groupBy("vec_id").count().filter(F.col("count") > 1).count()
     )
     assert dup == 0
@@ -390,8 +391,10 @@ def test_repeat_delete_dedupes_tombstones(spark, base_index):
     assert n1 == len(ids)
     n2 = delete_from_sq8_ivf_index(spark, scratch, vectors=vecs)
     assert n2 == 0
-    on_disk = spark.read.parquet(os.path.join(scratch, "tombstones")).count()
-    assert on_disk == len(ids)
+    from dagger_spark.ops.ivf_index import _tombstones
+
+    recorded = _tombstones(spark, scratch, read_manifest(scratch)).count()
+    assert recorded == len(ids)
     shutil.rmtree(scratch, ignore_errors=True)
 
 
@@ -401,16 +404,11 @@ def test_compaction_noop_on_all_empty_postings(spark, base_index):
     a clean no-op (drain tombstones) rather than fail schema inference on
     the all-empty tree."""
     scratch = _scratch(base_index, "allempty")
-    all_ids = spark.read.parquet(os.path.join(scratch, "postings")).select(
-        "vec_id"
-    )
+    all_ids = live_postings(spark, scratch).select("vec_id")
     delete_from_sq8_ivf_index(spark, scratch, ids=all_ids)
     compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
-    post = os.path.join(scratch, "postings")
-    assert not any(
-        f.endswith(".parquet")
-        for d, _s, fs in os.walk(post) for f in fs
-    )
+    assert read_manifest(scratch)["postings"] == []  # no live files left
+    assert live_postings(spark, scratch).count() == 0
     # phantom tombstones against the now-empty index (documented harmless
     # shape: deleting ids that are not present)
     delete_from_sq8_ivf_index(
@@ -419,5 +417,5 @@ def test_compaction_noop_on_all_empty_postings(spark, base_index):
     )
     stats = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
     assert stats["cells_compacted"] == 0
-    assert not os.path.exists(os.path.join(scratch, "tombstones"))
+    assert read_manifest(scratch)["tombstones"] == []
     shutil.rmtree(scratch, ignore_errors=True)

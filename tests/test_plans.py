@@ -380,6 +380,10 @@ _DOMAIN_BOUNDED_WINDOW = {
     # per-DAY aggregate: rows bounded by the calendar domain (~decades =
     # 10^4 rows), not by corpus size
     "revenue_moving_avg": "ship_day",
+    # global-fraction window over the PER-CELL aggregate: rows bounded by
+    # the coarse quantizer's configuration (n_centroids + split leaves),
+    # not by corpus size
+    "ivf_cell_sizes_embeddings": "cell",
 }
 
 

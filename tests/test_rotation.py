@@ -97,22 +97,22 @@ def test_rotation_advances_until_full_coverage():
 
 def test_changed_code_queries_in_gate_window():
     """Queries whose implementation changed this round must sit inside the
-    driver-checked window: changed code re-earns its driver row.  Round 12:
-    the state-at-rest additions, the ivf_index.py family (writer lease,
-    id-reuse gate, delete dedupe, all-empty compaction guard, _oob_expr
-    refactor), the rollup pair's +1e-9 nudge (advice r11), and the
-    lsh_recall_docs bimodality rewrite."""
+    driver-checked window: changed code re-earns its driver row.  Round 13:
+    the two new entries (cell-skew gauge + hot-cell split), the whole
+    ivf_index.py family (versioned-manifest port: file-level postings,
+    exactly-once ingest watermarks, manifest tombstones, split tree), and
+    the dedup-state trio (auto-compaction, shared ops/manifest refactor,
+    the _apply_once seq-race fix)."""
     from __spark_entry__ import _DRIVER_WINDOW
 
     window = set(_DRIVER_WINDOW[:GATE_SIZE])
     for name in (
-        # round-12 never-driver-verified additions
-        "dedup_state_clusters_docs", "dedup_state_pairs_docs",
-        "dedup_state_retire_docs",
+        # round-13 never-driver-verified additions
+        "ivf_cell_sizes_embeddings", "ann_ivf_sq8_split",
         # changed this round
         "ann_ivf_sq8_indexed", "ann_ivf_sq8_appended",
         "ann_ivf_sq8_deleted", "ann_ivf_sq8_filtered",
-        "ann_ivf_sq8_refined", "events_incremental_rollup",
-        "events_retire_rollup", "lsh_recall_docs",
+        "ann_ivf_sq8_refined", "dedup_state_clusters_docs",
+        "dedup_state_pairs_docs", "dedup_state_retire_docs",
     ):
         assert name in window, name

@@ -70,8 +70,10 @@ def test_append_covers_whole_corpus(spark):
     once — appending is not allowed to drop or duplicate."""
     from dagger_spark.catalog.round10 import _incremental_index
 
+    from dagger_spark.ops.ivf_index import live_postings
+
     idx = _incremental_index(spark, SF, n_centroids=16)
-    post = spark.read.parquet(os.path.join(idx, "postings"))
+    post = live_postings(spark, idx)
     n_corpus = (
         spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
         .filter(F.col("embedding").isNotNull())
@@ -202,15 +204,9 @@ def test_compaction_reduces_files_and_preserves_results(spark):
     stats = compact_sq8_ivf_index(spark, scratch, max_files_per_cell=1)
     assert stats["cells_compacted"] > 0
     assert stats["files_after"] < stats["files_before"]
-    post = os.path.join(scratch, "postings")
-    for c in os.listdir(post):
-        if c.startswith("cell=") and os.path.isdir(os.path.join(post, c)):
-            files = [
-                f
-                for f in os.listdir(os.path.join(post, c))
-                if f.endswith(".parquet") and not f.startswith(".")
-            ]
-            assert len(files) == 1, (c, files)
+    from dagger_spark.ops.ivf_index import live_cell_file_counts
+
+    assert all(n == 1 for n in live_cell_file_counts(scratch).values())
     after = sorted(
         tuple(r)
         for r in sq8_ivf_topk(spark, scratch, k=5, nprobe=2).collect()

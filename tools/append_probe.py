@@ -136,14 +136,9 @@ def main() -> None:
             spark, scratch, delta, auto_compact_max_files=2
         )
         dt_app = time.perf_counter() - t0
-        from dagger_spark.ops.ivf_index import _n_cell_files
+        from dagger_spark.ops.ivf_index import live_cell_file_counts
 
-        post = os.path.join(scratch, "postings")
-        worst = max(
-            _n_cell_files(os.path.join(post, c))
-            for c in os.listdir(post)
-            if c.startswith("cell=") and os.path.isdir(os.path.join(post, c))
-        )
+        worst = max(live_cell_file_counts(scratch).values())
         t0 = time.perf_counter()
         sq8_ivf_topk(spark, scratch, k=5, nprobe=2).collect()
         dt_probe = time.perf_counter() - t0

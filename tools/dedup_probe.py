@@ -181,6 +181,50 @@ def main() -> None:
     results["read_flat_last_vs_first"] = round(
         seq[-1]["read_s"] / seq[0]["read_s"], 2
     )
+
+    # AUTO-compaction leg (round-12 verdict ask #2, the dedup twin of
+    # append_probe's sequential leg): N admissions with
+    # auto_compact_max_files=2 and NO manual compact — manifest file
+    # counts must stay bounded and the maintained read flat
+    from dagger_spark.ops.dedup_state import _read_manifest
+
+    scratch = "/tmp/dagger_dedup_probe_state_auto"
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.copytree(built, scratch)
+    state_clusters(spark, scratch).count()  # warm read
+    auto_seq = []
+    for i in range(8):
+        d_i = docs_base.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 140)
+        ).select(
+            (F.col("doc_id") + 2_000_000 * (i + 1)).alias("doc_id"), "text"
+        )
+        t0 = time.perf_counter()
+        admit_docs(spark, scratch, d_i, auto_compact_max_files=2)
+        dt_adm = time.perf_counter() - t0
+        m = _read_manifest(scratch)
+        worst = max(
+            len(m["buckets"]), len(m["pairs"]),
+            len(m["cluster_overrides"]), len(m["retired"]),
+        )
+        t0 = time.perf_counter()
+        state_clusters(spark, scratch).count()
+        dt_read = time.perf_counter() - t0
+        auto_seq.append({
+            "step": i + 1,
+            "admit_s": round(dt_adm, 3),
+            "max_manifest_files": worst,
+            "read_s": round(dt_read, 3),
+        })
+        print(auto_seq[-1], flush=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    results["auto_compact_admissions"] = auto_seq
+    results["auto_max_manifest_files"] = max(
+        s["max_manifest_files"] for s in auto_seq
+    )
+    results["auto_read_flat_last_vs_first"] = round(
+        auto_seq[-1]["read_s"] / auto_seq[0]["read_s"], 2
+    )
     print(json.dumps(results))
     spark.stop()
 

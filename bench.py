@@ -667,31 +667,40 @@ def main() -> None:
     wk.awaitTermination()
 
     kmv_latest: dict = {}
+    kmv_runs = []
+    for kri in range(n_runs):  # best-of-N (round 13: no more single-run legs)
+        run_latest: dict = {}
 
-    def _kmv_batch(bdf, _bid):
-        for r in bdf.collect():
-            kmv_latest[r["key"]] = (r["n_kept"], r["kth_min"],
-                                    r["est_distinct"])
+        def _kmv_batch(bdf, _bid, run_latest=run_latest):
+            for r in bdf.collect():
+                run_latest[r["key"]] = (r["n_kept"], r["kth_min"],
+                                        r["est_distinct"])
 
-    t0 = time.perf_counter()
-    kq = (
-        kmv_distinct_stream(
-            _kmv_input(file_stream_events(
-                spark, _sysmon_stream_dir(), watermark=None,
-                max_files_per_trigger=STREAM_FILES_PER_TRIGGER)),
-            "computer_name", "target", k=64,
+        t0 = time.perf_counter()
+        kq = (
+            kmv_distinct_stream(
+                _kmv_input(file_stream_events(
+                    spark, _sysmon_stream_dir(), watermark=None,
+                    max_files_per_trigger=STREAM_FILES_PER_TRIGGER)),
+                "computer_name", "target", k=64,
+            )
+            .writeStream.foreachBatch(_kmv_batch)
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="dagger_bench_kmvck_"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.foreachBatch(_kmv_batch)
-        .option("checkpointLocation",
-                tempfile.mkdtemp(prefix="dagger_bench_kmvck_"))
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+        kq.awaitTermination()
+        kmv_runs.append(round(time.perf_counter() - t0, 3))
+        if kri == 0:
+            kmv_latest = run_latest
+    dt_kmv = min(kmv_runs)
+    timings["kmv_distinct_stream_2_56m"] = kmv_runs[0]
+    best["kmv_distinct_stream_2_56m"] = dt_kmv
+    spread["kmv_distinct_stream_2_56m"] = round(
+        max(kmv_runs) - min(kmv_runs), 3
     )
-    kq.awaitTermination()
-    dt_kmv = time.perf_counter() - t0
-    timings["kmv_distinct_stream_2_56m"] = round(dt_kmv, 3)
-    best["kmv_distinct_stream_2_56m"] = round(dt_kmv, 3)
     kmv_batch_ref = {
         r["key"]: (r["n_kept"], r["kth_min"], r["est_distinct"])
         for r in kmv_distinct_stream(
@@ -741,27 +750,40 @@ def main() -> None:
         )
         wm.awaitTermination()
 
+        # best-of-N like every other leg (round 13: these two monitors and
+        # the KMV leg were the last SINGLE-RUN legs in the suite — one
+        # late-capture load spike put a 5.5x outlier into the committed
+        # baseline with no spread column to adjudicate it by)
         mon_rows: list = []
+        mon_runs = []
+        for mri in range(n_runs):
+            run_rows: list = []
 
-        def _mon_batch(bdf, _bid, mon_rows=mon_rows):
-            mon_rows.extend(tuple(r) for r in bdf.collect())
+            def _mon_batch(bdf, _bid, run_rows=run_rows):
+                run_rows.extend(tuple(r) for r in bdf.collect())
 
-        t0 = time.perf_counter()
-        mq = (
-            build(file_stream_events(
-                spark, sorted_dir, watermark=None,
-                max_files_per_trigger=STREAM_FILES_PER_TRIGGER))
-            .writeStream.foreachBatch(_mon_batch)
-            .option("checkpointLocation",
-                    tempfile.mkdtemp(prefix=f"dagger_bench_{mon_name}ck_"))
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+            t0 = time.perf_counter()
+            mq = (
+                build(file_stream_events(
+                    spark, sorted_dir, watermark=None,
+                    max_files_per_trigger=STREAM_FILES_PER_TRIGGER))
+                .writeStream.foreachBatch(_mon_batch)
+                .option("checkpointLocation",
+                        tempfile.mkdtemp(prefix=f"dagger_bench_{mon_name}ck_"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            mq.awaitTermination()
+            mon_runs.append(round(time.perf_counter() - t0, 3))
+            if mri == 0:
+                mon_rows = run_rows
+        dt_mon = min(mon_runs)
+        timings[f"{mon_name}_stream_2_56m"] = mon_runs[0]
+        best[f"{mon_name}_stream_2_56m"] = dt_mon
+        spread[f"{mon_name}_stream_2_56m"] = round(
+            max(mon_runs) - min(mon_runs), 3
         )
-        mq.awaitTermination()
-        dt_mon = time.perf_counter() - t0
-        timings[f"{mon_name}_stream_2_56m"] = round(dt_mon, 3)
-        best[f"{mon_name}_stream_2_56m"] = round(dt_mon, 3)
         batch_rows = {
             tuple(r)
             for r in build(spark.read.parquet(_sysmon_bench_path())).collect()
@@ -862,19 +884,28 @@ def main() -> None:
     # line (the driver's capture must never be lost), but refuses to
     # overwrite the repo's regression baseline — mirroring scale_probe's
     # _DONE discipline.  SPARK_GRAFT_BENCH_FORCE_FULL=1 overrides.
-    contended = loadavg_start[0] > 2.0 and not os.environ.get(
-        "SPARK_GRAFT_BENCH_FORCE_FULL"
-    )
+    # TWO gates on the committed artifact: loadavg catches co-running
+    # processes; the calibration gate (round 13) catches the
+    # idle-but-slow failure mode this box exhibits — host-level CPU
+    # capping degraded sustained-load evenings to ~half speed with
+    # loadavg near zero (calibration_start 0.22-0.33 healthy, 1.3-2.8
+    # observed while capped), which poisoned two would-be baselines the
+    # loadavg gate happily passed
+    max_calib = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_CALIB", "1.0"))
+    contended = (
+        loadavg_start[0] > 2.0 or calib_start > max_calib
+    ) and not os.environ.get("SPARK_GRAFT_BENCH_FORCE_FULL")
     detail["bench_full_written"] = not contended
     if contended:
         detail["bench_full_skipped_reason"] = (
-            f"loadavg_start_1m {loadavg_start[0]} > 2.0 — contended run; "
-            "bench_full.json (the committed regression baseline) left "
-            "untouched"
+            f"loadavg_start_1m {loadavg_start[0]} (gate 2.0) / "
+            f"calibration_start {calib_start}s (gate {max_calib}s) — "
+            "contended or CPU-capped run; bench_full.json (the committed "
+            "regression baseline) left untouched"
         )
         print(
-            f"WARNING: loadavg {loadavg_start[0]} > 2.0 at start — "
-            "NOT overwriting bench_full.json",
+            f"WARNING: loadavg {loadavg_start[0]} or calibration "
+            f"{calib_start}s over gate — NOT overwriting bench_full.json",
             file=sys.stderr,
         )
     else:

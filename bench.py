@@ -440,6 +440,31 @@ def main() -> None:
     ):
         QUERIES[name].fn(spark, SF_DIR)
 
+    # stateful fixtures: same measurement principle as the media block
+    # above (round 13, guide §1.4).  These entries read a state/layout
+    # materialized ONCE per machine + corpus fingerprint (dedup state
+    # dirs, the IVF+SQ8 index, the z-order/x-order written layouts, the
+    # bucketed warehouse, the Zipf fixture corpus) — the operator under
+    # measurement is the maintained READ/mutation path, the state is its
+    # input.  On a machine with a fresh /tmp the one-time builds
+    # (~60-90 s total) otherwise land inside run 1 of each entry and
+    # inflate the first-run suite total with fixture synthesis that is
+    # not the query's work; best-of-N was never affected.  Touching each
+    # fn here builds the fixtures before the timed loop.  clearCache
+    # between touches mirrors the timed loop's cache discipline.
+    for name in (
+        "dedup_state_clusters_docs", "dedup_state_pairs_docs",
+        "dedup_state_retire_docs",
+        "ann_ivf_sq8_indexed", "ann_ivf_sq8_appended",
+        "ann_ivf_sq8_deleted", "ann_ivf_sq8_filtered",
+        "ann_ivf_sq8_refined", "ann_ivf_sq8_split",
+        "ivf_cell_sizes_embeddings",
+        "events_zorder_scan", "jaccard_zipf_join",
+        "orders_customer_bucketed_join", "sysmon_rules_correlated",
+    ):
+        QUERIES[name].fn(spark, SF_DIR)
+        spark.catalog.clearCache()
+
     timings: dict = {}
     best: dict = {}
     spread: dict = {}
@@ -854,6 +879,13 @@ def main() -> None:
         # media fixtures are pre-materialized to /tmp parquet before the
         # timed loop (see above): multimodal_* numbers time the query only
         "media_fixtures_prematerialized": True,
+        # round 13 (guide §1.4): stateful fixtures (dedup state dirs, the
+        # IVF+SQ8 index, z-order layouts, bucketed warehouse, Zipf
+        # corpus) are likewise pre-materialized untimed — on a fresh /tmp
+        # their one-time builds used to land in run 1 of each entry
+        # (e.g. dedup_state_clusters_docs first-run 40 s for a 0.35 s
+        # read path); best-of-N numbers were never affected
+        "stateful_fixtures_prematerialized": True,
         # coverage contract (round-12 verdict ask #3): the bench list is
         # DERIVED from the catalog — every entry is measured unless it
         # appears here with a reason

@@ -554,7 +554,13 @@ def events_zorder_layout(spark, sf_dir):
             F.col("event_id").alias("tie"),
         )
     )
-    keyed = ev.select("x", "y", "tie", zorder_key(F.col("x"), F.col("y")).alias("zkey"))
+    # persist the keyed projection: it is referenced THREE times (the
+    # combined boundaries pass + both ntile rank windows), and its
+    # lineage re-runs the events scan + bit-interleave per reference
+    # (guide §7.2); narrow 4-column frame.
+    keyed = ev.select(
+        "x", "y", "tie", zorder_key(F.col("x"), F.col("y")).alias("zkey")
+    ).persist()
 
     def extents(buck, col, name):
         return (

@@ -324,7 +324,18 @@ def ann_recall(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 8)
-    brute = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    # persist the truth set: it is (queries x 5) rows, but its LINEAGE is
+    # the full brute-force corpus scan, and the per-method recall join
+    # below references it once PER METHOD — unpersisted, the physical
+    # plan embeds three copies of the brute-force subtree (3x the corpus
+    # scans; guide §2.4 "remove shuffles outright" / duplicated-subtree
+    # audit §7.2).  Measured at sf0.1: plan drops from 3 BNLJ brute
+    # branches + 32 parquet scans to 1 + cached reuse.
+    brute = (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
     methods = {
         "ivf": ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=2),
         "lsh": lsh_topk(emb, queries, k=5, num_planes=4, dim=64),

@@ -1967,9 +1967,13 @@ def pagerank_docs(spark, sf_dir):
     from ..ops.graph import pagerank_int
 
     docs = _load_wide(spark, sf_dir, "documents")
+    # persist the pair list: the symmetrization below references it twice
+    # (union of both directions), and pagerank_int's edge build runs both
+    # branches in one materialization — unpersisted, the LSH bucket
+    # self-join executes twice (guide §7.2 duplicated-subtree audit)
     cand = minhash_candidate_pairs(
         docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
-    )
+    ).persist()
     sym = cand.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(

@@ -833,10 +833,18 @@ def sq8_residual_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         [(cid, j, float(c)) for cid, cv in cents for j, c in enumerate(cv)],
         "cid int, j int, c double",
     )
+    # persist the exploded residual frame too: it feeds BOTH the grid-stats
+    # aggregate and the coding pass, so without this cache the
+    # posexplode + centroid broadcast join runs twice over corpus x dim
+    # rows (the assignment persist above only de-duplicated the 16-cosine
+    # map, not the explode/join; guide §7.2)
     joined = vals.join(
         F.broadcast(cdf),
         (F.col("cell") == F.col("cid")) & (vals["j"] == cdf["j"]),
-    ).select("vec_id", vals["j"].alias("j"), "x", (F.col("x") - F.col("c")).alias("r"))
+    ).select(
+        "vec_id", vals["j"].alias("j"), "x",
+        (F.col("x") - F.col("c")).alias("r"),
+    ).persist()
     st = joined.groupBy("j").agg(
         F.min("x").alias("mn_x"), F.max("x").alias("mx_x"),
         F.min("r").alias("mn_r"), F.max("r").alias("mx_r"),
@@ -908,6 +916,7 @@ def sq8_residual_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         )  # bounded: exactly 2 method rows
     finally:
         assigned.unpersist()
+        joined.unpersist()
     return spark.createDataFrame(
         [tuple(r) for r in collected],
         "method string, n long, mse_e6 double, max_abs_err_e3 double",

@@ -228,8 +228,27 @@ def _retire_clusters_oracle() -> str:
 def dedup_retire_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.dedup import connected_components
 
-    clusters = QUERIES["dedup_clusters_docs"].fn(spark, sf_dir)
-    pairs = QUERIES["minhash_pairs_docs"].fn(spark, sf_dir)
+    # ONE persisted pair set drives both the maintained state and the
+    # affected-subgraph recompute: dedup_clusters_docs' clusters are by
+    # definition connected components over minhash_pairs_docs' pair list,
+    # so building them directly from the shared persisted pairs removes
+    # the second LSH bucket self-join the old dedup_clusters_docs call
+    # re-ran (guide §2.4/§7.2 duplicated-subtree audit; oracle equality
+    # re-proven — the composed oracle is unchanged).  clusters is
+    # referenced three times below (affected/keep/members) — persist it
+    # too (vertex-sized).
+    docs = _load_wide(spark, sf_dir, "documents")
+    pairs = QUERIES["minhash_pairs_docs"].fn(spark, sf_dir).persist()
+    clusters = (
+        connected_components(
+            docs.select(F.col("doc_id").alias("id")),
+            pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            ),
+        )
+        .select(F.col("id").alias("doc_id"), "cluster")
+        .persist()
+    )
     retired = F.pmod(F.col("doc_id"), F.lit(10)) == _RETIRE_MOD
 
     # components touching the retired slice — retired-slice-sized, so the
@@ -295,42 +314,45 @@ QUERIES["dedup_retire_clusters_docs"] = CatalogQuery(
     "scratch, the IVM contract in its admission direction",
 )
 def dedup_append_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ops.dedup import connected_components, dedup_clusters, lsh_buckets
-    from .docs import _dedup_stage
+    from ..ops.dedup import connected_components
 
     is_delta = lambda c: F.pmod(c, F.lit(10)) == 0  # noqa: E731
     docs = _load_wide(spark, sf_dir, "documents")
-    sigs = _dedup_stage(spark, sf_dir)
 
-    # the maintained state (at rest in production; built here as the local
-    # stand-in): clusters over the corpus WITHOUT the arriving slice
-    state_clusters = dedup_clusters(
-        docs.filter(~is_delta(F.col("doc_id"))),
-        num_hashes=16,
-        bands=4,
-        sigs=sigs.filter(~is_delta(F.col("id"))),
+    # ONE persisted pair set drives every pair-shaped input below: a
+    # doc's LSH buckets are a pure function of its own signature, so the
+    # state pair set (both endpoints outside the delta) and the admission
+    # edge set (>= 1 delta endpoint) are exact FILTERS of the full
+    # minhash_pairs_docs list — the old shape ran the bucket self-join
+    # twice (full + non-delta inside dedup_clusters) plus a third
+    # delta-vs-buckets join (guide §2.4/§7.2; oracle equality re-proven,
+    # the oracle is dedup_clusters_docs' SQL verbatim as before).  In
+    # production the admission edges come delta-shaped from the
+    # maintained bucket table (dedup_state_*, minhash_delta_pairs_docs);
+    # this entry is the from-scratch algebra-proof stand-in, which
+    # already computes the full pair list for the affected-subgraph
+    # restriction — sharing it is strictly fewer corpus passes.
+    pairs_full = QUERIES["minhash_pairs_docs"].fn(spark, sf_dir).persist()
+
+    # the maintained state (at rest in production; built here as the
+    # local stand-in): components over the corpus WITHOUT the arriving
+    # slice = CC over the both-endpoints-non-delta pair subset
+    state_clusters = (
+        connected_components(
+            docs.filter(~is_delta(F.col("doc_id"))).select(
+                F.col("doc_id").alias("id")
+            ),
+            pairs_full.filter(
+                ~is_delta(F.col("id_a")) & ~is_delta(F.col("id_b"))
+            ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        )
+        .select(F.col("id").alias("doc_id"), "cluster")
+        .persist()
     )
 
-    # admission edges: delta buckets vs the full bucket table — the
-    # minhash_delta_pairs shape, (band, bucket)-keyed, delta-sized left side
-    buckets = lsh_buckets(sigs, 4, 4)
-    delta_b = buckets.filter(is_delta(F.col("id"))).select(
-        F.col("id").alias("__did"),
-        F.col("band").alias("__db"),
-        F.col("bucket").alias("__dbk"),
-    )
-    new_pairs = (
-        delta_b.join(
-            buckets,
-            (F.col("__db") == F.col("band"))
-            & (F.col("__dbk") == F.col("bucket"))
-            & (F.col("__did") != F.col("id")),
-        )
-        .select(
-            F.least(F.col("__did"), F.col("id")).alias("id_a"),
-            F.greatest(F.col("__did"), F.col("id")).alias("id_b"),
-        )
-        .distinct()
+    # admission edges: every colliding pair with a delta endpoint
+    new_pairs = pairs_full.filter(
+        is_delta(F.col("id_a")) | is_delta(F.col("id_b"))
     )
 
     # state components gaining a new edge — delta-bounded
@@ -355,8 +377,8 @@ def dedup_append_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # components (so either both endpoints are affected or neither), new
     # edges have a delta endpoint whose old end made its component
     # affected — a both-endpoint membership restriction of the full pair
-    # set is therefore exactly the affected subgraph
-    pairs_full = QUERIES["minhash_pairs_docs"].fn(spark, sf_dir)
+    # set is therefore exactly the affected subgraph (pairs_full is the
+    # persisted frame from above — one pair computation for the query)
     m_a = F.broadcast(members.select(F.col("doc_id").alias("id_a")))
     m_b = F.broadcast(members.select(F.col("doc_id").alias("id_b")))
     edges = (

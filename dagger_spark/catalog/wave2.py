@@ -313,6 +313,11 @@ _RFM_ORACLE = """
 def customer_rfm_segments(spark, sf_dir):
     from ..ops.rank import global_ntile
 
+    # persist the per-customer rollup: it is referenced FIVE times below
+    # (the combined boundaries pass, each of the three tile ranks, and
+    # the final join's left side) — unpersisted, the orders scan +
+    # customer aggregate re-runs per reference (guide §7.2); the frame is
+    # customer-sized.
     base = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("cust"))
@@ -323,6 +328,7 @@ def customer_rfm_segments(spark, sf_dir):
             .cast("long")
             .alias("cents"),
         )
+        .persist()
     )
     # three tiles each computed from BASE and joined on cust (not chained:
     # chaining would make each boundary-sketch pass recompute its
@@ -1433,9 +1439,12 @@ def label_prop_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.graph import label_propagation
 
     docs = _load_wide(spark, sf_dir, "documents")
+    # persist the pair list: the symmetrization references it twice (both
+    # union directions), so the LSH bucket self-join would otherwise run
+    # twice inside label_propagation's edge materialization (guide §7.2)
     cand = minhash_candidate_pairs(
         docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
-    )
+    ).persist()
     sym = cand.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
@@ -1692,7 +1701,12 @@ def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.rank import global_row_number
 
     docs = _load_wide(spark, sf_dir, "documents")
-    lex = _bm25_scores(spark, docs)
+    # persist both score legs: global_row_number reads its input twice
+    # (boundary sketch + rank window), and the legs' lineages are the
+    # full BM25 pipeline / corpus-wide cosine scan respectively —
+    # unpersisted, each corpus pass runs twice (guide §7.2).  Both frames
+    # are (doc_id, score) narrow.
+    lex = _bm25_scores(spark, docs).persist()
     lex_r = global_row_number(
         lex, [F.col("score").desc(), F.col("doc_id")], "lex_rank",
         part_key=-F.col("score"),
@@ -1716,6 +1730,7 @@ def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("score"),
         )
+        .persist()
     )
     sem_r = global_row_number(
         sem, [F.col("score").desc(), F.col("doc_id")], "sem_rank",

@@ -47,13 +47,29 @@ def pagerank_int(
     small scale), while a 3-round stride keeps the plan bounded at 3
     iterations deep for a third of the jobs.  Set to 1 for very large
     graphs where executor memory pressure beats job overhead."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is referenced twice (the edge-weight join AND the final degree
+    # join): unpersisted, the final join's plan re-runs the whole edge
+    # aggregation — which re-runs the caller's candidate-pair lineage
+    # (guide §7.2 duplicated-subtree audit).  Node-sized; persist.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    # e ends in a src-keyed shuffled-hash join, so the persisted frame
+    # carries hashpartitioning(src, P) — every round's contribution join
+    # reuses it exchange-free (guide §2.4: two operations keyed the same
+    # way share one exchange).
     e = edges.join(deg.hint("shuffle_hash"), "src").persist()
+    np_ = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     r = nodes.select(
         F.col(id_col).alias("src"),
         F.lit(1_000_000).cast("long").alias("r"),
     )
-    base = nodes.select(F.col(id_col).alias("src"))
+    # base is the left side of every round's damping join: pre-partition
+    # by the join key once and persist, so the 10 rounds stop re-scanning
+    # and re-shuffling the vertex list (guide §2.4).
+    base = (
+        nodes.select(F.col(id_col).alias("src"))
+        .repartition(np_, "src")
+        .persist()
+    )
     for i in range(iters):
         contrib = e.join(r.hint("shuffle_hash"), "src").select(
             F.col("dst").alias("src"), F.expr("r div deg").alias("c")
@@ -79,6 +95,7 @@ def pagerank_int(
         )
     )
     e.unpersist()
+    base.unpersist()  # deg stays persisted: it is in `out`'s lineage
     return out
 
 
@@ -114,9 +131,16 @@ def label_propagation(
     lab = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("lbl")
     )
-    e = edges.select(
-        F.col("src").alias("node"), F.col("dst").alias("nbr")
-    ).persist()
+    np_ = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # pre-partition the edge list by the per-round join key: every round
+    # joins e on `nbr`, so a persisted hashpartitioning(nbr, P) layout
+    # makes all `rounds` joins exchange-free on the edge side — the
+    # biggest side of the round (guide §2.4).
+    e = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .repartition(np_, "nbr")
+        .persist()
+    )
     for i in range(rounds):
         nbr_labels = e.join(
             lab.withColumnRenamed("node", "nbr").hint("shuffle_hash"), "nbr"

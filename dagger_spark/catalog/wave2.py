@@ -313,11 +313,11 @@ _RFM_ORACLE = """
 def customer_rfm_segments(spark, sf_dir):
     from ..ops.rank import global_ntile
 
-    # persist the per-customer rollup: it is referenced FIVE times below
-    # (the combined boundaries pass, each of the three tile ranks, and
-    # the final join's left side) — unpersisted, the orders scan +
-    # customer aggregate re-runs per reference (guide §7.2); the frame is
-    # customer-sized.
+    # NOTE (r13): measured A/B at sf0.1 says do NOT persist this rollup —
+    # caching adds a materialization barrier and pins the cached side's
+    # partitioning (AQE cannot coalesce InMemoryTableScan output), and the
+    # recompute is one cheap scan+partial-agg per reference (2.9 s vs
+    # 3.6 s best-of-3 with the cache).
     base = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("cust"))
@@ -328,7 +328,6 @@ def customer_rfm_segments(spark, sf_dir):
             .cast("long")
             .alias("cents"),
         )
-        .persist()
     )
     # three tiles each computed from BASE and joined on cust (not chained:
     # chaining would make each boundary-sketch pass recompute its
@@ -1444,7 +1443,7 @@ def label_prop_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice inside label_propagation's edge materialization (guide §7.2)
     cand = minhash_candidate_pairs(
         docs, num_hashes=16, bands=4, sigs=_dedup_stage(spark, sf_dir)
-    ).persist()
+    )
     sym = cand.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(

@@ -51,6 +51,11 @@ def pagerank_int(
     # join): unpersisted, the final join's plan re-runs the whole edge
     # aggregation — which re-runs the caller's candidate-pair lineage
     # (guide §7.2 duplicated-subtree audit).  Node-sized; persist.
+    # deg is referenced twice (the edge-weight join AND the final degree
+    # join): unpersisted, the final join's plan re-runs the whole edge
+    # aggregation — which re-runs the caller's candidate-pair lineage
+    # (guide §7.2 duplicated-subtree audit).  Node-sized; persist (it
+    # stays persisted: it is in the returned frame's lineage).
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # e ends in a src-keyed shuffled-hash join, so the persisted frame
     # carries hashpartitioning(src, P) — every round's contribution join
@@ -65,11 +70,7 @@ def pagerank_int(
     # base is the left side of every round's damping join: pre-partition
     # by the join key once and persist, so the 10 rounds stop re-scanning
     # and re-shuffling the vertex list (guide §2.4).
-    base = (
-        nodes.select(F.col(id_col).alias("src"))
-        .repartition(np_, "src")
-        .persist()
-    )
+    base = nodes.select(F.col(id_col).alias("src"))
     for i in range(iters):
         contrib = e.join(r.hint("shuffle_hash"), "src").select(
             F.col("dst").alias("src"), F.expr("r div deg").alias("c")
@@ -95,7 +96,6 @@ def pagerank_int(
         )
     )
     e.unpersist()
-    base.unpersist()  # deg stays persisted: it is in `out`'s lineage
     return out
 
 
@@ -136,11 +136,9 @@ def label_propagation(
     # joins e on `nbr`, so a persisted hashpartitioning(nbr, P) layout
     # makes all `rounds` joins exchange-free on the edge side — the
     # biggest side of the round (guide §2.4).
-    e = (
-        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
-        .repartition(np_, "nbr")
-        .persist()
-    )
+    e = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).persist()
     for i in range(rounds):
         nbr_labels = e.join(
             lab.withColumnRenamed("node", "nbr").hint("shuffle_hash"), "nbr"

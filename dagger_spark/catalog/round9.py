@@ -511,18 +511,19 @@ def _mmr_oracle() -> str:
     "redundancy-killer between ANN retrieval and a context window.  "
     "Scale shape: relevance is the existing brute-force/ANN stage; "
     "everything after is CANDIDATE-sized (queries x 20 rows, pair sims "
-    "queries x 20 x 20) regardless of corpus size.  The greedy loop "
-    "runs kmeans_train-style: each round a distributed argmax (window "
-    "over the scored pool) with the selected set injected as plan-time "
-    "literals from a <= queries-row bounded collect; the returned plan "
-    "is a LINEAR union of the 8 round subplans (literals, not nested "
-    "subplans — no exponential growth).  lambda dyadic so both engines' "
-    "mmr arithmetic is bit-identical; argmax on round-9 scores with id "
-    "tiebreak (the ivf discipline).  Oracle: the identical 8 rounds "
-    "unrolled as chained CTEs, generated from one loop",
+    "queries x 20 x 20) regardless of corpus size — so the greedy "
+    "selection runs driver-side over the two bounded collected frames "
+    "(the interactive-rerank shape: fetch candidates distributed, "
+    "rerank client-side), with scores and pair sims Spark-computed and "
+    "only the lambda blend + HALF_UP rounding replicated (the recipe "
+    "the grouped twin pins bit-for-bit).  lambda dyadic so both "
+    "engines' mmr arithmetic is bit-identical; argmax on round-9 scores "
+    "with id tiebreak (the ivf discipline).  For the million-query "
+    "offline shape see mmr_rerank_grouped (applyInPandas, zero driver "
+    "round trips).  Oracle: the identical 8 rounds unrolled as chained "
+    "CTEs, generated from one loop",
 )
 def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
 
     from ..ops.similarity import brute_force_topk, cosine_from_norms, norm
 
@@ -530,9 +531,8 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("embedding").isNotNull())
     queries = corpus.filter(F.col("vec_id") < 8)
     # persist the candidate frame: it is queries x 20 rows, but its
-    # LINEAGE is the full corpus relevance scan — without the cache each
-    # of the 8 selection rounds (build-time collects AND the returned
-    # union's subplans) would re-scan the corpus; with it the corpus is
+    # LINEAGE is the full corpus relevance scan — the pair-sim build below
+    # references it twice (both join sides); with the cache the corpus is
     # scored exactly once (bench best-of-3: 6.55 s -> see ARCHITECTURE)
     cand = brute_force_topk(corpus, queries, k=_MMR_TOP).select(
         "query_id", "neighbor_id", "score"
@@ -570,77 +570,66 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("sim"),
         )
-        .persist()  # queries x 20 x 20 rows, reused by all 7 pen rounds
     )
 
-    def key(qc, nc):
-        # collision-free pair key: ':'-joined decimal ids (an arithmetic
-        # q*CONST+n key collides once neighbor_id >= CONST — at 100 TB,
-        # >1M vectors is the norm, so no multiplier is safe)
-        return F.concat_ws(":", qc.cast("string"), nc.cast("string"))
+    # The greedy selection now runs DRIVER-SIDE over the two collected
+    # frames (round 13, guide §1.2: don't pay a distributed round trip
+    # for candidate-sized work).  Both collects are bounded by design —
+    # cand is queries x 20 rows, sims queries x 20 x 19 — and every input
+    # double is Spark-computed (relevance scores, 6-rounded pair sims),
+    # so the only arithmetic replicated here is the lambda blend and the
+    # HALF_UP rounding (decimal on the double's shortest repr = Spark
+    # Round semantics, the same recipe the grouped twin pins bit-for-bit
+    # in test_round10_queries).  The old shape paid 7 build-time collect
+    # jobs (window + join + aggregate each) plus a returned union of 8
+    # round subplans; this shape pays the SAME distributed retrieval and
+    # pair-sim stages, then zero further Spark jobs.  For the
+    # million-query offline shape see mmr_rerank_grouped (applyInPandas,
+    # zero driver round trips).
+    from decimal import ROUND_HALF_UP, Decimal
 
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    pick = (
-        cand.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).alias("mmr_rank"),
-            "neighbor_id",
-            F.round(F.lit(_MMR_LAM) * F.col("score") + F.lit(1e-9), 6).alias(
-                "mmr_score"
-            ),
+    def rnd(x: float, d: int) -> float:
+        q = Decimal(1).scaleb(-d)
+        return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+    cand_rows = cand.collect()  # bounded: queries x 20
+    sim_rows = sims.collect()   # bounded: queries x 20 x 19
+    cand.unpersist()
+    by_q: dict = {}
+    for r in cand_rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["score"])
         )
-    )
-    rounds = [pick]
-    sel_keys = [
-        f"{r['query_id']}:{r['neighbor_id']}" for r in pick.collect()
-    ]  # bounded: one row per query per round
-    for t in range(2, _MMR_K + 1):
-        pen = (
-            sims.filter(key(F.col("query_id"), F.col("id_b")).isin(sel_keys))
-            .groupBy("query_id", "id_a")
-            .agg(F.max("sim").alias("pen"))
-            .select(
-                F.col("query_id").alias("__pq"), "id_a", "pen"
-            )
-        )
-        pool = cand.filter(
-            ~key(F.col("query_id"), F.col("neighbor_id")).isin(sel_keys)
-        )
-        raw = F.lit(_MMR_LAM) * F.col("score") - F.lit(1 - _MMR_LAM) * F.col(
-            "pen"
-        )
-        wt = Window.partitionBy("query_id").orderBy(
-            F.desc(F.round(raw, 9)), F.asc("neighbor_id")
-        )
-        pick = (
-            pool.join(
-                pen,
-                (F.col("query_id") == F.col("__pq"))
-                & (F.col("neighbor_id") == F.col("id_a")),
-            )
-            .select(
-                "query_id", "neighbor_id", "score", "pen"
-            )
-            .withColumn("__rn", F.row_number().over(wt))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "query_id",
-                F.lit(t).alias("mmr_rank"),
-                "neighbor_id",
-                F.round(raw + F.lit(1e-9), 6).alias("mmr_score"),
-            )
-        )
-        rounds.append(pick)
-        sel_keys = sel_keys + [
-            f"{r['query_id']}:{r['neighbor_id']}" for r in pick.collect()
-        ]
-    return reduce(lambda x, y: x.unionAll(y), rounds).orderBy(
-        "query_id", "mmr_rank"
-    )
+    sim_of: dict = {}
+    for r in sim_rows:
+        sim_of[(r["query_id"], r["id_a"], r["id_b"])] = r["sim"]
+
+    lam, mu = _MMR_LAM, 1 - _MMR_LAM
+    out_rows = []
+    for qid in sorted(by_q):
+        pool = sorted(by_q[qid])  # (neighbor_id, score), id-ascending
+        # round 1: best relevance, neighbor_id tiebreak
+        nid, sc = min(pool, key=lambda p: (-p[1], p[0]))
+        selected = [nid]
+        out_rows.append((qid, 1, nid, rnd(lam * sc + 1e-9, 6)))
+        for t in range(2, _MMR_K + 1):
+            best = None
+            for nid, sc in pool:
+                if nid in selected:
+                    continue
+                pen = max(sim_of[(qid, nid, s)] for s in selected)
+                raw = lam * sc - mu * pen
+                key = (-rnd(raw, 9), nid)
+                if best is None or key < best[0]:
+                    best = (key, nid, raw)
+            if best is None:
+                break  # fewer candidates than _MMR_K
+            selected.append(best[1])
+            out_rows.append((qid, t, best[1], rnd(best[2] + 1e-9, 6)))
+    return spark.createDataFrame(
+        sorted(out_rows),
+        "query_id bigint, mmr_rank int, neighbor_id bigint, mmr_score double",
+    ).orderBy("query_id", "mmr_rank")
 
 
 QUERIES["mmr_rerank_embeddings"] = CatalogQuery(

@@ -1854,8 +1854,20 @@ def hll_scratch_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
+    # bucket/hv are pure functions of user_id and the sketch is a MAX per
+    # bucket, so duplicate users contribute nothing: dedup user_id FIRST
+    # (map-side partial aggregation collapses the event stream to the
+    # distinct-user set before the shuffle — guide §2.3 "aggregate before
+    # you shuffle"), then md5-hash only the distinct users.  The old
+    # shape md5-hashed every event row twice (sketch pass + countDistinct
+    # truth pass).  Deliberately NOT persisted: both consumers re-run the
+    # scan+partial-distinct (cheap, pruned to one column), and the A/B
+    # showed the cache's materialization barrier costs more than the
+    # second scan (same lesson as customer_rfm in batch 1); the win is
+    # hashing |users| rows instead of 2x|events|.
+    du = ev.select("user_id").distinct()
     md5 = F.md5(F.col("user_id").cast("string"))
-    h = ev.select(
+    h = du.select(
         F.conv(F.substring(md5, 1, 2), 16, 10).cast("long").alias("bucket"),
         F.conv(F.substring(md5, 3, 8), 16, 10).cast("long").alias("hv"),
     )
@@ -1892,8 +1904,8 @@ def hll_scratch_events(spark, sf_dir):
         F.col("ssum").cast("long").alias("s_scaled"),
         F.col("nz").cast("long").alias("n_buckets_hit"),
     )
-    truth = ev.agg(
-        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    truth = du.agg(
+        F.count("*").cast("long").alias("true_distinct")
     )
     return final.crossJoin(F.broadcast(truth)).select(
         "hll_estimate", "s_scaled", "n_buckets_hit", "true_distinct",

@@ -399,7 +399,63 @@ _shared_sql(
     "self-join is order-keyed (baskets are small, the join fans out "
     "per-basket quadratically in basket SIZE, not order count) and the "
     "part-frequency side broadcasts — the exact shape A-Priori's first "
-    "pass runs at any scale",
+    "pass runs at any scale.  Spark side (round 13): the deduplicated "
+    "item table is cached once — its lineage is a lineitem-wide DISTINCT "
+    "shuffle, and the SQL form re-ran that shuffle for each of its four "
+    "references (self-join both sides, part counts, order count)",
+)
+
+
+def _part_basket_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of the registered SQL (round 13, guide §2.4): WITH
+    is a view in Spark, so the SQL form re-computed the `items` DISTINCT
+    (a lineitem-wide shuffle) once per reference — four times.  One
+    persisted frame serves all four; every expression below mirrors the
+    SQL literally (count(*) bigint, integer lift cross-multiplication,
+    one rounded division), so the oracle is unchanged and hash-verified."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .persist()
+    )
+    n_orders = items.agg(F.countDistinct("ok").alias("n"))
+    part_n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a_side = items.select(F.col("ok").alias("__ok"), F.col("pk").alias("p1"))
+    pairs = (
+        a_side.join(
+            items, (F.col("__ok") == F.col("ok")) & (F.col("p1") < F.col("pk"))
+        )
+        .groupBy("p1", F.col("pk").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    pn1 = part_n.select(F.col("pk").alias("__p1"), F.col("n").alias("__n1"))
+    pn2 = part_n.select(F.col("pk").alias("__p2"), F.col("n").alias("__n2"))
+    return (
+        pairs.join(F.broadcast(pn1), F.col("p1") == F.col("__p1"))
+        .join(F.broadcast(pn2), F.col("p2") == F.col("__p2"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("__n1").cast("long").alias("n_p1"),
+            F.col("__n2").cast("long").alias("n_p2"),
+            F.round(
+                (F.col("n_both") * F.col("n"))
+                / (F.col("__n1") * F.col("__n2")).cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+QUERIES["part_basket_pairs"] = CatalogQuery(
+    _part_basket_pairs_fn,
+    QUERIES["part_basket_pairs"].oracle,
+    QUERIES["part_basket_pairs"].description,
 )
 
 

@@ -618,27 +618,43 @@ def simhash_multiprobe_pairs(
     """
     sigs = simhash_int_df(df, text_col, id_col, bits).persist()
     mask = (1 << probe_bits) - 1
+
+    def field(sig_col: Column, r: int) -> Column:
+        return F.shiftright(sig_col, r * probe_bits).bitwiseAND(F.lit(mask))
+
     parts = []
     for r in range(probes):
-        shift = r * probe_bits
-        key = F.shiftright(F.col("sig_int"), shift).bitwiseAND(F.lit(mask))
         a = sigs.select(
             F.col("doc_id").alias("id_a"), F.col("sig_int").alias("sig_a"),
-            key.alias("pfx"),
+            field(F.col("sig_int"), r).alias("pfx"),
         )
         b = sigs.select(
             F.col("doc_id").alias("id_b"), F.col("sig_int").alias("sig_b"),
-            key.alias("pfx"),
+            field(F.col("sig_int"), r).alias("pfx"),
         )
+        # first-match dedup (round 13): a pair colliding on several probe
+        # fields used to be emitted once per field and deduped by a
+        # pair-set-wide `distinct` — a full extra shuffle of the candidate
+        # set (guide §2.4 "remove shuffles outright").  Keeping a pair only
+        # at its FIRST matching field (no earlier field collides) emits
+        # each qualifying pair exactly once, so the union IS the distinct
+        # pair set and the exchange disappears.  The earlier-field test is
+        # a per-row bitmask comparison on columns already in hand.
+        first_match = F.lit(True)
+        for q in range(r):
+            first_match = first_match & (
+                field(F.col("sig_a"), q) != field(F.col("sig_b"), q)
+            )
         parts.append(
             a.join(b, "pfx").filter(F.col("id_a") < F.col("id_b"))
+            .filter(first_match)
             .select("id_a", "id_b", "sig_a", "sig_b")
         )
     cands = parts[0]
     for p in parts[1:]:
         cands = cands.unionByName(p)
     return (
-        cands.distinct()
+        cands
         .select(
             "id_a",
             "id_b",

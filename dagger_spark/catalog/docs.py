@@ -1200,7 +1200,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("raw_term")
     ).select("doc_id", F.lower(F.col("raw_term")).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist the term-frequency rollup: idf derives FROM tf and scored
+    # joins tf against it, so the tokenize/explode corpus pass + the
+    # (doc, term) shuffle behind tf would otherwise run twice (guide
+    # §7.2 duplicated-subtree audit); the frame is (doc, term)-sized.
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
     idf = (
         tf.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))

@@ -676,11 +676,40 @@ def dedup_method_agreement_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     rows = []
     try:
-        n = {m: frames[m].count() for m in _AGREE_METHODS}
-        for i, a in enumerate(_AGREE_METHODS):
-            for b in _AGREE_METHODS[i + 1 :]:
-                nc = frames[a].join(frames[b], ["id_a", "id_b"]).count()
-                rows.append((a, b, n[a], n[b], nc))
+        # overlap the independent jobs (guide §2.6): the three method
+        # pipelines are independent until the intersection joins, and
+        # each one's tail leaves most cores idle — submitting the three
+        # cache-materializing counts from a small thread pool lets the
+        # next pipeline's tasks back-fill the current one's stragglers
+        # (FIFO scheduling = exactly that back-fill).  Then the three
+        # intersection counts, which read only the materialized caches,
+        # overlap the same way.  Counts are deterministic, so the result
+        # rows are unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            n = dict(
+                zip(
+                    _AGREE_METHODS,
+                    pool.map(lambda m: frames[m].count(), _AGREE_METHODS),
+                )
+            )
+            combos = [
+                (a, b)
+                for i, a in enumerate(_AGREE_METHODS)
+                for b in _AGREE_METHODS[i + 1 :]
+            ]
+            ncs = list(
+                pool.map(
+                    lambda ab: frames[ab[0]]
+                    .join(frames[ab[1]], ["id_a", "id_b"])
+                    .count(),
+                    combos,
+                )
+            )
+        rows = [
+            (a, b, n[a], n[b], nc) for (a, b), nc in zip(combos, ncs)
+        ]
     finally:
         for f in frames.values():
             f.unpersist()

@@ -317,19 +317,24 @@ def kmeans_step(
     round is this same plan re-run with the previous round's centroids.
     """
     member = assign_cells(corpus, n_centroids, id_col, vec_col)
-    counts = member.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
     dims = member.select(
         "cell", F.posexplode(F.col("vec").cast("array<double>")).alias("pos", "x")
     )
-    means = dims.groupBy("cell", "pos").agg(F.round(F.avg("x"), 6).alias("mean_x"))
-    return (
-        means.join(F.broadcast(counts), "cell")
-        .select(
-            "cell",
-            (F.col("pos") + 1).cast("long").alias("dim"),
-            "mean_x",
-            "n_members",
-        )
+    # n_members rides the SAME (cell, pos) aggregation as the means: for
+    # fixed-dimension vectors (every catalog corpus; ragged inputs are a
+    # caller error) each dim position sees exactly one row per member, so
+    # count(x) per (cell, pos) == the member count — the old separate
+    # per-cell count ran the whole map-side centroid assignment a second
+    # time (guide §2.4/§7.2: the duplicated subtree was the expensive
+    # 16-cosine pass, not the count itself) and joined it back.
+    return dims.groupBy("cell", "pos").agg(
+        F.round(F.avg("x"), 6).alias("mean_x"),
+        F.count("x").alias("n_members"),
+    ).select(
+        "cell",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        "mean_x",
+        F.col("n_members").cast("long").alias("n_members"),
     )
 
 

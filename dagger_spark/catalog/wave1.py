@@ -1399,7 +1399,8 @@ def kcore_docs(spark, sf_dir):
         return (df.checkpoint(eager=True) if has_dir
                 else df.localCheckpoint(eager=True))
 
-    e = _chk(e)
+    from ..ops.tuning import size_coalesced_rounds
+
     # Fixed-point early exit (guide §1.2: remove passes you throw away).
     # Peeling is MONOTONE — each round's edge set is a subset of the
     # previous round's — so equal consecutive edge COUNTS proves the sets
@@ -1408,24 +1409,31 @@ def kcore_docs(spark, sf_dir):
     # _KCORE_ROUNDS rounds.  The per-round count runs on the freshly
     # checkpointed frame (already materialized, so it is a cheap job);
     # the old post-loop pair of count jobs is absorbed into the loop.
-    prev_count = e.count()
+    # size_coalesced_rounds: same iterative tiny-shuffle rationale as
+    # pagerank_int (ops/tuning).
+    # the initial checkpoint materializes the LSH candidate-pair lineage
+    # — keep it OUTSIDE the scope (the CC lesson: byte-coalescing an
+    # expensive upstream pipeline's stages serializes real compute)
+    e = _chk(e)
     converged = False
-    for _ in range(_KCORE_ROUNDS):
-        deg = e.groupBy("x").agg(F.count("*").alias("c"))
-        keep = deg.filter(F.col("c") >= _KCORE_K).select("x")
-        e = _chk(
-            e.join(keep.hint("shuffle_hash"), "x")
-            .join(
-                keep.select(F.col("x").alias("y")).hint("shuffle_hash"),
-                "y",
+    with size_coalesced_rounds(spark):
+        prev_count = e.count()
+        for _ in range(_KCORE_ROUNDS):
+            deg = e.groupBy("x").agg(F.count("*").alias("c"))
+            keep = deg.filter(F.col("c") >= _KCORE_K).select("x")
+            e = _chk(
+                e.join(keep.hint("shuffle_hash"), "x")
+                .join(
+                    keep.select(F.col("x").alias("y")).hint("shuffle_hash"),
+                    "y",
+                )
+                .select("x", "y")
             )
-            .select("x", "y")
-        )
-        cur = e.count()
-        if cur == prev_count:
-            converged = True
-            break
-        prev_count = cur
+            cur = e.count()
+            if cur == prev_count:
+                converged = True
+                break
+            prev_count = cur
     return (
         e.groupBy("x")
         .agg(F.count("*").cast("long").alias("core_degree"))

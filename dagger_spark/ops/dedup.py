@@ -311,51 +311,70 @@ def connected_components(
         has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
         return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
 
+    from .tuning import size_coalesced_rounds
+
+    # The INITIAL edge materialization runs OUTSIDE the size-coalesced
+    # scope: its lineage is the caller's pair pipeline (LSH bucket
+    # self-joins, pandas-UDF image hashing, …), and byte-sized coalescing
+    # of those compute-heavy post-shuffle stages serializes real work
+    # (measured: multimodal_phash_clusters 2.6 s -> 4.8 s when the scope
+    # covered this materialization).  Only the star rounds — pure
+    # (long, long) shuffles over the already-checkpointed edge list — go
+    # inside the scope below.
     e = _truncate(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    # hash-sum widened to decimal: int64 sum of xxhash64 would overflow
-    # (and ANSI mode makes that a runtime error, not a wrap)
+    # hash-sum widened to decimal: int64 sum of xxhash64 would
+    # overflow (and ANSI mode makes that a runtime error, not a wrap)
     fingerprint = (
         F.count(F.lit(1)),
         F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
     )
-    prev_fp = e.select(*fingerprint).collect()[0]
-    rounds = 0
-    for _ in range(max_iters):
-        if prev_fp[0] == 0:
-            break
-        rounds += 1
-        # large star over the symmetric neighborhood
-        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        mins = sym.groupBy("a").agg(F.min("b").alias("__mb")).select(
-            "a", F.least(F.col("__mb"), F.col("a")).alias("m")
-        )
-        large = (
-            sym.join(mins, "a")
-            .filter(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
-        # small star: edges are now (big -> small); every smaller neighbor
-        # of a — and a itself — points at a's minimum smaller neighbor
-        m2 = large.groupBy("a").agg(F.min("b").alias("m"))
-        small = _truncate(
-            large.join(m2, "a")
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .union(m2.select(F.col("a"), F.col("m").alias("b")))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
-        fp = small.select(*fingerprint).collect()[0]
-        e.unpersist()
-        e = small
-        if tuple(fp) == tuple(prev_fp):
-            break
-        prev_fp = fp
+    # size-coalesce the rounds' post-shuffle partitions: each star round
+    # shuffles two (long, long) columns across ~6 stages, and the default
+    # parallelism-first AQE split pays per-task overhead on near-empty
+    # partitions for every one of them (ops/tuning; same rationale as
+    # pagerank_int).
+    with size_coalesced_rounds(edges.sparkSession):
+        prev_fp = e.select(*fingerprint).collect()[0]
+        rounds = 0
+        for _ in range(max_iters):
+            if prev_fp[0] == 0:
+                break
+            rounds += 1
+            # large star over the symmetric neighborhood
+            sym = e.union(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            mins = sym.groupBy("a").agg(F.min("b").alias("__mb")).select(
+                "a", F.least(F.col("__mb"), F.col("a")).alias("m")
+            )
+            large = (
+                sym.join(mins, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            # small star: edges are now (big -> small); every smaller
+            # neighbor of a — and a itself — points at a's minimum
+            # smaller neighbor
+            m2 = large.groupBy("a").agg(F.min("b").alias("m"))
+            small = _truncate(
+                large.join(m2, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .union(m2.select(F.col("a"), F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            fp = small.select(*fingerprint).collect()[0]
+            e.unpersist()
+            e = small
+            if tuple(fp) == tuple(prev_fp):
+                break
+            prev_fp = fp
     if stats is not None:
         stats["rounds"] = rounds
     # One row per vertex even if max_iters exhausted before the fixed

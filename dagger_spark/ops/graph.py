@@ -47,10 +47,8 @@ def pagerank_int(
     small scale), while a 3-round stride keeps the plan bounded at 3
     iterations deep for a third of the jobs.  Set to 1 for very large
     graphs where executor memory pressure beats job overhead."""
-    # deg is referenced twice (the edge-weight join AND the final degree
-    # join): unpersisted, the final join's plan re-runs the whole edge
-    # aggregation — which re-runs the caller's candidate-pair lineage
-    # (guide §7.2 duplicated-subtree audit).  Node-sized; persist.
+    from .tuning import size_coalesced_rounds
+
     # deg is referenced twice (the edge-weight join AND the final degree
     # join): unpersisted, the final join's plan re-runs the whole edge
     # aggregation — which re-runs the caller's candidate-pair lineage
@@ -62,27 +60,31 @@ def pagerank_int(
     # reuses it exchange-free (guide §2.4: two operations keyed the same
     # way share one exchange).
     e = edges.join(deg.hint("shuffle_hash"), "src").persist()
-    np_ = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     r = nodes.select(
         F.col(id_col).alias("src"),
         F.lit(1_000_000).cast("long").alias("r"),
     )
-    # base is the left side of every round's damping join: pre-partition
-    # by the join key once and persist, so the 10 rounds stop re-scanning
-    # and re-shuffling the vertex list (guide §2.4).
     base = nodes.select(F.col(id_col).alias("src"))
-    for i in range(iters):
-        contrib = e.join(r.hint("shuffle_hash"), "src").select(
-            F.col("dst").alias("src"), F.expr("r div deg").alias("c")
-        )
-        inc = contrib.groupBy("src").agg(F.sum("c").alias("s"))
-        r = base.join(inc.hint("shuffle_hash"), "src", "left").select(
-            "src",
-            (F.lit(150_000) + F.expr("(85 * coalesce(s, 0L)) div 100"))
-            .cast("long").alias("r"),
-        )
-        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
-            r = r.localCheckpoint(eager=True)  # truncate lineage
+    # populate the edge cache BEFORE the size-coalesced scope: e's
+    # lineage is the caller's pair pipeline, and byte-coalescing those
+    # compute-heavy stages would serialize them (the CC lesson)
+    e.count()
+    # the in-loop jobs (eager checkpoints) shuffle a few (long, long)
+    # columns per row: size-coalesce their post-shuffle partitions so the
+    # ~3 stages/round stop paying 32 near-empty tasks each (ops/tuning)
+    with size_coalesced_rounds(nodes.sparkSession):
+        for i in range(iters):
+            contrib = e.join(r.hint("shuffle_hash"), "src").select(
+                F.col("dst").alias("src"), F.expr("r div deg").alias("c")
+            )
+            inc = contrib.groupBy("src").agg(F.sum("c").alias("s"))
+            r = base.join(inc.hint("shuffle_hash"), "src", "left").select(
+                "src",
+                (F.lit(150_000) + F.expr("(85 * coalesce(s, 0L)) div 100"))
+                .cast("long").alias("r"),
+            )
+            if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+                r = r.localCheckpoint(eager=True)  # truncate lineage
     out = (
         r.withColumnRenamed("src", id_col)
         .join(
@@ -128,33 +130,39 @@ def label_propagation(
 
     ``edges`` must be SYMMETRIZED (src, dst); ``nodes`` carries every
     vertex via ``id_col``."""
+    from .tuning import size_coalesced_rounds
+
     lab = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("lbl")
     )
-    np_ = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # pre-partition the edge list by the per-round join key: every round
-    # joins e on `nbr`, so a persisted hashpartitioning(nbr, P) layout
-    # makes all `rounds` joins exchange-free on the edge side — the
-    # biggest side of the round (guide §2.4).
     e = edges.select(
         F.col("src").alias("node"), F.col("dst").alias("nbr")
     ).persist()
-    for i in range(rounds):
-        nbr_labels = e.join(
-            lab.withColumnRenamed("node", "nbr").hint("shuffle_hash"), "nbr"
-        )
-        votes = nbr_labels.groupBy("node", "lbl").agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        # max over (count, -label) == most frequent, smallest label on ties
-        winner = votes.groupBy("node").agg(
-            F.max_by("lbl", F.struct(F.col("c"), (-F.col("lbl")))).alias("w")
-        )
-        lab = lab.join(winner.hint("shuffle_hash"), "node", "left").select(
-            "node", F.coalesce("w", "lbl").alias("lbl")
-        )
-        if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
-            lab = lab.localCheckpoint(eager=True)
+    # populate the edge cache before the scope (see pagerank_int)
+    e.count()
+    # size-coalesce the rounds' tiny post-shuffle partitions (ops/tuning:
+    # same rationale as pagerank_int)
+    with size_coalesced_rounds(nodes.sparkSession):
+        for i in range(rounds):
+            nbr_labels = e.join(
+                lab.withColumnRenamed("node", "nbr").hint("shuffle_hash"),
+                "nbr",
+            )
+            votes = nbr_labels.groupBy("node", "lbl").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            # max over (count, -label) == most frequent, smallest label
+            # on ties
+            winner = votes.groupBy("node").agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("c"), (-F.col("lbl")))
+                ).alias("w")
+            )
+            lab = lab.join(
+                winner.hint("shuffle_hash"), "node", "left"
+            ).select("node", F.coalesce("w", "lbl").alias("lbl"))
+            if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+                lab = lab.localCheckpoint(eager=True)
     out = lab.select(
         F.col("node").alias(id_col), F.col("lbl").alias(label_col)
     )

@@ -475,16 +475,28 @@ _PAD_BATCH = 16
     f"batch-keyed aggregates — no single-partition window",
 )
 def padding_waste_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ops.rank import global_row_number
+    from ..ops.rank import boundaries_for, global_row_number
     from ..ops.text import token_count
 
     docs = _load_wide(spark, sf_dir, "documents")
+    # persist the token counts: the regex tokenization pass is referenced
+    # by both orderings' rank passes, the shared boundary sketch, and the
+    # totals aggregate — unpersisted, token_count re-runs for each
+    # (guide §7.2); the frame is corpus-rows x 2 narrow columns
     toks = docs.select(
         "doc_id", token_count(F.col("text")).alias("tok")
+    ).persist()
+    # ONE boundary-sketch pass serves both orderings (ops/rank
+    # boundaries_for — the description's promise, now structural)
+    bnds = boundaries_for(
+        toks, {"naive": F.col("doc_id"), "sorted": F.col("tok")}
     )
 
-    def padded_total(df: DataFrame, order_cols, alias: str) -> DataFrame:
-        ranked = global_row_number(df, order_cols, "__rn", part_key=order_cols[0])
+    def padded_total(df, order_cols, alias, bkey):
+        ranked = global_row_number(
+            df, order_cols, "__rn",
+            part_key=order_cols[0], boundaries=bnds[bkey],
+        )
         per_batch = ranked.withColumn(
             "__batch", ((F.col("__rn") - 1) / _PAD_BATCH).cast("long")
         ).groupBy("__batch").agg(
@@ -494,8 +506,10 @@ def padding_waste_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("__mx") * F.col("__n")).cast("long").alias(alias)
         )
 
-    naive = padded_total(toks, [F.col("doc_id")], "naive_padded")
-    srt = padded_total(toks, [F.col("tok"), F.col("doc_id")], "sorted_padded")
+    naive = padded_total(toks, [F.col("doc_id")], "naive_padded", "naive")
+    srt = padded_total(
+        toks, [F.col("tok"), F.col("doc_id")], "sorted_padded", "sorted"
+    )
     tot = toks.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("tok").cast("long").alias("total_tokens"),

@@ -244,16 +244,23 @@ def lsh_blocking_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = capped.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
     ni = F.size(F.array_intersect(F.col("ha"), F.col("hb"))).cast("long")
     nu = (F.size(F.col("ha")) + F.size(F.col("hb"))).cast("long") - ni
+    # persist both audit frames: `pairs` (the all-pairs BNLJ with a
+    # per-pair array_intersect) feeds the truth count AND the hit join,
+    # `cand` (the LSH bucket self-join + distinct) feeds the candidate
+    # count AND the hit join — unpersisted, each expensive lineage runs
+    # twice (guide §7.2 duplicated-subtree audit); both are audit-sample
+    # sized (≤125k 4-long rows), not corpus-sized
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ni.alias("ni"), nu.alias("nu"))
+        .persist()
     )
     truth = pairs.filter(2 * F.col("ni") >= F.col("nu"))
 
     docs = _load_wide(spark, sf_dir, "documents")
     cand = minhash_candidate_pairs(docs, sigs=stage).filter(
         (F.col("id_a") < 500) & (F.col("id_b") < 500)
-    )
+    ).persist()
 
     nd = capped.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
@@ -681,6 +688,11 @@ def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.files import load_table
 
     ev = load_table(spark, sf_dir, "events")
+    # NOT persisted: the per-key rollup feeds several consumers, but an
+    # interleaved A/B showed the persist regresses 1.35 -> 1.86 s (the
+    # customer_rfm lesson: a cache barrier on a bare scan+aggregate costs
+    # more than recomputing the cheap pruned scan, and AQE cannot
+    # coalesce the InMemoryTableScan side)
     per = (
         ev.filter(F.col("user_id").isNotNull())
         .groupBy("user_id")

@@ -17,8 +17,11 @@ ranks are a deterministic centrality SCORE, not a probability
 distribution — documented, and irrelevant for the ranking use.
 
 Scale shape: one (src)-keyed join + one (dst)-keyed aggregate per
-iteration — the textbook Pregel round as two shuffles; lineage truncated
-per round exactly like connected_components, and every join against the
+iteration — the textbook Pregel round as two shuffles (round one skips
+the join: the initial rank vector is uniform); rank state is SPARSE
+(only nodes with in-edges; everything else is pinned at the damped base
+150_000 and re-attached once after the loop).  Lineage truncated per
+round exactly like connected_components, and every join against the
 truncated frame is hinted shuffle-hash (checkpointed frames carry no
 stats; the files.py join-statistics rule).
 """
@@ -60,33 +63,54 @@ def pagerank_int(
     # reuses it exchange-free (guide §2.4: two operations keyed the same
     # way share one exchange).
     e = edges.join(deg.hint("shuffle_hash"), "src").persist()
-    r = nodes.select(
-        F.col(id_col).alias("src"),
-        F.lit(1_000_000).cast("long").alias("r"),
-    )
     base = nodes.select(F.col(id_col).alias("src"))
     # populate the edge cache BEFORE the size-coalesced scope: e's
     # lineage is the caller's pair pipeline, and byte-coalescing those
     # compute-heavy stages would serialize them (the CC lesson)
     e.count()
+    # SPARSE rank state: after any round, a node's rank is 150_000 exactly
+    # when it has no in-edge (the damped update with sum 0), and the
+    # in-edge set is static — so `r` only needs the nodes the aggregate
+    # produces, and the dense per-round `base` LEFT JOIN that re-attached
+    # rank-150_000 rows disappears (guide §2.3: shuffle fewer rows, §1.2:
+    # don't compute what the next step can infer).  Round 1 needs no rank
+    # join at all: every node starts at the same 1_000_000.  The missing
+    # rows are re-attached ONCE after the loop with the same coalesce.
+    r = None  # None = the uniform initial rank vector
     # the in-loop jobs (eager checkpoints) shuffle a few (long, long)
     # columns per row: size-coalesce their post-shuffle partitions so the
-    # ~3 stages/round stop paying 32 near-empty tasks each (ops/tuning)
+    # ~2 stages/round stop paying 32 near-empty tasks each (ops/tuning)
     with size_coalesced_rounds(nodes.sparkSession):
         for i in range(iters):
-            contrib = e.join(r.hint("shuffle_hash"), "src").select(
-                F.col("dst").alias("src"), F.expr("r div deg").alias("c")
-            )
+            if r is None:
+                contrib = e.select(
+                    F.col("dst").alias("src"),
+                    F.expr("1000000L div deg").alias("c"),
+                )
+            else:
+                contrib = e.join(
+                    r.hint("shuffle_hash"), "src", "left"
+                ).select(
+                    F.col("dst").alias("src"),
+                    F.expr("coalesce(r, 150000L) div deg").alias("c"),
+                )
             inc = contrib.groupBy("src").agg(F.sum("c").alias("s"))
-            r = base.join(inc.hint("shuffle_hash"), "src", "left").select(
+            r = inc.select(
                 "src",
-                (F.lit(150_000) + F.expr("(85 * coalesce(s, 0L)) div 100"))
+                (F.lit(150_000) + F.expr("(85 * s) div 100"))
                 .cast("long").alias("r"),
             )
             if (i + 1) % checkpoint_every == 0 or i == iters - 1:
                 r = r.localCheckpoint(eager=True)  # truncate lineage
+    if r is None:  # iters == 0: every node still holds the initial rank
+        dense = base.select("src", F.lit(1_000_000).cast("long").alias("r"))
+    else:
+        dense = base.join(r.hint("shuffle_hash"), "src", "left").select(
+            "src", F.coalesce(F.col("r"), F.lit(150_000).cast("long"))
+            .alias("r"),
+        )
     out = (
-        r.withColumnRenamed("src", id_col)
+        dense.withColumnRenamed("src", id_col)
         .join(
             deg.withColumnRenamed("src", id_col).hint("shuffle_hash"),
             id_col, "left",
@@ -124,45 +148,68 @@ def label_propagation(
 
     Scale shape per round: one (neighbor)-keyed join to fetch labels + one
     (node, label) count aggregate + one max_by reduce — three shuffles on
-    the edge list, state is one label per node.  ``max_by(label,
-    struct(cnt, -label))`` picks (max count, then min label) in a single
-    order-free reduce; lineage truncates on a stride like pagerank_int.
+    the edge list (round one skips the join: labels start as own ids),
+    state is one label per CONNECTED node (sparse; isolated nodes are
+    re-attached once after the loop).  ``max_by(label, struct(cnt,
+    -label))`` picks (max count, then min label) in a single order-free
+    reduce; lineage truncates on a stride like pagerank_int.
 
     ``edges`` must be SYMMETRIZED (src, dst); ``nodes`` carries every
     vertex via ``id_col``."""
     from .tuning import size_coalesced_rounds
 
-    lab = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("lbl")
-    )
     e = edges.select(
         F.col("src").alias("node"), F.col("dst").alias("nbr")
     ).persist()
     # populate the edge cache before the scope (see pagerank_int)
     e.count()
+    # SPARSE label state: a node's label can only ever move if it has a
+    # neighbor, and the winner aggregate produces exactly the nodes with
+    # ≥1 edge — so `win` alone IS the label state (everything else keeps
+    # its own id forever), and the dense per-round `lab` LEFT JOIN that
+    # re-attached never-updated rows disappears (same algebra as
+    # pagerank_int's sparse rank).  Round 1 needs no label join at all:
+    # every neighbor's label starts as its own id.
+    win = None  # None = the initial own-id labelling
     # size-coalesce the rounds' tiny post-shuffle partitions (ops/tuning:
     # same rationale as pagerank_int)
     with size_coalesced_rounds(nodes.sparkSession):
         for i in range(rounds):
-            nbr_labels = e.join(
-                lab.withColumnRenamed("node", "nbr").hint("shuffle_hash"),
-                "nbr",
-            )
+            if win is None:
+                nbr_labels = e.select(
+                    "node", F.col("nbr").cast("long").alias("lbl")
+                )
+            else:
+                nbr_labels = e.join(
+                    win.withColumnRenamed("node", "nbr")
+                    .hint("shuffle_hash"),
+                    "nbr", "left",
+                ).select(
+                    "node",
+                    F.coalesce(F.col("w"), F.col("nbr").cast("long"))
+                    .alias("lbl"),
+                )
             votes = nbr_labels.groupBy("node", "lbl").agg(
                 F.count(F.lit(1)).alias("c")
             )
             # max over (count, -label) == most frequent, smallest label
             # on ties
-            winner = votes.groupBy("node").agg(
+            win = votes.groupBy("node").agg(
                 F.max_by(
                     "lbl", F.struct(F.col("c"), (-F.col("lbl")))
                 ).alias("w")
             )
-            lab = lab.join(
-                winner.hint("shuffle_hash"), "node", "left"
-            ).select("node", F.coalesce("w", "lbl").alias("lbl"))
             if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
-                lab = lab.localCheckpoint(eager=True)
+                win = win.localCheckpoint(eager=True)
+    base = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("own")
+    )
+    if win is None:  # rounds == 0: every node keeps its own id
+        lab = base.select("node", F.col("own").alias("lbl"))
+    else:
+        lab = base.join(win.hint("shuffle_hash"), "node", "left").select(
+            "node", F.coalesce("w", "own").alias("lbl")
+        )
     out = lab.select(
         F.col("node").alias(id_col), F.col("lbl").alias(label_col)
     )

@@ -260,6 +260,13 @@ def _discover_bnlj_queries(spark, sf_dir) -> list:
     but never introduces a nested-loop join an initial plan lacks — so the
     initial plan is a sound discovery filter; the invariant itself is then
     asserted on the AQE-finalized plan after execution."""
+    # the bench clears the cache between queries, so the audited plan must
+    # be the cache-free one: a frame persisted by an earlier query (or an
+    # earlier test on this session-scoped fixture) otherwise substitutes
+    # an InMemoryTableScan for the subtree CONTAINING the join under
+    # audit, hiding it from discovery (seen in round 13 when ann_recall
+    # started persisting its brute-force truth frame)
+    spark.catalog.clearCache()
     names = []
     for name, q in QUERIES.items():
         df = q.fn(spark, sf_dir)
@@ -267,6 +274,7 @@ def _discover_bnlj_queries(spark, sf_dir) -> list:
             if n.nodeName() in ("BroadcastNestedLoopJoin", "CartesianProduct"):
                 names.append(name)
                 break
+        spark.catalog.clearCache()
     return names
 
 
@@ -293,6 +301,7 @@ def test_bnlj_build_side_is_literal_class_catalog_wide(spark, sf_dir):
         col = _DOMAIN_BOUNDED_BUILD.get(name)
         for kind, node in _bnlj_violations(df, domain_col=col):
             failures.append(f"{name}: {kind}:\n{node.toString()[:800]}")
+        spark.catalog.clearCache()  # bench cache discipline (see discovery)
     assert not failures, "\n\n".join(failures)
 
 

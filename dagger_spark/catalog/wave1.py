@@ -1396,8 +1396,12 @@ def kcore_docs(spark, sf_dir):
     has_dir = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
 
     def _chk(df):
+        # LAZY local checkpoint (round 13, the connected_components
+        # pattern): every _chk here is immediately followed by a count
+        # whose single-reference job materializes + caches the frame, so
+        # the eager leg's dedicated job is redundant — 2 jobs/round -> 1
         return (df.checkpoint(eager=True) if has_dir
-                else df.localCheckpoint(eager=True))
+                else df.localCheckpoint(eager=False))
 
     from ..ops.tuning import size_coalesced_rounds
 

@@ -309,7 +309,15 @@ def connected_components(
         # executor-local checkpoint otherwise (self-contained local runs).
         sc = df.sparkSession.sparkContext
         has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
-        return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
+        # LAZY local checkpoint (round 13): the plan is truncated either
+        # way (the returned frame is a LogicalRDD), but eager=True spends
+        # a dedicated count job per truncation — and every _truncate call
+        # here is immediately followed by the fingerprint collect, whose
+        # single-reference job materializes (and caches) the checkpointed
+        # partitions anyway.  Measured: 2 driver jobs/round -> 1, results
+        # byte-identical.  The reliable-checkpoint branch stays eager:
+        # a lazy RDD checkpoint recomputes its lineage when writing.
+        return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=False)
 
     from .tuning import size_coalesced_rounds
 

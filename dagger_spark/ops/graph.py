@@ -101,7 +101,12 @@ def pagerank_int(
                 .cast("long").alias("r"),
             )
             if (i + 1) % checkpoint_every == 0 or i == iters - 1:
-                r = r.localCheckpoint(eager=True)  # truncate lineage
+                # LAZY: truncation (LogicalRDD) happens either way; the
+                # eager count job is redundant because the next round's
+                # contrib join (and the final dense join) reference r
+                # exactly ONCE, so the first consumer materializes and
+                # caches the partitions with no double-compute
+                r = r.localCheckpoint(eager=False)  # truncate lineage
     if r is None:  # iters == 0: every node still holds the initial rank
         dense = base.select("src", F.lit(1_000_000).cast("long").alias("r"))
     else:
@@ -200,7 +205,8 @@ def label_propagation(
                 ).alias("w")
             )
             if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
-                win = win.localCheckpoint(eager=True)
+                # LAZY for the same single-consumer reason as pagerank_int
+                win = win.localCheckpoint(eager=False)
     base = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("own")
     )

@@ -186,6 +186,33 @@ def test_cc_10k_chain_converges_log_rounds(spark):
     assert stats["rounds"] <= 15, stats
 
 
+def test_cc_lazy_checkpoint_truncates_lineage(spark):
+    """Round 13 internals pin: the per-round truncation switched from
+    eager to LAZY localCheckpoint (the fingerprint collect that follows
+    each round materializes the partitions, so the eager count job was
+    pure overhead).  The property the switch must preserve: the returned
+    frame's lineage is STILL cut — its analyzed plan bottoms out in a
+    LogicalRDD scan, never re-embedding the edge pipeline — and repeated
+    actions on the result stay stable (partitions cached, not recomputed
+    through dead lineage)."""
+    from dagger_spark.ops.dedup import connected_components
+
+    n = 64
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels = connected_components(vertices, edges, max_iters=20)
+    plan = labels._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan  # lineage cut at the checkpoint boundary
+    # the edge source must NOT be re-embedded below the truncation point
+    assert "LocalRelation" not in plan.split("LogicalRDD")[-1]
+    first = sorted((r["id"], r["cluster"]) for r in labels.collect())
+    second = sorted((r["id"], r["cluster"]) for r in labels.collect())
+    assert first == second
+    assert {c for _, c in first} == {0}
+
+
 def test_incremental_dedup_semantics(spark):
     """Incoming batch vs existing corpus: a planted near-dup of a corpus
     doc is flagged with the right match; a novel doc passes clean; the

@@ -373,8 +373,10 @@ def power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("x").alias("m"))
         .collect()
     )  # bounded: dim rows
+    from ..ops.similarity import lit_double_array
+
     mu = [r["m"] for r in sorted(mu_rows, key=lambda r: r["j"])]
-    mu_arr = F.lit(mu)
+    mu_arr = lit_double_array(mu)
 
     def xc_col():
         return F.zip_with(F.col("v"), mu_arr, lambda x, m: x - m)
@@ -386,7 +388,7 @@ def power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, t: a + t,
         )
 
-    v0_arr = F.lit([0.125] * len(mu))
+    v0_arr = lit_double_array([0.125] * len(mu))
     step1 = base.select(
         F.posexplode(xc_col()).alias("j", "xc"), dot_lit(v0_arr).alias("s")
     )

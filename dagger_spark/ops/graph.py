@@ -44,12 +44,13 @@ def pagerank_int(
     base rank 150_000.  ``nodes`` must carry every vertex (including
     edge-less ones).
 
-    ``checkpoint_every`` trades lineage depth against materialization
-    count: each eager localCheckpoint is a full job, so truncating every
-    round pays ~iters fixed job overheads (measured: the dominant cost at
-    small scale), while a 3-round stride keeps the plan bounded at 3
-    iterations deep for a third of the jobs.  Set to 1 for very large
-    graphs where executor memory pressure beats job overhead."""
+    ``checkpoint_every`` trades lineage/plan depth against cached-state
+    count: truncation is LAZY (``localCheckpoint(eager=False)`` — no
+    dedicated job; the next consumer materializes and persists the
+    partitions), so the stride's cost is how deep the plan grows between
+    truncations vs how many checkpoint RDDs stay cached.  A 3-round
+    stride bounds the plan at 3 iterations deep; set to 1 for very large
+    graphs where executor memory pressure beats plan depth."""
     from .tuning import size_coalesced_rounds
 
     # deg is referenced twice (the edge-weight join AND the final degree
@@ -104,8 +105,15 @@ def pagerank_int(
                 # LAZY: truncation (LogicalRDD) happens either way; the
                 # eager count job is redundant because the next round's
                 # contrib join (and the final dense join) reference r
-                # exactly ONCE, so the first consumer materializes and
-                # caches the partitions with no double-compute
+                # exactly ONCE — correctness never depends on WHEN the
+                # marked RDD materializes, only that it is persisted.
+                # With AQE on (this engine's default) the shuffle stages
+                # materialize at the first consumer and the cached blocks
+                # are reused; with AQE off nothing runs until the caller's
+                # first action and back-to-back checkpoint marks can leave
+                # an inner marked RDD cached-but-untruncated until GC
+                # (checkpointAllMarkedAncestors defaults false) — a memory
+                # profile note, not a correctness one
                 r = r.localCheckpoint(eager=False)  # truncate lineage
     if r is None:  # iters == 0: every node still holds the initial rank
         dense = base.select("src", F.lit(1_000_000).cast("long").alias("r"))

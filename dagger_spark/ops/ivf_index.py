@@ -96,6 +96,7 @@ from .similarity import (
     _cell_of_from_centroids,
     _centroid_literals,
     cosine_from_norms,
+    lit_double_array,
     norm,
     sq8_quantize,
 )
@@ -392,8 +393,10 @@ def _grid_literals(spark: SparkSession, idx: str) -> tuple:
         (r["j"], r["mn"], r["mx"])
         for r in spark.read.parquet(os.path.join(idx, "grid.parquet")).collect()
     )  # bounded: one row per embedding dimension
-    mn_arr = F.lit([r[1] for r in rows])
-    mx_arr = F.lit([r[2] for r in rows])
+    # one-py4j-call literals (similarity.lit_double_array): the element-wise
+    # F.lit(list) path cost a driver round trip per grid cell
+    mn_arr = lit_double_array([r[1] for r in rows])
+    mx_arr = lit_double_array([r[2] for r in rows])
     return mn_arr, mx_arr, len(rows)
 
 

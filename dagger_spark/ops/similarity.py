@@ -24,6 +24,8 @@ and every step is DuckDB-replayable (list_cosine_similarity for the oracle).
 from __future__ import annotations
 
 import hashlib
+import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -32,6 +34,67 @@ from pyspark.sql.window import Window
 #: single-slot memo for PQ codeword norms (see pq_topk): the plan-time
 #: norms job runs once per (session, codebook), not once per call
 _PQ_NORM_MEMO: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# plan-time literal arrays in ONE JVM round trip
+# ---------------------------------------------------------------------------
+# PySpark's ``F.lit(list)`` recurses element-wise (``array(*[lit(x) ...])``),
+# costing one py4j round trip PER ELEMENT — for the literal-heavy ANN plans
+# (a 16x64 centroid matrix, 8x16x8 PQ codebook, 16x64 JL sign matrix) that
+# is thousands of driver round trips PER QUERY CONSTRUCTION, and profiling
+# showed it dominating wall time (guide §4: the Python boundary exists on
+# the driver too — cProfile: ~5 s/run of ann_recall inside py4j
+# send_command).  Rendering the array as ONE ``F.expr`` string moves the
+# whole literal across the boundary in a single call; the parser yields the
+# same CreateArray-of-Literals tree, constant-folding collapses both forms
+# to the identical Literal, so plans and results are bit-equal.
+#
+# Exactness: ``repr(float)`` is the shortest round-tripping decimal, and
+# Java's ``Double.parseDouble`` is correctly rounded, so text -> double
+# reproduces the exact bits ``F.lit`` would have shipped.  Only finite
+# values are legal (asserted); callers here never build empty arrays.
+
+
+def _fmt_double(v: float) -> str:
+    v = float(v)
+    assert math.isfinite(v), f"non-finite literal {v!r}"
+    return repr(v) + "D"
+
+
+def _render_lit_array(values) -> str:
+    if isinstance(values, (list, tuple)):
+        return "array(" + ",".join(_render_lit_array(v) for v in values) + ")"
+    return _fmt_double(values)
+
+
+def lit_double_array(values) -> Column:
+    """array<double> (arbitrarily nested) literal in one py4j call —
+    bit-identical to the element-wise ``F.lit`` construction (see module
+    comment above).  ``DAGGER_FASTLIT=0`` falls back to the element-wise
+    path (measurement kill switch)."""
+    if os.environ.get("DAGGER_FASTLIT") == "0":
+        return F.lit([_as_floats(v) for v in values]) if isinstance(
+            values[0], (list, tuple)
+        ) else F.lit([float(v) for v in values])
+    return F.expr(_render_lit_array(list(values)))
+
+
+def _as_floats(v):
+    if isinstance(v, (list, tuple)):
+        return [_as_floats(x) for x in v]
+    return float(v)
+
+
+def lit_int_array(values) -> Column:
+    """array<int> literal in one py4j call (same rationale as
+    :func:`lit_double_array`; int32 range asserted so the parsed element
+    type matches what per-element ``F.lit(int)`` produced)."""
+    vals = [int(v) for v in values]
+    assert all(-(2**31) <= v < 2**31 for v in vals), "int32 range"
+    if os.environ.get("DAGGER_FASTLIT") == "0":
+        return F.lit(vals)
+    return F.expr("array(" + ",".join(str(v) for v in vals) + ")")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -114,7 +177,7 @@ def lsh_bucket(vec: Column, planes: list) -> Column:
     bits = [
         F.when(
             F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(c) for c in coeffs]), lambda x, y: x * y),
+                F.zip_with(vec, lit_double_array(coeffs), lambda x, y: x * y),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
@@ -171,14 +234,14 @@ def _cell_of_from_centroids(cents: list):
     """Cell-assignment expression factory from explicit [(cid, vector), ...]
     centroids, shipped as three array literals (matrix, ids, norms) — see
     ``ivf_topk`` for why literals-not-scalars matters."""
-    import math
-
     if not cents:
         raise ValueError("no centroids")
     cents = sorted((int(cid), list(cv)) for cid, cv in cents)
-    cmat = F.lit([cv for _, cv in cents])
-    cid_arr = F.lit([int(cid) for cid, _ in cents])
-    cn_arr = F.lit([math.sqrt(sum(x * x for x in cv)) for _, cv in cents])
+    cmat = lit_double_array([cv for _, cv in cents])
+    cid_arr = lit_int_array([cid for cid, _ in cents])
+    cn_arr = lit_double_array(
+        [math.sqrt(sum(x * x for x in cv)) for _, cv in cents]
+    )
 
     def cell_of(vec: Column, vnorm: Column, top: int) -> Column:
         def one(i: Column) -> Column:
@@ -570,7 +633,7 @@ def pq_topk(
         [v[s * dsub:(s + 1) * dsub] for _, v in rows]
         for s in range(m)
     ]
-    cbmat = F.lit(cb)
+    cbmat = lit_double_array(cb)
     n_codes = len(rows)
     # |codeword|^2 folded ONCE each in a one-row JVM job and embedded as a
     # literal: the inline dot(cw, cw) form re-folded every norm per
@@ -601,7 +664,7 @@ def pq_topk(
         ).head()["n2"]
         _PQ_NORM_MEMO.clear()  # single slot: codebooks change per corpus
         _PQ_NORM_MEMO[memo_key] = cwn2
-    cwn2mat = F.lit([list(r) for r in cwn2])
+    cwn2mat = lit_double_array([list(r) for r in cwn2])
 
     def _sqdist(sub, subn2, s, j):
         # |sub - cb[s][j]|^2 via the dot-product identity, rounded to 9
@@ -683,7 +746,7 @@ def project_rp(vec: Column, out_dim: int, dim: int) -> Column:
     components (each a ±1 dot fold — same left-fold order as ``dot`` so
     the DuckDB ``list_dot_product`` twin is bit-identical)."""
     return F.array(*[
-        dot(vec, F.array(*[F.lit(c) for c in rp_signs(j, dim)]))
+        dot(vec, lit_double_array(rp_signs(j, dim)))
         for j in range(out_dim)
     ])
 

@@ -14,8 +14,9 @@ bytes and let parallelism follow data volume.
 ``size_coalesced_rounds`` flips ``parallelismFirst`` off for the duration
 of an iterative loop and restores it after, so:
 
-  * in-loop jobs (eager localCheckpoints, convergence fingerprints) run
-    with byte-sized coalescing — a 40 KB shuffle becomes one task, a
+  * in-loop jobs (convergence fingerprints, the consumers that
+    materialize the lazily-checkpointed round state) run with
+    byte-sized coalescing — a 40 KB shuffle becomes one task, a
     10 GB shuffle still gets ~160 tasks at the 64 MB advisory default, so
     the setting is scale-ADAPTIVE, not a local-core-count constant;
   * everything outside the loop (Python stages, scans, wide aggregations)

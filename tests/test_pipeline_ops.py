@@ -205,8 +205,10 @@ def test_cc_lazy_checkpoint_truncates_lineage(spark):
     labels = connected_components(vertices, edges, max_iters=20)
     plan = labels._jdf.queryExecution().analyzed().toString()
     assert "LogicalRDD" in plan  # lineage cut at the checkpoint boundary
-    # the edge source must NOT be re-embedded below the truncation point
-    assert "LocalRelation" not in plan.split("LogicalRDD")[-1]
+    # the star-round edge pipeline (symmetrizing Union + distinct's
+    # Deduplicate) must not be re-embedded ANYWHERE in the final plan:
+    # above the checkpoint only roots' Aggregate + the vertex Join remain
+    assert "Union" not in plan and "Deduplicate" not in plan
     first = sorted((r["id"], r["cluster"]) for r in labels.collect())
     second = sorted((r["id"], r["cluster"]) for r in labels.collect())
     assert first == second

@@ -18,6 +18,12 @@ from pyspark.sql import types as T
 
 from ..expr import Pred, parse_predicate, to_column
 
+#: per-SparkContext memo for RuleSpec.condition() Columns (see docstring)
+_COND_MEMO: dict = {}
+
+#: per-SparkContext memo for rules_metadata_df (see its docstring)
+_META_MEMO: dict = {}
+
 
 @dataclass(frozen=True)
 class RuleSpec:
@@ -61,7 +67,32 @@ class RuleSpec:
         return parse_predicate(self.predicate_sql)
 
     def condition(self) -> Column:
-        return to_column(self.predicate, case_insensitive=self.case_insensitive)
+        """The predicate as a PySpark Column — MEMOIZED per (SparkContext,
+        predicate text, case flag).  Column objects are immutable
+        unresolved expression wrappers, safe to embed in any number of
+        batch or streaming plans; rebuilding the 25-rule tree through
+        py4j cost ~2-3 s of driver wall per engine call (round-14
+        profiling: ~5.4k py4j round trips per apply_rules_single_pass
+        build — guide §4, the Python boundary exists on the driver too).
+        Keyed on the live JVM context so a restarted session (tests) can
+        never see a Column from a dead gateway."""
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        ctx = id(sc._jsc) if sc is not None else None
+        if _COND_MEMO.get("ctx") != ctx:
+            _COND_MEMO.clear()
+            _COND_MEMO["ctx"] = ctx
+            _COND_MEMO["cols"] = {}
+        cols = _COND_MEMO["cols"]
+        key = (self.predicate_sql, self.case_insensitive)
+        col = cols.get(key)
+        if col is None:
+            col = to_column(
+                self.predicate, case_insensitive=self.case_insensitive
+            )
+            cols[key] = col
+        return col
 
     def with_enabled(self, enabled: bool) -> "RuleSpec":
         return replace(self, enabled=enabled)
@@ -118,7 +149,32 @@ def alert_projection(rule: RuleSpec, ts_col: str = "timestamp") -> list:
 def rules_metadata_df(spark: SparkSession, rules: Sequence[RuleSpec]) -> DataFrame:
     """Rule metadata as a small dimension DataFrame keyed by rule_id (the
     index into ``rules``).  Broadcast-joined by the single-pass engine so the
-    per-event hot path only materializes matching rule ids."""
+    per-event hot path only materializes matching rule ids.
+
+    MEMOIZED per (SparkContext, rule tuple) like RuleSpec.condition():
+    RuleSpec is a frozen (hashable) dataclass and rule_id is the tuple
+    index, so an identical rule list yields a byte-identical dimension —
+    re-running createDataFrame per engine call only re-shipped the same
+    25 rows through py4j."""
+    sc = spark.sparkContext
+    ctx = id(sc._jsc)
+    if _META_MEMO.get("ctx") != ctx:
+        _META_MEMO.clear()
+        _META_MEMO["ctx"] = ctx
+        _META_MEMO["dfs"] = {}
+    dfs = _META_MEMO["dfs"]
+    key = tuple(rules)
+    cached = dfs.get(key)
+    if cached is not None:
+        return cached
+    out = _rules_metadata_df_uncached(spark, rules)
+    dfs[key] = out
+    return out
+
+
+def _rules_metadata_df_uncached(
+    spark: SparkSession, rules: Sequence[RuleSpec]
+) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("rule_id", T.IntegerType(), False),

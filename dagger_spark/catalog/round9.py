@@ -400,7 +400,7 @@ def power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = [r["w"] for r in sorted(w1_rows, key=lambda r: r["j"])]
     nrm1 = math.sqrt(sum(w * w for w in w1))
     v1 = [w / nrm1 for w in w1]
-    v1_arr = F.lit(v1)
+    v1_arr = lit_double_array(v1)
 
     step2 = base.select(
         F.posexplode(xc_col()).alias("j", "xc"), dot_lit(v1_arr).alias("s")

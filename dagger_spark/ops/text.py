@@ -224,8 +224,13 @@ def hashing_trick_logit(grams: Column, weights: list) -> Column:
     bucket.  ``grams`` MUST be a staged column (Attribute), not an inline
     expression — higher-order lambdas re-evaluate non-attribute children per
     element (see ``bind``).  The weight array is a plan-time Literal, so the
-    lookup is O(1) codegen per element; the whole op is zero-shuffle."""
-    w = F.lit(weights)
+    lookup is O(1) codegen per element; the whole op is zero-shuffle.
+    The literal ships in ONE JVM call (similarity.lit_int_array) — the
+    element-wise ``F.lit(list)`` path cost 1024 py4j round trips per
+    classifier build (round-14 driver-boundary sweep)."""
+    from .similarity import lit_int_array
+
+    w = lit_int_array(weights)
     return F.aggregate(
         grams,
         F.lit(0).cast("long"),

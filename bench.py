@@ -416,7 +416,16 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
-    calib_start = _calibrate()
+    # MEASUREMENT FIX (round 14, documented in OPTIMIZATION_r14.md): the
+    # first calibration run in a fresh JVM measures JIT compilation of the
+    # generated loop, not the machine — same box, minutes apart: 1.28-1.42s
+    # cold vs 0.24-0.43s warm.  That skew sat above the 1.0s gate and
+    # refused idle captures (and was misread as the host CPU cap).  Run the
+    # job once untimed so calibration_start/end are BOTH warm-JIT machine
+    # gauges and comparable to each other; the cold first run is kept in
+    # the artifact as calibration_cold_sec (the old semantics).
+    calib_cold = _calibrate()
+    calib_start = min(_calibrate(), _calibrate())
     # warm parquet footers + file listings so the first timed query measures
     # its own plan/execution, not one-time session I/O bootstrap
     from dagger_spark.sources.files import ALL_TABLES, load_table
@@ -874,6 +883,9 @@ def main() -> None:
         # machine got busier while the suite ran
         "loadavg_start_1m_5m_15m": loadavg_start,
         "loadavg_end_1m_5m_15m": loadavg_end,
+        # calibration_start/end are warm-JIT machine gauges (round 14);
+        # calibration_cold keeps the old first-run-in-fresh-JVM number
+        "calibration_cold_sec": calib_cold,
         "calibration_start_sec": calib_start,
         "calibration_end_sec": calib_end,
         # media fixtures are pre-materialized to /tmp parquet before the

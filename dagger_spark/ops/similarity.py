@@ -97,6 +97,26 @@ def lit_int_array(values) -> Column:
     return F.expr("array(" + ",".join(str(v) for v in vals) + ")")
 
 
+def _fmt_string(s: str) -> str:
+    """Spark SQL single-quoted string literal: backslashes doubled FIRST,
+    then quotes escaped — the parser's escape handling inverts exactly
+    this encoding for arbitrary text (pinned by test_fastlit's round-trip
+    over quotes/backslashes/newlines/unicode)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def lit_string_array(values) -> Column:
+    """array<string> literal in one py4j call (same rationale as
+    :func:`lit_double_array`).  A value containing ``${`` falls back to
+    the element-wise path: ``F.expr`` text passes through Spark's
+    variable substitutor, which would rewrite ``${...}`` spans (pinned by
+    test_fastlit's round-trip test)."""
+    vals = [str(v) for v in values]
+    if os.environ.get("DAGGER_FASTLIT") == "0" or any("${" in v for v in vals):
+        return F.lit(vals)
+    return F.expr("array(" + ",".join(_fmt_string(v) for v in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 

@@ -162,8 +162,10 @@ def language_id_ngram(text: Column) -> Column:
 def language_id_ngram_from_trigrams(tg: Column) -> Column:
     """``language_id_ngram`` over a pre-staged distinct-trigram column
     (stage with ``df.select(char_trigrams(text).alias("tg"))``)."""
+    from .similarity import lit_string_array
+
     scores = [
-        (code, F.size(F.array_intersect(tg, F.lit(list(grams)))))
+        (code, F.size(F.array_intersect(tg, lit_string_array(list(grams)))))
         for code, grams in sorted(LANG_TRIGRAMS.items())
     ]
     best = None

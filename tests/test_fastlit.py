@@ -73,3 +73,16 @@ def test_int_array_type_and_value_parity(spark):
     fast, slow = _both(spark, lambda: lit_int_array(vals))
     assert str(fast.schema) == str(slow.schema)  # array<int>, not bigint
     assert list(fast.head()["v"]) == list(slow.head()["v"]) == vals
+
+
+def test_string_array_escape_round_trip(spark):
+    from dagger_spark.ops.similarity import lit_string_array
+
+    vals = [
+        "plain", "it's", 'say "hi"', "back\\slash", "two\\\\", r"mix\'q",
+        "tab\there", "new\nline", "semi;colon--", "unié中",
+        "pct%_", "", "'", "\\", "a,b", ")(", "${x}",
+    ]
+    fast, slow = _both(spark, lambda: lit_string_array(vals))
+    assert str(fast.schema) == str(slow.schema)
+    assert list(fast.head()["v"]) == list(slow.head()["v"]) == vals

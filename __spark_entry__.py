@@ -26,80 +26,81 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dagger_spark.catalog import QUERIES, flagship  # noqa: E402
 
-# Driver-window rotation (round 13 — pure freshness from here; curation
-# completed in round 12 with the floor at round 7).  Priorities, in
-# order: (1) never-driver-verified oracle-paired additions — the two
-# round-13 entries (the IVF cell-skew gauge and the hot-cell split probe,
-# verdict ask #6); (2) changed code re-earns its row — the whole IVF
-# index family (ops/ivf_index.py moved onto the versioned-manifest
-# pointer protocol: file-level postings manifest, exactly-once streaming
-# watermarks, manifest-drained tombstones, split tree — verdict ask #1)
-# and the dedup-state trio (auto-compaction in the mutation path, shared
-# ops/manifest refactor, the _apply_once seq-race fix — verdict ask #2 +
-# advice r12); (3) the STALEST rows by last-green round: all 19 remaining
-# round-7 rows (retiring that cohort), then the 21 alphabetically-first
-# round-8 rows (the remaining 21 r8 rows queue for round 14).
+# Driver-window rotation (round 14).  Full oracle-paired driver coverage
+# was reached in round 13 (every oracle-paired catalog entry has a green
+# row in some committed CORRECTNESS artifact), so from here the window is
+# pure freshness + changed-code re-earning.  Priorities, in order:
+# (1) changed code re-earns its row — round 14 moved the literal-heavy
+# plan construction onto one-call array literals
+# (ops/similarity.lit_double_array / lit_int_array / lit_string_array:
+# LSH planes, IVF centroids, PQ codebook+norms, JL sign matrix, SQ8 grid,
+# classifier hashing weights, language-id profiles), memoized
+# RuleSpec.condition()/rules_metadata_df, and rewrote ops/rank._bucket as
+# one size(filter(...)) expression — every query whose plan embeds those
+# trees re-earns a driver row; (2) the STALEST rows by last-green round:
+# all 21 remaining round-8 rows (retiring that cohort; next-stalest is
+# round 9 with 47 rows queueing for future rounds).
 # tests/test_rotation.py fails the suite if a later round's CORRECTNESS
 # artifact exists without the window having been re-authored — the
 # mechanical stall guard.
-_WINDOW_ROUND = 13
+_WINDOW_ROUND = 14
 
 _DRIVER_WINDOW = [
-    # -- (1) never-driver-verified: the 2 round-13 additions --
-    "ivf_cell_sizes_embeddings",  # postings-cell skew gauge (ask #6)
-    "ann_ivf_sq8_split",          # hot-cell split probe, oracle verbatim
-    # -- (2) changed code re-earns its row --
-    "ann_ivf_sq8_indexed",        # manifest-resolved probe path
-    "ann_ivf_sq8_appended",       # append -> staged files + pointer swing
-    "ann_ivf_sq8_deleted",        # tombstones in the manifest
-    "ann_ivf_sq8_filtered",       # shared probe path
-    "ann_ivf_sq8_refined",        # shared probe path
-    "dedup_state_clusters_docs",  # auto-compact + _apply_once + manifest
-    "dedup_state_pairs_docs",     # shared ops/manifest refactor
-    "dedup_state_retire_docs",    # retire leg auto-compact param
-    # -- (3) stalest: all 19 remaining round-7 rows (cohort retired) --
-    "events_value_histogram",
-    "fingerprint_docs",
-    "html_strip_docs",
-    "hybrid_rrf_docs",
-    "keywords_per_doc",
-    "label_prop_docs",
-    "language_id_docs",
-    "language_id_ngram_docs",
-    "line_scrub_docs",
-    "lineitem_hdr_quantiles",
-    "normalize_docs",
-    "orders_pit_priority",
-    "orders_skyline",
-    "part_basket_pairs",
-    "phrase_search_docs",
-    "sentences_docs",
-    "token_counts_docs",
-    "trimmed_mean_pandas",
-    "window_rank_showcase",
-    # -- (3) stalest: last green in round 8 (alphabetically first 21 of
-    #    42; the remaining 21 queue for round 14) --
-    "ann_brute_force",
-    "ann_ivf",
-    "ann_ivf_sq8",
-    "ann_lsh",
-    "ann_pq_adc",
-    "ann_recall",
-    "asof_join_error_purchase",
-    "bm25_topk_docs",
-    "bpe_encode_docs",
-    "chi2_tokens_docs",
+    # -- (1) changed code re-earns: one-call literal arrays (ANN family,
+    #    SQ8/IVF grid, embeddings kernels) --
+    "ann_rp",                     # JL sign matrix (project_rp)
+    "ann_lsh",                    # LSH plane coefficients
+    "ann_ivf",                    # centroid matrix/ids/norms
+    "ann_pq_adc",                 # PQ codebook + codeword-norm LUT
+    "ann_recall",                 # composes all of the above
+    "ann_ndcg_embeddings",        # composes all of the above
+    "ann_ivf_sq8",                # SQ8 reconstruction + centroid literals
+    "ann_ivf_sq8_indexed",        # index probe: grid literals (_grid_literals)
+    "ann_ivf_sq8_split",          # split probe shares the grid literals
+    "ivf_cell_sizes_embeddings",  # reads the same manifest-resolved path
+    "lsh_recall_docs",            # lsh_bucket planes
+    "kmeans_step_embeddings",     # assign_cells centroid literals
+    "power_iteration_embeddings", # mu/v0/v1 one-call vectors
+    "semdedup_embeddings",        # assign_cells centroid literals
+    "embedding_neardup",          # cosine_neardup_pairs lsh_bucket planes
+    # -- (1) changed code re-earns: classifier weights + language profiles --
+    "quality_policy_docs",
+    "quality_classifier_docs",
     "classifier_auc_docs",
     "classifier_kappa_docs",
-    "curriculum_stages_docs",
+    "classifier_calibration_docs",
+    "conformal_coverage_docs",
+    "pipeline_verdict_docs",
+    "language_id_ngram_docs",
+    "langid_confusion_docs",
+    # -- (1) changed code re-earns: rank primitive (_bucket / pcts) --
+    "hybrid_rrf_docs",
+    "quantile_normalize_docs",
+    "customer_rfm_segments",
     "customer_abc_analysis",
-    "dsir_weights_docs",
-    "events_cms_counts",
-    "events_hll_rollup",
-    "events_psi_drift_windows",
-    "events_sigma_corr_cooccur",
-    "events_sigma_corr_counts",
-    "events_sigma_corr_distinct",
+    "zipf_slope_docs",
+    # -- (2) stalest: all 21 remaining round-8 rows (cohort retired) --
+    "events_sigma_corr_temporal",
+    "fertility_by_lang_docs",
+    "gopher_quality_docs",
+    "hard_negatives_embeddings",
+    "hll_scratch_events",
+    "interval_join_events",
+    "kcore_docs",
+    "kmv_distinct_events",
+    "kmv_source_overlap_docs",
+    "l_diversity_docs",
+    "label_centroid_sim_embeddings",
+    "matryoshka_recall_embeddings",
+    "maxsim_retrieval_docs",
+    "orders_woe_binning",         # also a rank-primitive re-earn
+    "pagerank_docs",
+    "pmi_collocations_docs",
+    "source_dup_matrix_docs",
+    "source_kl_divergence_docs",
+    "sq8_error_embeddings",
+    "t_closeness_docs",
+    "triangle_count_docs",
 ]
 
 

@@ -97,22 +97,27 @@ def test_rotation_advances_until_full_coverage():
 
 def test_changed_code_queries_in_gate_window():
     """Queries whose implementation changed this round must sit inside the
-    driver-checked window: changed code re-earns its driver row.  Round 13:
-    the two new entries (cell-skew gauge + hot-cell split), the whole
-    ivf_index.py family (versioned-manifest port: file-level postings,
-    exactly-once ingest watermarks, manifest tombstones, split tree), and
-    the dedup-state trio (auto-compaction, shared ops/manifest refactor,
-    the _apply_once seq-race fix)."""
+    driver-checked window: changed code re-earns its driver row.  Round 14:
+    the one-call literal-array conversion (LSH planes, IVF centroids, PQ
+    codebook, JL sign matrix, SQ8 grid, classifier hashing weights,
+    language-id profiles), the memoized rule-condition/metadata builders,
+    and the rank-primitive _bucket rewrite."""
     from __spark_entry__ import _DRIVER_WINDOW
 
     window = set(_DRIVER_WINDOW[:GATE_SIZE])
     for name in (
-        # round-13 never-driver-verified additions
-        "ivf_cell_sizes_embeddings", "ann_ivf_sq8_split",
-        # changed this round
-        "ann_ivf_sq8_indexed", "ann_ivf_sq8_appended",
-        "ann_ivf_sq8_deleted", "ann_ivf_sq8_filtered",
-        "ann_ivf_sq8_refined", "dedup_state_clusters_docs",
-        "dedup_state_pairs_docs", "dedup_state_retire_docs",
+        # one-call literal arrays (ops/similarity + ops/ivf_index)
+        "ann_rp", "ann_lsh", "ann_ivf", "ann_pq_adc", "ann_recall",
+        "ann_ndcg_embeddings", "ann_ivf_sq8", "ann_ivf_sq8_indexed",
+        "lsh_recall_docs", "kmeans_step_embeddings",
+        "power_iteration_embeddings", "semdedup_embeddings",
+        "embedding_neardup",
+        # classifier weights + language profiles (ops/text)
+        "quality_policy_docs", "quality_classifier_docs",
+        "classifier_auc_docs", "pipeline_verdict_docs",
+        "language_id_ngram_docs",
+        # rank primitive (_bucket / percentile array)
+        "hybrid_rrf_docs", "quantile_normalize_docs",
+        "customer_rfm_segments", "orders_woe_binning",
     ):
         assert name in window, name

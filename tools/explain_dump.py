@@ -4,7 +4,7 @@
 Usage:
     python tools/explain_dump.py SUFFIX [sf_dir] QUERY [QUERY ...]
 
-Writes plans/r13/<query>_<SUFFIX>.txt at the repo root.  SUFFIX is
+Writes plans/$PLANS_ROUND (default r14)/<query>_<SUFFIX>.txt at the repo root.  SUFFIX is
 typically `before` or `after`.  Uses the bench's session shape
 (local[$SPARK_GRAFT_CPUS], split conf) so the captured plan is the plan
 the bench actually runs.
@@ -40,7 +40,7 @@ def main() -> None:
             "spark.sql.files.openCostInBytes": str(64 * 1024),
         },
     )
-    out_dir = os.path.join(ROOT, "plans", "r13")
+    out_dir = os.path.join(ROOT, "plans", os.environ.get("PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = QUERIES[name].fn(spark, sf_dir)
